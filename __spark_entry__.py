@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (5-minute tumbling OHLC + True
+Range over the events tick-stream proxy — reference operators A1+W1+W5) at
+sf0.001. ``queries()`` / ``oracle_sql()`` expose the full operator
+registry (SURVEY.md §2 + §2.10 extensions) with DuckDB oracle twins; see
+options_data_pipeline_spark/registry.py.
 """
 
 from __future__ import annotations
@@ -13,26 +13,21 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from options_data_pipeline_spark import registry
+from options_data_pipeline_spark.operators.ohlc import ohlc_candles
+from options_data_pipeline_spark.operators.truerange import with_true_range
+from options_data_pipeline_spark.sources.tables import load_ticks
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: 5-min OHLC + TR on /root/testdata/sf0.001 events."""
+    ticks = load_ticks(spark, "/root/testdata/sf0.001")
+    return with_true_range(ohlc_candles(ticks, "300 seconds"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return registry.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return registry.oracle_sql()

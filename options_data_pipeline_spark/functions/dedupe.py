@@ -1,0 +1,195 @@
+"""Deduplication operators for LLM training-data pipelines
+(SURVEY.md §2.10): exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Scale design:
+ - exact dedup: hash-groupBy on the fingerprint — one shuffle at the
+   fingerprint grain, map-side partial agg.
+ - n-gram Jaccard: exact pairwise similarity via a shingle self-join —
+   O(pairs sharing a shingle); correct but quadratic in the worst case,
+   kept as the small-data oracle / verification path.
+ - MinHash-LSH: the 100 TB path. Shingle → K deterministic min-hashes →
+   band → bucket-join. Candidate pairs are only those colliding in ≥1
+   band; cost is O(docs × K) + the (tiny) bucket join. Hash functions are
+   md5-derived so the DuckDB oracle can reproduce them bit-for-bit.
+ - SimHash: 64-bit signature from md5 bits of tokens; near-dup = small
+   Hamming distance. Signature build is one explode+groupBy.
+
+All built-in Column expressions — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint_col
+
+# (a, b) parameters for the affine min-hash family h_j(x) = (a*x + b) mod P.
+# Odd constants, fixed seed — mirrored literally in the oracle SQL.
+MINHASH_PRIME = 2147483647  # 2^31 - 1 (Mersenne)
+MINHASH_PARAMS = [(2 * j + 1, 7919 * (j + 1)) for j in range(16)]
+LSH_BANDS = 4  # 16 hashes → 4 bands × 4 rows
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Fingerprint → (representative doc_id, group size). Groups of size 1
+    are singletons; >1 are exact-duplicate clusters."""
+    return (
+        docs.select(F.col("doc_id"), fingerprint_col(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def shingles(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
+    """Distinct character-k-gram shingles per document over the casefolded,
+    whitespace-collapsed text. Pure SQL (sequence + transform + explode)."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), "\\s+", " ")
+    return (
+        docs.select("doc_id", norm.alias("t"))
+        .select(
+            "doc_id",
+            F.explode_outer(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, greatest(length(t) - {k - 1}, 1)),"
+                        f" i -> substring(t, i, {k}))"
+                    )
+                )
+            ).alias("shingle"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, text_col: str = "text", k: int = 5, threshold: float = 0.4
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard ≥ threshold (doc_a < doc_b).
+
+    Verification path for MinHash: the shingle self-join explodes on hot
+    shingles at scale — use :func:`minhash_lsh_candidates` there and keep
+    this for candidate verification only.
+    """
+    sh = shingles(docs, text_col, k).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+def shingle_hash_col(shingle_col: str = "shingle") -> F.Column:
+    """Deterministic 32-bit integer hash of a shingle via md5 — identical
+    in DuckDB: ``CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)``."""
+    return F.conv(F.substring(F.md5(F.col(shingle_col)), 1, 8), 16, 10).cast("long")
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
+    """doc_id → (hash_idx j, minhash value) for the 16-function family."""
+    sh = shingles(docs, text_col, k).withColumn("h", shingle_hash_col())
+    params = F.array(
+        *[F.struct(F.lit(j).alias("j"), F.lit(a).alias("a"), F.lit(b).alias("b"))
+          for j, (a, b) in enumerate(MINHASH_PARAMS)]
+    )
+    exploded = sh.select(
+        "doc_id", "h", F.explode(params).alias("p")
+    ).select(
+        "doc_id",
+        F.col("p.j").alias("j"),
+        ((F.col("p.a") * F.col("h") + F.col("p.b")) % MINHASH_PRIME).alias("hv"),
+    )
+    return exploded.groupBy("doc_id", "j").agg(F.min("hv").alias("minhash"))
+
+
+def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
+    """Banded LSH candidate pairs (doc_a < doc_b, ≥1 colliding band).
+
+    Bands the 16-signature into 4 bands of 4; a bucket key is the band id
+    plus the concatenated minhashes; candidates are pairs sharing any
+    bucket. The join is on the bucket key — at 100 TB this is the only
+    shuffle, and bucket sizes are bounded by near-dup cluster sizes.
+    """
+    rows_per_band = len(MINHASH_PARAMS) // LSH_BANDS
+    sig = minhash_signatures(docs, text_col, k)
+    # collect_list order is nondeterministic → sort by hash index j inside
+    # the struct array before building the bucket key
+    sig_sorted = (
+        sig.withColumn("band", (F.col("j") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "minhash"))),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+            ).alias("bucket")
+        )
+    )
+    a, b = sig_sorted.alias("a"), sig_sorted.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
+    """doc_id → simhash (bits-wide integer). Token hash = first 8 md5 hex
+    chars (32 bits); bit b of the signature is 1 iff the count of tokens
+    with bit b set exceeds half the token count."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '\\\\S+', 0)")
+        ).alias("tok"),
+    )
+    hashed = toks.withColumn(
+        "h", F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    )
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    counts = hashed.groupBy("doc_id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig + F.when(F.col(f"b{b}") * 2 > F.col("n"), F.lit(1 << b)).otherwise(0)
+    return counts.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming. Pairs via
+    band-bucketing on signature bytes would be the scale path; here the
+    self-join is on a coarse prefix bucket (top 16 bits) to bound pairs."""
+    sig = simhash_signatures(docs, text_col)
+    sig = sig.withColumn("bucket", F.shiftright(F.col("simhash"), 16))
+    a, b = sig.alias("a"), sig.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,121 @@
+"""Similarity search over embedding columns (SURVEY.md §2.10).
+
+Brute-force cosine top-k is the correctness baseline; the partitioned
+(IVF-style) variant is the scale path. Dot products use built-in
+higher-order array functions (``zip_with`` + ``aggregate``) — JVM-side,
+sequential fold, bit-identical with DuckDB's ``list_dot_product`` (verified
+empirically), so cosine scores can be hash-compared against the oracle
+unrounded.
+
+Scale design (100 TB / billions of vectors):
+ - brute force is O(Q × N) — only for small Q (re-ranking) or verification
+ - :func:`cosine_topk_partitioned` restricts each query to one coarse
+   partition (IVF cell); here the precomputed ``label`` plays the cell id.
+   Real IVF would k-means the cells; the join/aggregate shape — the Spark
+   part — is identical, and the cell join broadcasts the (tiny) query set.
+ - both paths prune with a window-function top-k (rank ≤ k) instead of a
+   global sort: the per-query heap is Catalyst's WindowGroupLimit pushdown.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_col(a: str | Column, b: str | Column) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    prod = F.zip_with(a.cast("array<double>"), b.cast("array<double>"), lambda x, y: x * y)
+    return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm_col(a: str | Column) -> Column:
+    return F.sqrt(dot_col(a, a))
+
+
+def cosine_col(a: str | Column, b: str | Column) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (brute force).
+
+    Output: (query_id, neighbor_id, cosine, rank), rank 1..k, ties broken
+    by neighbor id so results are deterministic. The query side is
+    broadcast (small by contract); the corpus is scanned once.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_col(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def cosine_topk_partitioned(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """IVF-style ANN: each query probes only its own coarse cell.
+
+    ``cell_col`` assigns both sides to a coarse partition (in real IVF the
+    nearest k-means centroid; here the dataset's precomputed label). The
+    candidate join is an equi-join on the cell — shuffle-free when the
+    query side broadcasts — so cost drops from O(Q×N) to O(Q×N/cells).
+    Recall < 1.0 by construction; brute force is the verification oracle.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(cell_col).alias("cell"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(cell_col).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_col(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )

@@ -1,0 +1,105 @@
+"""Text-analysis operators for LLM training-data pipelines
+(SURVEY.md §2.10 extension surface — not in the reference, which has no
+text path; designed for the 100 TB documents use case).
+
+All pure Column expressions (regexp + arithmetic, JVM-side, codegen'd):
+no Python in the hot path. Each helper column is the building block for a
+`queries()` entry with a DuckDB oracle.
+
+Scale notes: every op here is a narrow map — no shuffle. Language ID and
+quality scoring run in a single scan; token counting uses
+``regexp_extract_all`` which vectorizes in codegen. At 100 TB these ops
+are IO-bound, exactly where they should be.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Stopword marker lists for the n-gram/stopword language-ID heuristic.
+# Deliberately tiny + deterministic so the oracle SQL can mirror them.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "fr": ["le", "la", "les", "est", "une"],
+    "es": ["el", "los", "las", "es", "una"],
+}
+
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def token_count_col(text_col: str = "text") -> Column:
+    """Whitespace tokenization count — ``regexp_extract_all('\\S+')`` is
+    robust to leading/trailing/repeated whitespace (unlike split)."""
+    return F.size(F.expr(f"regexp_extract_all({text_col}, '\\\\S+', 0)")).cast("long")
+
+
+def _count_matches(text_col: str, pattern: str) -> Column:
+    return F.size(F.expr(f"regexp_extract_all({text_col}, '{pattern}', 0)")).cast("long")
+
+
+def lang_score_col(text_col: str, lang: str) -> Column:
+    """Marker-word hit count for one language (word-boundary regexp)."""
+    words = "|".join(LANG_MARKERS[lang])
+    return _count_matches(f"lower({text_col})", f"\\\\b({words})\\\\b")
+
+
+def lang_guess_col(text_col: str = "text") -> Column:
+    """Greedy argmax over marker scores; ties → earlier language in the
+    fixed (en, de, fr, es) order; all-zero → 'und' (undetermined)."""
+    scores = {lang: lang_score_col(text_col, lang) for lang in LANG_MARKERS}
+    best_score = F.greatest(*scores.values())
+    guess = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):  # earlier langs win ties
+        guess = F.when(scores[lang] == best_score, F.lit(lang)).otherwise(guess)
+    return F.when(best_score > 0, guess).otherwise(F.lit("und"))
+
+
+def quality_cols(text_col: str = "text") -> dict[str, Column]:
+    """Quality-scoring signals: length, token count, mean token length,
+    punctuation/digit/stopword ratios. The composite ``quality_score`` is
+    a deterministic linear blend (a placeholder for a learned filter)."""
+    n_chars = F.length(text_col).cast("long")
+    n_tokens = token_count_col(text_col)
+    n_punct = _count_matches(text_col, "[.,!?;:]")
+    n_digit = _count_matches(text_col, "[0-9]")
+    stop = "|".join(EN_STOPWORDS)
+    n_stop = _count_matches(f"lower({text_col})", f"\\\\b({stop})\\\\b")
+    safe_tokens = F.greatest(n_tokens, F.lit(1)).cast("double")
+    safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
+    punct_ratio = n_punct.cast("double") / safe_chars
+    digit_ratio = n_digit.cast("double") / safe_chars
+    stop_ratio = n_stop.cast("double") / safe_tokens
+    mean_tok_len = n_chars.cast("double") / safe_tokens
+    score = (
+        F.lit(0.4) * F.least(stop_ratio * 4, F.lit(1.0))
+        + F.lit(0.3) * F.least(n_tokens.cast("double") / 100, F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * 10 + digit_ratio * 5, F.lit(1.0)))
+    )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": punct_ratio,
+        "digit_ratio": digit_ratio,
+        "stop_ratio": stop_ratio,
+        "mean_tok_len": mean_tok_len,
+        "quality_score": score,
+    }
+
+
+def fingerprint_col(text_col: str = "text") -> Column:
+    """Document fingerprint: md5 of casefolded, whitespace-collapsed text —
+    the exact-dedup "SOLE AUTHORITY" id in the style of the reference's
+    deterministic row ids (``utils/id_generator.py:7-9``)."""
+    normalized = F.regexp_replace(F.trim(F.lower(F.col(text_col))), "\\s+", " ")
+    return F.md5(normalized)
+
+
+def with_text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    out = docs
+    for name, col in quality_cols(text_col).items():
+        out = out.withColumn(name, col)
+    return out.withColumn("lang_guess", lang_guess_col(text_col)).withColumn(
+        "fingerprint", fingerprint_col(text_col)
+    )

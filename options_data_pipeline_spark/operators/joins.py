@@ -1,0 +1,70 @@
+"""Dimension joins, anti-join detection, and state reconciliation
+(reference J1–J7, A8).
+
+Reference does every "join" as a Python dict lookup (J1/J2:
+``INSTRUMENT_BY_TOKEN/SYMBOL``, ``config/instruments.py:206-207``), a set
+difference (J3/J4), or a keyed compare loop (J5,
+``checkpoint_manager.py:274-298``). Spark-first: broadcast hash joins for
+the dims (178 rows ≪ the 10 MB auto-broadcast threshold), LEFT ANTI for
+set differences, full outer + epsilon filter for reconciliation.
+
+Scale: dimension joins never shuffle the fact side (broadcast); the anti
+joins shuffle only the small candle grain, not raw ticks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def enrich_with_instruments(ticks: DataFrame, instruments: DataFrame, key: str = "token") -> DataFrame:
+    """J1: token→instrument broadcast inner join; unknown tokens dropped
+    (reference ``ws_client.py:177-179``)."""
+    return ticks.join(F.broadcast(instruments), key, "inner")
+
+
+def attach_segment(rows: DataFrame, instruments: DataFrame, key: str = "symbol") -> DataFrame:
+    """J2: symbol→segment broadcast LEFT join (reference
+    ``write_pipeline.py:100-103`` — missing symbol keeps the row)."""
+    dim = instruments.select(key, "segment")
+    return rows.join(F.broadcast(dim), key, "left")
+
+
+def missing_symbols(expected: DataFrame, candles: DataFrame, key: str = "symbol") -> DataFrame:
+    """J3: expected − present (reference ``gap_fill.py:54-56``)."""
+    return expected.select(key).distinct().join(candles.select(key), key, "left_anti")
+
+
+def reconcile_states(
+    local: DataFrame,
+    remote: DataFrame,
+    key: str = "symbol",
+    value_cols: tuple[str, ...] = ("last_close", "last_atr"),
+    epsilon: float = 1e-4,
+) -> DataFrame:
+    """J5/A8: full outer join local vs sink ATR state; a row diverges when
+    any value differs by > epsilon or exists on one side only (reference
+    ``checkpoint_manager.py:274-298``)."""
+    l = local.select(key, *[F.col(c).alias(f"local_{c}") for c in value_cols])
+    r = remote.select(key, *[F.col(c).alias(f"remote_{c}") for c in value_cols])
+    joined = l.join(r, key, "full_outer")
+    diverged = F.lit(False)
+    for c in value_cols:
+        lc, rc = F.col(f"local_{c}"), F.col(f"remote_{c}")
+        diverged = diverged | (lc.isNull() != rc.isNull()) | (F.abs(lc - rc) > epsilon)
+    return joined.withColumn("diverged", diverged)
+
+
+def calendar_gate(rows: DataFrame, calendar: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """J7: keep rows whose date is a trading day. ``calendar`` is a small
+    (date, is_holiday) dim (reference ``config/trading_calendar.py:60-95``
+    + ``data/calendars/holidays_2026.json``), broadcast; weekends excluded
+    by ``dayofweek``."""
+    dated = rows.withColumn("_d", F.to_date(ts_col))
+    holidays = calendar.filter(F.col("is_holiday")).select(F.col("date").alias("_d"))
+    return (
+        dated.join(F.broadcast(holidays), "_d", "left_anti")
+        .filter(~F.dayofweek("_d").isin(1, 7))  # 1=Sunday, 7=Saturday
+        .drop("_d")
+    )

@@ -1,0 +1,61 @@
+"""Tumbling-window OHLC aggregation (reference operators A1 + W1).
+
+Reference: per-(ticker, 5-min window) incremental OHLC hash-agg with
+arrival-ordered first/last (``modules/aggregator/tick_buffer.py:96-146``)
+over strict event-time tumbling windows computed from a pre-built boundary
+list (``utils/time_utils.py:167-224``).
+
+Spark-first re-expression: ``groupBy(symbol, window(ts, interval))`` with
+``min_by/max_by`` keyed on ``struct(ts, event_id)`` so first/last are
+deterministic on stored data (the reference's arrival order is not
+reproducible; ``event_id`` is the monotonic tie-breaker — SURVEY.md §7
+risk 2). Catalyst runs this as a partial+final hash aggregate inside
+whole-stage codegen; the single shuffle is on (symbol, window), which is
+exactly the grain of the result — no narrower plan exists.
+
+Scale: at 100 TB the input would be date-partitioned; window+symbol
+grouping keys are high-cardinality and evenly spread, so the shuffle is
+skew-free. AQE coalesces small post-shuffle partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ohlc_candles(
+    ticks: DataFrame,
+    interval: str = "5 minutes",
+    symbol_col: str = "symbol",
+    price_col: str = "price",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """ticks(symbol, price, ts, event_id) → candles, one row per
+    (symbol, window_start): open/high/low/close/tick_count.
+
+    Window assignment is inclusive-start / exclusive-end, matching the
+    reference rule that a tick at exactly a boundary belongs to the NEW
+    window (``time_utils.py:174-177``) — identical to ``F.window``.
+    """
+    order = F.struct(F.col(ts_col), F.col(order_col))
+    return (
+        ticks.groupBy(F.col(symbol_col).alias("symbol"), F.window(ts_col, interval).alias("w"))
+        .agg(
+            F.min_by(price_col, order).alias("open"),
+            F.max(price_col).alias("high"),
+            F.min(price_col).alias("low"),
+            F.max_by(price_col, order).alias("close"),
+            F.count(F.lit(1)).alias("tick_count"),
+        )
+        .select(
+            "symbol",
+            F.col("w.start").alias("window_start"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "tick_count",
+        )
+    )

@@ -1,0 +1,802 @@
+"""Query registry: every implemented operator from SURVEY.md §2 as a
+(spark, sf_dir) -> DataFrame callable, plus the matching DuckDB oracle SQL.
+
+The driver (and tools/check_correctness.py locally) runs each Spark query
+and its oracle side-by-side at sf0.01 and hash-compares row count, schema
+and values. Column names/aliases are kept identical on both sides.
+
+Float determinism rules (validated empirically, see tools/):
+ - picked values (min/max/first/last), single-op arithmetic (lag diffs,
+   greatest, one division) and array dot-product folds are bit-identical
+   between Spark and DuckDB → compare unrounded;
+ - multi-row SUM/AVG of doubles is order-dependent → compute in DECIMAL
+   (exact, associative) and cast the final value to DOUBLE.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .sources.tables import load_table, load_ticks
+from .operators.ohlc import ohlc_candles
+from .operators.truerange import with_true_range
+from .operators.atr import with_wilder_atr, atr_summary, ATR_PERIOD
+from .operators.gapfill import gap_fill
+from .operators.ids import with_row_id, dedup_delta
+from .operators.filters import in_session
+from .operators.joins import missing_symbols, reconcile_states, calendar_gate
+from .operators.queries import value_percentiles, buffer_stats, validate_ohlc
+from .functions.text import with_text_stats, token_count_col, lang_guess_col, quality_cols, fingerprint_col
+from .functions.dedupe import (
+    exact_dedup_groups,
+    ngram_jaccard_pairs,
+    minhash_lsh_candidates,
+    simhash_signatures,
+    MINHASH_PARAMS,
+    MINHASH_PRIME,
+)
+from .functions.similarity import cosine_topk, cosine_topk_partitioned
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB dialect)
+# ---------------------------------------------------------------------------
+
+TICKS_CTE = """
+ticks AS (
+  SELECT event_type AS symbol, value AS price, ts, event_id
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL
+)"""
+
+
+def candles_cte(seconds: int) -> str:
+    return f"""{TICKS_CTE},
+candles AS (
+  SELECT symbol,
+         time_bucket(INTERVAL '{seconds} seconds', ts) AS window_start,
+         first(price ORDER BY ts, event_id) AS "open",
+         max(price) AS high,
+         min(price) AS low,
+         last(price ORDER BY ts, event_id) AS "close",
+         count(*) AS tick_count
+  FROM ticks
+  GROUP BY 1, 2
+)"""
+
+
+TR_CTE = """
+trc AS (
+  SELECT symbol, window_start, "open", high, low, "close", tick_count,
+         lag("close") OVER (PARTITION BY symbol ORDER BY window_start) AS prev_close
+  FROM candles
+),
+tr_done AS (
+  SELECT *,
+         CASE WHEN prev_close IS NULL THEN high - low
+              ELSE greatest(high - low, abs(high - prev_close), abs(low - prev_close))
+         END AS tr
+  FROM trc
+)"""
+
+NORM_DOC = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+SHINGLES_CTE = f"""
+docs_n AS (SELECT doc_id, {NORM_DOC} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(length(t) - 4, 1)),
+                               i -> substr(t, i, 5))) AS shingle
+  FROM docs_n
+)"""
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Core pipeline operators (SURVEY §2.2–§2.6)
+# ---------------------------------------------------------------------------
+
+@register(
+    "ohlc_5m",
+    f"""WITH {candles_cte(300)}
+SELECT symbol, window_start, "open", high, low, "close", tick_count FROM candles""",
+)
+def q_ohlc_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+W1: 5-minute tumbling OHLC (reference tick_buffer.py:96-146)."""
+    return ohlc_candles(load_ticks(spark, sf_dir), "300 seconds")
+
+
+@register(
+    "ohlc_true_range",
+    f"""WITH {candles_cte(3600)},
+{TR_CTE}
+SELECT symbol, window_start, "open", high, low, "close", tick_count, prev_close, tr
+FROM tr_done""",
+)
+def q_true_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: True Range via lag(close) (reference atr_engine.py:109-132)."""
+    return with_true_range(ohlc_candles(load_ticks(spark, sf_dir), "3600 seconds"))
+
+
+@register(
+    "atr_wilder",
+    f"""WITH RECURSIVE {candles_cte(3600)},
+{TR_CTE},
+numbered AS (
+  SELECT *, row_number() OVER (PARTITION BY symbol ORDER BY window_start) AS rn
+  FROM tr_done
+),
+seed AS (
+  SELECT symbol, rn,
+         avg(tr) OVER (PARTITION BY symbol ORDER BY rn
+                       ROWS BETWEEN {ATR_PERIOD - 1} PRECEDING AND CURRENT ROW) AS atr
+  FROM numbered QUALIFY rn = {ATR_PERIOD}
+),
+rec AS (
+  SELECT symbol, rn, atr FROM seed
+  UNION ALL
+  SELECT t.symbol, t.rn, (r.atr * {ATR_PERIOD - 1} + t.tr) / {ATR_PERIOD}
+  FROM rec r JOIN numbered t ON t.symbol = r.symbol AND t.rn = r.rn + 1
+)
+SELECT n.symbol, n.window_start, n."open", n.high, n.low, n."close", n.tick_count,
+       n.prev_close, n.tr,
+       CASE WHEN rec.atr < 0 THEN 0.0 ELSE rec.atr END AS atr
+FROM numbered n LEFT JOIN rec ON rec.symbol = n.symbol AND rec.rn = n.rn""",
+)
+def q_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6: Wilder ATR — warmup NULLs, mean seed at period 14, recursion
+    (reference atr_engine.py:134-192). Oracle: recursive CTE."""
+    candles = with_true_range(ohlc_candles(load_ticks(spark, sf_dir), "3600 seconds"))
+    return with_wilder_atr(candles)
+
+
+@register(
+    "atr_state_summary",
+    f"""WITH RECURSIVE {candles_cte(3600)},
+{TR_CTE},
+numbered AS (
+  SELECT *, row_number() OVER (PARTITION BY symbol ORDER BY window_start) AS rn
+  FROM tr_done
+),
+seed AS (
+  SELECT symbol, rn,
+         avg(tr) OVER (PARTITION BY symbol ORDER BY rn
+                       ROWS BETWEEN {ATR_PERIOD - 1} PRECEDING AND CURRENT ROW) AS atr
+  FROM numbered QUALIFY rn = {ATR_PERIOD}
+),
+rec AS (
+  SELECT symbol, rn, atr FROM seed
+  UNION ALL
+  SELECT t.symbol, t.rn, (r.atr * {ATR_PERIOD - 1} + t.tr) / {ATR_PERIOD}
+  FROM rec r JOIN numbered t ON t.symbol = r.symbol AND t.rn = r.rn + 1
+),
+enriched AS (
+  SELECT n.symbol, n.window_start, n."close",
+         CASE WHEN rec.atr < 0 THEN 0.0 ELSE rec.atr END AS atr
+  FROM numbered n LEFT JOIN rec ON rec.symbol = n.symbol AND rec.rn = n.rn
+)
+SELECT symbol,
+       last("close" ORDER BY window_start) AS last_close,
+       last(atr ORDER BY window_start) AS last_atr,
+       max(window_start) AS last_window_start,
+       count(*) AS candle_count
+FROM enriched GROUP BY symbol""",
+)
+def q_atr_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: per-ticker ATR-state snapshot (reference atr_engine.py:244-257)."""
+    candles = with_true_range(ohlc_candles(load_ticks(spark, sf_dir), "3600 seconds"))
+    return atr_summary(with_wilder_atr(candles))
+
+
+@register(
+    "gap_fill",
+    f"""WITH {candles_cte(3600)},
+bounds AS (SELECT min(window_start) AS w_min, max(window_start) AS w_max FROM candles),
+wins AS (
+  SELECT unnest(generate_series(w_min, w_max, INTERVAL '3600 seconds')) AS window_start
+  FROM bounds
+),
+syms AS (SELECT DISTINCT symbol FROM candles),
+scaffold AS (SELECT symbol, window_start FROM syms CROSS JOIN wins),
+j AS (
+  SELECT s.symbol, s.window_start, c."open", c.high, c.low, c."close", c.tick_count
+  FROM scaffold s LEFT JOIN candles c USING (symbol, window_start)
+),
+f AS (
+  SELECT *,
+         last_value("close" IGNORE NULLS) OVER (
+           PARTITION BY symbol ORDER BY window_start
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_close
+  FROM j
+)
+SELECT symbol, window_start,
+       CASE WHEN tick_count IS NULL THEN prev_close ELSE "open" END AS "open",
+       CASE WHEN tick_count IS NULL THEN prev_close ELSE high END AS high,
+       CASE WHEN tick_count IS NULL THEN prev_close ELSE low END AS low,
+       CASE WHEN tick_count IS NULL THEN prev_close ELSE "close" END AS "close",
+       coalesce(tick_count, 0) AS tick_count,
+       (tick_count IS NULL) AS gap_filled
+FROM f
+WHERE (CASE WHEN tick_count IS NULL THEN prev_close ELSE "close" END) IS NOT NULL""",
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: flat-candle gap fill w/ forward-filled close (reference
+    gap_fill.py:32-88); unfillable (cold-start) slots dropped."""
+    return gap_fill(ohlc_candles(load_ticks(spark, sf_dir), "3600 seconds"), 3600)
+
+
+@register(
+    "row_ids",
+    f"""WITH {candles_cte(300)}
+SELECT symbol, window_start,
+       concat(symbol, '_', strftime(window_start, '%Y%m%d_%H%M')) AS id
+FROM candles""",
+)
+def q_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/§2.7: deterministic row id {symbol}_{yyyyMMdd_HHmm}
+    (reference utils/id_generator.py:15-30)."""
+    candles = ohlc_candles(load_ticks(spark, sf_dir), "300 seconds")
+    return with_row_id(candles).select("symbol", "window_start", "id")
+
+
+@register(
+    "dedup_delta",
+    f"""WITH {candles_cte(300)},
+ids AS (
+  SELECT symbol, window_start,
+         concat(symbol, '_', strftime(window_start, '%Y%m%d_%H%M')) AS id
+  FROM candles
+),
+batch AS (
+  SELECT * FROM ids
+  WHERE window_start >= TIMESTAMP '2024-01-15' AND window_start < TIMESTAMP '2024-01-18'
+),
+sink AS (SELECT id FROM ids WHERE window_start < TIMESTAMP '2024-01-16')
+SELECT b.symbol, b.window_start, b.id
+FROM batch b WHERE NOT EXISTS (SELECT 1 FROM sink s WHERE s.id = b.id)""",
+)
+def q_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: idempotent write delta — batch ids anti-joined against the sink
+    (reference write_pipeline.py:151-183)."""
+    candles = with_row_id(ohlc_candles(load_ticks(spark, sf_dir), "300 seconds"))
+    batch = candles.filter(
+        (F.col("window_start") >= "2024-01-15") & (F.col("window_start") < "2024-01-18")
+    ).select("symbol", "window_start", "id")
+    sink = candles.filter(F.col("window_start") < "2024-01-16")
+    return dedup_delta(batch, sink)
+
+
+@register(
+    "market_hours_ohlc",
+    f"""WITH {TICKS_CTE},
+session_ticks AS (
+  SELECT * FROM ticks
+  WHERE strftime(ts, '%H:%M:%S') >= '09:15:00' AND strftime(ts, '%H:%M:%S') < '15:30:00'
+),
+candles AS (
+  SELECT symbol,
+         time_bucket(INTERVAL '300 seconds', ts) AS window_start,
+         first(price ORDER BY ts, event_id) AS "open",
+         max(price) AS high, min(price) AS low,
+         last(price ORDER BY ts, event_id) AS "close",
+         count(*) AS tick_count
+  FROM session_ticks GROUP BY 1, 2
+)
+SELECT symbol, window_start, "open", high, low, "close", tick_count FROM candles""",
+)
+def q_market_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3+P4: inclusive-open/exclusive-close session filter then OHLC
+    (reference time_utils.py:140-164)."""
+    ticks = in_session(load_ticks(spark, sf_dir), "09:15", "15:30")
+    return ohlc_candles(ticks, "300 seconds")
+
+
+@register(
+    "missing_symbols",
+    f"""WITH {TICKS_CTE},
+universe AS (SELECT DISTINCT symbol FROM ticks),
+present AS (
+  SELECT DISTINCT symbol FROM ticks
+  WHERE ts >= TIMESTAMP '2024-01-15 09:00:00' AND ts < TIMESTAMP '2024-01-15 09:05:00'
+)
+SELECT u.symbol FROM universe u
+WHERE NOT EXISTS (SELECT 1 FROM present p WHERE p.symbol = u.symbol)""",
+)
+def q_missing_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: expected − present for one window (reference gap_fill.py:54-56)."""
+    ticks = load_ticks(spark, sf_dir)
+    window = ticks.filter(
+        (F.col("ts") >= "2024-01-15 09:00:00") & (F.col("ts") < "2024-01-15 09:05:00")
+    )
+    return missing_symbols(ticks, window)
+
+
+@register(
+    "reconciliation",
+    f"""WITH {TICKS_CTE},
+local_state AS (
+  SELECT symbol, last(price ORDER BY ts, event_id) AS last_close, count(*) AS n_ticks
+  FROM ticks WHERE ts < TIMESTAMP '2024-01-20' GROUP BY symbol
+),
+remote_state AS (
+  SELECT symbol, last(price ORDER BY ts, event_id) AS last_close, count(*) AS n_ticks
+  FROM ticks WHERE ts < TIMESTAMP '2024-01-25' GROUP BY symbol
+)
+SELECT coalesce(l.symbol, r.symbol) AS symbol,
+       l.last_close AS local_last_close, r.last_close AS remote_last_close,
+       ((l.last_close IS NULL) <> (r.last_close IS NULL)
+        OR abs(l.last_close - r.last_close) > 0.0001) AS diverged
+FROM local_state l FULL OUTER JOIN remote_state r ON l.symbol = r.symbol""",
+)
+def q_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/A8: local-vs-sink state divergence, ε=1e-4 (reference
+    checkpoint_manager.py:274-298)."""
+    ticks = load_ticks(spark, sf_dir)
+    order = F.struct("ts", "event_id")
+
+    def state(cutoff: str) -> DataFrame:
+        return (
+            ticks.filter(F.col("ts") < cutoff)
+            .groupBy("symbol")
+            .agg(F.max_by("price", order).alias("last_close"))
+        )
+
+    local, remote = state("2024-01-20"), state("2024-01-25")
+    out = reconcile_states(local, remote, value_cols=("last_close",))
+    return out.select(
+        "symbol",
+        F.col("local_last_close"),
+        F.col("remote_last_close"),
+        "diverged",
+    )
+
+
+@register(
+    "value_percentiles",
+    f"""WITH {TICKS_CTE}
+SELECT symbol,
+       quantile_cont(price, 0.5) AS p50,
+       quantile_cont(price, 0.95) AS p95,
+       quantile_cont(price, 0.99) AS p99,
+       max(price) AS max_value,
+       count(*) AS n
+FROM ticks GROUP BY symbol""",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: exact p50/p95/p99/max per key (reference ws_client.py:246-296).
+    At 100 TB switch exact=False → percentile_approx sketch."""
+    return value_percentiles(load_ticks(spark, sf_dir), "price", "symbol")
+
+
+@register(
+    "max_timestamp",
+    f"""WITH {TICKS_CTE}
+SELECT symbol, max(ts) AS max_ts FROM ticks GROUP BY symbol""",
+)
+def q_max_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: latest timestamp per key (reference sheets_client.py:188-210)."""
+    return (
+        load_ticks(spark, sf_dir).groupBy("symbol").agg(F.max("ts").alias("max_ts"))
+    )
+
+
+@register(
+    "existing_ids",
+    f"""WITH {candles_cte(300)}
+SELECT concat(symbol, '_', strftime(window_start, '%Y%m%d_%H%M')) AS id
+FROM candles WHERE window_start = TIMESTAMP '2024-01-15 09:00:00'""",
+)
+def q_existing_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: sink ids for one window — the predicate partition-prunes at scale
+    (reference sheets_client.py:111-152)."""
+    candles = with_row_id(ohlc_candles(load_ticks(spark, sf_dir), "300 seconds"))
+    return candles.filter(F.col("window_start") == "2024-01-15 09:00:00").select("id")
+
+
+@register(
+    "ohlc_validate",
+    f"""WITH {candles_cte(300)}
+SELECT count(*) AS n_violations FROM candles
+WHERE NOT (high >= greatest("open", "close")
+           AND low <= least("open", "close") AND high >= low)""",
+)
+def q_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC invariants (reference candle_aggregator.py:205-216) — violation
+    count must be 0."""
+    bad = validate_ohlc(ohlc_candles(load_ticks(spark, sf_dir), "300 seconds"))
+    return bad.agg(F.count(F.lit(1)).alias("n_violations"))
+
+
+@register(
+    "buffer_stats",
+    f"""WITH {candles_cte(300)}
+SELECT count(DISTINCT symbol) AS n_symbols,
+       CAST(sum(tick_count) AS BIGINT) AS total_ticks,
+       count(*) AS n_candles
+FROM candles""",
+)
+def q_buffer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: buffer stats (reference tick_buffer.py:192-202)."""
+    return buffer_stats(ohlc_candles(load_ticks(spark, sf_dir), "300 seconds"))
+
+
+@register(
+    "calendar_gate",
+    f"""WITH {TICKS_CTE},
+gated AS (
+  SELECT * FROM ticks
+  WHERE dayofweek(ts) NOT IN (0, 6)
+    AND CAST(ts AS DATE) NOT IN (DATE '2024-01-15', DATE '2024-01-26')
+)
+SELECT symbol, count(*) AS n_ticks, max(ts) AS last_ts
+FROM gated GROUP BY symbol""",
+)
+def q_calendar_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: trading-calendar gate — weekends + holiday dim anti-join
+    (reference trading_calendar.py:60-95)."""
+    spark_cal = spark.createDataFrame(
+        [("2024-01-15", True, "Holiday A"), ("2024-01-26", True, "Republic Day")],
+        "date_str string, is_holiday boolean, holiday_name string",
+    ).select(F.to_date("date_str").alias("date"), "is_holiday", "holiday_name")
+    gated = calendar_gate(load_ticks(spark, sf_dir), spark_cal)
+    return gated.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_ticks"), F.max("ts").alias("last_ts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational coverage on the TPC-H-ish tables (J/A/O analogues at scale)
+# ---------------------------------------------------------------------------
+
+@register(
+    "pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus""",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style hash agg; DECIMAL sums for cross-engine determinism.
+    Catalyst: partial+final hash agg, single shuffle at group grain."""
+    li = load_table(spark, "lineitem", sf_dir)
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "revenue_by_nation",
+    """SELECT n_name,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name""",
+)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2 analogue at scale: fact → broadcast dim joins, then hash agg.
+    customer+nation broadcast (≪ threshold) so the fact side never shuffles
+    for the join — only the final group-by shuffles at nation grain."""
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "customers_no_orders",
+    """SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+)
+def q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/O4 analogue: LEFT ANTI join (NOT EXISTS)."""
+    customer = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    return customer.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "top_parts_per_brand",
+    """SELECT p_brand, p_partkey, p_retailprice, "rank" FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey) AS "rank"
+  FROM part) t
+WHERE "rank" <= 3""",
+)
+def q_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-family top-k per group: window rank + filter. Catalyst pushes the
+    rank≤3 limit into the sort (WindowGroupLimit) — no global sort."""
+    part = load_table(spark, "part", sf_dir)
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+    return (
+        part.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline extensions (SURVEY §2.10): text analysis / dedup / similarity
+# ---------------------------------------------------------------------------
+
+@register(
+    "doc_token_stats",
+    r"""SELECT lang, count(*) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       CAST(CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS DOUBLE)
+         / count(*) AS avg_tokens
+FROM documents GROUP BY lang""",
+)
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per language — whitespace tokenizer, single scan."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = token_count_col()
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(toks).alias("total_tokens"),
+            F.sum(F.length("text").cast("long")).alias("total_chars"),
+        )
+        .withColumn("avg_tokens", F.col("total_tokens").cast("double") / F.col("n_docs"))
+    )
+
+
+@register(
+    "doc_quality",
+    r"""SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+       CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|it)\b')) AS BIGINT) AS n_stop,
+       CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT)::DOUBLE
+         / greatest(CAST(length(text) AS BIGINT), 1)::DOUBLE AS punct_ratio,
+       CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|it)\b')) AS BIGINT)::DOUBLE
+         / greatest(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT), 1)::DOUBLE AS stop_ratio
+FROM documents""",
+)
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring signals per document (length/punct/stopword)."""
+    docs = load_table(spark, "documents", sf_dir)
+    cols = quality_cols("text")
+    return docs.select(
+        "doc_id",
+        cols["n_chars"].alias("n_chars"),
+        cols["n_tokens"].alias("n_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '[.,!?;:]', 0)")).cast("long").alias("n_punct"),
+        F.size(
+            F.expr("regexp_extract_all(lower(text), '\\\\b(the|a|of|and|to|in|is|it)\\\\b', 0)")
+        ).cast("long").alias("n_stop"),
+        cols["punct_ratio"].alias("punct_ratio"),
+        cols["stop_ratio"].alias("stop_ratio"),
+    )
+
+
+@register(
+    "lang_id",
+    r"""WITH scored AS (
+  SELECT lang,
+         len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) AS s_en,
+         len(regexp_extract_all(lower(text), '\b(der|die|und|ist|nicht)\b')) AS s_de,
+         len(regexp_extract_all(lower(text), '\b(le|la|les|est|une)\b')) AS s_fr,
+         len(regexp_extract_all(lower(text), '\b(el|los|las|es|una)\b')) AS s_es
+  FROM documents
+),
+guessed AS (
+  SELECT lang,
+         CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+              WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+              WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+              WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+              ELSE 'es' END AS lang_guess
+  FROM scored
+)
+SELECT lang, lang_guess, count(*) AS n_docs FROM guessed GROUP BY lang, lang_guess""",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (marker-word scoring) vs the labeled lang."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select("lang", lang_guess_col("text").alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "exact_dedup",
+    f"""SELECT md5({NORM_DOC}) AS fingerprint,
+       min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents GROUP BY 1""",
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the normalized-text fingerprint."""
+    return exact_dedup_groups(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "ngram_jaccard",
+    f"""WITH {SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       n_common::DOUBLE / (sa.n + sb.n - n_common)::DOUBLE AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common::DOUBLE / (sa.n + sb.n - n_common)::DOUBLE >= 0.4""",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact char-5-gram Jaccard near-dup pairs (small-data verification
+    path; MinHash-LSH below is the 100 TB path)."""
+    return ngram_jaccard_pairs(load_table(spark, "documents", sf_dir), threshold=0.4)
+
+
+def _minhash_oracle() -> str:
+    params_values = ", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(MINHASH_PARAMS))
+    return f"""WITH {SHINGLES_CTE},
+hashed AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+  FROM sh
+),
+params (j, a, b) AS (VALUES {params_values}),
+mh AS (
+  SELECT doc_id, j, min((a * h + b) % {MINHASH_PRIME}) AS minhash
+  FROM hashed CROSS JOIN params GROUP BY doc_id, j
+),
+banded AS (
+  SELECT doc_id, j // 4 AS band,
+         string_agg(minhash::VARCHAR, ',' ORDER BY j) AS bucket
+  FROM mh GROUP BY doc_id, band
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b USING (band, bucket)
+WHERE a.doc_id < b.doc_id"""
+
+
+@register("minhash_lsh", _minhash_oracle())
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates — the scale path for dedup: cost is
+    O(docs × 16 hashes) + a bucket equi-join; md5-derived hash family keeps
+    the oracle bit-identical."""
+    return minhash_lsh_candidates(load_table(spark, "documents", sf_dir))
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    bit_counts = ",\n         ".join(
+        f"CAST(SUM((h >> {b}) & 1) AS BIGINT) AS b{b}" for b in range(bits)
+    )
+    sig = " + ".join(f"(CASE WHEN b{b} * 2 > n THEN {1 << b} ELSE 0 END)" for b in range(bits))
+    return rf"""WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h
+  FROM toks
+),
+counts AS (
+  SELECT doc_id, count(*) AS n,
+         {bit_counts}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM counts"""
+
+
+@register("simhash", _simhash_oracle())
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 32-bit signatures (near-dup fingerprint; Hamming-distance
+    pairing is the companion op in functions/dedupe.py)."""
+    return simhash_signatures(load_table(spark, "documents", sf_dir))
+
+
+COSINE_SQL = """list_dot_product(q.v, c.v)
+        / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))"""
+
+
+@register(
+    "cosine_topk",
+    f"""WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10
+),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {COSINE_SQL} AS cosine
+  FROM c CROSS JOIN q WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS "rank"
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, "rank" FROM ranked WHERE "rank" <= 5""",
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (ANN correctness baseline). Dot products are
+    bit-identical with DuckDB's list_dot_product → unrounded compare."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return cosine_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+@register(
+    "cosine_topk_ivf",
+    f"""WITH q AS (
+  SELECT vec_id AS query_id, label AS cell, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id < 10
+),
+c AS (SELECT vec_id AS neighbor_id, label AS cell, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {COSINE_SQL} AS cosine
+  FROM c JOIN q USING (cell) WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS "rank"
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, "rank" FROM ranked WHERE "rank" <= 5""",
+)
+def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style partitioned ANN: probe only the query's coarse cell —
+    the 100 TB scale path (cost /= n_cells; recall checked vs brute force)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return cosine_topk_partitioned(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+# ---------------------------------------------------------------------------
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)

@@ -1,0 +1,52 @@
+"""SparkSession factory.
+
+The reference pins everything to IST (``config/settings.py:32`` in the
+reference). For oracle comparison we default the session timezone to UTC
+(DuckDB timestamps are UTC-naive); reference-parity tests may pass
+``tz="Asia/Kolkata"``.
+
+Scale posture: AQE on (runtime shuffle coalescing + skew-join splitting),
+shuffle partitions sized to the local core count rather than the 200
+default. On a real cluster these come from spark-submit conf; the factory
+only sets them when it owns the session.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def cpu_count() -> int:
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", "") or os.cpu_count() or 8)
+    except ValueError:
+        return os.cpu_count() or 8
+
+
+def get_spark(
+    app_name: str = "options_data_pipeline_spark",
+    tz: str = "UTC",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = cpu_count()
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", tz)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,74 @@
+"""Parquet table loaders for the driver-generated synthetic tables.
+
+The ``events`` table is the tick-stream proxy (FIXTURES.md §A):
+``event_type`` plays the instrument symbol, ``value`` the last-traded
+price, ``ts`` the exchange (event) timestamp, and ``event_id`` the
+monotonic arrival-order tie-breaker (reference ``tick_buffer.py:129-144``
+uses arrival order for open/close; with stored data we tie-break on
+``(ts, event_id)`` — SURVEY.md §7 risk 2).
+
+At 100 TB the fact tables would be date-partitioned parquet/Delta; the
+loaders keep the read declarative (``spark.read.parquet``) so Catalyst
+applies column pruning + predicate pushdown + partition pruning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# events.ts is nanosecond-precision parquet (TIMESTAMP(NANOS)), which Spark's
+# vectorized reader rejects by default. Reading with an explicit LongType
+# schema (independent of any session conf the driver may use) yields raw
+# epoch-nanos; load_ticks converts with integer division to µs — matching
+# DuckDB's own ns→µs truncation so oracle timestamps agree bit-for-bit.
+EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        raw = spark.read.schema(EVENTS_SCHEMA).parquet(path)
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return spark.read.parquet(path)
+
+
+def load_ticks(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """events → tick-shaped stream (symbol, price, ts, event_id, user_id).
+
+    Mirrors the reference tick parse+projection (``ws_client.py:146-174``):
+    select/rename + null-drop, all native Column ops so the projection and
+    the not-null filters push down into the parquet scan.
+    """
+    events = load_table(spark, "events", sf_dir)
+    return (
+        events.select(
+            F.col("event_type").alias("symbol"),
+            F.col("value").alias("price"),
+            F.col("ts"),
+            F.col("event_id"),
+            F.col("user_id"),
+        )
+        .filter(F.col("price").isNotNull() & F.col("symbol").isNotNull() & F.col("ts").isNotNull())
+    )

@@ -1,0 +1,106 @@
+"""Local pre-validation harness mimicking the driver's t2 correctness gate.
+
+For every query in the registry: run the Spark query and the DuckDB oracle
+at the given sf dir, then compare row count, schema (column names sorted),
+and an order-insensitive value hash. Reports per-query PASS/FAIL with the
+first differing rows on failure.
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+
+import duckdb
+import pandas as pd
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        if pd.api.types.is_extension_array_dtype(df[c]):
+            df[c] = df[c].astype(object)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def cell_repr(v) -> str:
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "NULL"
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    h = hashlib.sha256()
+    rows = ["\x1f".join(cell_repr(v) for v in row) for row in df.itertuples(index=False)]
+    for r in sorted(rows):
+        h.update(r.encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    sys.path.insert(0, ".")
+    from options_data_pipeline_spark import registry
+    from options_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("correctness-check")
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = registry.queries(), registry.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"SKIP {name}: rows-only ({len(sdf)} rows)")
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: oracle error: {e}")
+            failures.append(name)
+            continue
+        s, o = normalize(sdf), normalize(odf)
+        problems = []
+        if len(s) != len(o):
+            problems.append(f"rowcount spark={len(s)} oracle={len(o)}")
+        if list(s.columns) != list(o.columns):
+            problems.append(f"columns spark={list(s.columns)} oracle={list(o.columns)}")
+        elif value_hash(s) != value_hash(o):
+            problems.append("value-hash mismatch")
+            merged = s.merge(o, how="outer", indicator=True, on=list(s.columns))
+            diff = merged[merged["_merge"] != "both"]
+            problems.append(f"first diffs:\n{diff.head(6)}")
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(str(p) for p in problems))
+            failures.append(name)
+        else:
+            print(f"PASS {name} ({len(s)} rows)")
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
