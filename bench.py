@@ -1,0 +1,68 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with a noop-format write (full compute,
+no driver-side collect). BASELINE.md records the first-run numbers; later
+rounds must stay within 2×.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+from options_data_pipeline_spark.session import get_spark
+from options_data_pipeline_spark import registry
+
+HEADLINE = [
+    "ohlc_5m",
+    "ohlc_true_range",
+    "atr_wilder",
+    "gap_fill",
+    "dedup_delta",
+    "value_percentiles",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_parts_per_brand",
+    "doc_quality",
+    "exact_dedup",
+    "minhash_lsh",
+    "simhash",
+    "cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("bench")
+    qs = registry.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = qs[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_suite_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,12 @@
+from __future__ import annotations
+
+import pytest
+
+from options_data_pipeline_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("tests", shuffle_partitions=4)
+    yield s
+    s.stop()

@@ -1,0 +1,82 @@
+"""OHLC aggregation tests — mirrors the reference's test_tick_buffer.py /
+test_time_utils.py intent (SURVEY.md §5: single/multi-tick accumulation,
+boundary assignment, pre/post-market rejection)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from options_data_pipeline_spark.operators.ohlc import ohlc_candles
+from options_data_pipeline_spark.operators.filters import in_session
+from options_data_pipeline_spark.operators.queries import validate_ohlc
+
+
+def ticks_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "symbol string, price double, ts timestamp, event_id long"
+    )
+
+
+def test_single_tick_ohlc(spark):
+    df = ticks_df(spark, [("A", 100.0, datetime(2024, 1, 1, 9, 17), 1)])
+    [c] = ohlc_candles(df).collect()
+    assert (c.open, c.high, c.low, c.close, c.tick_count) == (100.0, 100.0, 100.0, 100.0, 1)
+    assert c.window_start == datetime(2024, 1, 1, 9, 15)
+
+
+def test_multi_tick_accumulation(spark):
+    rows = [
+        ("A", 100.0, datetime(2024, 1, 1, 9, 15, 1), 1),
+        ("A", 105.0, datetime(2024, 1, 1, 9, 15, 2), 2),
+        ("A", 95.0, datetime(2024, 1, 1, 9, 16, 0), 3),
+        ("A", 102.0, datetime(2024, 1, 1, 9, 19, 59), 4),
+    ]
+    [c] = ohlc_candles(ticks_df(spark, rows)).collect()
+    assert (c.open, c.high, c.low, c.close, c.tick_count) == (100.0, 105.0, 95.0, 102.0, 4)
+
+
+def test_arrival_order_tie_break(spark):
+    """Two ticks with the SAME timestamp: first/last resolved by event_id
+    (reference arrival order, SURVEY §7 risk 2)."""
+    t = datetime(2024, 1, 1, 9, 15, 0)
+    rows = [("A", 200.0, t, 2), ("A", 100.0, t, 1)]
+    [c] = ohlc_candles(ticks_df(spark, rows)).collect()
+    assert c.open == 100.0 and c.close == 200.0
+
+
+def test_boundary_tick_belongs_to_new_window(spark):
+    """Tick at exactly 09:20:00.000 → window 09:20 (reference
+    time_utils.py:174-177)."""
+    rows = [
+        ("A", 1.0, datetime(2024, 1, 1, 9, 19, 59, 999999), 1),
+        ("A", 2.0, datetime(2024, 1, 1, 9, 20, 0), 2),
+    ]
+    out = {r.window_start: r for r in ohlc_candles(ticks_df(spark, rows)).collect()}
+    assert out[datetime(2024, 1, 1, 9, 15)].close == 1.0
+    assert out[datetime(2024, 1, 1, 9, 20)].open == 2.0
+
+
+def test_session_filter_rejects_pre_open_and_post_close(spark):
+    """08:00 rejected (pre-open), 15:30:01 rejected (post-close), 09:15:00
+    kept (inclusive open), 15:29:59 kept (exclusive close) — reference
+    test_results.txt time_utils cases."""
+    rows = [
+        ("A", 1.0, datetime(2024, 1, 1, 8, 0), 1),
+        ("A", 2.0, datetime(2024, 1, 1, 9, 15, 0), 2),
+        ("A", 3.0, datetime(2024, 1, 1, 15, 29, 59), 3),
+        ("A", 4.0, datetime(2024, 1, 1, 15, 30, 1), 4),
+        ("A", 5.0, datetime(2024, 1, 1, 15, 30, 0), 5),
+    ]
+    kept = in_session(ticks_df(spark, rows)).select("event_id").collect()
+    assert sorted(r.event_id for r in kept) == [2, 3]
+
+
+def test_ohlc_invariants_hold_on_real_data(spark):
+    rows = [
+        ("A", float(p), datetime(2024, 1, 1, 9, 15, s), i)
+        for i, (p, s) in enumerate([(10, 1), (20, 2), (5, 3), (15, 4)])
+    ]
+    candles = ohlc_candles(ticks_df(spark, rows))
+    assert validate_ohlc(candles).count() == 0

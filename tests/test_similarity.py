@@ -1,0 +1,55 @@
+"""Cosine top-k similarity tests (SURVEY.md §2.10)."""
+
+from __future__ import annotations
+
+import pytest
+
+from options_data_pipeline_spark.functions.similarity import (
+    cosine_topk,
+    cosine_topk_partitioned,
+    dot_col,
+)
+
+
+def vec_df(spark, rows, with_label=False):
+    schema = "vec_id long, embedding array<float>" + (", label int" if with_label else "")
+    return spark.createDataFrame(rows, schema)
+
+
+def test_dot_product(spark):
+    df = vec_df(spark, [(0, [1.0, 2.0, 3.0])])
+    [r] = df.select(dot_col("embedding", "embedding").alias("d")).collect()
+    assert r.d == pytest.approx(14.0)
+
+
+def test_topk_orders_by_cosine(spark):
+    rows = [
+        (0, [1.0, 0.0]),   # query
+        (1, [1.0, 0.0]),   # cosine 1.0
+        (2, [1.0, 1.0]),   # cosine ~0.707
+        (3, [0.0, 1.0]),   # cosine 0.0
+        (4, [-1.0, 0.0]),  # cosine -1.0
+    ]
+    df = vec_df(spark, rows)
+    out = cosine_topk(df.filter("vec_id = 0"), df, k=3).collect()
+    ranked = sorted(out, key=lambda r: r.rank)
+    assert [r.neighbor_id for r in ranked] == [1, 2, 3]
+    assert ranked[0].cosine == pytest.approx(1.0)
+
+
+def test_topk_tie_break_by_neighbor_id(spark):
+    rows = [(0, [1.0, 0.0]), (5, [2.0, 0.0]), (3, [3.0, 0.0])]  # both cosine 1.0
+    df = vec_df(spark, rows)
+    out = sorted(cosine_topk(df.filter("vec_id = 0"), df, k=2).collect(), key=lambda r: r.rank)
+    assert [r.neighbor_id for r in out] == [3, 5]
+
+
+def test_partitioned_probes_only_own_cell(spark):
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [1.0, 0.1], 0),   # same cell — found
+        (2, [1.0, 0.0], 1),   # perfect match but other cell — not probed
+    ]
+    df = vec_df(spark, rows, with_label=True)
+    out = cosine_topk_partitioned(df.filter("vec_id = 0"), df, k=5).collect()
+    assert {r.neighbor_id for r in out} == {1}

@@ -1,0 +1,94 @@
+"""Text-analysis + dedup extension tests (SURVEY.md §2.10)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from options_data_pipeline_spark.functions.text import (
+    token_count_col,
+    lang_guess_col,
+    fingerprint_col,
+    quality_cols,
+)
+from options_data_pipeline_spark.functions.dedupe import (
+    exact_dedup_groups,
+    ngram_jaccard_pairs,
+    minhash_lsh_candidates,
+    simhash_signatures,
+)
+
+
+def docs_df(spark, texts):
+    return spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+
+
+def test_token_count_edges(spark):
+    df = docs_df(spark, ["foo bar baz", "  leading  and   trailing  ", "", "one"])
+    out = {r.doc_id: r.n for r in df.select("doc_id", token_count_col().alias("n")).collect()}
+    assert out == {0: 3, 1: 3, 2: 0, 3: 1}
+
+
+def test_lang_guess(spark):
+    df = docs_df(
+        spark,
+        [
+            "the cat and the dog is here",
+            "der hund ist nicht hier und da",
+            "le chat est une merveille",
+            "el gato es una maravilla los dos",
+            "xyzzy qwerty",
+        ],
+    )
+    out = {r.doc_id: r.g for r in df.select("doc_id", lang_guess_col().alias("g")).collect()}
+    assert out == {0: "en", 1: "de", 2: "fr", 3: "es", 4: "und"}
+
+
+def test_fingerprint_normalizes_case_and_whitespace(spark):
+    df = docs_df(spark, ["Hello   World", "hello world", "  HELLO WORLD  ", "different"])
+    out = [r.f for r in df.select(fingerprint_col().alias("f")).collect()]
+    assert out[0] == out[1] == out[2] != out[3]
+
+
+def test_exact_dedup_groups(spark):
+    df = docs_df(spark, ["same text", "same  TEXT ", "unique one"])
+    groups = {r.fingerprint: r for r in exact_dedup_groups(df).collect()}
+    sizes = sorted(g.n_dups for g in groups.values())
+    assert sizes == [1, 2]
+    dup_group = [g for g in groups.values() if g.n_dups == 2][0]
+    assert dup_group.keep_id == 0  # min doc_id is the representative
+
+
+def test_quality_score_bounds(spark):
+    df = docs_df(spark, ["the quick brown fox and the lazy dog of doom", "!!!???;;;:::...", ""])
+    cols = quality_cols()
+    out = df.select("doc_id", cols["quality_score"].alias("q"), cols["punct_ratio"].alias("p")).collect()
+    vals = {r.doc_id: r for r in out}
+    assert 0.0 <= vals[0].q <= 1.0 and vals[0].q > vals[1].q
+    assert vals[1].p == pytest.approx(1.0)
+
+
+def test_ngram_jaccard_identical_docs(spark):
+    df = docs_df(spark, ["abcdefghij klmnop qrstuv", "abcdefghij klmnop qrstuv", "zzzzzzzz yyyy xxxx"])
+    pairs = ngram_jaccard_pairs(df, threshold=0.9).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p.doc_a, p.doc_b) == (0, 1) and p.jaccard == pytest.approx(1.0)
+
+
+def test_minhash_lsh_finds_identical_and_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again in the field"
+    near = base.replace("field", "meadow")
+    df = docs_df(spark, [base, base, near, "completely unrelated words entirely different content"])
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_lsh_candidates(df).collect()}
+    assert (0, 1) in pairs  # identical docs always collide in every band
+    assert not any(3 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_simhash_similar_docs_close(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    df = docs_df(spark, [base, base + "extra", "unrelated totally different thing entirely"])
+    sigs = {r.doc_id: r.simhash for r in simhash_signatures(df).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(sigs[0], sigs[1]) < ham(sigs[0], sigs[2])
