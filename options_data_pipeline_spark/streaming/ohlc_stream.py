@@ -1,0 +1,60 @@
+"""Streaming OHLC twin (reference §2.8 semantics).
+
+Reference: WebSocket ticks → in-memory single-active-window OHLC buffer →
+500 ms freeze grace after each boundary → snapshot/finalize → write
+(``main.py:275-328``, ``candle_aggregator.py:94-177``). Spark-first:
+
+ - event-time column + ``withWatermark(ts, 500 ms)`` reproduces the
+   freeze→finalize lifecycle: in append mode a window emits exactly once,
+   when the watermark passes its end — the reference's FROZEN transition
+   (SURVEY.md §2.8 W3). Late ticks are dropped by the watermark, matching
+   the reference's late-tick drop (``tick_buffer.py:119-121``); drop
+   counts surface via StreamingQueryListener numRowsDroppedByWatermark.
+ - the window state machine (COLLECTING→FREEZING→FROZEN) lives in the
+   streaming aggregation state store — no user code.
+ - at scale, state is partitioned by (symbol, window) across executors;
+   watermark-driven eviction bounds it to the active window per key,
+   exactly the reference's memory NFR (``01_ULTRA_PRD.md:72``).
+
+first/last within a window use ``min_by/max_by`` on (ts, event_id), same
+as the batch operator — one definition, two execution modes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_ohlc(
+    ticks: DataFrame,
+    interval: str = "5 minutes",
+    watermark: str = "500 milliseconds",
+    symbol_col: str = "symbol",
+    price_col: str = "price",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """streaming ticks(symbol, price, ts, event_id) → append-mode candle
+    stream; one row per (symbol, window) emitted at watermark passage."""
+    order = F.struct(F.col(ts_col), F.col(order_col))
+    return (
+        ticks.withWatermark(ts_col, watermark)
+        .groupBy(F.col(symbol_col).alias("symbol"), F.window(ts_col, interval).alias("w"))
+        .agg(
+            F.min_by(price_col, order).alias("open"),
+            F.max(price_col).alias("high"),
+            F.min(price_col).alias("low"),
+            F.max_by(price_col, order).alias("close"),
+            F.count(F.lit(1)).alias("tick_count"),
+        )
+        .select(
+            "symbol",
+            F.col("w.start").alias("window_start"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "tick_count",
+        )
+    )

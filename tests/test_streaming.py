@@ -1,0 +1,156 @@
+"""Streaming twin tests: watermarked OHLC append stream, stateful ATR,
+idempotent foreachBatch sink (reference §2.8 semantics)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from datetime import datetime, timedelta
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from options_data_pipeline_spark.operators.ohlc import ohlc_candles
+from options_data_pipeline_spark.operators.truerange import with_true_range
+from options_data_pipeline_spark.operators.atr import with_wilder_atr
+from options_data_pipeline_spark.operators.ids import with_row_id
+from options_data_pipeline_spark.streaming.ohlc_stream import streaming_ohlc
+from options_data_pipeline_spark.streaming.atr_state import streaming_atr
+from options_data_pipeline_spark.streaming.sink import idempotent_append_batch
+
+TICK_SCHEMA = "symbol string, price double, ts timestamp, event_id long"
+CANDLE_SCHEMA = (
+    "symbol string, window_start timestamp, open double, high double,"
+    " low double, close double, tick_count long"
+)
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="odp_stream_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def run_stream(spark, src_df, src_dir, build, schema):
+    """Write fixture parquet, readStream it, run `build`, drain to memory."""
+    src_df.write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    out = build(stream)
+    name = f"t{abs(hash(src_dir)) % 10**8}"
+    q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_streaming_ohlc_matches_batch_for_closed_windows(spark, tmpdir):
+    base = datetime(2024, 1, 1, 9, 15)
+    rows = []
+    eid = 0
+    for w in range(4):  # 4 windows of ticks
+        for s, off in [("A", 10), ("A", 200), ("B", 40)]:
+            rows.append(("%s" % s, 100.0 + w + off / 100.0, base + timedelta(minutes=5 * w, seconds=off), eid))
+            eid += 1
+    src = spark.createDataFrame(rows, TICK_SCHEMA)
+
+    got = run_stream(
+        spark, src, tmpdir, lambda s: streaming_ohlc(s, "5 minutes"), TICK_SCHEMA
+    ).collect()
+    # append mode emits only windows closed by the watermark (= max ts - 500ms):
+    # the last window stays open — the reference's still-COLLECTING window.
+    batch = ohlc_candles(src, "5 minutes").filter(
+        F.col("window_start") < base + timedelta(minutes=15)
+    ).collect()
+    key = lambda r: (r.symbol, r.window_start)  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, batch))
+    got_map = {key(r): r for r in got}
+    for b in batch:
+        g = got_map[key(b)]
+        assert (g.open, g.high, g.low, g.close, g.tick_count) == (
+            b.open, b.high, b.low, b.close, b.tick_count,
+        )
+
+
+def test_streaming_atr_matches_batch(spark, tmpdir):
+    base = datetime(2024, 1, 1, 9, 15)
+    rows = [
+        ("A", base + timedelta(minutes=5 * i), 10.0 + i, 12.0 + i, 9.0 + i, 11.0 + i, 3)
+        for i in range(16)
+    ]
+    src = spark.createDataFrame(rows, CANDLE_SCHEMA)
+
+    got = run_stream(spark, src, tmpdir, streaming_atr, CANDLE_SCHEMA).collect()
+    batch = with_wilder_atr(with_true_range(src).drop("prev_close")).collect()
+    gm = {r.window_start: r for r in got}
+    assert len(got) == 16
+    for b in batch:
+        g = gm[b.window_start]
+        assert g.tr == pytest.approx(b.tr)
+        if b.atr is None:
+            assert g.atr is None
+        else:
+            assert g.atr == pytest.approx(b.atr)
+
+
+def test_streaming_atr_state_survives_across_batches(spark, tmpdir):
+    """Two separate micro-batches: warmup spans the batch boundary —
+    state (prev_close, tr_sum, n) must carry over."""
+    base = datetime(2024, 1, 1, 9, 15)
+
+    def mk(i):
+        return ("A", base + timedelta(minutes=5 * i), 10.0 + i, 12.0 + i, 9.0 + i, 11.0 + i, 1)
+
+    first = spark.createDataFrame([mk(i) for i in range(10)], CANDLE_SCHEMA)
+    second = spark.createDataFrame([mk(i) for i in range(10, 16)], CANDLE_SCHEMA)
+
+    first.write.mode("overwrite").parquet(tmpdir)
+    stream = spark.readStream.schema(CANDLE_SCHEMA).parquet(tmpdir)
+    q = (
+        streaming_atr(stream)
+        .writeStream.format("memory")
+        .queryName("atr2b")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        second.write.mode("append").parquet(tmpdir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.window_start: r for r in spark.sql("SELECT * FROM atr2b").collect()}
+
+    full = spark.createDataFrame([mk(i) for i in range(16)], CANDLE_SCHEMA)
+    batch = with_wilder_atr(with_true_range(full).drop("prev_close")).collect()
+    assert len(got) == 16
+    for b in batch:
+        g = got[b.window_start]
+        if b.atr is None:
+            assert g.atr is None
+        else:
+            assert g.atr == pytest.approx(b.atr)  # seed at 14 spans the boundary
+
+
+def test_idempotent_sink_replay_writes_nothing(spark, tmpdir):
+    sink = tmpdir + "/sink"
+    base = datetime(2024, 1, 1, 9, 15)
+    batch = with_row_id(
+        spark.createDataFrame(
+            [("A", base, 1.0, 2.0, 0.5, 1.5, 3), ("B", base, 5.0, 6.0, 4.0, 5.5, 2)],
+            CANDLE_SCHEMA,
+        )
+    )
+    assert idempotent_append_batch(batch, sink) == 2
+    assert idempotent_append_batch(batch, sink) == 0  # exact replay → no-op
+    later = with_row_id(
+        spark.createDataFrame(
+            [("A", base, 1.0, 2.0, 0.5, 1.5, 3), ("A", base + timedelta(minutes=5), 2.0, 3.0, 1.0, 2.5, 1)],
+            CANDLE_SCHEMA,
+        )
+    )
+    assert idempotent_append_batch(later, sink) == 1  # only the new window
+    assert spark.read.parquet(sink).count() == 3
