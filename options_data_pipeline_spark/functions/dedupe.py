@@ -100,49 +100,40 @@ def shingle_hash_col(shingle_col: str = "shingle") -> F.Column:
     return F.conv(F.substring(F.md5(F.col(shingle_col)), 1, 8), 16, 10).cast("long")
 
 
-def minhash_signatures(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
-    """doc_id → (hash_idx j, minhash value) for the 16-function family."""
+def minhash_signatures_wide(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
+    """doc_id → one column per hash function (mh0..mh15), computed as 16
+    parallel MIN aggregates in a single map-side-combinable hash agg —
+    no row multiplication (the naive explode-per-param plan is ×16 rows
+    through the shuffle; this is the plan you want at 100 TB)."""
     sh = shingles(docs, text_col, k).withColumn("h", shingle_hash_col())
-    params = F.array(
-        *[F.struct(F.lit(j).alias("j"), F.lit(a).alias("a"), F.lit(b).alias("b"))
-          for j, (a, b) in enumerate(MINHASH_PARAMS)]
-    )
-    exploded = sh.select(
-        "doc_id", "h", F.explode(params).alias("p")
-    ).select(
-        "doc_id",
-        F.col("p.j").alias("j"),
-        ((F.col("p.a") * F.col("h") + F.col("p.b")) % MINHASH_PRIME).alias("hv"),
-    )
-    return exploded.groupBy("doc_id", "j").agg(F.min("hv").alias("minhash"))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"mh{j}")
+        for j, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
     """Banded LSH candidate pairs (doc_a < doc_b, ≥1 colliding band).
 
-    Bands the 16-signature into 4 bands of 4; a bucket key is the band id
-    plus the concatenated minhashes; candidates are pairs sharing any
-    bucket. The join is on the bucket key — at 100 TB this is the only
-    shuffle, and bucket sizes are bounded by near-dup cluster sizes.
+    Bands the 16-wide signature into 4 bands of 4; a bucket key is the
+    band id plus the concatenated minhashes; candidates are pairs sharing
+    any bucket. The self-join is on (band, bucket) — at 100 TB this is the
+    only shuffle, and bucket sizes are bounded by near-dup cluster sizes.
     """
     rows_per_band = len(MINHASH_PARAMS) // LSH_BANDS
-    sig = minhash_signatures(docs, text_col, k)
-    # collect_list order is nondeterministic → sort by hash index j inside
-    # the struct array before building the bucket key
-    sig_sorted = (
-        sig.withColumn("band", (F.col("j") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("j", "minhash"))),
-                    lambda s: s["minhash"].cast("string"),
-                ),
-            ).alias("bucket")
+    wide = minhash_signatures_wide(docs, text_col, k)
+    band_cols = []
+    for band in range(LSH_BANDS):
+        js = range(band * rows_per_band, (band + 1) * rows_per_band)
+        band_cols.append(
+            F.concat_ws(",", *[F.col(f"mh{j}").cast("string") for j in js]).alias(f"b{band}")
         )
+    stack_args = ", ".join(f"{band}, b{band}" for band in range(LSH_BANDS))
+    banded = wide.select("doc_id", *band_cols).selectExpr(
+        "doc_id", f"stack({LSH_BANDS}, {stack_args}) as (band, bucket)"
     )
-    a, b = sig_sorted.alias("a"), sig_sorted.alias("b")
+    a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, ["band", "bucket"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))

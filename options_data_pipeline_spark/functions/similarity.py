@@ -76,6 +76,32 @@ def cosine_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ t).
+
+    With ``cell_col`` the self-join is an equi-join on the coarse cell
+    (LSH bucket / IVF cell) — the scale path: true near-dups almost always
+    share a cell, and the quadratic blow-up is confined to cells. Without
+    it, a full cross join — verification only.
+    """
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                       *( [F.col(cell_col).alias("cell")] if cell_col else [] ))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                       *( [F.col(cell_col).alias("cell")] if cell_col else [] ))
+    joined = a.join(b, "cell") if cell_col else a.crossJoin(b)
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_col(F.col("va"), F.col("vb")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def cosine_topk_partitioned(
     queries: DataFrame,
     corpus: DataFrame,

@@ -6,12 +6,16 @@ over strict event-time tumbling windows computed from a pre-built boundary
 list (``utils/time_utils.py:167-224``).
 
 Spark-first re-expression: ``groupBy(symbol, window(ts, interval))`` with
-``min_by/max_by`` keyed on ``struct(ts, event_id)`` so first/last are
-deterministic on stored data (the reference's arrival order is not
-reproducible; ``event_id`` is the monotonic tie-breaker — SURVEY.md §7
-risk 2). Catalyst runs this as a partial+final hash aggregate inside
-whole-stage codegen; the single shuffle is on (symbol, window), which is
-exactly the grain of the result — no narrower plan exists.
+``min_by/max_by`` keyed on the monotonic ``event_id`` — the arrival-order
+authority (the reference's open/close are arrival-ordered, not
+event-time-ordered; SURVEY.md §7 risk 2). A scalar ordering key matters
+for the physical plan: ``min_by(price, struct(ts, event_id))`` has a
+struct aggregation buffer, which disqualifies HashAggregate and forces a
+per-partition SortAggregate — measurably slower at scale. With a LongType
+key the plan is a partial+final **HashAggregate** inside whole-stage
+codegen; the single shuffle is on (symbol, window), exactly the grain of
+the result — no narrower plan exists. (The driver data guarantees
+event_id order ⊇ ts order; validated for all SFs in tools/.)
 
 Scale: at 100 TB the input would be date-partitioned; window+symbol
 grouping keys are high-cardinality and evenly spread, so the shuffle is
@@ -39,7 +43,7 @@ def ohlc_candles(
     reference rule that a tick at exactly a boundary belongs to the NEW
     window (``time_utils.py:174-177``) — identical to ``F.window``.
     """
-    order = F.struct(F.col(ts_col), F.col(order_col))
+    order = F.col(order_col)
     return (
         ticks.groupBy(F.col(symbol_col).alias("symbol"), F.window(ts_col, interval).alias("w"))
         .agg(

@@ -38,7 +38,7 @@ from .functions.dedupe import (
     MINHASH_PARAMS,
     MINHASH_PRIME,
 )
-from .functions.similarity import cosine_topk, cosine_topk_partitioned
+from .functions.similarity import cosine_topk, cosine_topk_partitioned, cosine_near_dup_pairs
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (DuckDB dialect)
@@ -57,10 +57,10 @@ def candles_cte(seconds: int) -> str:
 candles AS (
   SELECT symbol,
          time_bucket(INTERVAL '{seconds} seconds', ts) AS window_start,
-         first(price ORDER BY ts, event_id) AS "open",
+         arg_min(price, event_id) AS "open",
          max(price) AS high,
          min(price) AS low,
-         last(price ORDER BY ts, event_id) AS "close",
+         arg_max(price, event_id) AS "close",
          count(*) AS tick_count
   FROM ticks
   GROUP BY 1, 2
@@ -290,9 +290,9 @@ session_ticks AS (
 candles AS (
   SELECT symbol,
          time_bucket(INTERVAL '300 seconds', ts) AS window_start,
-         first(price ORDER BY ts, event_id) AS "open",
+         arg_min(price, event_id) AS "open",
          max(price) AS high, min(price) AS low,
-         last(price ORDER BY ts, event_id) AS "close",
+         arg_max(price, event_id) AS "close",
          count(*) AS tick_count
   FROM session_ticks GROUP BY 1, 2
 )
@@ -329,11 +329,11 @@ def q_missing_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
     "reconciliation",
     f"""WITH {TICKS_CTE},
 local_state AS (
-  SELECT symbol, last(price ORDER BY ts, event_id) AS last_close, count(*) AS n_ticks
+  SELECT symbol, arg_max(price, event_id) AS last_close, count(*) AS n_ticks
   FROM ticks WHERE ts < TIMESTAMP '2024-01-20' GROUP BY symbol
 ),
 remote_state AS (
-  SELECT symbol, last(price ORDER BY ts, event_id) AS last_close, count(*) AS n_ticks
+  SELECT symbol, arg_max(price, event_id) AS last_close, count(*) AS n_ticks
   FROM ticks WHERE ts < TIMESTAMP '2024-01-25' GROUP BY symbol
 )
 SELECT coalesce(l.symbol, r.symbol) AS symbol,
@@ -346,13 +346,12 @@ def q_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5/A8: local-vs-sink state divergence, ε=1e-4 (reference
     checkpoint_manager.py:274-298)."""
     ticks = load_ticks(spark, sf_dir)
-    order = F.struct("ts", "event_id")
 
     def state(cutoff: str) -> DataFrame:
         return (
             ticks.filter(F.col("ts") < cutoff)
             .groupBy("symbol")
-            .agg(F.max_by("price", order).alias("last_close"))
+            .agg(F.max_by("price", "event_id").alias("last_close"))
         )
 
     local, remote = state("2024-01-20"), state("2024-01-25")
@@ -682,21 +681,28 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle() -> str:
-    params_values = ", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(MINHASH_PARAMS))
+    mins = ",\n         ".join(
+        f"min(({a} * h + {b}) % {MINHASH_PRIME}) AS mh{j}"
+        for j, (a, b) in enumerate(MINHASH_PARAMS)
+    )
+    bands = []
+    for band in range(4):
+        js = range(band * 4, (band + 1) * 4)
+        concat = " || ',' || ".join(f"mh{j}::VARCHAR" for j in js)
+        bands.append(f"SELECT doc_id, {band} AS band, {concat} AS bucket FROM wide")
+    banded = "\n  UNION ALL\n  ".join(bands)
     return f"""WITH {SHINGLES_CTE},
 hashed AS (
   SELECT doc_id, CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS h
   FROM sh
 ),
-params (j, a, b) AS (VALUES {params_values}),
-mh AS (
-  SELECT doc_id, j, min((a * h + b) % {MINHASH_PRIME}) AS minhash
-  FROM hashed CROSS JOIN params GROUP BY doc_id, j
+wide AS (
+  SELECT doc_id,
+         {mins}
+  FROM hashed GROUP BY doc_id
 ),
 banded AS (
-  SELECT doc_id, j // 4 AS band,
-         string_agg(minhash::VARCHAR, ',' ORDER BY j) AS bucket
-  FROM mh GROUP BY doc_id, band
+  {banded}
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM banded a JOIN banded b USING (band, bucket)
@@ -790,6 +796,24 @@ def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 100 TB scale path (cost /= n_cells; recall checked vs brute force)."""
     emb = load_table(spark, "embeddings", sf_dir)
     return cosine_topk_partitioned(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+@register(
+    "embedding_near_dup",
+    f"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.e, b.e)
+           / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cosine
+  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.35""",
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within coarse cells (label = cell) —
+    the confined-quadratic scale path for vector dedup."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return cosine_near_dup_pairs(emb, threshold=0.35, cell_col="label")
 
 
 # ---------------------------------------------------------------------------

@@ -16,8 +16,9 @@ Reference: WebSocket ticks → in-memory single-active-window OHLC buffer →
    watermark-driven eviction bounds it to the active window per key,
    exactly the reference's memory NFR (``01_ULTRA_PRD.md:72``).
 
-first/last within a window use ``min_by/max_by`` on (ts, event_id), same
-as the batch operator — one definition, two execution modes.
+first/last within a window use ``min_by/max_by`` on the arrival-order
+``event_id``, same as the batch operator (scalar key → HashAggregate,
+see operators/ohlc.py) — one definition, two execution modes.
 """
 
 from __future__ import annotations
@@ -37,7 +38,7 @@ def streaming_ohlc(
 ) -> DataFrame:
     """streaming ticks(symbol, price, ts, event_id) → append-mode candle
     stream; one row per (symbol, window) emitted at watermark passage."""
-    order = F.struct(F.col(ts_col), F.col(order_col))
+    order = F.col(order_col)
     return (
         ticks.withWatermark(ts_col, watermark)
         .groupBy(F.col(symbol_col).alias("symbol"), F.window(ts_col, interval).alias("w"))

@@ -1,0 +1,100 @@
+"""Physical-plan assertions — the 100 TB posture checks (SURVEY.md §4).
+
+These tests fail if a future change regresses a plan: a dimension join
+falling back to sort-merge, a filter no longer reaching the parquet scan,
+an extra shuffle appearing in the OHLC pipeline.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from options_data_pipeline_spark import registry
+from options_data_pipeline_spark.plans.explain import (
+    count_exchanges,
+    has_broadcast_join,
+    has_sort_merge_join,
+    has_window_group_limit,
+    pushed_filters,
+    read_schemas,
+    physical_plan,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return registry.queries()
+
+
+def test_pricing_summary_pushes_filter_and_prunes_columns(spark, qs):
+    df = qs["pricing_summary"](spark, SF)
+    assert "l_shipdate" in pushed_filters(df)
+    [schema] = read_schemas(df)
+    assert "l_orderkey" not in schema  # unused columns pruned from the scan
+    assert "l_quantity" in schema
+
+
+def test_revenue_by_nation_broadcasts_dims(spark, qs):
+    df = qs["revenue_by_nation"](spark, SF)
+    assert has_broadcast_join(df)
+    assert not has_sort_merge_join(df)  # fact side must never shuffle for the join
+
+
+def test_ohlc_single_shuffle_hash_agg(spark, qs):
+    """OHLC groups by (symbol, window) — exactly one hash shuffle, at the
+    result grain, executed as partial+final HASH aggregate. A SortAggregate
+    here means the min_by ordering key regressed to a struct (non-fixed-
+    width buffer) — the scale bug this test pins down."""
+    df = qs["ohlc_5m"](spark, SF)
+    assert count_exchanges(df) == 1
+    plan = physical_plan(df)
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in plan
+
+
+def test_ohlc_filters_push_to_scan(spark, qs):
+    df = qs["ohlc_5m"](spark, SF)
+    pf = pushed_filters(df)
+    assert "IsNotNull" in pf  # null-drop predicates reach the parquet reader
+
+
+def test_true_range_reuses_ohlc_partitioning(spark, qs):
+    """TR adds a window function partitioned by symbol on top of the OHLC
+    agg: one extra exchange (symbol) beyond the agg's — no more."""
+    df = qs["ohlc_true_range"](spark, SF)
+    assert count_exchanges(df) <= 2
+
+
+def test_top_k_uses_window_group_limit(spark, qs):
+    """rank<=3 must push into the sort (WindowGroupLimit) — no global sort
+    of the full table."""
+    df = qs["top_parts_per_brand"](spark, SF)
+    assert has_window_group_limit(df)
+
+
+def test_cosine_topk_broadcasts_queries(spark, qs):
+    df = qs["cosine_topk"](spark, SF)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_minhash_is_single_agg_no_row_explosion(spark, qs):
+    """The wide minhash plan computes 16 MIN aggregates in ONE hash
+    aggregate — no explode-by-param (×16 shuffle rows) anywhere."""
+    df = qs["minhash_lsh"](spark, SF)
+    plan = physical_plan(df)
+    assert "HashAggregate" in plan and "SortAggregate" not in plan
+    # only the shingle explode + band stack appear (≤2 per join side),
+    # never a 16-way per-param explode
+    import re
+    n_generates = len(re.findall(r"^\(\d+\) Generate", plan, re.MULTILINE))
+    assert n_generates <= 4
+
+
+def test_dedup_delta_is_anti_join(spark, qs):
+    plan = physical_plan(qs["dedup_delta"](spark, SF))
+    assert "LeftAnti" in plan
