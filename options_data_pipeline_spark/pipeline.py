@@ -1,0 +1,126 @@
+"""End-to-end volatility-harvester pipeline (reference ``main.py`` §3.1).
+
+The reference's session orchestration — calendar gate → session hours →
+tick ingest → per-window freeze/finalize → gap-fill → ATR → id/segment
+enrichment → dedup write → state snapshot — collapses into two Spark
+programs:
+
+ - :func:`run_batch` — one declarative DataFrame chain over a day (or any
+   range) of stored ticks, ending in an idempotent partitioned write.
+   This is the "DataFrame transforms + scheduled jobs" shape from
+   BASELINE.json: a scheduler triggers it per session; the calendar gate
+   is a job predicate, not dataflow.
+ - :func:`run_streaming` — the live twin: watermarked OHLC append stream →
+   stateful ATR → foreachBatch idempotent sink with checkpointing.
+
+Scale: everything between the tick scan and the sink groups/windows by
+symbol — one shuffle into (symbol, window) grain, then symbol-partitioned
+window functions and the ATR grouped-map reuse that partitioning. The
+sink is (year, month)-partitioned so the dedup read prunes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .operators.ohlc import ohlc_candles
+from .operators.truerange import with_true_range
+from .operators.atr import with_wilder_atr, atr_summary
+from .operators.gapfill import gap_fill
+from .operators.ids import with_row_id
+from .operators.filters import in_session
+from .operators.joins import attach_segment, calendar_gate
+from .streaming.ohlc_stream import streaming_ohlc
+from .streaming.atr_state import streaming_atr
+from .streaming.sink import idempotent_append_batch, overwrite_snapshot
+
+
+def enrich_candles(
+    ticks: DataFrame,
+    interval: str = "5 minutes",
+    interval_seconds: int = 300,
+    symbols: DataFrame | None = None,
+    instruments: DataFrame | None = None,
+) -> DataFrame:
+    """ticks → gap-filled, TR/ATR-enriched, id'd candle rows (the
+    market_data fact schema, reference schema_manager.py:20-24 + the
+    explicit gap_filled column the reference drops by accident)."""
+    candles = ohlc_candles(ticks, interval)
+    filled = gap_fill(candles, interval_seconds, symbols=symbols)
+    enriched = with_wilder_atr(with_true_range(filled).drop("prev_close"))
+    enriched = with_row_id(enriched)
+    if instruments is not None:
+        enriched = attach_segment(enriched, instruments)
+    return enriched
+
+
+def run_batch(
+    ticks: DataFrame,
+    sink_path: str,
+    state_path: str | None = None,
+    calendar: DataFrame | None = None,
+    open_hm: str = "09:15",
+    close_hm: str = "15:30",
+    interval: str = "5 minutes",
+    interval_seconds: int = 300,
+    symbols: DataFrame | None = None,
+    instruments: DataFrame | None = None,
+) -> int:
+    """The per-session batch job. Returns rows written (idempotent:
+    re-running the same session writes 0)."""
+    if calendar is not None:
+        ticks = calendar_gate(ticks, calendar)
+    ticks = in_session(ticks, open_hm, close_hm)
+    enriched = enrich_candles(ticks, interval, interval_seconds, symbols, instruments)
+    written = idempotent_append_batch(enriched, sink_path)
+    if state_path is not None:
+        overwrite_snapshot(atr_summary(enriched), state_path)
+    return written
+
+
+def run_streaming(
+    tick_stream: DataFrame,
+    candle_path: str,
+    sink_path: str,
+    checkpoint_path: str,
+    interval: str = "5 minutes",
+    watermark: str = "500 milliseconds",
+):
+    """The live twin: two chained streaming stages (Spark disallows a
+    stateful grouped-map after a streaming aggregation in one query, and
+    the reference likewise materializes candles before enrichment).
+
+    Stage 1: watermarked OHLC append stream → candle parquet.
+    Stage 2: candle stream → stateful Wilder ATR → id → idempotent sink.
+
+    Returns (stage1_query, stage2_query). Restart recovery = the two
+    checkpointLocations (reference CheckpointManager, §2.8); the stage
+    boundary is replay-safe because candles emit exactly once (append
+    mode) and the final sink dedups by id.
+    """
+    candles = streaming_ohlc(tick_stream, interval, watermark)
+    q1 = (
+        candles.writeStream.format("parquet")
+        .option("path", candle_path)
+        .option("checkpointLocation", checkpoint_path + "/candles")
+        .outputMode("append")
+        .start()
+    )
+
+    candle_stream = tick_stream.sparkSession.readStream.schema(
+        "symbol string, window_start timestamp, open double, high double,"
+        " low double, close double, tick_count long"
+    ).parquet(candle_path)
+    enriched = with_row_id(streaming_atr(candle_stream))
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        idempotent_append_batch(batch, sink_path)
+
+    q2 = (
+        enriched.writeStream.foreachBatch(write)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_path + "/enriched")
+        .start()
+    )
+    return q1, q2

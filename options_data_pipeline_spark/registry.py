@@ -799,6 +799,33 @@ def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "props_json_stats",
+    """SELECT event_type AS symbol,
+       count(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+WHERE props IS NOT NULL
+GROUP BY event_type""",
+)
+def q_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 JSON-payload twin: ``from_json`` projection over the props column
+    (reference field-fallback tick parse, ws_client.py:146-174) + agg."""
+    events = load_table(spark, "events", sf_dir)
+    k = F.from_json("props", "k long")["k"]
+    return (
+        events.filter(F.col("props").isNotNull())
+        .select(F.col("event_type").alias("symbol"), k.alias("k"))
+        .groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@register(
     "embedding_near_dup",
     f"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
 pairs AS (

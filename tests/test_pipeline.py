@@ -1,0 +1,76 @@
+"""End-to-end pipeline tests (reference main.py orchestration §3.1)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from datetime import datetime, timedelta
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from options_data_pipeline_spark.pipeline import run_batch, run_streaming
+
+TICK_SCHEMA = "symbol string, price double, ts timestamp, event_id long"
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="odp_pipe_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def session_ticks(spark, day=datetime(2024, 1, 5)):
+    base = day.replace(hour=9, minute=15)
+    rows, eid = [], 0
+    for w in range(4):
+        for sym, sec, px in [("A", 10, 100.0), ("A", 120, 101.0), ("B", 30, 50.0)]:
+            rows.append((sym, px + w, base + timedelta(minutes=5 * w, seconds=sec), eid))
+            eid += 1
+    # out-of-session noise that must be filtered (pre-open + post-close)
+    rows.append(("A", 999.0, day.replace(hour=8, minute=0), eid)); eid += 1
+    rows.append(("A", 999.0, day.replace(hour=16, minute=0), eid))
+    return spark.createDataFrame(rows, TICK_SCHEMA)
+
+
+def test_batch_pipeline_end_to_end(spark, tmpdir):
+    sink, state = tmpdir + "/market", tmpdir + "/state"
+    n = run_batch(session_ticks(spark), sink, state_path=state)
+    assert n == 8  # 2 symbols × 4 windows; 999s filtered by session gate
+    fact = spark.read.parquet(sink)
+    assert fact.filter("open = 999.0").count() == 0
+    assert set(fact.columns) >= {"symbol", "window_start", "open", "close", "tr", "atr", "id", "gap_filled"}
+    st = spark.read.parquet(state)
+    assert {r.symbol for r in st.collect()} == {"A", "B"}
+    [a] = st.filter("symbol = 'A'").collect()
+    assert a.last_close == 104.0 and a.candle_count == 4
+
+
+def test_batch_pipeline_idempotent_rerun(spark, tmpdir):
+    sink = tmpdir + "/market"
+    ticks = session_ticks(spark)
+    assert run_batch(ticks, sink) == 8
+    assert run_batch(ticks, sink) == 0  # replay writes nothing
+    assert spark.read.parquet(sink).count() == 8
+
+
+def test_streaming_pipeline_end_to_end(spark, tmpdir):
+    src, candles, sink, ckpt = (
+        tmpdir + "/src", tmpdir + "/candles", tmpdir + "/sink", tmpdir + "/ckpt"
+    )
+    ticks = session_ticks(spark).filter("price < 900")
+    ticks.write.parquet(src)
+    stream = spark.readStream.schema(TICK_SCHEMA).parquet(src)
+    q1, q2 = run_streaming(stream, candles, sink, ckpt)
+    try:
+        q1.processAllAvailable()
+        q2.processAllAvailable()
+    finally:
+        q1.stop()
+        q2.stop()
+    fact = spark.read.parquet(sink)
+    # append mode: all but the last (still-open) window are written
+    assert fact.count() == 6
+    assert set(fact.columns) >= {"symbol", "window_start", "tr", "atr", "id"}
