@@ -29,7 +29,7 @@ from .operators.ids import with_row_id, dedup_delta
 from .operators.filters import in_session
 from .operators.joins import missing_symbols, reconcile_states, calendar_gate
 from .operators.queries import value_percentiles, buffer_stats, validate_ohlc
-from .functions.text import with_text_stats, token_count_col, lang_guess_col, quality_cols, fingerprint_col
+from .functions.text import token_count_col, lang_guess_col, quality_cols
 from .functions.dedupe import (
     exact_dedup_groups,
     ngram_jaccard_pairs,
@@ -796,6 +796,45 @@ def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 100 TB scale path (cost /= n_cells; recall checked vs brute force)."""
     emb = load_table(spark, "embeddings", sf_dir)
     return cosine_topk_partitioned(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+@register(
+    "tick_sessions",
+    f"""WITH {TICKS_CTE},
+gapped AS (
+  SELECT symbol, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY symbol ORDER BY ts, event_id)
+                   > INTERVAL '2 hours' THEN 1 ELSE 0 END AS brk
+  FROM ticks
+),
+sessions AS (
+  SELECT symbol, ts,
+         sum(brk) OVER (PARTITION BY symbol ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM gapped
+)
+SELECT symbol,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL '2 hours' AS session_end,
+       count(*) AS n_ticks
+FROM sessions GROUP BY symbol, sid""",
+)
+def q_tick_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 twin: silence/heartbeat detection as gap sessionization —
+    ``session_window(ts, gap)`` merges ticks separated by < 2 h; a session
+    boundary IS a detected silence (reference ws_client.py:228-244).
+    Oracle: classic lag+cumsum sessionization."""
+    ticks = load_ticks(spark, sf_dir)
+    return (
+        ticks.groupBy("symbol", F.session_window("ts", "2 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_ticks"))
+        .select(
+            "symbol",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_ticks",
+        )
+    )
 
 
 @register(

@@ -119,7 +119,13 @@ def test_streaming_atr_state_survives_across_batches(spark, tmpdir):
     try:
         q.processAllAvailable()
         second.write.mode("append").parquet(tmpdir)
-        q.processAllAvailable()
+        # file-source discovery can lag the append by one listing cycle
+        import time
+        for _ in range(5):
+            q.processAllAvailable()
+            if spark.sql("SELECT count(*) n FROM atr2b").collect()[0].n >= 16:
+                break
+            time.sleep(1)
     finally:
         q.stop()
     got = {r.window_start: r for r in spark.sql("SELECT * FROM atr2b").collect()}
