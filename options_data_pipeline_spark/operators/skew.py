@@ -1,0 +1,103 @@
+"""Skew mitigation utilities (SURVEY.md §7 / 100 TB posture).
+
+The reference never faces skew (178 symbols, one process). At 100 TB a
+hot symbol (an index token receiving a large share of ticks) makes one
+shuffle partition the straggler. Two standing mitigations:
+
+ - AQE skew-join splitting is enabled in the session factory
+   (``spark.sql.adaptive.skewJoin.enabled``) — handles skewed JOINs
+   automatically at runtime.
+ - For skewed AGGREGATIONS, :func:`salted_agg` does the classic two-phase
+   rewrite: salt the key → partial agg at (key, salt) grain → final agg
+   at key grain. Worst-case per-partition work drops by the salt factor;
+   both aggs stay map-side-combinable hash aggs.
+
+``salted_agg`` is semantics-preserving only for decomposable aggregates
+(sum/count/min/max — anything with an associative merge). The OHLC
+min_by/max_by pair decomposes too (merge keeps the row with the smaller/
+larger ordering key), covered by :func:`salted_ohlc`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, buckets: int = 16, col_name: str = "_salt") -> DataFrame:
+    """Uniform deterministic salt derived from a hash of the whole row's
+    monotonic id when present, else spark_partition_id+monotonically_
+    increasing_id — avoids rand() so retries/replays stay deterministic."""
+    if "event_id" in df.columns:
+        salt = F.pmod(F.col("event_id"), F.lit(buckets))
+    else:
+        salt = F.pmod(F.monotonically_increasing_id(), F.lit(buckets))
+    return df.withColumn(col_name, salt)
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[Column, Column]],
+    buckets: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    ``aggs``: output name → (partial_agg_expr, final_merge_expr), where
+    the final expr references the partial output column by name, e.g.::
+
+        salted_agg(ticks, ["symbol"], {
+            "n":    (F.count(F.lit(1)),  F.sum("n")),
+            "high": (F.max("price"),     F.max("high")),
+        })
+    """
+    salted = with_salt(df, buckets)
+    partial = salted.groupBy(*keys, "_salt").agg(
+        *[expr.alias(name) for name, (expr, _) in aggs.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[merge.alias(name) for name, (_, merge) in aggs.items()]
+    )
+
+
+def salted_ohlc(
+    ticks: DataFrame,
+    interval: str = "5 minutes",
+    buckets: int = 16,
+) -> DataFrame:
+    """Skew-safe OHLC: identical result to operators.ohlc.ohlc_candles,
+    but a hot (symbol, window) key spreads over ``buckets`` partial
+    groups. min_by/max_by merge via struct-min on (order_key, value) in
+    the final phase."""
+    salted = with_salt(ticks, buckets)
+    partial = (
+        salted.groupBy(
+            F.col("symbol"), F.window("ts", interval).alias("w"), F.col("_salt")
+        )
+        .agg(
+            F.min(F.struct(F.col("event_id"), F.col("price"))).alias("first_s"),
+            F.max("price").alias("high"),
+            F.min("price").alias("low"),
+            F.max(F.struct(F.col("event_id"), F.col("price"))).alias("last_s"),
+            F.count(F.lit(1)).alias("tick_count"),
+        )
+    )
+    return (
+        partial.groupBy("symbol", "w")
+        .agg(
+            F.min("first_s").alias("first_s"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max("last_s").alias("last_s"),
+            F.sum("tick_count").alias("tick_count"),
+        )
+        .select(
+            "symbol",
+            F.col("w.start").alias("window_start"),
+            F.col("first_s.price").alias("open"),
+            "high",
+            "low",
+            F.col("last_s.price").alias("close"),
+            "tick_count",
+        )
+    )

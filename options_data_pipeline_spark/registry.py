@@ -882,10 +882,39 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_dup_pairs(emb, threshold=0.35, cell_col="label")
 
 
+@register("approx_sketch_stats")  # rows-only: sketch internals differ per engine
+def q_approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB observability path for A7/A9: mergeable single-pass
+    sketches (t-digest percentiles, HLL++ distinct counts) replacing the
+    exact sorts/sets that work at test scale. No oracle by design —
+    sketch estimates are engine-specific; the exact twins
+    (value_percentiles, buffer_stats) carry the correctness burden."""
+    ticks = load_ticks(spark, sf_dir)
+    return ticks.groupBy("symbol").agg(
+        F.percentile_approx("price", [0.5, 0.95, 0.99], 10000).alias("p_approx"),
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
+def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    """Pin the session timezone to UTC before building the plan — DuckDB
+    timestamps are UTC-naive, so a driver session in any other zone would
+    shift every window/timestamp value against the oracle."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(_QUERIES)
+    return {name: _utc(fn) for name, fn in _QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

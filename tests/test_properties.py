@@ -1,0 +1,64 @@
+"""Property-based tests (hypothesis): OHLC invariants and ATR behavior
+over arbitrary tick/TR series — beyond the reference's example-based
+suite."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from options_data_pipeline_spark.operators.atr import _wilder
+from options_data_pipeline_spark.operators.ohlc import ohlc_candles
+
+prices = st.lists(
+    st.floats(min_value=0.01, max_value=1e6, allow_nan=False, allow_infinity=False),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(prices)
+def test_ohlc_invariants_hold_for_any_series(spark_prop, ps):
+    base = datetime(2024, 1, 1, 9, 15)
+    rows = [("A", p, base + timedelta(seconds=i % 290), i) for i, p in enumerate(ps)]
+    df = spark_prop.createDataFrame(rows, "symbol string, price double, ts timestamp, event_id long")
+    [c] = ohlc_candles(df).collect()
+    assert c.high == max(ps) and c.low == min(ps)
+    assert c.open == ps[0] and c.close == ps[-1]  # arrival order
+    assert c.high >= max(c.open, c.close) and c.low <= min(c.open, c.close)
+    assert c.tick_count == len(ps)
+
+
+trs = st.lists(
+    st.floats(min_value=0.0, max_value=1e5, allow_nan=False, allow_infinity=False),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(trs)
+def test_wilder_atr_properties(ts):
+    out = _wilder(ts, 14)
+    assert len(out) == len(ts)
+    # warmup: exactly min(len, 13) leading Nones
+    n_none = sum(1 for v in out if v is None)
+    assert n_none == min(len(ts), 13)
+    # ATR never negative, and never exceeds the running max TR
+    seen = [v for v in out if v is not None]
+    if seen:
+        assert all(v >= 0 for v in seen)
+        assert max(seen) <= max(ts) + 1e-9
+    # smoothing bound: each step moves ATR toward TR by at most 1/14
+    for i in range(14, len(ts)):
+        if out[i - 1] is not None and out[i] is not None:
+            expected = (out[i - 1] * 13 + ts[i]) / 14
+            assert out[i] == pytest.approx(max(expected, 0.0))
+
+
+@pytest.fixture(scope="module")
+def spark_prop(spark):
+    return spark
