@@ -882,6 +882,43 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_dup_pairs(emb, threshold=0.35, cell_col="label")
 
 
+@register(
+    "orders_cube",
+    """SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+)
+def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets coverage (free from Catalyst; the reference has no
+    cube, SURVEY §2.4 note): CUBE over status × priority."""
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("total"),
+    )
+
+
+@register(
+    "lineitem_pivot",
+    """SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_O,
+       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_F
+FROM lineitem GROUP BY l_returnflag""",
+)
+def q_lineitem_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot coverage: linestatus → columns (oracle as conditional agg)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double"))
+        .withColumnRenamed("O", "qty_O")
+        .withColumnRenamed("F", "qty_F")
+    )
+
+
 @register("approx_sketch_stats")  # rows-only: sketch internals differ per engine
 def q_approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB observability path for A7/A9: mergeable single-pass

@@ -96,39 +96,44 @@ def test_streaming_atr_matches_batch(spark, tmpdir):
             assert g.atr == pytest.approx(b.atr)
 
 
-def test_streaming_atr_state_survives_across_batches(spark, tmpdir):
-    """Two separate micro-batches: warmup spans the batch boundary —
-    state (prev_close, tr_sum, n) must carry over."""
+def test_streaming_atr_state_survives_restart(spark, tmpdir):
+    """Warmup spans a query STOP/RESTART: ATR state (prev_close, tr_sum, n)
+    must recover from the checkpoint (reference CheckpointManager
+    semantics, §2.8) — batch 2 runs in a fresh query instance."""
     base = datetime(2024, 1, 1, 9, 15)
+    src, out, ckpt = tmpdir + "/src", tmpdir + "/out", tmpdir + "/ckpt"
 
     def mk(i):
         return ("A", base + timedelta(minutes=5 * i), 10.0 + i, 12.0 + i, 9.0 + i, 11.0 + i, 1)
 
-    first = spark.createDataFrame([mk(i) for i in range(10)], CANDLE_SCHEMA)
-    second = spark.createDataFrame([mk(i) for i in range(10, 16)], CANDLE_SCHEMA)
+    def start_query():
+        stream = spark.readStream.schema(CANDLE_SCHEMA).parquet(src)
+        return (
+            streaming_atr(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
 
-    first.write.mode("overwrite").parquet(tmpdir)
-    stream = spark.readStream.schema(CANDLE_SCHEMA).parquet(tmpdir)
-    q = (
-        streaming_atr(stream)
-        .writeStream.format("memory")
-        .queryName("atr2b")
-        .outputMode("append")
-        .start()
-    )
+    spark.createDataFrame([mk(i) for i in range(10)], CANDLE_SCHEMA).write.parquet(src)
+    q = start_query()
     try:
         q.processAllAvailable()
-        second.write.mode("append").parquet(tmpdir)
-        # file-source discovery can lag the append by one listing cycle
-        import time
-        for _ in range(5):
-            q.processAllAvailable()
-            if spark.sql("SELECT count(*) n FROM atr2b").collect()[0].n >= 16:
-                break
-            time.sleep(1)
     finally:
         q.stop()
-    got = {r.window_start: r for r in spark.sql("SELECT * FROM atr2b").collect()}
+
+    spark.createDataFrame([mk(i) for i in range(10, 16)], CANDLE_SCHEMA).write.mode(
+        "append"
+    ).parquet(src)
+    q = start_query()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r.window_start: r for r in spark.read.parquet(out).collect()}
 
     full = spark.createDataFrame([mk(i) for i in range(16)], CANDLE_SCHEMA)
     batch = with_wilder_atr(with_true_range(full).drop("prev_close")).collect()
@@ -139,6 +144,46 @@ def test_streaming_atr_state_survives_across_batches(spark, tmpdir):
             assert g.atr is None
         else:
             assert g.atr == pytest.approx(b.atr)  # seed at 14 spans the boundary
+
+
+def test_late_tick_dropped_by_watermark(spark, tmpdir):
+    """W3 parity: a tick arriving after the watermark passed its window is
+    DROPPED (reference tick_buffer.py:119-121 'late tick' counter). Batch 1
+    advances the watermark past window 1; batch 2 delivers a late tick for
+    window 1 — its candle must not change."""
+    base = datetime(2024, 1, 1, 9, 15)
+    b1 = spark.createDataFrame(
+        [
+            ("A", 10.0, base, 1),
+            ("A", 11.0, base + timedelta(minutes=7), 2),   # window 2
+            ("A", 12.0, base + timedelta(minutes=12), 3),  # window 3 → watermark
+        ],
+        TICK_SCHEMA,
+    )
+    late = spark.createDataFrame(
+        [("A", 99.0, base + timedelta(seconds=30), 4)],  # late for window 1
+        TICK_SCHEMA,
+    )
+    b1.write.mode("overwrite").parquet(tmpdir)
+    stream = spark.readStream.schema(TICK_SCHEMA).parquet(tmpdir)
+    q = (
+        streaming_ohlc(stream, "5 minutes")
+        .writeStream.format("memory")
+        .queryName("late_t")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        late.write.mode("append").parquet(tmpdir)
+        q.processAllAvailable()
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = {r.window_start: r for r in spark.sql("SELECT * FROM late_t").collect()}
+    w1 = out[base]
+    # window 1 closed with only the on-time tick; the 99.0 never entered
+    assert (w1.high, w1.tick_count) == (10.0, 1)
 
 
 def test_idempotent_sink_replay_writes_nothing(spark, tmpdir):
