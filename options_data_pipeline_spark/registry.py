@@ -838,6 +838,36 @@ def q_tick_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_boundaries",
+    """SELECT CAST(unnest(generate_series(
+         TIMESTAMP '2024-01-15 09:15:00',
+         TIMESTAMP '2024-01-15 15:25:00',
+         INTERVAL '300 seconds')) AS TIMESTAMP) AS window_start,
+       CAST(unnest(generate_series(
+         TIMESTAMP '2024-01-15 09:15:00',
+         TIMESTAMP '2024-01-15 15:25:00',
+         INTERVAL '300 seconds')) + INTERVAL '300 seconds' AS TIMESTAMP) AS window_end""",
+)
+def q_window_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: the reference's pre-computed session boundary list (75 windows
+    for 09:15–15:30, time_utils.py:26-89) as one sequence+explode — no
+    driver-side loop, broadcastable."""
+    return (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.lit("2024-01-15 09:15:00").cast("timestamp"),
+                    F.lit("2024-01-15 15:25:00").cast("timestamp"),
+                    F.expr("INTERVAL 300 SECONDS"),
+                )
+            ).alias("window_start")
+        )
+        .withColumn("window_end", F.col("window_start") + F.expr("INTERVAL 300 SECONDS"))
+    )
+
+
+@register(
     "props_json_stats",
     """SELECT event_type AS symbol,
        count(*) AS n,
