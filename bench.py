@@ -18,6 +18,9 @@ import time
 from options_data_pipeline_spark.session import get_spark
 from options_data_pipeline_spark import registry
 
+# ngram_jaccard deliberately excluded: exact all-pairs verification on the
+# synthetic corpus (tiny vocab → ~all pairs are candidates) is inherently
+# quadratic; minhash_lsh is the benched scale path for near-dup.
 HEADLINE = [
     "ohlc_5m",
     "ohlc_true_range",
@@ -25,14 +28,19 @@ HEADLINE = [
     "gap_fill",
     "dedup_delta",
     "value_percentiles",
+    "tick_sessions",
+    "props_json_stats",
     "pricing_summary",
     "revenue_by_nation",
     "top_parts_per_brand",
+    "orders_cube",
     "doc_quality",
     "exact_dedup",
     "minhash_lsh",
     "simhash",
     "cosine_topk",
+    "cosine_topk_ivf",
+    "embedding_near_dup",
 ]
 
 

@@ -19,7 +19,7 @@ All built-in Column expressions — no Python UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import fingerprint_col
@@ -64,26 +64,57 @@ def shingles(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
 def ngram_jaccard_pairs(
     docs: DataFrame, text_col: str = "text", k: int = 5, threshold: float = 0.4
 ) -> DataFrame:
-    """Exact pairwise n-gram Jaccard ≥ threshold (doc_a < doc_b).
+    """EXACT pairwise n-gram Jaccard ≥ threshold (doc_a < doc_b), via
+    prefix filtering (the PPJoin bound).
 
-    Verification path for MinHash: the shingle self-join explodes on hot
-    shingles at scale — use :func:`minhash_lsh_candidates` there and keep
-    this for candidate verification only.
+    A naive shingle self-join is O(Σ df²) and detonates on hot shingles
+    (measured: 1.5e9 join rows at 5k docs from a small vocabulary). Prefix
+    filtering is the exact fix: order each doc's shingle set by global
+    rarity (df asc, shingle asc); two sets with Jaccard ≥ t MUST share a
+    shingle within each one's first ``n - ceil(t*n) + 1`` shingles, so the
+    candidate join runs only on those prefixes — the hottest shingles sit
+    at the back of every prefix order and never join. Candidates are then
+    verified with an exact |A∩B| via array_intersect on the full sets.
+    Result is provably identical to the naive join.
     """
-    sh = shingles(docs, text_col, k).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
+    sh = shingles(docs, text_col, k)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    arrs = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("shingle")).alias("sset"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ranked = (
+        sh.join(F.broadcast(dfreq), "shingle")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.col("df"), F.col("shingle"))
+            ),
+        )
+        .withColumn(
+            "prefix_len",
+            F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+            - F.ceil(F.lit(threshold) * F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+            + 1,
+        )
+    )
+    prefix = ranked.filter(F.col("rn") <= F.col("prefix_len")).select("doc_id", "shingle")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
         a.join(b, "shingle")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    aa = arrs.select(F.col("doc_id").alias("doc_a"), F.col("sset").alias("set_a"), F.col("n").alias("n_a"))
+    bb = arrs.select(F.col("doc_id").alias("doc_b"), F.col("sset").alias("set_b"), F.col("n").alias("n_b"))
     return (
-        common.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        cand.join(aa, "doc_a")
+        .join(bb, "doc_b")
+        # size-ratio bound: J(A,B) ≥ t ⟹ t·|B| ≤ |A| — prune before the
+        # O(n) intersection (exactness preserved)
+        .filter(F.greatest("n_a", "n_b") * F.lit(threshold) <= F.least("n_a", "n_b"))
+        .withColumn("n_common", F.size(F.array_intersect("set_a", "set_b")).cast("long"))
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")

@@ -49,13 +49,20 @@ def cosine_topk(
 
     Output: (query_id, neighbor_id, cosine, rank), rank 1..k, ties broken
     by neighbor id so results are deterministic. The query side is
-    broadcast (small by contract); the corpus is scanned once.
+    broadcast (small by contract); the corpus is scanned once. Norms are
+    precomputed per vector BEFORE the pair join — one O(dim) fold per
+    row instead of two extra folds per pair (3× fewer flops; same values,
+    so oracle comparison stays bit-exact).
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_col(vec_col).alias("q_nrm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm_col(vec_col).alias("c_nrm"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -63,7 +70,7 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine_col(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+            (dot_col(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -90,14 +97,19 @@ def cosine_near_dup_pairs(
     share a cell, and the quadratic blow-up is confined to cells. Without
     it, a full cross join — verification only.
     """
+    cell = [F.col(cell_col).alias("cell")] if cell_col else []
     a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-                       *( [F.col(cell_col).alias("cell")] if cell_col else [] ))
+                       norm_col(vec_col).alias("na"), *cell)
     b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-                       *( [F.col(cell_col).alias("cell")] if cell_col else [] ))
+                       norm_col(vec_col).alias("nb"), *cell)
     joined = a.join(b, "cell") if cell_col else a.crossJoin(b)
     return (
         joined.filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine_col(F.col("va"), F.col("vb")).alias("cosine"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot_col(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
         .filter(F.col("cosine") >= threshold)
     )
 
@@ -121,11 +133,13 @@ def cosine_topk_partitioned(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        norm_col(vec_col).alias("q_nrm"),
         F.col(cell_col).alias("cell"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
+        norm_col(vec_col).alias("c_nrm"),
         F.col(cell_col).alias("cell"),
     )
     scored = (
@@ -134,7 +148,7 @@ def cosine_topk_partitioned(
         .select(
             "query_id",
             "neighbor_id",
-            cosine_col(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+            (dot_col(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -660,23 +660,43 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ngram_jaccard",
     f"""WITH {SHINGLES_CTE},
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-common AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM sh a JOIN sh b USING (shingle)
+dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+arrs AS (
+  SELECT doc_id, list_sort(list(shingle)) AS sset, count(*) AS n
+  FROM sh GROUP BY doc_id
+),
+ranked AS (
+  SELECT sh.doc_id, sh.shingle,
+         row_number() OVER (PARTITION BY sh.doc_id ORDER BY d.df, sh.shingle) AS rn,
+         count(*) OVER (PARTITION BY sh.doc_id)
+           - ceil(0.4 * count(*) OVER (PARTITION BY sh.doc_id)) + 1 AS prefix_len
+  FROM sh JOIN dfreq d USING (shingle)
+),
+prefix AS (SELECT doc_id, shingle FROM ranked WHERE rn <= prefix_len),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM prefix a JOIN prefix b USING (shingle)
   WHERE a.doc_id < b.doc_id
-  GROUP BY 1, 2
+),
+scored AS (
+  SELECT doc_a, doc_b,
+         CAST(len(list_intersect(sa.sset, sb.sset)) AS BIGINT) AS n_common,
+         sa.n AS n_a, sb.n AS n_b
+  FROM cand
+  JOIN arrs sa ON sa.doc_id = doc_a
+  JOIN arrs sb ON sb.doc_id = doc_b
+  WHERE greatest(sa.n, sb.n) * 0.4 <= least(sa.n, sb.n)
 )
 SELECT doc_a, doc_b, n_common,
-       n_common::DOUBLE / (sa.n + sb.n - n_common)::DOUBLE AS jaccard
-FROM common
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE n_common::DOUBLE / (sa.n + sb.n - n_common)::DOUBLE >= 0.4""",
+       n_common::DOUBLE / (n_a + n_b - n_common)::DOUBLE AS jaccard
+FROM scored
+WHERE n_common::DOUBLE / (n_a + n_b - n_common)::DOUBLE >= 0.4""",
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact char-5-gram Jaccard near-dup pairs (small-data verification
-    path; MinHash-LSH below is the 100 TB path)."""
+    """Exact char-5-gram Jaccard pairs via prefix filtering (PPJoin bound)
+    — the hot-shingle join blowup is cut by only joining rarity-ordered
+    prefixes; still provably exact. MinHash-LSH remains the approximate
+    100 TB path."""
     return ngram_jaccard_pairs(load_table(spark, "documents", sf_dir), threshold=0.4)
 
 
