@@ -51,6 +51,9 @@ def main() -> None:
 
     spark = get_spark("bench")
     qs = registry.queries()
+    # warmup: JIT + parquet footer caches, so the first timed query isn't
+    # charged for session spin-up
+    qs["buffer_stats"](spark, sf_dir).write.format("noop").mode("overwrite").save()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         df = qs[name](spark, sf_dir)

@@ -56,6 +56,34 @@ def reconcile_states(
     return joined.withColumn("diverged", diverged)
 
 
+def adopt_fresher_state(
+    local: DataFrame,
+    remote: DataFrame,
+    key: str = "symbol",
+    order_col: str = "last_window_start",
+) -> DataFrame:
+    """Startup recovery cases A–D (reference
+    ``checkpoint_manager.py:184-260``): per key, adopt whichever side has
+    the fresher ``order_col`` — A: remote missing → local; B: equal →
+    local (consistent); C: local ahead → local; D: remote ahead → remote.
+    Adds a ``source`` column recording the decision."""
+    lcols = [c for c in local.columns if c != key]
+    l = local.select(key, *[F.col(c).alias(f"l_{c}") for c in lcols])
+    r = remote.select(key, *[F.col(c).alias(f"r_{c}") for c in lcols])
+    j = l.join(r, key, "full_outer")
+    lo, ro = F.col(f"l_{order_col}"), F.col(f"r_{order_col}")
+    use_local = ro.isNull() | (lo.isNotNull() & (lo >= ro))
+    picked = [
+        F.when(use_local, F.col(f"l_{c}")).otherwise(F.col(f"r_{c}")).alias(c)
+        for c in lcols
+    ]
+    return j.select(
+        key,
+        *picked,
+        F.when(use_local, F.lit("local")).otherwise(F.lit("remote")).alias("source"),
+    )
+
+
 def calendar_gate(rows: DataFrame, calendar: DataFrame, ts_col: str = "ts") -> DataFrame:
     """J7: keep rows whose date is a trading day. ``calendar`` is a small
     (date, is_holiday) dim (reference ``config/trading_calendar.py:60-95``

@@ -1,0 +1,37 @@
+"""SQL surface: register the engine's tables and derived views so users
+query with plain ``spark.sql`` (the reference exposes no SQL; this is the
+Spark-native query surface a reference user gains by switching).
+
+``create_views`` registers:
+ - the 10 base tables (region … embeddings)
+ - ``ticks`` (parsed tick projection of events)
+ - ``candles_5m`` / ``candles_1h`` (OHLC)
+ - ``enriched_1h`` (TR + Wilder ATR)
+
+Catalyst treats temp views as inlined subplans — a filter on
+``candles_5m`` still pushes down into the events parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from .sources.tables import TABLES, load_table, load_ticks
+from .operators.ohlc import ohlc_candles
+from .operators.truerange import with_true_range
+from .operators.atr import with_wilder_atr
+
+
+def create_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    names = []
+    for t in TABLES:
+        load_table(spark, t, sf_dir).createOrReplaceTempView(t)
+        names.append(t)
+    ticks = load_ticks(spark, sf_dir)
+    ticks.createOrReplaceTempView("ticks")
+    ohlc_candles(ticks, "300 seconds").createOrReplaceTempView("candles_5m")
+    candles_1h = ohlc_candles(ticks, "3600 seconds")
+    candles_1h.createOrReplaceTempView("candles_1h")
+    with_wilder_atr(with_true_range(candles_1h)).createOrReplaceTempView("enriched_1h")
+    names += ["ticks", "candles_5m", "candles_1h", "enriched_1h"]
+    return names
