@@ -35,6 +35,20 @@ def token_count_col(text_col: str = "text") -> Column:
     return F.size(F.expr(f"regexp_extract_all({text_col}, '\\\\S+', 0)")).cast("long")
 
 
+# GPT-2-style pre-tokenizer, simplified to the lookahead-free subset so the
+# SAME pattern runs identically under Java regex (Spark) and RE2 (DuckDB):
+# contractions | space?letters | space?digits | space?other | whitespace.
+BPE_PATTERN = "'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+|\\s+"
+
+
+def bpe_token_count_col(text_col: str = "text") -> Column:
+    """BPE-ish pre-token count (proxy for LLM token budgeting at corpus
+    scale; exact BPE needs a merges table, out of scope for a column op)."""
+    return F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), F.lit(0))
+    ).cast("long")
+
+
 def _count_matches(text_col: str, pattern: str) -> Column:
     return F.size(F.expr(f"regexp_extract_all({text_col}, '{pattern}', 0)")).cast("long")
 

@@ -1,0 +1,73 @@
+"""As-of (point-in-time) join — a custom operator Spark lacks natively.
+
+The reference's only as-of-style need is "last known close" for gap-fill
+(SURVEY §2.3 note); generalized here because point-in-time lookups are a
+staple of market-data work (enrich a tick/event with the latest candle,
+state snapshot, or reference price at or before its timestamp).
+
+Spark-first construction (composition of built-ins — preference (a) from
+the custom-operator ladder, no UDF): tag and union both sides, then one
+``last(value, ignorenulls=True)`` window per value column over
+(key, time, side) ordering, then keep left rows. Cost: one shuffle on the
+key + a per-key sort — the same shape as any window function, no
+broadcast-size or skew constraints beyond them. Right-side rows at
+exactly the left timestamp match (inclusive as-of), by ordering the
+right tag before the left tag at equal timestamps.
+
+Alternative at scale for huge sparse right sides: bucketize time and
+equi-join on (key, bucket) with a fallback pass — not needed while the
+union-window plan holds one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str = "symbol",
+    left_ts: str = "ts",
+    right_ts: str = "window_start",
+    value_cols: tuple[str, ...] = ("close",),
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For each left row: the latest right row with
+    ``right_ts <= left_ts`` within the same ``by`` key. Left rows with no
+    prior right row get NULLs (left-outer as-of).
+
+    Output: all left columns + ``{prefix}{value_col}`` columns.
+    """
+    left_cols = left.columns
+    l = left.select(
+        F.col(by),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_v_{c}") for c in value_cols],
+        F.struct(*left_cols).alias("_row"),
+    )
+    r = right.select(
+        F.col(by),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),  # right sorts before left at equal ts → inclusive
+        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+        F.lit(None).cast(l.schema["_row"].dataType).alias("_row"),
+    )
+    w = (
+        Window.partitionBy(by)
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = l.unionByName(r).select(
+        "*",
+        *[
+            F.last(f"_v_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
+            for c in value_cols
+        ],
+    )
+    return filled.filter(F.col("_side") == 1).select(
+        *[F.col(f"_row.{c}").alias(c) for c in left_cols],
+        *[F.col(f"{prefix}{c}") for c in value_cols],
+    )

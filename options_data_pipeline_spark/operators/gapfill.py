@@ -29,6 +29,7 @@ def gap_fill(
     candles: DataFrame,
     interval_seconds: int = 300,
     symbols: DataFrame | None = None,
+    cache: bool = True,
 ) -> DataFrame:
     """candles(symbol, window_start, open..close, tick_count) → densified
     candles + ``gap_filled`` flag; unfillable (no prior close) rows dropped.
@@ -36,20 +37,34 @@ def gap_fill(
     ``symbols`` optionally supplies the expected-universe dimension
     (reference ``config/instruments.py``); defaults to symbols observed in
     ``candles``.
+
+    Plan shape: the scaffold (bounds + symbol universe) comes from ONE
+    aggregate over ``candles`` — min/max window plus ``collect_set(symbol)``
+    (the universe is bounded by contract: 178 in the reference, thousands
+    at most) — then two explodes. ``candles`` is cached by default so the
+    scaffold pass and the outer-join pass don't recompute the upstream
+    OHLC aggregation from raw ticks (3 tick-table scans → 1 at 100 TB).
     """
-    bounds = candles.agg(
-        F.min("window_start").alias("w_min"), F.max("window_start").alias("w_max")
-    )
-    windows = bounds.select(
-        F.explode(
-            F.sequence(
-                "w_min", "w_max", F.expr(f"INTERVAL {interval_seconds} SECONDS")
-            )
-        ).alias("window_start")
-    )
+    if cache:
+        candles = candles.cache()
+    windows = F.explode(
+        F.sequence("w_min", "w_max", F.expr(f"INTERVAL {interval_seconds} SECONDS"))
+    ).alias("window_start")
     if symbols is None:
-        symbols = candles.select("symbol").distinct()
-    scaffold = symbols.crossJoin(F.broadcast(windows))
+        scaffold = (
+            candles.agg(
+                F.min("window_start").alias("w_min"),
+                F.max("window_start").alias("w_max"),
+                F.collect_set("symbol").alias("syms"),
+            )
+            .select(windows, "syms")
+            .select("window_start", F.explode("syms").alias("symbol"))
+        )
+    else:
+        bounds = candles.agg(
+            F.min("window_start").alias("w_min"), F.max("window_start").alias("w_max")
+        )
+        scaffold = symbols.crossJoin(F.broadcast(bounds.select(windows)))
 
     joined = scaffold.join(candles, ["symbol", "window_start"], "left")
     ffill = Window.partitionBy("symbol").orderBy("window_start").rowsBetween(

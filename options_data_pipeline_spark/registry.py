@@ -29,7 +29,7 @@ from .operators.ids import with_row_id, dedup_delta
 from .operators.filters import in_session
 from .operators.joins import missing_symbols, reconcile_states, calendar_gate
 from .operators.queries import value_percentiles, buffer_stats, validate_ohlc
-from .functions.text import token_count_col, lang_guess_col, quality_cols
+from .functions.text import token_count_col, bpe_token_count_col, lang_guess_col, quality_cols
 from .functions.dedupe import (
     exact_dedup_groups,
     ngram_jaccard_pairs,
@@ -616,6 +616,26 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_token_count",
+    r"""SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text,
+         '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+|\s+'))
+         AS BIGINT) AS n_bpe_tokens
+FROM documents""",
+)
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, whitespace + BPE-ish pre-tokenizer (lookahead-free
+    GPT-2-style pattern, identical under Java regex and RE2)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        token_count_col().alias("n_ws_tokens"),
+        bpe_token_count_col().alias("n_bpe_tokens"),
+    )
+
+
+@register(
     "lang_id",
     r"""WITH scored AS (
   SELECT lang,
@@ -816,6 +836,30 @@ def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 100 TB scale path (cost /= n_cells; recall checked vs brute force)."""
     emb = load_table(spark, "embeddings", sf_dir)
     return cosine_topk_partitioned(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+@register(
+    "asof_close",
+    f"""WITH {candles_cte(3600)},
+sample AS (
+  SELECT symbol, ts, event_id, price FROM ticks WHERE event_id % 20 = 0
+)
+SELECT s.event_id, s.symbol, s.ts, s.price, c."close" AS asof_close
+FROM sample s ASOF LEFT JOIN candles c
+  ON s.symbol = c.symbol AND s.ts >= c.window_start""",
+)
+def q_asof_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each sampled tick enriched with the latest 1h-candle
+    close at or before its timestamp (operators/asof.py union-window
+    construction; oracle = DuckDB's native ASOF JOIN)."""
+    from .operators.asof import asof_join
+
+    ticks = load_ticks(spark, sf_dir)
+    candles = ohlc_candles(ticks, "3600 seconds")
+    sample = ticks.filter(F.col("event_id") % 20 == 0).select(
+        "event_id", "symbol", "ts", "price"
+    )
+    return asof_join(sample, candles, value_cols=("close",), prefix="asof_")
 
 
 @register(
