@@ -863,6 +863,57 @@ def q_asof_close(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "range_join_sessions",
+    f"""WITH {TICKS_CTE},
+gapped AS (
+  SELECT symbol, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY symbol ORDER BY ts, event_id)
+                   > INTERVAL '2 hours' THEN 1 ELSE 0 END AS brk
+  FROM ticks
+),
+sess AS (
+  SELECT symbol, ts,
+         sum(brk) OVER (PARTITION BY symbol ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM gapped
+),
+sessions AS (
+  SELECT symbol, min(ts) AS session_start,
+         max(ts) + INTERVAL '2 hours' AS session_end,
+         count(*) AS n_ticks
+  FROM sess GROUP BY symbol, sid
+),
+sample AS (SELECT symbol, ts, event_id FROM ticks WHERE event_id % 50 = 0)
+SELECT s.event_id, s.symbol, s.ts, i.session_start, i.n_ticks AS session_size
+FROM sample s JOIN sessions i
+  ON s.symbol = i.symbol
+ AND s.ts >= i.session_start AND s.ts < i.session_end""",
+)
+def q_range_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: sampled ticks → the (variable-length) activity session
+    containing them, via bucketized equi-join + exact re-check
+    (operators/rangejoin.py; oracle = DuckDB inequality join)."""
+    from .operators.rangejoin import range_join_bucketed
+
+    ticks = load_ticks(spark, sf_dir)
+    sessions = (
+        ticks.groupBy("symbol", F.session_window("ts", "2 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_ticks"))
+        .select(
+            "symbol",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_ticks",
+        )
+    )
+    sample = ticks.filter(F.col("event_id") % 50 == 0).select("symbol", "ts", "event_id")
+    out = range_join_bucketed(sample, sessions, bucket_seconds=3600)
+    return out.select(
+        "event_id", "symbol", "ts", "session_start", F.col("n_ticks").alias("session_size")
+    )
+
+
+@register(
     "tick_sessions",
     f"""WITH {TICKS_CTE},
 gapped AS (
