@@ -83,6 +83,74 @@ def cosine_topk(
     )
 
 
+def random_hyperplanes(dim: int = 64, n_planes: int = 16) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplane weights in [-1, 1), derived
+    from md5((plane, dim)) — reproducible in any engine as literals, no
+    RNG state. Used for sign-LSH over cosine similarity."""
+    import hashlib
+
+    planes = []
+    for j in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{j}:{d}".encode()).hexdigest()[:8]
+            row.append(int(h, 16) / float(1 << 31) - 1.0)
+        planes.append(row)
+    return planes
+
+
+def rp_lsh_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.35,
+    n_planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine near-dup via random-hyperplane (sign) LSH — the labels-free
+    scale path: bucket on band signatures, verify candidates exactly.
+
+    P(two vectors agree on one bit) = 1 − θ/π, so banding (4×4 bits here)
+    tunes recall vs candidate volume; found pairs ⊆ true pairs (LSH may
+    miss low-similarity pairs — by design). Everything is built-in Column
+    arithmetic; the plane weights are literals, so the DuckDB oracle
+    reproduces signatures bit-for-bit.
+    """
+    planes = random_hyperplanes(64, n_planes)
+    rows_per_band = n_planes // bands
+    v = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        norm_col(vec_col).alias("nrm"),
+    )
+    bits = [
+        (dot_col(F.col("v"), F.array(*[F.lit(w) for w in plane])) >= 0).cast("int").alias(f"bit{j}")
+        for j, plane in enumerate(planes)
+    ]
+    sig = v.select("vid", "v", "nrm", *bits)
+    band_cols = []
+    for b in range(bands):
+        js = range(b * rows_per_band, (b + 1) * rows_per_band)
+        band_cols.append(F.concat_ws("", *[F.col(f"bit{j}") for j in js]).alias(f"band{b}"))
+    wide = sig.select("vid", "v", "nrm", *band_cols)
+    stack_args = ", ".join(f"{b}, band{b}" for b in range(bands))
+    banded = wide.selectExpr(
+        "vid", "v", "nrm", f"stack({bands}, {stack_args}) as (band, bucket)"
+    )
+    a, b_ = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b_, ["band", "bucket"])
+        .filter(F.col("a.vid") < F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            (dot_col(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))).alias("cosine"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("cosine") >= threshold)
+
+
 def cosine_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.99,

@@ -38,7 +38,13 @@ from .functions.dedupe import (
     MINHASH_PARAMS,
     MINHASH_PRIME,
 )
-from .functions.similarity import cosine_topk, cosine_topk_partitioned, cosine_near_dup_pairs
+from .functions.similarity import (
+    cosine_topk,
+    cosine_topk_partitioned,
+    cosine_near_dup_pairs,
+    rp_lsh_near_dup_pairs,
+    random_hyperplanes,
+)
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (DuckDB dialect)
@@ -1062,6 +1068,50 @@ def q_lineitem_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("O", "qty_O")
         .withColumnRenamed("F", "qty_F")
     )
+
+
+def _rp_lsh_oracle(threshold: float = 0.35, n_planes: int = 16, bands: int = 4) -> str:
+    planes = random_hyperplanes(64, n_planes)
+    rows_per_band = n_planes // bands
+    bit_exprs = ",\n         ".join(
+        "CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(w) for w in plane)
+        + f"]) >= 0 THEN 1 ELSE 0 END AS bit{j}"
+        for j, plane in enumerate(planes)
+    )
+    band_selects = []
+    for b in range(bands):
+        js = range(b * rows_per_band, (b + 1) * rows_per_band)
+        concat = " || ".join(f"bit{j}::VARCHAR" for j in js)
+        band_selects.append(f"SELECT vid, v, nrm, {b} AS band, {concat} AS bucket FROM sig")
+    banded = "\n  UNION ALL\n  ".join(band_selects)
+    return f"""WITH v AS (
+  SELECT vec_id AS vid, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+sig AS (
+  SELECT vid, v, nrm,
+         {bit_exprs}
+  FROM v
+),
+banded AS (
+  {banded}
+),
+cand AS (
+  SELECT DISTINCT a.vid AS id_a, b.vid AS id_b,
+         list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+  FROM banded a JOIN banded b USING (band, bucket)
+  WHERE a.vid < b.vid
+)
+SELECT id_a, id_b, cosine FROM cand WHERE cosine >= {threshold}"""
+
+
+@register("rp_lsh_near_dup", _rp_lsh_oracle())
+def q_rp_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH cosine near-dup (labels-free scale path):
+    sign-signature banding → bucket join → exact cosine verification."""
+    return rp_lsh_near_dup_pairs(load_table(spark, "embeddings", sf_dir), threshold=0.35)
 
 
 @register("approx_sketch_stats")  # rows-only: sketch internals differ per engine

@@ -44,6 +44,23 @@ def test_topk_tie_break_by_neighbor_id(spark):
     assert [r.neighbor_id for r in out] == [3, 5]
 
 
+def test_rp_lsh_subset_of_brute_force(spark):
+    """LSH candidates are a subset of the exact result (never false
+    positives after verification); recall at cosine≥0.35 (θ≈70°, the hard
+    regime for sign-LSH) stays above the 4×4-band theoretical floor."""
+    from options_data_pipeline_spark.functions.similarity import (
+        rp_lsh_near_dup_pairs,
+        cosine_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    lsh = {(r.id_a, r.id_b) for r in rp_lsh_near_dup_pairs(emb, 0.35).collect()}
+    brute = {(r.id_a, r.id_b) for r in cosine_near_dup_pairs(emb, 0.35).collect()}
+    assert lsh <= brute
+    if brute:
+        assert len(lsh) / len(brute) >= 0.25
+
+
 def test_partitioned_probes_only_own_cell(spark):
     rows = [
         (0, [1.0, 0.0], 0),
