@@ -182,6 +182,65 @@ def cosine_near_dup_pairs(
     )
 
 
+def kmeans_cells(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over the embedding column, returning
+    (id, cell) — the coarse quantizer for real IVF (no precomputed labels).
+
+    Spark-first shape: each iteration is one broadcast-join pass — dot
+    every vector against the k current centroids (a k×dim literal array,
+    pure Column arithmetic), argmin by euclidean distance, then
+    groupBy(cell).avg to re-estimate. Centroids live driver-side (k×dim
+    floats — tiny); the data never re-shuffles. Init = the first k vectors
+    by id (deterministic; k-means++ would also be expressible but needs k
+    passes). Iterative refinement is inherently non-SQL-expressible, so
+    the registry exposes IVF search over these cells as a rows-only check
+    and correctness rides on the invariant tests.
+    """
+    import math
+
+    v = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v"))
+    dim = len(v.first()["v"])
+    centroids = [r["v"] for r in v.orderBy("vid").limit(k).collect()]
+
+    def assign_col(cents: list[list[float]]) -> Column:
+        # argmin over squared distance: |v|² − 2·v·c + |c|²; |v|² constant per row
+        best_cell, best_score = F.lit(0), None
+        for ci, c in enumerate(cents):
+            carr = F.array(*[F.lit(x) for x in c])
+            c2 = sum(x * x for x in c)
+            score = F.lit(c2) - 2.0 * dot_col(F.col("v"), carr)
+            if best_score is None:
+                best_cell, best_score = F.lit(ci), score
+            else:
+                better = score < best_score
+                best_cell = F.when(better, F.lit(ci)).otherwise(best_cell)
+                best_score = F.when(better, score).otherwise(best_score)
+        return best_cell
+
+    for _ in range(iters):
+        assigned = v.withColumn("cell", assign_col(centroids))
+        means = (
+            assigned.select(
+                "cell", *[F.col("v")[d].alias(f"d{d}") for d in range(dim)]
+            )
+            .groupBy("cell")
+            .agg(*[F.avg(f"d{d}").alias(f"d{d}") for d in range(dim)])
+            .collect()
+        )
+        new_cents = list(centroids)
+        for r in means:
+            new_cents[r["cell"]] = [r[f"d{d}"] for d in range(dim)]
+        centroids = new_cents
+
+    return v.withColumn("cell", assign_col(centroids)).select("vid", "cell")
+
+
 def cosine_topk_partitioned(
     queries: DataFrame,
     corpus: DataFrame,

@@ -1114,6 +1114,23 @@ def q_rp_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rp_lsh_near_dup_pairs(load_table(spark, "embeddings", sf_dir), threshold=0.35)
 
 
+@register("ivf_kmeans_topk")  # rows-only: iterative k-means has no SQL twin
+def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real IVF: k-means coarse quantizer (kmeans_cells) + cell-probed
+    top-k. Rows-only check by design (Lloyd's iterations are not
+    SQL-expressible); recall vs brute force is pinned by tests."""
+    from .functions.similarity import kmeans_cells
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cells = kmeans_cells(emb, k=8, iters=3)
+    with_cell = emb.join(
+        cells.withColumnRenamed("vid", "vec_id"), "vec_id"
+    )
+    return cosine_topk_partitioned(
+        with_cell.filter(F.col("vec_id") < 10), with_cell, k=5, cell_col="cell"
+    )
+
+
 @register("approx_sketch_stats")  # rows-only: sketch internals differ per engine
 def q_approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB observability path for A7/A9: mergeable single-pass

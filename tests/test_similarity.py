@@ -61,6 +61,29 @@ def test_rp_lsh_subset_of_brute_force(spark):
         assert len(lsh) / len(brute) >= 0.25
 
 
+def test_kmeans_ivf_recall(spark):
+    """k-means coarse cells partition the corpus and single-probe IVF
+    keeps reasonable top-k recall vs brute force."""
+    from options_data_pipeline_spark.functions.similarity import (
+        kmeans_cells,
+        cosine_topk,
+        cosine_topk_partitioned,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cells = kmeans_cells(emb, k=4, iters=2)
+    counts = {r.cell: r["count"] for r in cells.groupBy("cell").count().collect()}
+    n = sum(counts.values())
+    assert len(counts) >= 2 and max(counts.values()) < n  # a real partition
+    with_cell = emb.join(cells.withColumnRenamed("vid", "vec_id"), "vec_id")
+    q = with_cell.filter("vec_id < 5")
+    ivf = {(r.query_id, r.neighbor_id)
+           for r in cosine_topk_partitioned(q, with_cell, k=5, cell_col="cell").collect()}
+    brute = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(emb.filter("vec_id < 5"), emb, k=5).collect()}
+    assert len(ivf & brute) / len(brute) >= 0.4
+
+
 def test_partitioned_probes_only_own_cell(spark):
     rows = [
         (0, [1.0, 0.0], 0),
