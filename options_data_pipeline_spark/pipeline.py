@@ -79,6 +79,12 @@ def run_batch(
     return written
 
 
+CANDLE_STREAM_SCHEMA = (
+    "symbol string, window_start timestamp, open double, high double,"
+    " low double, close double, tick_count long"
+)
+
+
 def run_streaming(
     tick_stream: DataFrame,
     candle_path: str,
@@ -86,21 +92,36 @@ def run_streaming(
     checkpoint_path: str,
     interval: str = "5 minutes",
     watermark: str = "500 milliseconds",
+    dense_path: str | None = None,
+    interval_seconds: int = 300,
+    universe: DataFrame | None = None,
 ):
-    """The live twin: two chained streaming stages (Spark disallows a
-    stateful grouped-map after a streaming aggregation in one query, and
-    the reference likewise materializes candles before enrichment).
+    """The live twin: chained streaming stages (Spark disallows a stateful
+    grouped-map after a streaming aggregation in one query, and the
+    reference likewise materializes candles before enrichment).
 
     Stage 1: watermarked OHLC append stream → candle parquet.
+    Stage 1.5 (optional, ``dense_path``): gap-fill densifier — flat
+        candles for silent (symbol, window) slots, chained across
+        micro-batch boundaries (reference W4 at its native streaming
+        position, gapfill_stream.py).
     Stage 2: candle stream → stateful Wilder ATR → id → idempotent sink.
 
-    Returns (stage1_query, stage2_query). Restart recovery = the two
-    checkpointLocations (reference CheckpointManager, §2.8); the stage
-    boundary is replay-safe because candles emit exactly once (append
-    mode) and the final sink dedups by id.
+    Returns the started queries. Restart recovery = the per-stage
+    checkpointLocations (reference CheckpointManager, §2.8); every stage
+    boundary is replay-safe (append-once emission or dedup-by-id sinks).
     """
+    import os
+
+    spark = tick_stream.sparkSession
+    queries = []
+    # a downstream stage may start before its upstream writes anything —
+    # the file stream source tolerates an empty dir but not a missing one
+    os.makedirs(candle_path, exist_ok=True)
+    if dense_path is not None:
+        os.makedirs(dense_path, exist_ok=True)
     candles = streaming_ohlc(tick_stream, interval, watermark)
-    q1 = (
+    queries.append(
         candles.writeStream.format("parquet")
         .option("path", candle_path)
         .option("checkpointLocation", checkpoint_path + "/candles")
@@ -108,19 +129,36 @@ def run_streaming(
         .start()
     )
 
-    candle_stream = tick_stream.sparkSession.readStream.schema(
-        "symbol string, window_start timestamp, open double, high double,"
-        " low double, close double, tick_count long"
-    ).parquet(candle_path)
-    enriched = with_row_id(streaming_atr(candle_stream))
+    atr_src_path = candle_path
+    if dense_path is not None:
+        from .streaming.gapfill_stream import run_densify_stage
+
+        candle_stream = spark.readStream.schema(CANDLE_STREAM_SCHEMA).parquet(candle_path)
+        queries.append(
+            run_densify_stage(
+                candle_stream,
+                dense_path,
+                checkpoint_path + "/dense",
+                interval_seconds,
+                universe,
+            )
+        )
+        atr_src_path = dense_path
+
+    # gap_filled exists only in the dense sink; reading the plain candle
+    # sink with the wider schema yields NULLs for it (parquet semantics)
+    atr_stream = spark.readStream.schema(
+        CANDLE_STREAM_SCHEMA + ", gap_filled boolean"
+    ).parquet(atr_src_path)
+    enriched = with_row_id(streaming_atr(atr_stream))
 
     def write(batch: DataFrame, batch_id: int) -> None:
         idempotent_append_batch(batch, sink_path)
 
-    q2 = (
+    queries.append(
         enriched.writeStream.foreachBatch(write)
         .outputMode("append")
         .option("checkpointLocation", checkpoint_path + "/enriched")
         .start()
     )
-    return q1, q2
+    return tuple(queries)

@@ -26,7 +26,7 @@ from ..operators.atr import ATR_PERIOD
 
 OUTPUT_SCHEMA = (
     "symbol string, window_start timestamp, open double, high double, low double,"
-    " close double, tick_count long, tr double, atr double"
+    " close double, tick_count long, gap_filled boolean, tr double, atr double"
 )
 STATE_SCHEMA = "prev_close double, prev_atr double, tr_sum double, n long"
 
@@ -72,6 +72,8 @@ def _atr_update(
                     "low": low,
                     "close": close,
                     "tick_count": int(row.tick_count),
+                    # present only downstream of the densify stage
+                    "gap_filled": getattr(row, "gap_filled", None),
                     "tr": tr,
                     "atr": None if atr is None else max(atr, 0.0),
                 }

@@ -1,0 +1,111 @@
+"""Streaming gap-fill: densify the candle stream per micro-batch
+(reference W4 in its native streaming position — gap-fill runs at each
+window finalization, ``main.py:298-307``).
+
+Implementation: a ``foreachBatch`` densifier between the OHLC stage and
+the ATR stage. For each micro-batch of finalized candles:
+
+ 1. scaffold = expected universe × the batch's window range;
+ 2. left-join the batch's candles;
+ 3. forward-fill closes — seeded with each symbol's last known close read
+    from the dense sink itself (partition-prunable lookback), so silence
+    spanning micro-batch boundaries still fills and the fill chains
+    (a symbol silent for N windows gets N flat candles);
+ 4. append scaffold rows (real + flat) to the dense sink.
+
+Because the dense sink is also the seed source, the operator is
+self-contained; exactly-once comes from the deterministic (symbol,
+window) grain + idempotent anti-join append.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..operators.gapfill import gap_fill
+from ..operators.ids import with_row_id
+from .sink import idempotent_append_batch
+
+
+def densify_batch(
+    batch: DataFrame,
+    dense_path: str,
+    interval_seconds: int,
+    universe: DataFrame | None,
+) -> int:
+    """One micro-batch of candles → gap-filled rows appended to
+    ``dense_path``. Returns rows written."""
+    import os
+
+    spark = batch.sparkSession
+    if batch.isEmpty():
+        return 0
+
+    seeds = None
+    if os.path.isdir(dense_path) and any(
+        f.endswith(".parquet") for f in os.listdir(dense_path)
+    ):
+        prior = spark.read.parquet(dense_path)
+        # last known close per symbol before this batch's first window —
+        # fabricate one synthetic candle per symbol at its last window so
+        # the in-batch forward fill seeds across the batch boundary
+        lo = batch.agg(F.min("window_start")).collect()[0][0]
+        seeds = (
+            prior.filter(F.col("window_start") < lo)
+            .groupBy("symbol")
+            .agg(
+                F.max_by("close", "window_start").alias("close"),
+                F.max("window_start").alias("window_start"),
+            )
+            .select(
+                "symbol",
+                "window_start",
+                F.col("close").alias("open"),
+                F.col("close").alias("high"),
+                F.col("close").alias("low"),
+                "close",
+                F.lit(0).cast("long").alias("tick_count"),
+            )
+        )
+
+    candles = batch.select(
+        "symbol", "window_start", "open", "high", "low", "close", "tick_count"
+    )
+    unioned = candles.unionByName(seeds) if seeds is not None else candles
+    dense = gap_fill(unioned, interval_seconds, symbols=universe)
+    if seeds is not None:
+        # drop the synthetic seed rows (and anything at/before them —
+        # those windows were already emitted by earlier batches)
+        lo_map = {r["symbol"]: r["window_start"] for r in seeds.collect()}
+        if lo_map:
+            seed_df = spark.createDataFrame(
+                list(lo_map.items()), "symbol string, _seed_w timestamp"
+            )
+            dense = (
+                dense.join(F.broadcast(seed_df), "symbol", "left")
+                .filter(F.col("_seed_w").isNull() | (F.col("window_start") > F.col("_seed_w")))
+                .drop("_seed_w")
+            )
+    dense = with_row_id(dense)
+    return idempotent_append_batch(dense, dense_path)
+
+
+def run_densify_stage(
+    candle_stream: DataFrame,
+    dense_path: str,
+    checkpoint_path: str,
+    interval_seconds: int = 300,
+    universe: DataFrame | None = None,
+):
+    """candles stream → gap-filled dense candle sink. Returns the query."""
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        densify_batch(batch, dense_path, interval_seconds, universe)
+
+    return (
+        candle_stream.writeStream.foreachBatch(write)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )

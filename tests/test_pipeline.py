@@ -74,3 +74,42 @@ def test_streaming_pipeline_end_to_end(spark, tmpdir):
     # append mode: all but the last (still-open) window are written
     assert fact.count() == 6
     assert set(fact.columns) >= {"symbol", "window_start", "tr", "atr", "id"}
+
+
+def test_streaming_pipeline_with_gap_fill(spark, tmpdir):
+    """Full 3-stage streaming pipeline: a symbol silent for one window
+    gets a flat candle which then flows through the stateful ATR stage."""
+    src = tmpdir + "/src"
+    base = datetime(2024, 1, 5, 9, 15)
+    rows = [
+        ("A", 100.0, base + timedelta(seconds=10), 1),
+        ("B", 50.0, base + timedelta(seconds=20), 2),
+        ("A", 101.0, base + timedelta(minutes=5, seconds=10), 3),  # B silent in w1
+        ("A", 102.0, base + timedelta(minutes=10, seconds=10), 4),
+        ("B", 51.0, base + timedelta(minutes=10, seconds=20), 5),
+        ("A", 103.0, base + timedelta(minutes=15, seconds=10), 6),  # w3 stays open
+    ]
+    spark.createDataFrame(rows, TICK_SCHEMA).write.parquet(src)
+    stream = spark.readStream.schema(TICK_SCHEMA).parquet(src)
+    queries = run_streaming(
+        stream,
+        tmpdir + "/candles",
+        tmpdir + "/sink",
+        tmpdir + "/ckpt",
+        dense_path=tmpdir + "/dense",
+    )
+    try:
+        for q in queries:
+            q.processAllAvailable()
+        # one extra drain so downstream stages see upstream's last writes
+        for q in queries:
+            q.processAllAvailable()
+    finally:
+        for q in queries:
+            q.stop()
+    fact = {(r.symbol, r.window_start): r for r in spark.read.parquet(tmpdir + "/sink").collect()}
+    w1 = base + timedelta(minutes=5)
+    gap = fact[("B", w1)]
+    assert gap.gap_filled and gap.close == 50.0 and gap.tick_count == 0
+    assert gap.tr is not None  # the flat candle went through the ATR stage
+    assert not fact[("A", w1)].gap_filled
