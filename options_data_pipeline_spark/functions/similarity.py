@@ -202,8 +202,6 @@ def kmeans_cells(
     the registry exposes IVF search over these cells as a rows-only check
     and correctness rides on the invariant tests.
     """
-    import math
-
     v = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v"))
     dim = len(v.first()["v"])
     centroids = [r["v"] for r in v.orderBy("vid").limit(k).collect()]

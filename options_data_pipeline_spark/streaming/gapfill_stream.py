@@ -20,7 +20,7 @@ window) grain + idempotent anti-join append.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.gapfill import gap_fill

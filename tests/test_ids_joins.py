@@ -5,8 +5,6 @@ from __future__ import annotations
 
 from datetime import datetime
 
-from pyspark.sql import functions as F
-
 from options_data_pipeline_spark.operators.ids import with_row_id, dedup_delta
 from options_data_pipeline_spark.operators.joins import (
     enrich_with_instruments,

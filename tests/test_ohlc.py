@@ -6,8 +6,6 @@ from __future__ import annotations
 
 from datetime import datetime
 
-from pyspark.sql import functions as F
-
 from options_data_pipeline_spark.operators.ohlc import ohlc_candles
 from options_data_pipeline_spark.operators.filters import in_session
 from options_data_pipeline_spark.operators.queries import validate_ohlc

@@ -8,8 +8,6 @@ from datetime import datetime, timedelta
 
 import pytest
 
-from pyspark.sql import functions as F
-
 from options_data_pipeline_spark.pipeline import run_batch, run_streaming
 
 TICK_SCHEMA = "symbol string, price double, ts timestamp, event_id long"

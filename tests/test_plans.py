@@ -9,8 +9,6 @@ from __future__ import annotations
 
 import pytest
 
-from pyspark.sql import functions as F
-
 from options_data_pipeline_spark import registry
 from options_data_pipeline_spark.plans.explain import (
     count_exchanges,

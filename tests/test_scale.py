@@ -5,8 +5,6 @@ from __future__ import annotations
 
 from datetime import datetime, timedelta
 
-import pytest
-
 from pyspark.sql import functions as F
 
 from options_data_pipeline_spark.operators.ohlc import ohlc_candles

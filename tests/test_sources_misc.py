@@ -10,8 +10,6 @@ from datetime import datetime
 
 import pytest
 
-from pyspark.sql import functions as F
-
 from options_data_pipeline_spark.sources.csv_source import read_scrip_master, match_tokens
 from options_data_pipeline_spark.sources.json_source import load_calendar
 from options_data_pipeline_spark.sources.sink import write_market_data, read_market_data

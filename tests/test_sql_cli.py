@@ -4,8 +4,6 @@ from __future__ import annotations
 
 from datetime import datetime
 
-from pyspark.sql import functions as F
-
 from options_data_pipeline_spark.sql import create_views
 from options_data_pipeline_spark.operators.joins import adopt_fresher_state
 

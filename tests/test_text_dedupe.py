@@ -4,8 +4,6 @@ from __future__ import annotations
 
 import pytest
 
-from pyspark.sql import functions as F
-
 from options_data_pipeline_spark.functions.text import (
     token_count_col,
     lang_guess_col,
