@@ -845,6 +845,32 @@ def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cumulative_volume",
+    f"""WITH {candles_cte(3600)}
+SELECT symbol, window_start, tick_count,
+       CAST(sum(tick_count) OVER (
+         PARTITION BY symbol ORDER BY window_start
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_ticks
+FROM candles""",
+)
+def q_cumulative_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) aggregate over the candle series — the
+    UNBOUNDED PRECEDING frame spec (SURVEY §2.5 frame-spec coverage)."""
+    candles = ohlc_candles(load_ticks(spark, sf_dir), "3600 seconds")
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("window_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return candles.select(
+        "symbol",
+        "window_start",
+        "tick_count",
+        F.sum("tick_count").over(w).alias("cum_ticks"),
+    )
+
+
+@register(
     "asof_close",
     f"""WITH {candles_cte(3600)},
 sample AS (
