@@ -31,3 +31,49 @@ def test_asof_semantics(spark):
     assert out[3].asof_close is None   # no prior → left-outer NULL
     assert out[4].asof_close == 50.0   # never sees A's rows
     assert set(out[1].asDict()) == {"event_id", "symbol", "ts", "asof_close"}
+
+
+def test_asof_matches_naive_inequality_join(spark):
+    """Cross-validate the union-window construction against the naive
+    (quadratic) inequality-join definition on pseudo-random data."""
+    import random
+
+    from pyspark.sql import functions as F
+    from datetime import datetime, timedelta
+
+    rng = random.Random(7)
+    base = datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [
+            (i, rng.choice("ABC"), base + timedelta(minutes=rng.randrange(0, 2000)))
+            for i in range(120)
+        ],
+        "event_id long, symbol string, ts timestamp",
+    )
+    # unique (symbol, window_start) — duplicate as-of keys make BOTH
+    # definitions tie-nondeterministic, which isn't what this test checks
+    seen, rrows = set(), []
+    for i in range(60):
+        key = (rng.choice("ABD"), rng.randrange(0, 2000))
+        if key in seen:
+            continue
+        seen.add(key)
+        rrows.append((key[0], base + timedelta(minutes=key[1]), float(i)))
+    right = spark.createDataFrame(
+        rrows, "symbol string, window_start timestamp, close double"
+    )
+    got = {r.event_id: r.asof_close for r in asof_join(left, right).collect()}
+    naive = {
+        r.event_id: r.asof_close
+        for r in left.alias("l")
+        .join(
+            right.alias("r"),
+            (F.col("l.symbol") == F.col("r.symbol"))
+            & (F.col("r.window_start") <= F.col("l.ts")),
+            "left",
+        )
+        .groupBy("l.event_id")
+        .agg(F.max_by("r.close", "r.window_start").alias("asof_close"))
+        .collect()
+    }
+    assert got == naive

@@ -50,10 +50,16 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     sys.path.insert(0, ".")
+    import __spark_entry__ as entry_mod
     from options_data_pipeline_spark import registry
     from options_data_pipeline_spark.session import get_spark
 
     spark = get_spark("correctness-check")
+    if not only:
+        # t1-style smoke: entry() must run and return rows with a schema
+        smoke = entry_mod.entry(spark)
+        n = smoke.count()
+        print(f"SMOKE entry(): {n} rows, schema {smoke.schema.simpleString()[:80]}...")
     con = duckdb.connect()
     for t in [
         "region", "nation", "customer", "supplier", "part", "orders",
@@ -63,6 +69,7 @@ def main() -> int:
 
     qs, oracles = registry.queries(), registry.oracle_sql()
     failures = []
+    results = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -71,9 +78,11 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
+            results[name] = {"status": "spark_error", "error": str(e)[:200]}
             continue
         if name not in oracles:
             print(f"SKIP {name}: rows-only ({len(sdf)} rows)")
+            results[name] = {"status": "rows_only", "rows": len(sdf)}
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
@@ -95,9 +104,15 @@ def main() -> int:
         if problems:
             print(f"FAIL {name}: " + "; ".join(str(p) for p in problems))
             failures.append(name)
+            results[name] = {"status": "mismatch", "detail": str(problems[0])[:200]}
         else:
             print(f"PASS {name} ({len(s)} rows)")
+            results[name] = {"status": "match", "rows": len(s)}
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    import json
+
+    with open("CORRECTNESS_local.json", "w") as f:
+        json.dump({"sf_dir": sf_dir, "results": results}, f, indent=1)
     spark.stop()
     return 1 if failures else 0
 
