@@ -151,6 +151,70 @@ def rp_lsh_near_dup_pairs(
     return cand.filter(F.col("cosine") >= threshold)
 
 
+def fixed_centroids(k: int = 8, dim: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random IVF centroids in [-1, 1), md5-derived
+    like :func:`random_hyperplanes` (distinct seed prefix). Reproducible as
+    literals in any engine — this is what makes the fixed-centroid IVF
+    query (``ivf_fixed_topk``) exactly oracle-checkable: cell assignment is
+    pure literal arithmetic, identical in Spark and DuckDB."""
+    import hashlib
+
+    cents = []
+    for j in range(k):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"cent:{j}:{d}".encode()).hexdigest()[:8]
+            row.append(int(h, 16) / float(1 << 31) - 1.0)
+        cents.append(row)
+    return cents
+
+
+def centroid_argmin(vec_col: str | Column, cents: list[list[float]]) -> Column:
+    """Nearest-centroid id via a single ``aggregate`` fold over an
+    array<struct> literal — O(k×dim) flat literal nodes plus ONE fold
+    expression, instead of the k-deep nested CASE-WHEN chain that made the
+    plan explode at IVF-realistic k (thousands). Squared distance
+    ``|c|² − 2·v·c`` (|v|² is constant per row); strict ``<`` keeps the
+    first (lowest-id) centroid on ties, matching the oracle's
+    first-occurrence ``list_position`` semantics."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    entries = F.array(*[
+        F.struct(
+            F.lit(ci).alias("cell"),
+            F.array(*[F.lit(x) for x in c]).alias("c"),
+            F.lit(sum(x * x for x in c)).alias("c2"),
+        )
+        for ci, c in enumerate(cents)
+    ])
+    init = F.struct(
+        F.lit(-1).alias("cell"), F.lit(float("inf")).alias("score")
+    )
+
+    def step(acc: Column, e: Column) -> Column:
+        score = e["c2"] - 2.0 * dot_col(v, e["c"])
+        better = score < acc["score"]
+        return F.struct(
+            F.when(better, e["cell"]).otherwise(acc["cell"]).alias("cell"),
+            F.when(better, score).otherwise(acc["score"]).alias("score"),
+        )
+
+    return F.aggregate(entries, init, step, lambda acc: acc["cell"])
+
+
+def assign_cells(
+    vectors: DataFrame,
+    cents: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell) assignment of every vector to its nearest centroid —
+    one narrow map, no shuffle, no Python."""
+    return vectors.select(
+        F.col(id_col).alias("vid"),
+        centroid_argmin(F.col(vec_col).cast("array<double>"), cents).alias("cell"),
+    )
+
+
 def cosine_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.99,
@@ -206,23 +270,8 @@ def kmeans_cells(
     dim = len(v.first()["v"])
     centroids = [r["v"] for r in v.orderBy("vid").limit(k).collect()]
 
-    def assign_col(cents: list[list[float]]) -> Column:
-        # argmin over squared distance: |v|² − 2·v·c + |c|²; |v|² constant per row
-        best_cell, best_score = F.lit(0), None
-        for ci, c in enumerate(cents):
-            carr = F.array(*[F.lit(x) for x in c])
-            c2 = sum(x * x for x in c)
-            score = F.lit(c2) - 2.0 * dot_col(F.col("v"), carr)
-            if best_score is None:
-                best_cell, best_score = F.lit(ci), score
-            else:
-                better = score < best_score
-                best_cell = F.when(better, F.lit(ci)).otherwise(best_cell)
-                best_score = F.when(better, score).otherwise(best_score)
-        return best_cell
-
     for _ in range(iters):
-        assigned = v.withColumn("cell", assign_col(centroids))
+        assigned = v.withColumn("cell", centroid_argmin(F.col("v"), centroids))
         means = (
             assigned.select(
                 "cell", *[F.col("v")[d].alias(f"d{d}") for d in range(dim)]
@@ -236,7 +285,7 @@ def kmeans_cells(
             new_cents[r["cell"]] = [r[f"d{d}"] for d in range(dim)]
         centroids = new_cents
 
-    return v.withColumn("cell", assign_col(centroids)).select("vid", "cell")
+    return v.withColumn("cell", centroid_argmin(F.col("v"), centroids)).select("vid", "cell")
 
 
 def cosine_topk_partitioned(

@@ -1144,7 +1144,9 @@ def q_rp_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real IVF: k-means coarse quantizer (kmeans_cells) + cell-probed
     top-k. Rows-only check by design (Lloyd's iterations are not
-    SQL-expressible); recall vs brute force is pinned by tests."""
+    SQL-expressible); recall vs brute force is pinned by tests. The
+    oracle-checked twin of the assignment+probe machinery (same argmin
+    fold, same cell join) is ``ivf_fixed_topk`` below."""
     from .functions.similarity import kmeans_cells
 
     emb = load_table(spark, "embeddings", sf_dir)
@@ -1152,6 +1154,67 @@ def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_cell = emb.join(
         cells.withColumnRenamed("vid", "vec_id"), "vec_id"
     )
+    return cosine_topk_partitioned(
+        with_cell.filter(F.col("vec_id") < 10), with_cell, k=5, cell_col="cell"
+    )
+
+
+def _ivf_fixed_oracle(k: int = 8, dim: int = 64, topk: int = 5) -> str:
+    """Exact DuckDB twin of the fixed-centroid IVF assignment+probe:
+    centroids are md5-derived literals, the score list is the same
+    |c|² − 2·v·c arithmetic, argmin = first position of the list min
+    (matching the Spark fold's strict-< first-wins tie-break)."""
+    from .functions.similarity import fixed_centroids
+
+    cents = fixed_centroids(k, dim)
+    scores = ",\n      ".join(
+        f"{sum(x * x for x in c)!r} - 2.0*list_dot_product(v, ["
+        + ", ".join(repr(x) for x in c)
+        + "])"
+        for c in cents
+    )
+    return f"""WITH v AS (
+  SELECT vec_id AS vid, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+scored_cells AS (
+  SELECT vid, v, nrm,
+    [{scores}] AS scores
+  FROM v
+),
+cells AS (
+  SELECT vid, v, nrm,
+         list_position(scores, list_min(scores)) - 1 AS cell
+  FROM scored_cells
+),
+q AS (SELECT * FROM cells WHERE vid < 10),
+cand AS (
+  SELECT q.vid AS query_id, c.vid AS neighbor_id,
+         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine
+  FROM cells c JOIN q USING (cell)
+  WHERE q.vid <> c.vid
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS "rank"
+  FROM cand
+)
+SELECT query_id, neighbor_id, cosine, "rank" FROM ranked WHERE "rank" <= {topk}"""
+
+
+@register("ivf_fixed_topk", _ivf_fixed_oracle())
+def q_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF assignment + probe with deterministic literal centroids — the
+    exactly-checkable half of real IVF (the Lloyd's refinement lives in
+    ``ivf_kmeans_topk``). Cell assignment is one `aggregate`-fold argmin
+    over an array<struct> centroid literal (no Python, no shuffle); the
+    probe equi-joins on the cell with the query side broadcast."""
+    from .functions.similarity import assign_cells, fixed_centroids
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cells = assign_cells(emb, fixed_centroids(8, 64))
+    with_cell = emb.join(cells.withColumnRenamed("vid", "vec_id"), "vec_id")
     return cosine_topk_partitioned(
         with_cell.filter(F.col("vec_id") < 10), with_cell, k=5, cell_col="cell"
     )
@@ -1165,10 +1228,20 @@ def q_approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch estimates are engine-specific; the exact twins
     (value_percentiles, buffer_stats) carry the correctness burden."""
     ticks = load_ticks(spark, sf_dir)
-    return ticks.groupBy("symbol").agg(
+    sketch = ticks.groupBy("symbol").agg(
         F.percentile_approx("price", [0.5, 0.95, 0.99], 10000).alias("p_approx"),
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.count(F.lit(1)).alias("n"),
+    )
+    # Scalar columns (not array<double>): the driver's rows-only
+    # canonicalization sorts on every column and cannot hash a list.
+    return sketch.select(
+        "symbol",
+        F.element_at("p_approx", 1).alias("p50_approx"),
+        F.element_at("p_approx", 2).alias("p95_approx"),
+        F.element_at("p_approx", 3).alias("p99_approx"),
+        "approx_users",
+        "n",
     )
 
 

@@ -96,3 +96,22 @@ def test_minhash_is_single_agg_no_row_explosion(spark, qs):
 def test_dedup_delta_is_anti_join(spark, qs):
     plan = physical_plan(qs["dedup_delta"](spark, SF))
     assert "LeftAnti" in plan
+
+
+def test_no_array_or_map_columns_in_query_outputs(spark, qs):
+    """The driver's correctness canonicalizer sorts rows on every output
+    column and cannot hash list/dict cells (the round-1
+    approx_sketch_stats err). Guard the whole registry: result schemas
+    must be flat scalar columns only."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = {}
+    for name, fn in qs.items():
+        schema = fn(spark, SF).schema
+        offenders = [
+            f.name for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if offenders:
+            bad[name] = offenders
+    assert not bad, f"non-scalar output columns: {bad}"

@@ -110,7 +110,18 @@ def main() -> int:
             results[name] = {"status": "match", "rows": len(s)}
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     import json
+    import os
 
+    # Subset runs merge into the existing report instead of clobbering the
+    # last full run's entries.
+    if only and os.path.exists("CORRECTNESS_local.json"):
+        try:
+            with open("CORRECTNESS_local.json") as f:
+                prior = json.load(f)
+            if prior.get("sf_dir") == sf_dir:
+                results = {**prior.get("results", {}), **results}
+        except (json.JSONDecodeError, OSError):
+            pass
     with open("CORRECTNESS_local.json", "w") as f:
         json.dump({"sf_dir": sf_dir, "results": results}, f, indent=1)
     spark.stop()
