@@ -30,6 +30,7 @@ def gap_fill(
     interval_seconds: int = 300,
     symbols: DataFrame | None = None,
     cache: bool = True,
+    handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """candles(symbol, window_start, open..close, tick_count) → densified
     candles + ``gap_filled`` flag; unfillable (no prior close) rows dropped.
@@ -46,7 +47,14 @@ def gap_fill(
     OHLC aggregation from raw ticks (3 tick-table scans → 1 at 100 TB).
     """
     if cache:
+        # The cache serves the scaffold pass + the join pass within THIS
+        # plan. Long-lived callers must either pass cache=False (the
+        # streaming densifier does) or collect the handle via ``handles``
+        # and unpersist after the consuming action — a cache left behind
+        # per invocation accumulates storage for the session's life.
         candles = candles.cache()
+        if handles is not None:
+            handles.append(candles)
     windows = F.explode(
         F.sequence("w_min", "w_max", F.expr(f"INTERVAL {interval_seconds} SECONDS"))
     ).alias("window_start")

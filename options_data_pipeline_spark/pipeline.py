@@ -42,12 +42,16 @@ def enrich_candles(
     interval_seconds: int = 300,
     symbols: DataFrame | None = None,
     instruments: DataFrame | None = None,
+    cache_handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """ticks → gap-filled, TR/ATR-enriched, id'd candle rows (the
     market_data fact schema, reference schema_manager.py:20-24 + the
-    explicit gap_filled column the reference drops by accident)."""
+    explicit gap_filled column the reference drops by accident).
+
+    ``cache_handles``: pass a list to receive the internal cached frames
+    so the caller can unpersist them after its terminal action."""
     candles = ohlc_candles(ticks, interval)
-    filled = gap_fill(candles, interval_seconds, symbols=symbols)
+    filled = gap_fill(candles, interval_seconds, symbols=symbols, handles=cache_handles)
     enriched = with_wilder_atr(with_true_range(filled).drop("prev_close"))
     enriched = with_row_id(enriched)
     if instruments is not None:
@@ -72,10 +76,15 @@ def run_batch(
     if calendar is not None:
         ticks = calendar_gate(ticks, calendar)
     ticks = in_session(ticks, open_hm, close_hm)
-    enriched = enrich_candles(ticks, interval, interval_seconds, symbols, instruments)
+    handles: list[DataFrame] = []
+    enriched = enrich_candles(
+        ticks, interval, interval_seconds, symbols, instruments, cache_handles=handles
+    )
     written = idempotent_append_batch(enriched, sink_path)
     if state_path is not None:
         overwrite_snapshot(atr_summary(enriched), state_path)
+    for h in handles:
+        h.unpersist()
     return written
 
 
@@ -145,11 +154,17 @@ def run_streaming(
         )
         atr_src_path = dense_path
 
-    # gap_filled exists only in the dense sink; reading the plain candle
-    # sink with the wider schema yields NULLs for it (parquet semantics)
-    atr_stream = spark.readStream.schema(
-        CANDLE_STREAM_SCHEMA + ", gap_filled boolean"
-    ).parquet(atr_src_path)
+    # gap_filled / the date partition column exist only in the dense sink;
+    # reading the plain candle sink with the wider schema yields NULLs for
+    # them (parquet semantics). The declared schema must include `date`
+    # when the source IS the dense sink or the file-stream batch planner
+    # rejects the partitioned files (schema mismatch assertion).
+    atr_schema = CANDLE_STREAM_SCHEMA + ", gap_filled boolean"
+    if dense_path is not None:
+        atr_schema += ", date date"
+    atr_stream = spark.readStream.schema(atr_schema).parquet(atr_src_path)
+    if dense_path is not None:
+        atr_stream = atr_stream.drop("date")
     enriched = with_row_id(streaming_atr(atr_stream))
 
     def write(batch: DataFrame, batch_id: int) -> None:

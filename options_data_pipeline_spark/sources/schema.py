@@ -65,9 +65,9 @@ SINK_SCHEMAS = {
 def initialize_if_empty(spark: SparkSession, path: str, table: str) -> bool:
     """Create an empty typed table if nothing exists yet (reference
     initialize_if_empty). Returns True when it created the table."""
-    import os
+    from ..streaming.sink import sink_has_data
 
-    if os.path.isdir(path) and any(f.endswith(".parquet") for f in os.listdir(path)):
+    if sink_has_data(path):  # recursive: sees partitioned layouts too
         return False
     empty = spark.createDataFrame([], SINK_SCHEMAS[table])
     empty.write.mode("overwrite").parquet(path)

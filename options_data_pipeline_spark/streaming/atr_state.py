@@ -45,39 +45,48 @@ def _atr_update(
     else:
         prev_close, prev_atr, tr_sum, n = None, None, 0.0, 0
 
+    # A symbol's rows in one trigger may arrive as SEVERAL Arrow chunks
+    # (> spark.sql.execution.arrow.maxRecordsPerBatch rows) in arbitrary
+    # order — materialize the whole group and sort ONCE, or the Wilder
+    # recursion would consume candles out of window order. Per-key series
+    # are small (a day of 5-minute candles) so the concat is safe.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks:
+        state.update((prev_close, prev_atr, tr_sum, n))
+        return
+    whole = pd.concat(chunks, ignore_index=True).sort_values("window_start")
+
     out = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values("window_start")
-        for row in pdf.itertuples(index=False):
-            high, low, close = float(row.high), float(row.low), float(row.close)
-            if prev_close is None:
-                tr = high - low
-            else:
-                tr = max(high - low, abs(high - prev_close), abs(low - prev_close))
-            n += 1
-            if prev_atr is None:
-                tr_sum += tr
-                atr = tr_sum / period if n == period else None
-                prev_atr = atr
-            else:
-                prev_atr = (prev_atr * (period - 1) + tr) / period
-                atr = prev_atr
-            prev_close = close
-            out.append(
-                {
-                    "symbol": row.symbol,
-                    "window_start": row.window_start,
-                    "open": float(row.open),
-                    "high": high,
-                    "low": low,
-                    "close": close,
-                    "tick_count": int(row.tick_count),
-                    # present only downstream of the densify stage
-                    "gap_filled": getattr(row, "gap_filled", None),
-                    "tr": tr,
-                    "atr": None if atr is None else max(atr, 0.0),
-                }
-            )
+    for row in whole.itertuples(index=False):
+        high, low, close = float(row.high), float(row.low), float(row.close)
+        if prev_close is None:
+            tr = high - low
+        else:
+            tr = max(high - low, abs(high - prev_close), abs(low - prev_close))
+        n += 1
+        if prev_atr is None:
+            tr_sum += tr
+            atr = tr_sum / period if n == period else None
+            prev_atr = atr
+        else:
+            prev_atr = (prev_atr * (period - 1) + tr) / period
+            atr = prev_atr
+        prev_close = close
+        out.append(
+            {
+                "symbol": row.symbol,
+                "window_start": row.window_start,
+                "open": float(row.open),
+                "high": high,
+                "low": low,
+                "close": close,
+                "tick_count": int(row.tick_count),
+                # present only downstream of the densify stage
+                "gap_filled": getattr(row, "gap_filled", None),
+                "tr": tr,
+                "atr": None if atr is None else max(atr, 0.0),
+            }
+        )
 
     state.update((prev_close, prev_atr, tr_sum, n))
     if out:

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..operators.gapfill import gap_fill
 from ..operators.ids import with_row_id
-from .sink import idempotent_append_batch
+from .sink import idempotent_append_batch, sink_has_data
 
 
 def densify_batch(
@@ -33,24 +33,32 @@ def densify_batch(
     dense_path: str,
     interval_seconds: int,
     universe: DataFrame | None,
+    lookback_days: int = 7,
 ) -> int:
     """One micro-batch of candles → gap-filled rows appended to
-    ``dense_path``. Returns rows written."""
-    import os
+    ``dense_path``. Returns rows written.
+
+    The dense sink is date-partitioned and the seed lookback reads at most
+    ``lookback_days`` partitions before the batch's first window — a
+    symbol silent longer than the lookback restarts cold (same policy as
+    the batch operator's "unfillable" drop). No per-symbol state ever
+    lands on the driver: the seed frame stays a DataFrame end-to-end and
+    joins back in broadcast."""
+    from datetime import timedelta
 
     spark = batch.sparkSession
     if batch.isEmpty():
         return 0
 
     seeds = None
-    if os.path.isdir(dense_path) and any(
-        f.endswith(".parquet") for f in os.listdir(dense_path)
-    ):
-        prior = spark.read.parquet(dense_path)
+    if sink_has_data(dense_path):
         # last known close per symbol before this batch's first window —
         # fabricate one synthetic candle per symbol at its last window so
         # the in-batch forward fill seeds across the batch boundary
         lo = batch.agg(F.min("window_start")).collect()[0][0]
+        prior = spark.read.parquet(dense_path).filter(
+            F.col("date") >= F.lit(lo.date() - timedelta(days=lookback_days))
+        )
         seeds = (
             prior.filter(F.col("window_start") < lo)
             .groupBy("symbol")
@@ -67,28 +75,31 @@ def densify_batch(
                 "close",
                 F.lit(0).cast("long").alias("tick_count"),
             )
+            .cache()  # tiny (one row per symbol); unpersisted below
         )
 
     candles = batch.select(
         "symbol", "window_start", "open", "high", "low", "close", "tick_count"
     )
     unioned = candles.unionByName(seeds) if seeds is not None else candles
-    dense = gap_fill(unioned, interval_seconds, symbols=universe)
+    # cache=False: this runs every micro-batch for the life of the stream —
+    # an internal cache would accumulate storage without bound. The batch
+    # frame re-reads source parquet cheaply.
+    dense = gap_fill(unioned, interval_seconds, symbols=universe, cache=False)
     if seeds is not None:
         # drop the synthetic seed rows (and anything at/before them —
         # those windows were already emitted by earlier batches)
-        lo_map = {r["symbol"]: r["window_start"] for r in seeds.collect()}
-        if lo_map:
-            seed_df = spark.createDataFrame(
-                list(lo_map.items()), "symbol string, _seed_w timestamp"
-            )
-            dense = (
-                dense.join(F.broadcast(seed_df), "symbol", "left")
-                .filter(F.col("_seed_w").isNull() | (F.col("window_start") > F.col("_seed_w")))
-                .drop("_seed_w")
-            )
-    dense = with_row_id(dense)
-    return idempotent_append_batch(dense, dense_path)
+        seed_w = seeds.select("symbol", F.col("window_start").alias("_seed_w"))
+        dense = (
+            dense.join(F.broadcast(seed_w), "symbol", "left")
+            .filter(F.col("_seed_w").isNull() | (F.col("window_start") > F.col("_seed_w")))
+            .drop("_seed_w")
+        )
+    dense = with_row_id(dense).withColumn("date", F.col("window_start").cast("date"))
+    written = idempotent_append_batch(dense, dense_path, partition_by=("date",))
+    if seeds is not None:
+        seeds.unpersist()
+    return written
 
 
 def run_densify_stage(

@@ -86,3 +86,25 @@ def test_densify_idempotent_replay(spark, tmpdir):
     finally:
         q2.stop()
     assert spark.read.parquet(dense).count() == first  # replay wrote nothing
+
+
+def test_dense_sink_is_date_partitioned_and_replay_safe(spark, tmpdir):
+    """The dense sink is date-partitioned (lookback prunes to partitions);
+    the existence probe must see parquet under partition subdirs — a flat
+    probe would skip dedup and a checkpoint-less rerun would duplicate."""
+    import os
+
+    src, dense = tmpdir + "/src", tmpdir + "/dense"
+    spark.createDataFrame(
+        [candle("A", 0, 10.0), candle("A", 2, 12.0)], CANDLE_SCHEMA
+    ).write.parquet(src)
+    from options_data_pipeline_spark.streaming.gapfill_stream import densify_batch
+
+    batch = spark.read.parquet(src)
+    first = densify_batch(batch, dense, 300, None)
+    assert first == 3
+    assert any(d.startswith("date=") for d in os.listdir(dense))
+    # replay the identical batch with no checkpoint: anti-join must dedup
+    again = densify_batch(batch, dense, 300, None)
+    assert again == 0
+    assert spark.read.parquet(dense).count() == 3

@@ -205,3 +205,112 @@ def test_idempotent_sink_replay_writes_nothing(spark, tmpdir):
     )
     assert idempotent_append_batch(later, sink) == 1  # only the new window
     assert spark.read.parquet(sink).count() == 3
+
+
+def test_atr_update_handles_multi_chunk_out_of_order_groups():
+    """applyInPandasWithState hands a group to _atr_update as SEVERAL
+    Arrow chunks when the trigger's rows exceed maxRecordsPerBatch, in
+    arbitrary shuffle order. The recursion must see candles in window
+    order regardless of chunking."""
+    import pandas as pd
+
+    from options_data_pipeline_spark.streaming.atr_state import _atr_update
+
+    def candle(minute, price):
+        return {
+            "symbol": "X",
+            "window_start": pd.Timestamp(2026, 1, 5, 9, 0)
+            + pd.Timedelta(minutes=minute),
+            "open": price, "high": price + 2.0, "low": price - 1.0,
+            "close": price + 1.0, "tick_count": 3,
+        }
+
+    rows = [candle(m, 100.0 + m) for m in range(0, 100, 5)]
+
+    class FakeState:
+        exists = False
+        def update(self, v):
+            self.value = v
+
+    # chunked adversarially: later windows in the first chunk
+    chunks = [pd.DataFrame(rows[13:]), pd.DataFrame(rows[:13])]
+    got = pd.concat(list(_atr_update(("X",), iter(chunks), FakeState(), period=5)))
+    want = pd.concat(list(_atr_update(("X",), iter([pd.DataFrame(rows)]), FakeState(), period=5)))
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
+    assert list(got["window_start"]) == sorted(got["window_start"])
+    assert got["atr"].notna().sum() > 0
+
+
+def test_sink_crash_before_promotion_leaves_sink_clean(spark, tmpdir, monkeypatch):
+    """A crash after the staging write but before any rename must leave
+    ZERO visible files in the sink — the replay then writes everything."""
+    import os
+
+    from options_data_pipeline_spark.streaming import sink as sink_mod
+
+    sink = tmpdir + "/sink"
+    batch = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0)], "id string, v double"
+    ).withColumn("window_start", F.lit("2024-01-01 09:15:00").cast("timestamp"))
+
+    def boom(staging, sink_path):
+        raise RuntimeError("crash before promotion")
+
+    monkeypatch.setattr(sink_mod, "_promote_staged", boom)
+    with pytest.raises(RuntimeError):
+        idempotent_append_batch(batch, sink)
+    assert not sink_mod.sink_has_data(sink)  # no partial files visible
+    assert not [d for d in os.listdir(tmpdir) if ".staging-" in d]  # cleaned
+
+    monkeypatch.undo()
+    assert idempotent_append_batch(batch, sink) == 2  # replay writes all
+    assert spark.read.parquet(sink).count() == 2
+
+
+def test_sink_crash_mid_promotion_replay_has_no_duplicates(spark, tmpdir, monkeypatch):
+    """A crash after SOME part-files promoted: replayed batch anti-joins
+    away the promoted ids and re-emits only the lost ones — total rows
+    exactly once."""
+    from options_data_pipeline_spark.streaming import sink as sink_mod
+
+    sink = tmpdir + "/sink"
+    batch = (
+        spark.createDataFrame(
+            [(f"id{i}", float(i)) for i in range(12)], "id string, v double"
+        )
+        .withColumn("window_start", F.lit("2024-01-01 09:15:00").cast("timestamp"))
+        .repartition(4)  # several part-files so a partial promotion exists
+    )
+
+    real_promote = sink_mod._promote_staged
+
+    def partial_promote(staging, sink_path):
+        import os
+
+        moved = 0
+        tag = os.path.basename(staging).rsplit("-", 1)[-1]
+        for root, _dirs, files in os.walk(staging):
+            for f in files:
+                if f.endswith(".parquet") and moved < 2:
+                    os.makedirs(sink_path, exist_ok=True)
+                    os.rename(
+                        os.path.join(root, f),
+                        os.path.join(sink_path, f"{tag}-{f}"),
+                    )
+                    moved += 1
+        raise RuntimeError("crash mid-promotion")
+
+    monkeypatch.setattr(sink_mod, "_promote_staged", partial_promote)
+    with pytest.raises(RuntimeError):
+        idempotent_append_batch(batch, sink)
+    survivors = spark.read.parquet(sink).count()
+    assert 0 < survivors < 12
+
+    monkeypatch.setattr(sink_mod, "_promote_staged", real_promote)
+    rewritten = idempotent_append_batch(batch, sink)
+    assert rewritten == 12 - survivors
+    out = spark.read.parquet(sink)
+    assert out.count() == 12
+    assert out.select("id").distinct().count() == 12
