@@ -84,6 +84,46 @@ def adopt_fresher_state(
     )
 
 
+def session_hours_gate(
+    rows: DataFrame,
+    calendar: DataFrame,
+    ts_col: str = "ts",
+    default_open: str = "09:15",
+    default_close: str = "15:30",
+) -> DataFrame:
+    """J7+P3 combined with PER-DATE hours: special sessions (reference
+    ``trading_calendar.py:79-95`` get_session_hours + the Muhurat entry in
+    ``data/calendars/holidays_2026.json``) override the default market
+    hours AND make otherwise-non-trading days (holidays, weekends)
+    trading days for exactly their window.
+
+    ``calendar`` is the ``load_calendar`` frame: holiday rows
+    (is_holiday=true) and special-session rows (is_holiday=false with
+    per-date open/close). Both dims stay broadcast — the fact side never
+    shuffles, same posture as :func:`calendar_gate`."""
+    dated = rows.withColumn("_d", F.to_date(ts_col))
+    special = calendar.filter(~F.col("is_holiday")).select(
+        F.col("date").alias("_d"),
+        F.col("session_open").alias("_so"),
+        F.col("session_close").alias("_sc"),
+    )
+    holidays = calendar.filter(F.col("is_holiday")).select(
+        F.col("date").alias("_d"), F.lit(True).alias("_hol")
+    )
+    j = dated.join(F.broadcast(special), "_d", "left").join(
+        F.broadcast(holidays), "_d", "left"
+    )
+    tod = F.date_format(ts_col, "HH:mm:ss")
+    open_t = F.concat(F.coalesce(F.col("_so"), F.lit(default_open)), F.lit(":00"))
+    close_t = F.concat(F.coalesce(F.col("_sc"), F.lit(default_close)), F.lit(":00"))
+    is_trading_day = F.col("_so").isNotNull() | (
+        F.col("_hol").isNull() & ~F.dayofweek("_d").isin(1, 7)
+    )
+    return j.filter(is_trading_day & (tod >= open_t) & (tod < close_t)).drop(
+        "_d", "_so", "_sc", "_hol"
+    )
+
+
 def calendar_gate(rows: DataFrame, calendar: DataFrame, ts_col: str = "ts") -> DataFrame:
     """J7: keep rows whose date is a trading day. ``calendar`` is a small
     (date, is_holiday) dim (reference ``config/trading_calendar.py:60-95``

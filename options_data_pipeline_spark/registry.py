@@ -463,6 +463,64 @@ def q_calendar_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "session_hours_gate",
+    f"""WITH {TICKS_CTE},
+dated AS (
+  SELECT *, CAST(ts AS DATE) AS d,
+         strftime(ts, '%Y-%m-%d') AS trade_date,
+         strftime(ts, '%H:%M:%S') AS tod
+  FROM ticks
+),
+kept AS (
+  SELECT * FROM dated
+  WHERE CASE
+    WHEN d = DATE '2024-01-15' THEN tod >= '18:15:00' AND tod < '19:45:00'
+    WHEN d = DATE '2024-01-22' THEN tod >= '09:15:00' AND tod < '13:00:00'
+    WHEN d = DATE '2024-01-26' THEN FALSE
+    WHEN dayofweek(d) IN (0, 6) THEN FALSE
+    ELSE tod >= '09:15:00' AND tod < '15:30:00'
+  END
+)
+SELECT trade_date, count(*) AS n_ticks,
+       min(tod) AS first_tod, max(tod) AS last_tod
+FROM kept GROUP BY trade_date""",
+)
+def q_session_hours_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7+P3 with per-date SPECIAL session hours (reference
+    trading_calendar.py:79-95 get_session_hours; Muhurat-style evening
+    session on a holiday, a half-day close, a full-holiday drop). The
+    calendar dim is broadcast; per-date open/close override the fixed
+    market hours that `market_hours_ohlc` assumes."""
+    from .operators.joins import session_hours_gate
+
+    cal = spark.createDataFrame(
+        [
+            # Muhurat-style: holiday AND an 18:15–19:45 special session
+            ("2024-01-15", True, "Holiday A", None, None),
+            ("2024-01-15", False, "Muhurat", "18:15", "19:45"),
+            # half day: default open, early close
+            ("2024-01-22", False, "Half Day", "09:15", "13:00"),
+            # plain holiday: fully dropped
+            ("2024-01-26", True, "Republic Day", None, None),
+        ],
+        "date_str string, is_holiday boolean, holiday_name string,"
+        " session_open string, session_close string",
+    ).select(
+        F.to_date("date_str").alias("date"),
+        "is_holiday",
+        "holiday_name",
+        "session_open",
+        "session_close",
+    )
+    gated = session_hours_gate(load_ticks(spark, sf_dir), cal)
+    return gated.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("trade_date")).agg(
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.min(F.date_format("ts", "HH:mm:ss")).alias("first_tod"),
+        F.max(F.date_format("ts", "HH:mm:ss")).alias("last_tod"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational coverage on the TPC-H-ish tables (J/A/O analogues at scale)
 # ---------------------------------------------------------------------------

@@ -84,3 +84,50 @@ def test_calendar_gate_drops_weekends_and_holidays(spark):
     )
     kept = {r.event_id for r in calendar_gate(rows, cal).collect()}
     assert kept == {1}
+
+
+def test_session_hours_gate_special_sessions(spark):
+    """Reference get_session_hours parity: a special session overrides the
+    day's hours AND turns a holiday/weekend into a trading day for exactly
+    its window; plain holidays drop entirely; normal days keep default
+    hours."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from options_data_pipeline_spark.operators.joins import session_hours_gate
+
+    cal = spark.createDataFrame(
+        [
+            ("2026-11-09", True, "Diwali", None, None),      # holiday...
+            ("2026-11-09", False, "Muhurat", "18:15", "19:45"),  # ...with session
+            ("2026-11-14", False, "Weekend Special", "10:00", "12:00"),  # Saturday
+            ("2026-11-11", True, "Plain Holiday", None, None),
+        ],
+        "d string, is_holiday boolean, holiday_name string,"
+        " session_open string, session_close string",
+    ).select(
+        F.to_date("d").alias("date"), "is_holiday", "holiday_name",
+        "session_open", "session_close",
+    )
+
+    def t(day, hm):
+        h, m = hm.split(":")
+        return datetime(2026, 11, day, int(h), int(m))
+
+    rows = [
+        ("A", 1.0, t(9, "18:30"), 1),   # Muhurat window → KEPT
+        ("A", 1.0, t(9, "10:00"), 2),   # Muhurat day, default hours → dropped
+        ("A", 1.0, t(9, "19:45"), 3),   # close is exclusive → dropped
+        ("A", 1.0, t(14, "10:30"), 4),  # Saturday special → KEPT
+        ("A", 1.0, t(14, "13:00"), 5),  # Saturday outside special → dropped
+        ("A", 1.0, t(11, "10:30"), 6),  # plain holiday → dropped
+        ("A", 1.0, t(10, "10:30"), 7),  # normal Tuesday default hours → KEPT
+        ("A", 1.0, t(10, "16:00"), 8),  # normal day after close → dropped
+        ("A", 1.0, t(15, "10:30"), 9),  # plain Sunday → dropped
+    ]
+    ticks = spark.createDataFrame(
+        rows, "symbol string, price double, ts timestamp, event_id long"
+    )
+    kept = {r.event_id for r in session_hours_gate(ticks, cal).collect()}
+    assert kept == {1, 4, 7}
