@@ -197,16 +197,47 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text", bits: int = 32) 
     return counts.select("doc_id", sig.alias("simhash"))
 
 
-def simhash_near_pairs(docs: DataFrame, text_col: str = "text", max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming. Pairs via
-    band-bucketing on signature bytes would be the scale path; here the
-    self-join is on a coarse prefix bucket (top 16 bits) to bound pairs."""
-    sig = simhash_signatures(docs, text_col)
-    sig = sig.withColumn("bucket", F.shiftright(F.col("simhash"), 16))
-    a, b = sig.alias("a"), sig.alias("b")
+def simhash_near_pairs(
+    docs: DataFrame, text_col: str = "text", max_hamming: int = 3, bits: int = 32
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming — EXACT by
+    the pigeonhole band guarantee: the signature is split into
+    ``max_hamming + 1`` bands, and any pair within the Hamming budget must
+    agree on at least one whole band, so the union of per-band equi-joins
+    contains every qualifying pair (then an exact ``bit_count(xor)`` filter
+    removes band-collision false positives).
+
+    Scale shape: one stack (no row explosion beyond ×bands), a (band,
+    band-value) equi-join as the only shuffle, no all-pairs work. Band
+    skew (e.g. a zero band shared by short docs) is bounded by real
+    near-dup cluster sizes, same posture as MinHash-LSH."""
+    sig = simhash_signatures(docs, text_col, bits)
+    return simhash_pairs_from_signatures(sig, max_hamming, bits)
+
+
+def simhash_pairs_from_signatures(
+    sig: DataFrame, max_hamming: int = 3, bits: int = 32
+) -> DataFrame:
+    """Banded pairing over a (doc_id, simhash) frame — see
+    :func:`simhash_near_pairs` for the pigeonhole guarantee."""
+    nbands = max_hamming + 1
+    width = bits // nbands
+    band_exprs = []
+    for i in range(nbands):
+        lo = i * width
+        w = width if i < nbands - 1 else bits - lo  # last band takes the remainder
+        mask = (1 << w) - 1
+        band_exprs.append(
+            F.shiftright(F.col("simhash"), lo).bitwiseAND(F.lit(mask)).alias(f"v{i}")
+        )
+    stack_args = ", ".join(f"{i}, v{i}" for i in range(nbands))
+    banded = sig.select("doc_id", "simhash", *band_exprs).selectExpr(
+        "doc_id", "simhash", f"stack({nbands}, {stack_args}) as (band, bval)"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(b, "bucket")
+        a.join(b, ["band", "bval"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -214,4 +245,5 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text", max_hamming: int
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

@@ -35,6 +35,7 @@ from .functions.dedupe import (
     ngram_jaccard_pairs,
     minhash_lsh_candidates,
     simhash_signatures,
+    simhash_near_pairs,
     MINHASH_PARAMS,
     MINHASH_PRIME,
 )
@@ -847,6 +848,23 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 32-bit signatures (near-dup fingerprint; Hamming-distance
     pairing is the companion op in functions/dedupe.py)."""
     return simhash_signatures(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "simhash_near_pairs",
+    f"""WITH sigs AS ({_simhash_oracle()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+)
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3) via pigeonhole banding —
+    EXACT, so the naive quadratic DuckDB join is a true twin. The Spark
+    plan does only (band, value) equi-joins; the oracle proves the band
+    union misses no pair."""
+    pairs = simhash_near_pairs(load_table(spark, "documents", sf_dir))
+    return pairs.withColumn("hamming", F.col("hamming").cast("int"))
 
 
 COSINE_SQL = """list_dot_product(q.v, c.v)

@@ -90,3 +90,37 @@ def test_simhash_similar_docs_close(spark):
     sigs = {r.doc_id: r.simhash for r in simhash_signatures(df).collect()}
     ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
     assert ham(sigs[0], sigs[1]) < ham(sigs[0], sigs[2])
+
+
+def test_simhash_band_pairing_exact_vs_naive(spark):
+    """Pigeonhole banding must equal the naive quadratic Hamming join —
+    including pairs whose differing bits all sit in the top 16 bits (the
+    prefix region the pre-fix bucketing missed)."""
+    from options_data_pipeline_spark.functions.dedupe import (
+        simhash_pairs_from_signatures,
+    )
+
+    sigs = [
+        (0, 0b1010_1010_1010_1010_1111_0000_1111_0000),
+        # differs from 0 only in bits 30,28,25 (old top-16 prefix) → ham 3
+        (1, 0b1010_1010_1010_1010_1111_0000_1111_0000 ^ ((1 << 30) | (1 << 28) | (1 << 25))),
+        # differs from 0 in low bits only → ham 2
+        (2, 0b1010_1010_1010_1010_1111_0000_1111_0011),
+        # ham 4 from 0 (one bit per band) → excluded at max_hamming=3
+        (3, 0b1010_1010_1010_1010_1111_0000_1111_0000 ^ ((1 << 1) | (1 << 9) | (1 << 17) | (1 << 25))),
+        (4, 0),  # far from everything
+    ]
+    sig_df = spark.createDataFrame(sigs, "doc_id long, simhash long")
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_pairs_from_signatures(sig_df, max_hamming=3).collect()
+    }
+    naive = {
+        (a, sa, b, sb)
+        for a, sa in sigs
+        for b, sb in sigs
+        if a < b and bin(sa ^ sb).count("1") <= 3
+    }
+    want = {(a, b, bin(sa ^ sb).count("1")) for a, sa, b, sb in naive}
+    assert got == want
+    assert (0, 1, 3) in got  # the old prefix-bucket blind spot
