@@ -41,6 +41,10 @@ HEADLINE = [
     "cosine_topk",
     "cosine_topk_ivf",
     "embedding_near_dup",
+    "asof_close",
+    "range_join_sessions",
+    "rp_lsh_near_dup",
+    "simhash_near_pairs",
 ]
 
 
