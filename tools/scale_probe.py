@@ -1,0 +1,161 @@
+"""Scale probe: replicate sf0.1 tables ×N with per-replica decorrelating
+transforms, then time registry queries on the inflated data to validate
+the scaling claims in BASELINE.md before trusting them at 100 TB.
+
+Replication axes are chosen to mimic MORE data, not MORE duplicates:
+ - events: each replica gets a suffixed symbol universe (``SYM_r<k>``) and
+   offset event_ids — the realistic growth axis is more instruments, and
+   per-symbol window sizes stay constant.
+ - documents: each replica Caesar-rotates letters by ``r % 26`` and digits
+   by ``r % 10`` (unique combo for r < 130), so replicas share length /
+   token-shape distribution but almost no shingles — near-dup cluster
+   sizes stay at their organic level instead of inflating ×N (which would
+   measure a different workload: a corpus that is 99% exact dups).
+ - embeddings: each replica rotates the vector by ``r % dim`` positions and
+   sign-flips for odd replicas (norm- and pair-angle-preserving, but
+   rotated random vectors are ~orthogonal to other replicas), and offsets
+   the IVF ``label`` by ``r * 10`` so cell population stays constant —
+   the "more data ⇒ proportionally more cells" axis.
+
+Usage: python tools/scale_probe.py [factor] [query ...]
+Defaults: factor=100, queries = minhash_lsh embedding_near_dup gap_fill.
+Prints one JSON line {"factor": N, "rows": {...}, "queries": {name: sec}}.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from options_data_pipeline_spark import registry  # noqa: E402
+from options_data_pipeline_spark.session import get_spark  # noqa: E402
+from options_data_pipeline_spark.sources.tables import EVENTS_SCHEMA  # noqa: E402
+
+LOWER = "abcdefghijklmnopqrstuvwxyz"
+UPPER = LOWER.upper()
+DIGIT = "0123456789"
+
+
+def _rot(s: str, n: int) -> str:
+    return s[n:] + s[:n]
+
+
+def _caesar(col, r: int):
+    src = LOWER + UPPER + DIGIT
+    dst = _rot(LOWER, r % 26) + _rot(UPPER, r % 26) + _rot(DIGIT, r % 10)
+    return F.translate(col, src, dst)
+
+
+def replicate_events(spark: SparkSession, src: str, out: str, factor: int) -> int:
+    raw = spark.read.schema(EVENTS_SCHEMA).parquet(os.path.join(src, "events.parquet"))
+    base = raw.agg((F.max("event_id") + 1).alias("m")).first().m
+    parts = []
+    for r in range(factor):
+        parts.append(
+            raw.select(
+                (F.col("event_id") + F.lit(r * base)).alias("event_id"),
+                "ts",
+                "user_id",
+                F.concat(F.col("event_type"), F.lit(f"_r{r}")).alias("event_type"),
+                "value",
+                "props",
+            )
+        )
+    df = functools.reduce(DataFrame.unionByName, parts)
+    df.write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+    return raw.count() * factor
+
+
+def replicate_documents(spark: SparkSession, src: str, out: str, factor: int) -> int:
+    raw = spark.read.parquet(os.path.join(src, "documents.parquet"))
+    base = raw.agg((F.max("doc_id") + 1).alias("m")).first().m
+    parts = []
+    for r in range(factor):
+        parts.append(
+            raw.select(
+                (F.col("doc_id") + F.lit(r * base)).alias("doc_id"),
+                _caesar(F.col("text"), r).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    df = functools.reduce(DataFrame.unionByName, parts)
+    df.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    return raw.count() * factor
+
+
+def replicate_embeddings(spark: SparkSession, src: str, out: str, factor: int) -> int:
+    raw = spark.read.parquet(os.path.join(src, "embeddings.parquet"))
+    base = raw.agg((F.max("vec_id") + 1).alias("m")).first().m
+    dim = len(raw.select("embedding").first().embedding)
+    n_labels = raw.agg(F.countDistinct("label").alias("n")).first().n
+    parts = []
+    for r in range(factor):
+        shift = r % dim
+        rotated = F.concat(
+            F.slice("embedding", shift + 1, dim - shift), F.slice("embedding", 1, shift)
+        )
+        if r % 2 == 1:
+            rotated = F.transform(rotated, lambda x: -x)
+        parts.append(
+            raw.select(
+                (F.col("vec_id") + F.lit(r * base)).alias("vec_id"),
+                rotated.alias("embedding"),
+                (F.col("label") + F.lit(r * n_labels)).alias("label"),
+            )
+        )
+    df = functools.reduce(DataFrame.unionByName, parts)
+    df.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+    return raw.count() * factor
+
+
+NEEDS = {
+    "events": replicate_events,
+    "documents": replicate_documents,
+    "embeddings": replicate_embeddings,
+}
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    names = sys.argv[2:] or ["minhash_lsh", "embedding_near_dup", "gap_fill"]
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    spark = get_spark("scale-probe")
+    out = tempfile.mkdtemp(prefix=f"scale_probe_x{factor}_")
+    try:
+        rows: dict[str, int] = {}
+        for table, fn in NEEDS.items():
+            rows[table] = fn(spark, src, out, factor)
+        # non-replicated tables pass through so any query can run
+        for f in os.listdir(src):
+            dst = os.path.join(out, f)
+            if f.endswith(".parquet") and not os.path.exists(dst):
+                s = os.path.join(src, f)
+                (shutil.copytree if os.path.isdir(s) else shutil.copy)(s, dst)
+
+        qs = registry.queries()
+        timings: dict[str, float] = {}
+        for name in names:
+            t0 = time.perf_counter()
+            qs[name](spark, out).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        print(json.dumps({"factor": factor, "rows": rows, "queries": timings}))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
