@@ -83,10 +83,72 @@ def test_multimodal_feature_extract(spark):
     assert out[2].n_bytes == 0
 
 
-def test_multimodal_real_codec_is_stubbed(spark):
-    media = spark.createDataFrame([(1, "image", bytearray(b"xx"), ("png", 1, 1, None))], MEDIA_SCHEMA)
-    with pytest.raises(Exception, match="NotImplementedError|codec"):
+def test_multimodal_compressed_codec_is_stubbed(spark):
+    """Compressed formats (PNG bytes here) still raise: only stdlib-decodable
+    BMP/WAV have real codecs in this container."""
+    media = spark.createDataFrame([(1, "image", bytearray(b"\x89PNG"), ("png", 1, 1, None))], MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="NotImplementedError|BMP|codec"):
         extract_features(media, decoder="image").collect()
+
+
+def test_multimodal_bmp_decode_end_to_end(spark):
+    """Real bytes→pixels→features path: a 4×2 BMP whose top half is pure
+    red and bottom half pure blue, decoded through mapInPandas."""
+    from options_data_pipeline_spark.functions.multimodal import make_bmp
+
+    bmp = make_bmp(4, 2, lambda x, y: (255, 0, 0) if y == 0 else (0, 0, 255))
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(bmp), ("bmp", 4, 2, None))], MEDIA_SCHEMA
+    )
+    row = extract_features(media, decoder="image").collect()[0]
+    w, h, mean_r, mean_g, mean_b, lum_top, lum_bot, lum = row.feature
+    assert (w, h) == (4.0, 2.0)
+    assert mean_r == pytest.approx(0.5) and mean_b == pytest.approx(0.5)
+    assert mean_g == pytest.approx(0.0)
+    # top half all-red, bottom half all-blue → equal luminance thirds
+    assert lum_top == pytest.approx(1 / 3) and lum_bot == pytest.approx(1 / 3)
+    assert lum == pytest.approx(1 / 3)
+    assert row.n_bytes == len(bmp)
+
+
+def test_multimodal_wav_decode_end_to_end(spark):
+    """Real WAV decode: a 100 Hz half-amplitude sine at 8 kHz; RMS ≈
+    0.5/√2, peak ≈ 0.5, ZCR ≈ 2×freq/framerate, DC ≈ 0."""
+    from options_data_pipeline_spark.functions.multimodal import make_wav
+
+    wav = make_wav(100.0, duration_ms=500, framerate=8000, amplitude=0.5)
+    media = spark.createDataFrame(
+        [(7, "audio", bytearray(wav), ("wav", None, None, 500))], MEDIA_SCHEMA
+    )
+    row = extract_features(media, decoder="audio").collect()[0]
+    fr, nch, dur, rms, peak, zcr, mean_abs, dc = row.feature
+    assert (fr, nch) == (8000.0, 1.0)
+    assert dur == pytest.approx(0.5)
+    assert rms == pytest.approx(0.5 / 2**0.5, rel=0.01)
+    assert peak == pytest.approx(0.5, rel=0.01)
+    assert zcr == pytest.approx(2 * 100 / 8000, rel=0.05)
+    assert abs(dc) < 0.01
+
+
+def test_multimodal_auto_dispatch_mixed_batch(spark):
+    """decoder='auto' routes each row by its kind column — image and audio
+    payloads decoded with their own codec in one mapInPandas pass."""
+    from options_data_pipeline_spark.functions.multimodal import make_bmp, make_wav
+
+    bmp = make_bmp(2, 2, lambda x, y: (10, 20, 30))
+    wav = make_wav(440.0, duration_ms=100)
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(bmp), ("bmp", 2, 2, None)),
+            (2, "audio", bytearray(wav), ("wav", None, None, 100)),
+            (3, "fake", bytearray(b"\xff"), ("raw", None, None, None)),
+        ],
+        MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r.feature for r in extract_features(media, decoder="auto").collect()}
+    assert out[1][0] == 2.0  # width from the BMP header
+    assert out[2][0] == 8000.0  # framerate from the WAV header
+    assert out[3][7] == pytest.approx(1.0)  # fake histogram, 0xff bucket
 
 
 def test_frame_sampling(spark):
