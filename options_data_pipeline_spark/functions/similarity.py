@@ -201,6 +201,26 @@ def centroid_argmin(vec_col: str | Column, cents: list[list[float]]) -> Column:
     return F.aggregate(entries, init, step, lambda acc: acc["cell"])
 
 
+def centroid_top_cells(
+    vec_col: str | Column, cents: list[list[float]], nprobe: int = 2
+) -> Column:
+    """The ``nprobe`` nearest centroid ids, closest first — the IVF
+    multi-probe knob: probing >1 cell recovers the recall lost to queries
+    sitting near cell boundaries, at nprobe× probe cost. Same |c|² − 2·v·c
+    score arithmetic as :func:`centroid_argmin`; ``array_sort`` over
+    struct<score,cell> breaks ties toward the lower cell id, matching the
+    oracle's struct list_sort."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    entries = F.array(*[
+        F.struct(
+            (F.lit(sum(x * x for x in c)) - 2.0 * dot_col(v, F.array(*[F.lit(x) for x in c]))).alias("score"),
+            F.lit(ci).alias("cell"),
+        )
+        for ci, c in enumerate(cents)
+    ])
+    return F.transform(F.slice(F.array_sort(entries), 1, nprobe), lambda e: e["cell"])
+
+
 def assign_cells(
     vectors: DataFrame,
     cents: list[list[float]],

@@ -110,6 +110,63 @@ def fingerprint_col(text_col: str = "text") -> Column:
     return F.md5(normalized)
 
 
+def winnow_fingerprints(
+    docs: DataFrame, text_col: str = "text", k: int = 5, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, MOSS):
+    hash every k-gram of the normalized text, slide a window of ``w``
+    consecutive hashes, keep each window's minimum — any shared substring
+    of length ≥ k + w - 1 between two documents is GUARANTEED to produce a
+    shared fingerprint. Output: one row per (doc_id, distinct fingerprint).
+
+    Pure higher-order Column ops (sequence/transform/slice/array_min) — a
+    narrow map with one explode, no shuffle until the consumer joins on
+    ``fp``. The md5-derived k-gram hash is mirrored bit-for-bit by the
+    DuckDB oracle. At 100 TB the fingerprint index is the join surface for
+    plagiarism/near-dup detection at ~1/w the k-gram volume."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), "\\s+", " ")
+    hashes = (
+        f"transform(sequence(1, greatest(length(t) - {k - 1}, 1)),"
+        f" i -> cast(conv(substring(md5(substring(t, i, {k})), 1, 8), 16, 10) as bigint))"
+    )
+    fps = (
+        f"array_distinct(transform(sequence(1, greatest(size(hs) - {w - 1}, 1)),"
+        f" j -> array_min(slice(hs, j, {w}))))"
+    )
+    return (
+        docs.select("doc_id", norm.alias("t"))
+        .select("doc_id", F.expr(hashes).alias("hs"))
+        .select("doc_id", F.explode(F.expr(fps)).alias("fp"))
+    )
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    max_df: int | None = 64,
+) -> DataFrame:
+    """Document pairs sharing winnowing fingerprints (doc_a < doc_b,
+    n_shared ≥ 1) — the MOSS match step. ``max_df`` drops stop-fingerprints
+    appearing in more than that many documents before the self-join
+    (boilerplate/license text otherwise makes the hot-fp join quadratic);
+    the filter is deterministic so the oracle mirrors it exactly."""
+    fps = winnow_fingerprints(docs, text_col, k, w)
+    if max_df is not None:
+        dfreq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+        fps = fps.join(F.broadcast(dfreq.filter(F.col("df") <= max_df)), "fp").select(
+            "doc_id", "fp"
+        )
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
 def with_text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     out = docs
     for name, col in quality_cols(text_col).items():

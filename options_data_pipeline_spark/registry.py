@@ -29,7 +29,14 @@ from .operators.ids import with_row_id, dedup_delta
 from .operators.filters import in_session
 from .operators.joins import missing_symbols, reconcile_states, calendar_gate
 from .operators.queries import value_percentiles, buffer_stats, validate_ohlc
-from .functions.text import token_count_col, bpe_token_count_col, lang_guess_col, quality_cols
+from .functions.text import (
+    token_count_col,
+    bpe_token_count_col,
+    lang_guess_col,
+    quality_cols,
+    winnow_fingerprints,
+    winnow_overlap_pairs,
+)
 from .functions.dedupe import (
     exact_dedup_groups,
     ngram_jaccard_pairs,
@@ -700,6 +707,54 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_FPS_SQL = r"""WITH norm AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+  FROM documents
+),
+hs AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(t) - 4, 1) + 1),
+           i -> CAST(concat('0x', substr(md5(substr(t, i, 5)), 1, 8)) AS BIGINT)) AS hs
+  FROM norm
+),
+winnowed AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
+           j -> list_min(hs[j:j+3]))) AS fps
+  FROM hs
+)
+SELECT doc_id, unnest(fps) AS fp FROM winnowed"""
+
+
+@register("winnow_fingerprints", WINNOW_FPS_SQL)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling min-hash window) document fingerprints — the
+    MOSS fingerprint index: any shared substring ≥ k+w-1 chars guarantees
+    a shared fingerprint. Narrow map + explode; md5-derived hashes keep
+    the DuckDB twin bit-identical."""
+    return winnow_fingerprints(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "winnow_overlap",
+    f"""WITH fps AS ({WINNOW_FPS_SQL}),
+kept AS (
+  SELECT doc_id, fp FROM fps
+  WHERE fp IN (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 64)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM kept a JOIN kept b USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id""",
+)
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing match step: pairs sharing fingerprints, with the standard
+    stop-fingerprint cap (df ≤ 64) so boilerplate text can't make the
+    fp self-join quadratic. Cap is deterministic — oracle mirrors it."""
+    return winnow_overlap_pairs(load_table(spark, "documents", sf_dir))
+
+
 @register(
     "lang_id",
     r"""WITH scored AS (
@@ -1294,6 +1349,80 @@ def q_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_partitioned(
         with_cell.filter(F.col("vec_id") < 10), with_cell, k=5, cell_col="cell"
     )
+
+
+def _ivf_multiprobe_oracle(k: int = 8, dim: int = 64, topk: int = 5, nprobe: int = 2) -> str:
+    """DuckDB twin of multi-probe IVF: the same score list as
+    ``_ivf_fixed_oracle`` built as struct entries, corpus cell =
+    first-sorted entry, query probes = first ``nprobe`` sorted entries
+    (struct sort ties toward the lower cell id, matching Spark's
+    array_sort tie-break)."""
+    from .functions.similarity import fixed_centroids
+
+    cents = fixed_centroids(k, dim)
+    entries = ",\n      ".join(
+        f"{{'s': {sum(x * x for x in c)!r} - 2.0*list_dot_product(v, ["
+        + ", ".join(repr(x) for x in c)
+        + f"]), 'c': {ci}}}"
+        for ci, c in enumerate(cents)
+    )
+    return f"""WITH v AS (
+  SELECT vec_id AS vid, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+entries AS (
+  SELECT vid, v, nrm,
+    list_sort([{entries}]) AS es
+  FROM v
+),
+cells AS (
+  SELECT vid, v, nrm, es[1].c AS cell FROM entries
+),
+qprobe AS (
+  SELECT vid, v, nrm, unnest(list_transform(es[1:{nprobe}], x -> x.c)) AS cell
+  FROM entries WHERE vid < 10
+),
+cand AS (
+  SELECT q.vid AS query_id, c.vid AS neighbor_id,
+         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine
+  FROM cells c JOIN qprobe q USING (cell)
+  WHERE q.vid <> c.vid
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS "rank"
+  FROM cand
+)
+SELECT query_id, neighbor_id, cosine, "rank" FROM ranked WHERE "rank" <= {topk}"""
+
+
+@register("ivf_multiprobe_topk", _ivf_multiprobe_oracle())
+def q_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with multi-probe (nprobe=2): each query probes its 2 nearest
+    cells, recovering recall for queries near cell boundaries at 2× probe
+    cost — the standard IVF recall knob. The probe explode is 2 rows per
+    query (query side stays broadcast-small); the corpus is still assigned
+    to exactly one cell, so candidates need no dedup."""
+    from .functions.similarity import (
+        assign_cells,
+        centroid_top_cells,
+        fixed_centroids,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = fixed_centroids(8, 64)
+    corpus = emb.join(assign_cells(emb, cents).withColumnRenamed("vid", "vec_id"), "vec_id")
+    qprobe = (
+        emb.filter(F.col("vec_id") < 10)
+        .select(
+            "vec_id",
+            "embedding",
+            centroid_top_cells(F.col("embedding").cast("array<double>"), cents, 2).alias("probes"),
+        )
+        .select("vec_id", "embedding", F.explode("probes").alias("cell"))
+    )
+    return cosine_topk_partitioned(qprobe, corpus, k=5, cell_col="cell")
 
 
 @register("approx_sketch_stats")  # rows-only: sketch internals differ per engine

@@ -84,6 +84,42 @@ def test_kmeans_ivf_recall(spark):
     assert len(ivf & brute) / len(brute) >= 0.4
 
 
+def test_multiprobe_recall_at_least_single_probe(spark):
+    """nprobe=2 candidate sets are supersets of single-probe (cell 1 of 2
+    is the argmin cell), so recall vs brute force can only improve."""
+    from options_data_pipeline_spark.functions.similarity import (
+        assign_cells,
+        centroid_top_cells,
+        cosine_topk,
+        cosine_topk_partitioned,
+        fixed_centroids,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = fixed_centroids(8, 64)
+    corpus = emb.join(assign_cells(emb, cents).withColumnRenamed("vid", "vec_id"), "vec_id")
+    q1 = corpus.filter("vec_id < 5")
+    qp = (
+        emb.filter("vec_id < 5")
+        .select(
+            "vec_id",
+            "embedding",
+            centroid_top_cells(F.col("embedding").cast("array<double>"), cents, 2).alias("p"),
+        )
+        .select("vec_id", "embedding", F.explode("p").alias("cell"))
+    )
+    single = {(r.query_id, r.neighbor_id)
+              for r in cosine_topk_partitioned(q1, corpus, k=5, cell_col="cell").collect()}
+    multi = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk_partitioned(qp, corpus, k=5, cell_col="cell").collect()}
+    brute = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(emb.filter("vec_id < 5"), emb, k=5).collect()}
+    recall_1 = len(single & brute) / len(brute)
+    recall_2 = len(multi & brute) / len(brute)
+    assert recall_2 >= recall_1
+
+
 def test_partitioned_probes_only_own_cell(spark):
     rows = [
         (0, [1.0, 0.0], 0),

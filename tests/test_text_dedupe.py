@@ -92,6 +92,33 @@ def test_simhash_similar_docs_close(spark):
     assert ham(sigs[0], sigs[1]) < ham(sigs[0], sigs[2])
 
 
+def test_winnowing_guarantee(spark):
+    """Winnowing property: two documents sharing a substring of length
+    ≥ k + w - 1 (= 8 here) are guaranteed a common fingerprint; the
+    overlap query surfaces the pair."""
+    from options_data_pipeline_spark.functions.text import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
+
+    shared = "zqxjkvbw unique shared passage of text"
+    df = docs_df(
+        spark,
+        [
+            f"first document prefix {shared} first suffix",
+            f"totally different opener {shared} and a different tail",
+            "nothing in common with the others at all here",
+        ],
+    )
+    fps = winnow_fingerprints(df).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[0] & by_doc[1]  # guaranteed shared fingerprint
+    pairs = {(r.doc_a, r.doc_b): r.n_shared for r in winnow_overlap_pairs(df).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 1
+
+
 def test_simhash_band_pairing_exact_vs_naive(spark):
     """Pigeonhole banding must equal the naive quadratic Hamming join —
     including pairs whose differing bits all sit in the top 16 bits (the
