@@ -67,37 +67,46 @@ def salted_ohlc(
 ) -> DataFrame:
     """Skew-safe OHLC: identical result to operators.ohlc.ohlc_candles,
     but a hot (symbol, window) key spreads over ``buckets`` partial
-    groups. min_by/max_by merge via struct-min on (order_key, value) in
-    the final phase."""
+    groups.
+
+    Both phases keep SCALAR aggregation buffers (min_by/max_by on the
+    arrival-order key plus the key's own min/max) — a struct-valued
+    min/max would force SortAggregate (non-fixed-width buffer), the exact
+    regression `test_ohlc_single_shuffle_hash_agg` pins on the unsalted
+    plan. Merge picks each salt group's open/close by the group's
+    order-key extreme; event_id uniqueness makes the two-phase result
+    bit-identical to the one-phase aggregate."""
     salted = with_salt(ticks, buckets)
     partial = (
         salted.groupBy(
             F.col("symbol"), F.window("ts", interval).alias("w"), F.col("_salt")
         )
         .agg(
-            F.min(F.struct(F.col("event_id"), F.col("price"))).alias("first_s"),
+            F.min("event_id").alias("open_key"),
+            F.expr("min_by(price, event_id)").alias("open_val"),
             F.max("price").alias("high"),
             F.min("price").alias("low"),
-            F.max(F.struct(F.col("event_id"), F.col("price"))).alias("last_s"),
+            F.max("event_id").alias("close_key"),
+            F.expr("max_by(price, event_id)").alias("close_val"),
             F.count(F.lit(1)).alias("tick_count"),
         )
     )
     return (
         partial.groupBy("symbol", "w")
         .agg(
-            F.min("first_s").alias("first_s"),
+            F.expr("min_by(open_val, open_key)").alias("open"),
             F.max("high").alias("high"),
             F.min("low").alias("low"),
-            F.max("last_s").alias("last_s"),
+            F.expr("max_by(close_val, close_key)").alias("close"),
             F.sum("tick_count").alias("tick_count"),
         )
         .select(
             "symbol",
             F.col("w.start").alias("window_start"),
-            F.col("first_s.price").alias("open"),
+            "open",
             "high",
             "low",
-            F.col("last_s.price").alias("close"),
+            "close",
             "tick_count",
         )
     )

@@ -135,6 +135,22 @@ def q_ohlc_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_ohlc_5m",
+    f"""WITH {candles_cte(300)}
+SELECT symbol, window_start, "open", high, low, "close", tick_count FROM candles""",
+)
+def q_salted_ohlc_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe OHLC (operators/skew.py::salted_ohlc): two-phase salted
+    rewrite — partial agg at (symbol, window, salt) grain, merge at
+    (symbol, window). Oracle is the SAME SQL as ``ohlc_5m``: the rewrite
+    must be bit-identical to the unsalted plan, proving the 100 TB
+    hot-symbol mitigation is semantics-preserving."""
+    from .operators.skew import salted_ohlc
+
+    return salted_ohlc(load_ticks(spark, sf_dir), "300 seconds")
+
+
+@register(
     "ohlc_true_range",
     f"""WITH {candles_cte(3600)},
 {TR_CTE}

@@ -98,6 +98,40 @@ def test_dedup_delta_is_anti_join(spark, qs):
     assert "LeftAnti" in plan
 
 
+def test_session_hours_gate_broadcasts_calendar(spark, qs):
+    """The per-date calendar dims must broadcast — the tick fact side
+    never shuffles for the session-hours join."""
+    df = qs["session_hours_gate"](spark, SF)
+    assert has_broadcast_join(df)
+    assert not has_sort_merge_join(df)
+
+
+def test_salted_ohlc_is_two_hash_aggs(spark, qs):
+    """The skew rewrite is partial (symbol, window, salt) + merge
+    (symbol, window): both phases HASH aggregates, and only the two
+    aggregation exchanges — no sort, no extra shuffle."""
+    df = qs["salted_ohlc_5m"](spark, SF)
+    plan = physical_plan(df)
+    assert "HashAggregate" in plan and "SortAggregate" not in plan
+    assert count_exchanges(df) <= 2
+
+
+def test_winnow_fingerprints_no_shuffle(spark, qs):
+    """Fingerprinting is a narrow map + explode — zero exchanges until a
+    consumer joins on fp."""
+    df = qs["winnow_fingerprints"](spark, SF)
+    assert count_exchanges(df) == 0
+
+
+def test_simhash_pairs_no_cartesian(spark, qs):
+    """The banded pairing must stay a (band, bval) equi-join — any
+    cartesian/nested-loop fallback would be the quadratic plan the
+    banding exists to avoid."""
+    plan = physical_plan(qs["simhash_near_pairs"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_no_array_or_map_columns_in_query_outputs(spark, qs):
     """The driver's correctness canonicalizer sorts rows on every output
     column and cannot hash list/dict cells (the round-1
