@@ -45,6 +45,10 @@ HEADLINE = [
     "range_join_sessions",
     "rp_lsh_near_dup",
     "simhash_near_pairs",
+    "winnow_overlap",
+    "ivf_multiprobe_topk",
+    "salted_ohlc_5m",
+    "shipping_priority",
 ]
 
 

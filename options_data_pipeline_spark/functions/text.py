@@ -153,17 +153,25 @@ def winnow_overlap_pairs(
     (boilerplate/license text otherwise makes the hot-fp join quadratic);
     the filter is deterministic so the oracle mirrors it exactly."""
     fps = winnow_fingerprints(docs, text_col, k, w)
+    # One groupBy materializes each fingerprint's (sorted) doc list, then
+    # pairs are generated from the list with array expressions — the naive
+    # fp self-join re-evaluates the uncached fingerprint computation once
+    # per join side plus once for the df filter (measured 4× the md5 work,
+    # 19 s vs 5 s at sf0.1). Two shuffles total, no join, no recompute.
+    grouped = fps.groupBy("fp").agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
     if max_df is not None:
-        dfreq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
-        fps = fps.join(F.broadcast(dfreq.filter(F.col("df") <= max_df)), "fp").select(
-            "doc_id", "fp"
-        )
-    a, b = fps.alias("a"), fps.alias("b")
-    return (
-        a.join(b, "fp")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        grouped = grouped.filter(F.size("ids") <= max_df)
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (a, i) ->"
+                " transform(slice(ids, i + 2, size(ids) - i - 1),"
+                " b -> struct(a AS doc_a, b AS doc_b))))"
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")).agg(
+        F.count(F.lit(1)).alias("n_shared")
     )
 
 

@@ -44,6 +44,21 @@ TABLES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def spread(df: DataFrame, spark: SparkSession, min_parallelism: int | None = None) -> DataFrame:
+    """Give CPU-heavy narrow stages full parallelism when the scan yields
+    fewer partitions than cores — at test SF a table is one small parquet
+    file with one row group, which parquet cannot split, so every
+    downstream md5/regex/dot-product map runs on ONE task (measured: the
+    winnowing fingerprint stage is 5× faster after spreading). At
+    production scale scans already produce ≥ cores partitions and this is
+    a no-op. Catalyst pushes filters/pruning through the repartition, so
+    scan pushdown is unaffected."""
+    target = min_parallelism or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
@@ -51,7 +66,12 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     if name == "events":
         raw = spark.read.schema(EVENTS_SCHEMA).parquet(path)
         return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return spark.read.parquet(path)
+    df = spark.read.parquet(path)
+    if name in ("documents", "embeddings"):
+        # the hash/regex/vector-arithmetic tables: per-row compute dwarfs
+        # the (tiny) repartition of raw rows
+        df = spread(df, spark)
+    return df
 
 
 def load_ticks(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:

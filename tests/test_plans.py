@@ -117,10 +117,10 @@ def test_salted_ohlc_is_two_hash_aggs(spark, qs):
 
 
 def test_winnow_fingerprints_no_shuffle(spark, qs):
-    """Fingerprinting is a narrow map + explode — zero exchanges until a
-    consumer joins on fp."""
+    """Fingerprinting is a narrow map + explode — no exchange beyond the
+    single deliberate small-file spread repartition (load_table.spread)."""
     df = qs["winnow_fingerprints"](spark, SF)
-    assert count_exchanges(df) == 0
+    assert count_exchanges(df) <= 1
 
 
 def test_simhash_pairs_no_cartesian(spark, qs):
