@@ -30,7 +30,7 @@ from .operators.atr import with_wilder_atr, atr_summary
 from .operators.gapfill import gap_fill
 from .operators.ids import with_row_id
 from .operators.filters import in_session
-from .operators.joins import attach_segment, calendar_gate
+from .operators.joins import attach_segment, calendar_gate, session_hours_gate
 from .streaming.ohlc_stream import streaming_ohlc
 from .streaming.atr_state import streaming_atr
 from .streaming.sink import idempotent_append_batch, overwrite_snapshot
@@ -73,9 +73,16 @@ def run_batch(
 ) -> int:
     """The per-session batch job. Returns rows written (idempotent:
     re-running the same session writes 0)."""
-    if calendar is not None:
-        ticks = calendar_gate(ticks, calendar)
-    ticks = in_session(ticks, open_hm, close_hm)
+    if calendar is not None and "session_open" in calendar.columns:
+        # full per-date gate: holidays drop, special sessions (Muhurat)
+        # override the default hours AND trade on otherwise-closed days
+        ticks = session_hours_gate(
+            ticks, calendar, default_open=open_hm, default_close=close_hm
+        )
+    else:
+        if calendar is not None:
+            ticks = calendar_gate(ticks, calendar)
+        ticks = in_session(ticks, open_hm, close_hm)
     handles: list[DataFrame] = []
     enriched = enrich_candles(
         ticks, interval, interval_seconds, symbols, instruments, cache_handles=handles

@@ -54,6 +54,41 @@ def test_batch_pipeline_idempotent_rerun(spark, tmpdir):
     assert spark.read.parquet(sink).count() == 8
 
 
+def test_batch_pipeline_special_session_calendar(spark, tmpdir):
+    """run_batch with a load_calendar-shaped frame (session columns) keeps
+    a Muhurat-style evening session on a holiday and drops the holiday's
+    default-hours ticks — the end-to-end wiring of session_hours_gate."""
+    import json
+
+    from options_data_pipeline_spark.sources.json_source import load_calendar
+
+    day = datetime(2024, 1, 5)  # a Friday
+    rows = [
+        ("A", 100.0, day.replace(hour=18, minute=30), 1),  # special window → kept
+        ("A", 101.0, day.replace(hour=18, minute=32), 2),  # special window → kept
+        ("A", 999.0, day.replace(hour=10, minute=0), 3),   # holiday default hours → dropped
+    ]
+    ticks = spark.createDataFrame(rows, TICK_SCHEMA)
+    cal_path = tmpdir + "/cal.json"
+    with open(cal_path, "w") as f:
+        json.dump(
+            {
+                "holidays": [{"date": "2024-01-05", "name": "Diwali"}],
+                "special_sessions": {
+                    "2024-01-05": {"name": "Muhurat", "open": "18:15", "close": "19:45"}
+                },
+            },
+            f,
+        )
+    cal = load_calendar(spark, cal_path)
+    sink = tmpdir + "/market"
+    assert run_batch(ticks, sink, calendar=cal) == 1  # one 5-min window kept
+    fact = spark.read.parquet(sink)
+    [row] = fact.collect()
+    assert row.open == 100.0 and row.close == 101.0
+    assert fact.filter("open = 999.0").count() == 0
+
+
 def test_streaming_pipeline_end_to_end(spark, tmpdir):
     src, candles, sink, ckpt = (
         tmpdir + "/src", tmpdir + "/candles", tmpdir + "/sink", tmpdir + "/ckpt"
