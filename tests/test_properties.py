@@ -59,6 +59,56 @@ def test_wilder_atr_properties(ts):
             assert out[i] == pytest.approx(max(expected, 0.0))
 
 
+sigs32 = st.lists(
+    st.integers(min_value=0, max_value=(1 << 32) - 1), min_size=2, max_size=12, unique=True
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(sigs32)
+def test_simhash_banding_equals_naive_for_any_signatures(spark_prop, sig_values):
+    """Pigeonhole banding is EXACT: for arbitrary 32-bit signatures the
+    banded pairing equals the naive quadratic Hamming join."""
+    from options_data_pipeline_spark.functions.dedupe import (
+        simhash_pairs_from_signatures,
+    )
+
+    rows = list(enumerate(sig_values))
+    df = spark_prop.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_pairs_from_signatures(df, max_hamming=3).collect()
+    }
+    want = {
+        (a, b, bin(sa ^ sb).count("1"))
+        for a, sa in rows
+        for b, sb in rows
+        if a < b and bin(sa ^ sb).count("1") <= 3
+    }
+    assert got == want
+
+
+texts = st.text(alphabet="abcdefgh ", min_size=0, max_size=60)
+shared_passages = st.text(alphabet="qrstuvwxyz", min_size=19, max_size=40)
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts, texts, shared_passages)
+def test_winnowing_guarantee_for_any_shared_passage(spark_prop, pre, post, shared):
+    """Any two docs embedding the same ≥ k+w-1 (=19) char passage share a
+    winnowing fingerprint, wherever the passage sits in either doc."""
+    from options_data_pipeline_spark.functions.text import winnow_fingerprints
+
+    df = spark_prop.createDataFrame(
+        [(0, f"{pre} {shared} {post}"), (1, f"{post} {shared} {pre}")],
+        "doc_id long, text string",
+    )
+    fps = {}
+    for r in winnow_fingerprints(df, k=12, w=8).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[0] & fps[1]
+
+
 @pytest.fixture(scope="module")
 def spark_prop(spark):
     return spark
