@@ -210,7 +210,16 @@ def simhash_near_pairs(
     Scale shape: one stack (no row explosion beyond ×bands), a (band,
     band-value) equi-join as the only shuffle, no all-pairs work. Band
     skew (e.g. a zero band shared by short docs) is bounded by real
-    near-dup cluster sizes, same posture as MinHash-LSH."""
+    near-dup cluster sizes, same posture as MinHash-LSH.
+
+    SCALE KNOB — bucket count must grow with corpus size: expected
+    candidate volume per band is ~N²/2^(bits/(max_hamming+1)). With the
+    default 32-bit/4-band config (256 buckets per band) that turns
+    quadratic around N≈10⁵. For larger corpora widen the signature
+    (``bits=62`` → ~2³⁰ buckets per band; keep bits ≤ 62 so the 1<<b
+    terms stay inside a signed long) — the pigeonhole guarantee holds for
+    any ``bits``, only hash-collision false positives (removed by the
+    exact Hamming filter) change."""
     sig = simhash_signatures(docs, text_col, bits)
     return simhash_pairs_from_signatures(sig, max_hamming, bits)
 

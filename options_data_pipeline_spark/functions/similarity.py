@@ -115,6 +115,15 @@ def rp_lsh_near_dup_pairs(
     miss low-similarity pairs — by design). Everything is built-in Column
     arithmetic; the plane weights are literals, so the DuckDB oracle
     reproduces signatures bit-for-bit.
+
+    SCALE KNOB — the default 4-bit bands (16 buckets) are sized for the
+    moderate-similarity synthetic corpus (θ≈70°, where recall is 0.47 vs
+    0.11 with 8-bit bands; measured in BASELINE.md). Candidate volume per
+    band is ~N²/2^(n_planes/bands), so at N ≳ 10⁵ callers hunting true
+    NEAR-DUPS (cosine ≥ 0.9, per-bit agreement ≥ 0.85) should raise
+    ``n_planes`` (e.g. 32/4 → 256 buckets, recall ≈ 0.75 at cosine 0.9;
+    64/8 → 256 buckets and 8 chances, recall ≈ 0.97) — the hard-θ recall
+    loss only matters when the threshold itself is low.
     """
     planes = random_hyperplanes(64, n_planes)
     rows_per_band = n_planes // bands

@@ -92,6 +92,34 @@ def test_simhash_similar_docs_close(spark):
     assert ham(sigs[0], sigs[1]) < ham(sigs[0], sigs[2])
 
 
+def test_simhash_banding_wide_signature_knob(spark):
+    """The scale knob: 62-bit signatures (max for signed long) band into
+    4 pieces incl. an uneven last band — exactness must hold there too."""
+    from options_data_pipeline_spark.functions.dedupe import (
+        simhash_pairs_from_signatures,
+    )
+
+    base = (1 << 62) - 1
+    sigs = [
+        (0, base),
+        (1, base ^ (1 << 61)),                 # high bit (uneven last band) → ham 1
+        (2, base ^ ((1 << 3) | (1 << 40))),    # spread bits → ham 2
+        (3, base ^ ((1 << 0) | (1 << 20) | (1 << 40) | (1 << 61))),  # ham 4 → out
+    ]
+    df = spark.createDataFrame(sigs, "doc_id long, simhash long")
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_pairs_from_signatures(df, max_hamming=3, bits=62).collect()
+    }
+    want = {
+        (a, b, bin(sa ^ sb).count("1"))
+        for a, sa in sigs
+        for b, sb in sigs
+        if a < b and bin(sa ^ sb).count("1") <= 3
+    }
+    assert got == want and (0, 1, 1) in got
+
+
 def test_winnowing_guarantee(spark):
     """Winnowing property: two documents sharing a substring of length
     ≥ k + w - 1 (= 8 here) are guaranteed a common fingerprint; the
