@@ -96,6 +96,136 @@ def test_streaming_atr_matches_batch(spark, tmpdir):
             assert g.atr == pytest.approx(b.atr)
 
 
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def clear(self):
+        self._v = None
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.state = _FakeValueState()
+        self.timers = []
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return self.state
+
+    def listTimers(self):
+        return list(self.timers)
+
+    def deleteTimer(self, t):
+        self.timers.remove(t)
+
+    def registerTimer(self, t):
+        self.timers.append(t)
+
+
+def test_tws_atr_processor_matches_batch(spark):
+    """WilderATRProcessor recursion == batch recursion, across triggers
+    and with shuffled multi-chunk input. The full streaming run needs
+    google.protobuf (state-v2's Python<->JVM protocol), absent in this
+    container — the processor logic is what's ours to test."""
+    import pandas as pd
+
+    from options_data_pipeline_spark.streaming.atr_tws import WilderATRProcessor
+
+    base = datetime(2024, 1, 1, 9, 15)
+    rows = [
+        ("A", base + timedelta(minutes=5 * i), 10.0 + i, 12.0 + i, 9.0 + i, 11.0 + i, 3)
+        for i in range(16)
+    ]
+    src = spark.createDataFrame(rows, CANDLE_SCHEMA)
+    batch = {r.window_start: r for r in with_wilder_atr(with_true_range(src).drop("prev_close")).collect()}
+
+    proc = WilderATRProcessor()
+    proc.init(_FakeHandle())
+    pdf = pd.DataFrame(
+        [dict(symbol=s, window_start=w, open=o, high=h, low=lo, close=c, tick_count=t)
+         for s, w, o, h, lo, c, t in rows]
+    )
+    # trigger 1: first 10 candles split into shuffled chunks; trigger 2: rest
+    t1 = pdf.iloc[:10].sample(frac=1.0, random_state=7)
+    out1 = list(proc.handleInputRows(("A",), iter([t1.iloc[5:], t1.iloc[:5]]), None))
+    out2 = list(proc.handleInputRows(("A",), iter([pdf.iloc[10:]]), None))
+    got = pd.concat(out1 + out2, ignore_index=True)
+    assert len(got) == 16
+    for row in got.itertuples(index=False):
+        b = batch[row.window_start.to_pydatetime()]
+        assert row.tr == pytest.approx(b.tr)
+        if b.atr is None:
+            assert pd.isna(row.atr) or row.atr is None
+        else:
+            assert row.atr == pytest.approx(b.atr)
+
+
+def test_tws_atr_idle_timer_emits_heartbeat():
+    """With idle_timeout_ms set, each input re-arms a single timer and
+    timer expiry emits the in-band heartbeat marker row."""
+    import pandas as pd
+
+    from options_data_pipeline_spark.streaming.atr_tws import WilderATRProcessor
+
+    class _TV:
+        def getCurrentProcessingTimeInMs(self):
+            return 1_000_000
+
+    handle = _FakeHandle()
+    proc = WilderATRProcessor(idle_timeout_ms=30_000)
+    proc.init(handle)
+    pdf = pd.DataFrame(
+        [dict(symbol="A", window_start=datetime(2024, 1, 1, 9, 15),
+              open=1.0, high=2.0, low=0.5, close=1.5, tick_count=3)]
+    )
+    list(proc.handleInputRows(("A",), iter([pdf]), _TV()))
+    list(proc.handleInputRows(("A",), iter([pdf]), _TV()))
+    assert handle.timers == [1_030_000]  # re-armed, not accumulated
+    [hb] = list(proc.handleExpiredTimer(("A",), _TV(), None))
+    assert hb.iloc[0].tick_count == -1 and hb.iloc[0].symbol == "A"
+    assert hb.iloc[0].close == 1.5  # last known close travels in the marker
+
+
+def test_tws_streaming_end_to_end_needs_protobuf(spark, tmpdir):
+    """Full transformWithStateInPandas run — auto-skips where
+    google.protobuf is unavailable (this container)."""
+    pytest.importorskip("google.protobuf")
+    from options_data_pipeline_spark.streaming.atr_tws import (
+        ROCKSDB_PROVIDER,
+        streaming_atr_tws,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        base = datetime(2024, 1, 1, 9, 15)
+        rows = [
+            ("A", base + timedelta(minutes=5 * i), 10.0 + i, 12.0 + i, 9.0 + i, 11.0 + i, 3)
+            for i in range(16)
+        ]
+        src = spark.createDataFrame(rows, CANDLE_SCHEMA)
+        got = run_stream(spark, src, tmpdir, streaming_atr_tws, CANDLE_SCHEMA).collect()
+        batch = with_wilder_atr(with_true_range(src).drop("prev_close")).collect()
+        gm = {(r.symbol, r.window_start): r for r in got}
+        for b in batch:
+            g = gm[(b.symbol, b.window_start)]
+            assert g.tr == pytest.approx(b.tr)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
 def test_streaming_atr_state_survives_restart(spark, tmpdir):
     """Warmup spans a query STOP/RESTART: ATR state (prev_close, tr_sum, n)
     must recover from the checkpoint (reference CheckpointManager
