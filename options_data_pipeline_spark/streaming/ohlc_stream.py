@@ -27,6 +27,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def streaming_dedup(
+    rows: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: drop duplicate keys arriving within the
+    watermark horizon (``dropDuplicatesWithinWatermark``) — the streaming
+    face of the exact-dedup family (functions/dedupe.py) and the
+    reference's at-source duplicate-tick guard. State holds one entry per
+    key and the watermark EVICTS it — unlike plain ``dropDuplicates``,
+    whose state grows without bound on an infinite stream. At 100 TB/day
+    the horizon is the dedup contract: re-sends inside it are dropped,
+    older re-sends are the sink-side idempotent append's job
+    (streaming/sink.py) — two layers, bounded state each."""
+    return rows.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
 def streaming_ohlc(
     ticks: DataFrame,
     interval: str = "5 minutes",

@@ -96,6 +96,26 @@ def test_streaming_atr_matches_batch(spark, tmpdir):
             assert g.atr == pytest.approx(b.atr)
 
 
+def test_streaming_dedup_within_watermark(spark, tmpdir):
+    """Duplicate event_ids inside the watermark horizon are dropped; the
+    survivor is exactly one row per key."""
+    from options_data_pipeline_spark.streaming.ohlc_stream import streaming_dedup
+
+    base = datetime(2024, 1, 1, 9, 15)
+    rows = [
+        ("A", 100.0, base, 1),
+        ("A", 100.0, base + timedelta(seconds=30), 1),   # re-send, same key
+        ("A", 101.0, base + timedelta(seconds=60), 2),
+        ("B", 50.0, base + timedelta(seconds=90), 3),
+        ("B", 50.0, base + timedelta(seconds=95), 3),    # re-send
+    ]
+    src = spark.createDataFrame(rows, TICK_SCHEMA)
+    got = run_stream(
+        spark, src, tmpdir, lambda s: streaming_dedup(s, ["event_id"]), TICK_SCHEMA
+    ).collect()
+    assert sorted(r.event_id for r in got) == [1, 2, 3]
+
+
 class _FakeValueState:
     def __init__(self):
         self._v = None
