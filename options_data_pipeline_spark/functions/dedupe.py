@@ -173,6 +173,68 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text", k: int = 5) 
     )
 
 
+def connected_components(
+    pairs: DataFrame, max_iters: int = 20, id_a: str = "doc_a", id_b: str = "doc_b"
+) -> DataFrame:
+    """Near-dup CLUSTERING: collapse a candidate-pair graph into connected
+    components via iterative min-label propagation — the step a real dedup
+    pipeline runs after LSH (pairs alone don't say which docs to keep;
+    ``label`` = min doc_id of the component = the survivor).
+
+    Each iteration is one join + min-aggregate (labels flow along edges);
+    the driver loop stops at fixpoint (no label changed) or ``max_iters``.
+    Iterations needed = component diameter — small for near-dup clusters
+    (dense clouds around a source doc). For adversarial long-chain graphs
+    the alternating small-star/large-star rewrite (Kiveris et al.) bounds
+    rounds at O(log n); noted here as the refinement, not needed for dedup
+    clouds. Each round materializes (cache + count) so lineage stays flat.
+
+    Output: (doc_id, label) for every vertex that appears in ``pairs``
+    (singletons never entered the graph and need no clustering).
+
+    Each round ends in ``localCheckpoint(eager=True)``: caching alone is
+    NOT enough for an iterative dataflow — the logical plan still nests
+    one level per round and the analyzer blows the driver heap around
+    round 15 (measured); the checkpoint truncates lineage so every round
+    starts from a flat plan."""
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("v"))
+        .distinct()
+        .withColumn("label", F.col("v"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(
+                labels.select(F.col("v").alias("dst"), F.col("label").alias("nl")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nl").alias("nl"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.v == nbr.src, "left")
+            .select(
+                "v",
+                F.least(F.col("label"), F.coalesce("nl", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias("doc_id"), "label")
+
+
 def simhash_signatures(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
     """doc_id → simhash (bits-wide integer). Token hash = first 8 md5 hex
     chars (32 bits); bit b of the signature is 1 iff the count of tokens

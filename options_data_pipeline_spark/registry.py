@@ -970,12 +970,55 @@ FROM banded a JOIN banded b USING (band, bucket)
 WHERE a.doc_id < b.doc_id"""
 
 
+_MINHASH_TAIL = """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b USING (band, bucket)
+WHERE a.doc_id < b.doc_id"""
+
+
+def _dedup_clusters_oracle() -> str:
+    """Recursive-CTE twin of min-label propagation: component label =
+    min doc_id transitively reachable over the (symmetric) minhash
+    candidate graph — same oracle style as the ATR recursion."""
+    inner = _minhash_oracle()
+    assert inner.endswith(_MINHASH_TAIL)
+    return inner.replace("WITH ", "WITH RECURSIVE ", 1).replace(
+        _MINHASH_TAIL,
+        f""", pairs AS (
+  {_MINHASH_TAIL}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(v, l) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.l FROM edges e JOIN reach r ON r.v = e.dst
+)
+SELECT v AS doc_id, CAST(min(l) AS BIGINT) AS label FROM reach GROUP BY v""",
+        1,
+    )
+
+
 @register("minhash_lsh", _minhash_oracle())
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates — the scale path for dedup: cost is
     O(docs × 16 hashes) + a bucket equi-join; md5-derived hash family keeps
     the oracle bit-identical."""
     return minhash_lsh_candidates(load_table(spark, "documents", sf_dir))
+
+
+@register("dedup_clusters", _dedup_clusters_oracle())
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering over the MinHash candidate graph: iterative
+    min-label propagation to connected components (label = surviving
+    doc_id). The fixpoint equals transitive min-reachability, which the
+    recursive-CTE oracle computes directly."""
+    from .functions.dedupe import connected_components
+
+    pairs = minhash_lsh_candidates(load_table(spark, "documents", sf_dir))
+    return connected_components(pairs)
 
 
 def _simhash_oracle(bits: int = 32) -> str:

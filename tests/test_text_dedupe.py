@@ -92,6 +92,21 @@ def test_simhash_similar_docs_close(spark):
     assert ham(sigs[0], sigs[1]) < ham(sigs[0], sigs[2])
 
 
+def test_connected_components_chain_and_islands(spark):
+    """Min-label propagation: a 5-node chain (worst-case diameter)
+    collapses to its min id, separate components keep separate labels,
+    and vertices absent from the pair graph don't appear."""
+    from options_data_pipeline_spark.functions.dedupe import connected_components
+
+    pairs = spark.createDataFrame(
+        # chain 9-7-5-3-1 (descending labels propagate the long way) + island 2-4
+        [(7, 9), (5, 7), (3, 5), (1, 3), (2, 4)],
+        "doc_a long, doc_b long",
+    )
+    got = {r.doc_id: r.label for r in connected_components(pairs).collect()}
+    assert got == {9: 1, 7: 1, 5: 1, 3: 1, 1: 1, 2: 2, 4: 2}
+
+
 def test_simhash_banding_wide_signature_knob(spark):
     """The scale knob: 62-bit signatures (max for signed long) band into
     4 pieces incl. an uneven last band — exactness must hold there too."""
