@@ -362,3 +362,48 @@ def cosine_topk_partitioned(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def quantize_int8_stats(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits_max: int = 127,
+) -> DataFrame:
+    """Scalar int8 quantization of an embedding column with reconstruction
+    stats — the storage/IO face of the similarity stack: a 64-dim float32
+    vector shrinks 4× (plus one scale), which at 100 TB of embeddings is
+    the difference between an ANN index that fits on the cluster and one
+    that doesn't.
+
+    Per vector: ``scale = max(|x|)/127`` (symmetric, zero-preserving),
+    ``q_i = round(x_i / scale)``; output is (vec_id, scale, mse,
+    max_abs_err) — scalar columns so the driver's canonicalizer can hash
+    them, with the quantized array itself an intermediate. All sequential
+    ``aggregate`` folds, bit-identical with DuckDB ``list_dot_product``.
+    The 1e-30 floor only guards the all-zero vector (scale 0 → q = 0,
+    error 0) and is mirrored in the oracle."""
+    v = F.col(vec_col).cast("array<double>")
+    dim = F.size(v)
+    scale = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))) / float(bits_max),
+        F.lit(1e-30),
+    )
+    out = vectors.select(
+        F.col(id_col).alias("vec_id"), v.alias("v"), scale.alias("scale"), dim.alias("dim")
+    )
+    q = F.transform(F.col("v"), lambda x: F.round(x / F.col("scale")).cast("int"))
+    out = out.withColumn("qv", q)
+    err = F.zip_with(F.col("v"), F.col("qv"), lambda x, qi: x - qi * F.col("scale"))
+    out = out.withColumn("err", err)
+    sse = F.aggregate(
+        F.zip_with(F.col("err"), F.col("err"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return out.select(
+        "vec_id",
+        "scale",
+        (sse / F.col("dim")).alias("mse"),
+        F.array_max(F.transform(F.col("err"), lambda x: F.abs(x))).alias("max_abs_err"),
+    )

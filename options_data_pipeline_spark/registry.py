@@ -1569,6 +1569,40 @@ def q_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_partitioned(qprobe, corpus, k=5, cell_col="cell")
 
 
+@register(
+    "quantize_int8",
+    """WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, len(embedding) AS dim FROM embeddings
+),
+s AS (
+  SELECT vec_id, v, dim,
+         greatest(list_max(list_transform(v, x -> abs(x))) / 127.0, 1e-30) AS scale
+  FROM v
+),
+q AS (
+  SELECT vec_id, v, dim, scale,
+         list_transform(v, x -> CAST(round(x / scale) AS INT)) AS qv
+  FROM s
+),
+e AS (
+  SELECT vec_id, dim, scale,
+         list_transform(range(1, dim + 1), i -> v[i] - qv[i] * scale) AS err
+  FROM q
+)
+SELECT vec_id, scale,
+       list_dot_product(err, err) / dim AS mse,
+       list_max(list_transform(err, x -> abs(x))) AS max_abs_err
+FROM e""",
+)
+def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column +
+    reconstruction-error stats (the 4× storage face of the ANN stack).
+    Scale/round/error arithmetic is bit-identical in DuckDB."""
+    from .functions.similarity import quantize_int8_stats
+
+    return quantize_int8_stats(load_table(spark, "embeddings", sf_dir))
+
+
 @register("approx_sketch_stats")  # rows-only: sketch internals differ per engine
 def q_approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB observability path for A7/A9: mergeable single-pass

@@ -120,6 +120,21 @@ def test_multiprobe_recall_at_least_single_probe(spark):
     assert recall_2 >= recall_1
 
 
+def test_quantize_int8_error_bound(spark):
+    """Symmetric scalar quantization: every reconstruction error is
+    bounded by scale/2 (round-to-nearest), and an all-zero vector
+    quantizes losslessly."""
+    from options_data_pipeline_spark.functions.similarity import quantize_int8_stats
+
+    rows = [(0, [1.0, -0.5, 0.25, 127.0]), (1, [0.0, 0.0, 0.0, 0.0]), (2, [-3.0, 2.0, 0.1, -0.1])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in quantize_int8_stats(df).collect()}
+    for vid, r in out.items():
+        assert r.max_abs_err <= r.scale / 2 + 1e-12
+        assert r.mse <= (r.scale / 2) ** 2 + 1e-12
+    assert out[1].mse == 0.0 and out[1].max_abs_err == 0.0
+
+
 def test_partitioned_probes_only_own_cell(spark):
     rows = [
         (0, [1.0, 0.0], 0),
