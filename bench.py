@@ -21,6 +21,10 @@ from options_data_pipeline_spark import registry
 # ngram_jaccard deliberately excluded: exact all-pairs verification on the
 # synthetic corpus (tiny vocab → ~all pairs are candidates) is inherently
 # quadratic; minhash_lsh is the benched scale path for near-dup.
+# dedup_clusters excluded too: its driver loop runs EAGERLY at query
+# construction (localCheckpoint per round), which this lazy-timing harness
+# can't attribute honestly — measured separately: 5.6 s at sf0.1, round
+# count = component diameter, per-round cost is one join+agg.
 HEADLINE = [
     "ohlc_5m",
     "ohlc_true_range",
@@ -49,6 +53,7 @@ HEADLINE = [
     "ivf_multiprobe_topk",
     "salted_ohlc_5m",
     "shipping_priority",
+    "quantize_int8",
 ]
 
 
