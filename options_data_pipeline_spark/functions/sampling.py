@@ -1,0 +1,65 @@
+"""Deterministic sampling / splitting / mixing for training-data assembly
+(SURVEY.md §2.10 extension surface).
+
+Everything here is HASH-BUCKET based, never ``rand()``: a document's
+split or keep-decision is a pure function of its id, so runs are
+reproducible across engines, retries, and cluster sizes — the property a
+training-data pipeline actually needs from its sampler (the same doc must
+never hop from test into train on a re-run). md5-derived buckets mirror
+bit-for-bit in the DuckDB oracles.
+
+At 100 TB these are narrow maps (no shuffle until the consumer
+aggregates) and the bucket filter pushes into the scan's row-group
+pruning where the id is a sort/cluster key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_BUCKETS = 10_000
+
+
+def hash_bucket_col(id_col: str = "doc_id", buckets: int = N_BUCKETS) -> Column:
+    """Deterministic bucket in [0, buckets): first 8 md5 hex chars of the
+    id's decimal string — identical in DuckDB:
+    ``CAST(concat('0x', substr(md5(CAST(id AS VARCHAR)),1,8)) AS BIGINT) % buckets``."""
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("long")
+    return h % buckets
+
+
+def split_col(
+    id_col: str = "doc_id",
+    train_per_myriad: int = 9800,
+    val_per_myriad: int = 9900,
+) -> Column:
+    """train/val/test assignment (default 98% / 1% / 1%) from the hash
+    bucket — stable under corpus growth: adding documents never reassigns
+    existing ones."""
+    b = hash_bucket_col(id_col)
+    return (
+        F.when(b < train_per_myriad, F.lit("train"))
+        .when(b < val_per_myriad, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def mixture_keep_col(
+    source_col: str = "source",
+    rates: dict[str, float] | None = None,
+    default_rate: float = 1.0,
+    id_col: str = "doc_id",
+) -> Column:
+    """Weighted source mixing: keep a deterministic ``rates[source]``
+    fraction of each source's documents (undersampling the over-represented
+    source is the standard corpus-mixing move). The per-source threshold
+    is a small CASE over the (tiny) source vocabulary; the keep decision
+    stays a narrow map."""
+    b = hash_bucket_col(id_col)
+    threshold = F.lit(int(default_rate * N_BUCKETS))
+    for src, rate in sorted((rates or {}).items()):
+        threshold = F.when(F.col(source_col) == src, F.lit(int(rate * N_BUCKETS))).otherwise(
+            threshold
+        )
+    return b < threshold

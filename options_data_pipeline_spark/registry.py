@@ -1569,6 +1569,73 @@ def q_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_partitioned(qprobe, corpus, k=5, cell_col="cell")
 
 
+HASH_BUCKET_SQL = (
+    "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000"
+)
+
+
+@register(
+    "dataset_splits",
+    f"""WITH b AS (
+  SELECT doc_id, lang, text, {HASH_BUCKET_SQL} AS bucket FROM documents
+),
+s AS (
+  SELECT lang,
+         CASE WHEN bucket < 9800 THEN 'train'
+              WHEN bucket < 9900 THEN 'val'
+              ELSE 'test' END AS split,
+         length(text) AS n_chars
+  FROM b
+)
+SELECT lang, split, count(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM s GROUP BY lang, split""",
+)
+def q_dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (98/1/1 by id-hash bucket,
+    never rand(): re-runs and corpus growth can't move a doc across
+    splits) with per-(lang, split) size accounting."""
+    from .functions.sampling import split_col
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select("lang", split_col().alias("split"), F.length("text").alias("n_chars"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "source_mixture",
+    f"""WITH b AS (
+  SELECT doc_id, source, {HASH_BUCKET_SQL} AS bucket FROM documents
+),
+kept AS (
+  SELECT source FROM b
+  WHERE bucket < (CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 5000 ELSE 10000 END)
+)
+SELECT b.source, count(*) AS n_total,
+       (SELECT count(*) FROM kept k WHERE k.source = b.source) AS n_kept
+FROM b GROUP BY b.source""",
+)
+def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source mixing: deterministically undersample
+    over-represented sources (src0 → 25%, src1 → 50%, rest kept) and
+    account kept-vs-total per source — the corpus-mixing move, hash-
+    bucketed so the same docs are kept on every run."""
+    from .functions.sampling import mixture_keep_col
+
+    docs = load_table(spark, "documents", sf_dir)
+    keep = mixture_keep_col(rates={"src0": 0.25, "src1": 0.5})
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(keep.cast("long")).alias("n_kept"),
+    )
+
+
 @register(
     "quantize_int8",
     """WITH v AS (

@@ -92,6 +92,47 @@ def test_simhash_similar_docs_close(spark):
     assert ham(sigs[0], sigs[1]) < ham(sigs[0], sigs[2])
 
 
+def test_hash_split_stable_under_corpus_growth(spark):
+    """A document's split is a pure function of its id: adding documents
+    must not move any existing doc across splits, and rates land near
+    98/1/1."""
+    from options_data_pipeline_spark.functions.sampling import split_col
+
+    small = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    s1 = {r.doc_id: r.split for r in small.select("doc_id", split_col().alias("split")).collect()}
+    s2 = {r.doc_id: r.split for r in big.select("doc_id", split_col().alias("split")).collect()}
+    assert all(s2[k] == v for k, v in s1.items())
+    n = len(s2)
+    assert 0.96 < sum(1 for v in s2.values() if v == "train") / n < 0.995
+    assert sum(1 for v in s2.values() if v == "test") > 0
+
+
+def test_mixture_rates_deterministic(spark):
+    """mixture_keep_col keeps ~rate of each source, identically on
+    re-evaluation (no rand())."""
+    from pyspark.sql import functions as F
+
+    from options_data_pipeline_spark.functions.sampling import mixture_keep_col
+
+    docs = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 2).cast("string")).alias("source"),
+    )
+    keep = mixture_keep_col(rates={"s0": 0.2}, source_col="source")
+    agg = lambda: {  # noqa: E731
+        r.source: (r.kept, r.total)
+        for r in docs.groupBy("source")
+        .agg(F.sum(keep.cast("long")).alias("kept"), F.count(F.lit(1)).alias("total"))
+        .collect()
+    }
+    first, second = agg(), agg()
+    assert first == second
+    kept0, total0 = first["s0"]
+    assert 0.15 < kept0 / total0 < 0.25  # ~20%
+    assert first["s1"][0] == first["s1"][1]  # default rate 1.0 keeps all
+
+
 def test_connected_components_chain_and_islands(spark):
     """Min-label propagation: a 5-node chain (worst-case diameter)
     collapses to its min id, separate components keep separate labels,
