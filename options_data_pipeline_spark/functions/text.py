@@ -175,6 +175,42 @@ def winnow_overlap_pairs(
     )
 
 
+def rare_token_stats(
+    docs: DataFrame, text_col: str = "text", min_df: int = 3
+) -> DataFrame:
+    """Corpus-statistics quality signal: per document, how many of its
+    distinct tokens are RARE corpus-wide (document frequency < min_df) —
+    the exact-arithmetic stand-in for perplexity filtering (gibberish and
+    boilerplate-stripped junk are rare-token-heavy; cross-engine float
+    log() is not bit-stable, integer df counts are).
+
+    Two-pass shape: one groupBy builds the (token → df) table, a second
+    aggregation scores each doc against it. At 100 TB the df table is the
+    big intermediate — it stays distributed (shuffle join on token), never
+    driver-side."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(f"regexp_extract_all(lower({text_col}), '\\\\S+', 0)")
+            )
+        ).alias("tok"),
+    )
+    dfreq = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        toks.join(dfreq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.sum((F.col("df") < min_df).cast("long")).alias("n_rare"),
+        )
+        .withColumn(
+            "rare_ratio",
+            F.col("n_rare").cast("double") / F.col("n_distinct_tokens").cast("double"),
+        )
+    )
+
+
 def with_text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     out = docs
     for name, col in quality_cols(text_col).items():

@@ -857,6 +857,32 @@ def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rare_token_stats",
+    r"""WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+  FROM documents
+),
+dfreq AS (
+  SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+)
+SELECT t.doc_id,
+       count(*) AS n_distinct_tokens,
+       CAST(SUM(CASE WHEN d.df < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       CAST(SUM(CASE WHEN d.df < 3 THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+         / count(*)::DOUBLE AS rare_ratio
+FROM toks t JOIN dfreq d USING (tok)
+GROUP BY t.doc_id""",
+)
+def q_rare_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics quality signal (perplexity-filter stand-in):
+    per-doc rare-token counts against corpus-wide document frequencies.
+    Two-pass — df table stays distributed."""
+    from .functions.text import rare_token_stats
+
+    return rare_token_stats(load_table(spark, "documents", sf_dir))
+
+
+@register(
     "lang_id",
     r"""WITH scored AS (
   SELECT lang,

@@ -92,6 +92,22 @@ def test_simhash_similar_docs_close(spark):
     assert ham(sigs[0], sigs[1]) < ham(sigs[0], sigs[2])
 
 
+def test_rare_token_stats_flags_gibberish(spark):
+    """Tokens seen in < min_df docs count as rare; the gibberish doc's
+    rare_ratio dominates the docs built from shared vocabulary."""
+    from options_data_pipeline_spark.functions.text import rare_token_stats
+
+    common = "alpha beta gamma delta"
+    df = docs_df(
+        spark,
+        [common, common + " epsilon", common + " zeta", "qqxjv wkzzp mmvrt"],
+    )
+    out = {r.doc_id: r for r in rare_token_stats(df, min_df=3).collect()}
+    assert out[3].rare_ratio == 1.0  # pure gibberish
+    assert out[0].n_rare == 0  # all tokens appear in >= 3 docs
+    assert out[1].n_rare == 1 and out[1].n_distinct_tokens == 5  # epsilon is rare
+
+
 def test_hash_split_stable_under_corpus_growth(spark):
     """A document's split is a pure function of its id: adding documents
     must not move any existing doc across splits, and rates land near
