@@ -54,6 +54,8 @@ HEADLINE = [
     "salted_ohlc_5m",
     "shipping_priority",
     "quantize_int8",
+    "rare_token_stats",
+    "dataset_splits",
 ]
 
 
