@@ -232,13 +232,33 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Falling out of the loop with labels still moving means the
+        # output is NOT a fixpoint — silently returning it would hand the
+        # caller wrong clusters that look valid.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} iterations"
+            f" ({changed} labels still changing); raise max_iters or use"
+            " connected_components_star for long-chain graphs"
+        )
     return labels.select(F.col("v").alias("doc_id"), "label")
 
 
 def simhash_signatures(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
-    """doc_id → simhash (bits-wide integer). Token hash = first 8 md5 hex
-    chars (32 bits); bit b of the signature is 1 iff the count of tokens
-    with bit b set exceeds half the token count."""
+    """doc_id → simhash (bits-wide integer). Bit b of the signature is 1
+    iff the count of tokens whose hash has bit b set exceeds half the
+    token count.
+
+    Token hash width follows ``bits``: the low 32 signature bits read md5
+    hex chars 1–8, bits 32+ read chars 9–16 (a second independent 32-bit
+    word — two ``conv`` calls sidestep the signed-long overflow a single
+    16-hex-char conv would hit). ``bits <= 32`` stays bit-identical to
+    the historical 8-hex-char formula (pinned by the DuckDB oracle);
+    ``bits`` up to 62 gives genuinely distinct high bits, so wide-band
+    pairing has real bucket entropy (cap 62 keeps ``1 << b`` inside a
+    signed long)."""
+    if not 1 <= bits <= 62:
+        raise ValueError(f"bits must be in [1, 62], got {bits}")
     toks = docs.select(
         "doc_id",
         F.explode(
@@ -248,9 +268,18 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text", bits: int = 32) 
     hashed = toks.withColumn(
         "h", F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
     )
+    if bits > 32:
+        hashed = hashed.withColumn(
+            "h2", F.conv(F.substring(F.md5(F.col("tok")), 9, 8), 16, 10).cast("long")
+        )
+
+    def bit_src(b: int) -> F.Column:
+        return (
+            F.shiftright(F.col("h"), b) if b < 32 else F.shiftright(F.col("h2"), b - 32)
+        ).bitwiseAND(F.lit(1))
+
     aggs = [F.count(F.lit(1)).alias("n")] + [
-        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"b{b}")
-        for b in range(bits)
+        F.sum(bit_src(b)).alias(f"b{b}") for b in range(bits)
     ]
     counts = hashed.groupBy("doc_id").agg(*aggs)
     sig = F.lit(0).cast("long")

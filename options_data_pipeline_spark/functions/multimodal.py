@@ -188,16 +188,26 @@ def extract_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
     + cheap integrity stats. Batches stream through Arrow; the payload
     column is dropped inside the iterator (first row of output never
     carries bytes). ``decoder="auto"`` dispatches per row on the ``kind``
-    column; otherwise one named decoder handles the whole frame."""
+    column and degrades gracefully on mixed corpora: a row whose kind has
+    no available codec gets ``feature = NULL`` (integrity stats still
+    emitted) instead of failing the whole job — the hard
+    ``NotImplementedError`` is reserved for explicitly named decoders,
+    where the caller asserted the corpus is decodable."""
     if decoder != "auto":
         DECODERS[decoder]  # fail fast on unknown names, on the driver
+
+    def auto_decode(kind: str, payload: bytes) -> list[float] | None:
+        try:
+            return DECODERS.get(kind, _unavailable)(payload)
+        except NotImplementedError:
+            return None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
             if decoder == "auto":
                 feats = [
-                    DECODERS.get(k, _unavailable)(bytes(p or b""))
+                    auto_decode(k, bytes(p or b""))
                     for k, p in zip(pdf["kind"], payloads)
                 ]
             else:

@@ -21,11 +21,23 @@ from pyspark.sql import functions as F
 N_BUCKETS = 10_000
 
 
-def hash_bucket_col(id_col: str = "doc_id", buckets: int = N_BUCKETS) -> Column:
+def hash_bucket_col(
+    id_col: str = "doc_id", buckets: int = N_BUCKETS, salt: str = ""
+) -> Column:
     """Deterministic bucket in [0, buckets): first 8 md5 hex chars of the
-    id's decimal string — identical in DuckDB:
-    ``CAST(concat('0x', substr(md5(CAST(id AS VARCHAR)),1,8)) AS BIGINT) % buckets``."""
-    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("long")
+    salted id string — identical in DuckDB:
+    ``CAST(concat('0x', substr(md5(concat(salt, CAST(id AS VARCHAR))),1,8)) AS BIGINT) % buckets``.
+
+    ``salt`` makes independent decisions independent: every decision that
+    samples the same population MUST use its own salt, otherwise the
+    decisions are fully correlated (e.g. an unsalted mixture keep at rate
+    ≤ train-fraction selects a strict subset of the train buckets and
+    val/test get ZERO documents from that source)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
     return h % buckets
 
 
@@ -36,8 +48,9 @@ def split_col(
 ) -> Column:
     """train/val/test assignment (default 98% / 1% / 1%) from the hash
     bucket — stable under corpus growth: adding documents never reassigns
-    existing ones."""
-    b = hash_bucket_col(id_col)
+    existing ones. Salted ``'split:'`` so the decision is independent of
+    mixture keep-decisions over the same ids."""
+    b = hash_bucket_col(id_col, salt="split:")
     return (
         F.when(b < train_per_myriad, F.lit("train"))
         .when(b < val_per_myriad, F.lit("val"))
@@ -55,8 +68,10 @@ def mixture_keep_col(
     fraction of each source's documents (undersampling the over-represented
     source is the standard corpus-mixing move). The per-source threshold
     is a small CASE over the (tiny) source vocabulary; the keep decision
-    stays a narrow map."""
-    b = hash_bucket_col(id_col)
+    stays a narrow map. Salted ``'mix:'`` so keep-decisions are
+    independent of split assignment — apply-mixture-then-split keeps the
+    98/1/1 split ratios within every source."""
+    b = hash_bucket_col(id_col, salt="mix:")
     threshold = F.lit(int(default_rate * N_BUCKETS))
     for src, rate in sorted((rates or {}).items()):
         threshold = F.when(F.col(source_col) == src, F.lit(int(rate * N_BUCKETS))).otherwise(

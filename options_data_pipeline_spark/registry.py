@@ -1595,15 +1595,19 @@ def q_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_partitioned(qprobe, corpus, k=5, cell_col="cell")
 
 
-HASH_BUCKET_SQL = (
-    "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000"
-)
+def _hash_bucket_sql(salt: str) -> str:
+    """DuckDB twin of sampling.hash_bucket_col — per-decision salt keeps
+    split and mixture decisions statistically independent."""
+    return (
+        "CAST(concat('0x', substr(md5(concat('" + salt + "',"
+        " CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 10000"
+    )
 
 
 @register(
     "dataset_splits",
     f"""WITH b AS (
-  SELECT doc_id, lang, text, {HASH_BUCKET_SQL} AS bucket FROM documents
+  SELECT doc_id, lang, text, {_hash_bucket_sql('split:')} AS bucket FROM documents
 ),
 s AS (
   SELECT lang,
@@ -1637,7 +1641,7 @@ def q_dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "source_mixture",
     f"""WITH b AS (
-  SELECT doc_id, source, {HASH_BUCKET_SQL} AS bucket FROM documents
+  SELECT doc_id, source, {_hash_bucket_sql('mix:')} AS bucket FROM documents
 ),
 kept AS (
   SELECT source FROM b

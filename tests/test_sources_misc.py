@@ -151,6 +151,30 @@ def test_multimodal_auto_dispatch_mixed_batch(spark):
     assert out[3][7] == pytest.approx(1.0)  # fake histogram, 0xff bucket
 
 
+def test_multimodal_auto_mode_undecodable_rows_yield_null(spark):
+    """A mixed corpus with undecodable kinds (video, unknown) must not
+    fail the whole mapInPandas job in auto mode: those rows emit a NULL
+    feature (integrity stats intact); an explicitly named decoder still
+    fails hard."""
+    from options_data_pipeline_spark.functions.multimodal import make_bmp
+
+    bmp = make_bmp(2, 2, lambda x, y: (10, 20, 30))
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(bmp), ("bmp", 2, 2, None)),
+            (2, "video", bytearray(b"\x00\x01\x02"), ("mp4", 0, 0, 1000)),
+            (3, "hologram", bytearray(b"\x05"), ("???", None, None, None)),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r for r in extract_features(media, decoder="auto").collect()}
+    assert rows[1].feature is not None and rows[1].feature[0] == 2.0
+    assert rows[2].feature is None and rows[2].n_bytes == 3  # stats still emitted
+    assert rows[3].feature is None and rows[3].checksum == 5
+    with pytest.raises(Exception):  # named decoder keeps the hard failure
+        extract_features(media, decoder="video").collect()
+
+
 def test_frame_sampling(spark):
     media = spark.createDataFrame(
         [(1, "video", bytearray(b""), ("mp4", 0, 0, 3500))], MEDIA_SCHEMA

@@ -149,6 +149,32 @@ def test_mixture_rates_deterministic(spark):
     assert first["s1"][0] == first["s1"][1]  # default rate 1.0 keeps all
 
 
+def test_mixture_then_split_independent(spark):
+    """The normal training-data flow — undersample a source, THEN split —
+    must still produce val/test docs from the undersampled source. Fails
+    if split and keep share an unsalted hash (keep ⊂ train buckets)."""
+    from pyspark.sql import functions as F
+
+    from options_data_pipeline_spark.functions.sampling import (
+        mixture_keep_col,
+        split_col,
+    )
+
+    docs = spark.range(0, 20000).select(
+        F.col("id").alias("doc_id"), F.lit("s0").alias("source")
+    )
+    kept = docs.filter(mixture_keep_col(rates={"s0": 0.5}, source_col="source"))
+    splits = {
+        r.split: r.n
+        for r in kept.groupBy(split_col().alias("split"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert splits.get("val", 0) > 0 and splits.get("test", 0) > 0
+    n = sum(splits.values())
+    assert 0.96 < splits["train"] / n < 0.995  # split ratios survive mixing
+
+
 def test_connected_components_chain_and_islands(spark):
     """Min-label propagation: a 5-node chain (worst-case diameter)
     collapses to its min id, separate components keep separate labels,
@@ -190,6 +216,36 @@ def test_simhash_banding_wide_signature_knob(spark):
         if a < b and bin(sa ^ sb).count("1") <= 3
     }
     assert got == want and (0, 1, 1) in got
+
+
+def test_simhash_wide_bits_real_entropy_e2e(spark):
+    """End-to-end at bits=62 from raw TEXT (not hand-built signatures):
+    the high signature bits (>= 32) must carry real entropy — the
+    historical 8-hex-char token hash made every bit >= 32 constant-zero,
+    turning the top band into an all-pairs bucket — and the banded pairing
+    must still equal brute-force Hamming on those signatures."""
+    from options_data_pipeline_spark.functions.dedupe import (
+        simhash_near_pairs,
+        simhash_signatures,
+    )
+
+    texts = [f"document number {i} with shared filler words alpha beta" for i in range(8)]
+    texts += ["completely disjoint gibberish zqxv wkpl mnrt"]
+    df = docs_df(spark, texts)
+    sigs = {r.doc_id: r.simhash for r in simhash_signatures(df, bits=62).collect()}
+    high = {d: s >> 32 for d, s in sigs.items()}
+    assert len(set(high.values())) > 1, "bits >= 32 are constant: wide knob is a no-op"
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_near_pairs(df, max_hamming=6, bits=62).collect()
+    }
+    want = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for a in sigs
+        for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 6
+    }
+    assert got == want
 
 
 def test_winnowing_guarantee(spark):
