@@ -289,7 +289,7 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text", bits: int = 32) 
 
 
 def simhash_near_pairs(
-    docs: DataFrame, text_col: str = "text", max_hamming: int = 3, bits: int = 32
+    docs: DataFrame, text_col: str = "text", max_hamming: int = 3, bits: int = 62
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming — EXACT by
     the pigeonhole band guarantee: the signature is split into
@@ -303,14 +303,17 @@ def simhash_near_pairs(
     skew (e.g. a zero band shared by short docs) is bounded by real
     near-dup cluster sizes, same posture as MinHash-LSH.
 
-    SCALE KNOB — bucket count must grow with corpus size: expected
-    candidate volume per band is ~N²/2^(bits/(max_hamming+1)). With the
-    default 32-bit/4-band config (256 buckets per band) that turns
-    quadratic around N≈10⁵. For larger corpora widen the signature
-    (``bits=62`` → ~2³⁰ buckets per band; keep bits ≤ 62 so the 1<<b
-    terms stay inside a signed long) — the pigeonhole guarantee holds for
-    any ``bits``, only hash-collision false positives (removed by the
-    exact Hamming filter) change."""
+    DEFAULT IS SCALE-SAFE: expected candidate volume per band is
+    ~N²/2^(bits/(max_hamming+1)), so bucket count must grow with corpus
+    size — the historical 32-bit/4-band default (256 buckets per band)
+    turned quadratic around N≈10⁵. The default is now the widest signed-
+    long signature, ``bits=62`` (~2¹⁵ buckets per band at max_hamming=3),
+    free because pigeonhole exactness is width-independent — only
+    hash-collision false positives (removed by the exact Hamming filter)
+    change. The small-corpus oracle query pins ``bits=32`` explicitly so
+    hashes don't move. Beyond N≈10⁷ a single long saturates; the next
+    rung is a multi-word signature (two longs, 124 bits) — same banding
+    shape, not yet needed."""
     sig = simhash_signatures(docs, text_col, bits)
     return simhash_pairs_from_signatures(sig, max_hamming, bits)
 

@@ -99,32 +99,55 @@ def random_hyperplanes(dim: int = 64, n_planes: int = 16) -> list[list[float]]:
     return planes
 
 
+def auto_rp_lsh_params(n: int, target_occupancy: int = 16, bands: int = 8) -> tuple[int, int]:
+    """Scale-safe (n_planes, bands) from a corpus-count estimate.
+
+    Buckets per band must grow ∝ N or the bucket join goes quadratic
+    (measured: the old fixed 16-bucket default cost 39× at ×10 data,
+    BASELINE.md). Band width ``w = max(8, ceil(log2(N / target_occupancy)))``
+    keeps expected bucket occupancy ≤ ~target, so per-band candidate
+    volume stays ~N·occupancy/2 — linear in N — while plane count (the
+    per-row compute) grows only logarithmically. ``bands=8`` keeps recall:
+    at cosine 0.9 (per-bit agreement ≈ 0.85) recall = 1−(1−0.85^w)^8 ≈
+    0.97 at w=8, ≈ 0.80 at w=11 — decaying ~log N, the standard LSH
+    trade; raise ``bands`` to buy it back at linear cost."""
+    import math
+
+    w = max(8, math.ceil(math.log2(max(n, 2) / target_occupancy)))
+    return w * bands, bands
+
+
 def rp_lsh_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.35,
-    n_planes: int = 16,
-    bands: int = 4,
+    n_planes: int | str = "auto",
+    bands: int | str = "auto",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Cosine near-dup via random-hyperplane (sign) LSH — the labels-free
     scale path: bucket on band signatures, verify candidates exactly.
 
-    P(two vectors agree on one bit) = 1 − θ/π, so banding (4×4 bits here)
-    tunes recall vs candidate volume; found pairs ⊆ true pairs (LSH may
-    miss low-similarity pairs — by design). Everything is built-in Column
+    P(two vectors agree on one bit) = 1 − θ/π, so banding tunes recall vs
+    candidate volume; found pairs ⊆ true pairs (LSH may miss
+    low-similarity pairs — by design). Everything is built-in Column
     arithmetic; the plane weights are literals, so the DuckDB oracle
     reproduces signatures bit-for-bit.
 
-    SCALE KNOB — the default 4-bit bands (16 buckets) are sized for the
-    moderate-similarity synthetic corpus (θ≈70°, where recall is 0.47 vs
-    0.11 with 8-bit bands; measured in BASELINE.md). Candidate volume per
-    band is ~N²/2^(n_planes/bands), so at N ≳ 10⁵ callers hunting true
-    NEAR-DUPS (cosine ≥ 0.9, per-bit agreement ≥ 0.85) should raise
-    ``n_planes`` (e.g. 32/4 → 256 buckets, recall ≈ 0.75 at cosine 0.9;
-    64/8 → 256 buckets and 8 chances, recall ≈ 0.97) — the hard-θ recall
-    loss only matters when the threshold itself is low.
+    DEFAULT IS SCALE-SAFE: ``n_planes``/``bands`` auto-size from a cheap
+    ``count()`` of the corpus (parquet row-count is metadata-only) via
+    :func:`auto_rp_lsh_params`, so bucket count grows ∝ N and the probe
+    stays near-linear at any scale. Pass explicit ints to pin a config
+    (the small-corpus oracle query pins the historical 16/4 so hashes
+    don't move; BASELINE.md records the measured recall ladder — 16
+    buckets: recall 0.47 at θ≈70°; 32/4: 0.75 at cosine 0.9; 64/8: 0.97).
     """
+    if isinstance(n_planes, str):
+        n_planes, bands = auto_rp_lsh_params(
+            vectors.count(), bands=bands if isinstance(bands, int) else 8
+        )
+    elif isinstance(bands, str):
+        bands = 4 if n_planes <= 32 else 8
     planes = random_hyperplanes(64, n_planes)
     rows_per_band = n_planes // bands
     v = vectors.select(

@@ -1087,8 +1087,9 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 3) via pigeonhole banding —
     EXACT, so the naive quadratic DuckDB join is a true twin. The Spark
     plan does only (band, value) equi-joins; the oracle proves the band
-    union misses no pair."""
-    pairs = simhash_near_pairs(load_table(spark, "documents", sf_dir))
+    union misses no pair. bits=32 pinned to match the oracle signature
+    (the function default is the scale-safe 62)."""
+    pairs = simhash_near_pairs(load_table(spark, "documents", sf_dir), bits=32)
     return pairs.withColumn("hamming", F.col("hamming").cast("int"))
 
 
@@ -1437,8 +1438,12 @@ SELECT id_a, id_b, cosine FROM cand WHERE cosine >= {threshold}"""
 @register("rp_lsh_near_dup", _rp_lsh_oracle())
 def q_rp_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH cosine near-dup (labels-free scale path):
-    sign-signature banding → bucket join → exact cosine verification."""
-    return rp_lsh_near_dup_pairs(load_table(spark, "embeddings", sf_dir), threshold=0.35)
+    sign-signature banding → bucket join → exact cosine verification.
+    16/4 pinned to match the oracle's plane literals (the function
+    default auto-sizes from the corpus count)."""
+    return rp_lsh_near_dup_pairs(
+        load_table(spark, "embeddings", sf_dir), threshold=0.35, n_planes=16, bands=4
+    )
 
 
 @register("ivf_kmeans_topk")  # rows-only: iterative k-means has no SQL twin

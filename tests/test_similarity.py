@@ -54,11 +54,37 @@ def test_rp_lsh_subset_of_brute_force(spark):
     )
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    lsh = {(r.id_a, r.id_b) for r in rp_lsh_near_dup_pairs(emb, 0.35).collect()}
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in rp_lsh_near_dup_pairs(emb, 0.35, n_planes=16, bands=4).collect()
+    }
     brute = {(r.id_a, r.id_b) for r in cosine_near_dup_pairs(emb, 0.35).collect()}
     assert lsh <= brute
     if brute:
         assert len(lsh) / len(brute) >= 0.25
+
+
+def test_rp_lsh_auto_params_scale_with_corpus(spark):
+    """Default args are the scale-safe path: band width grows with log N
+    (bucket count ∝ N), bands stay at 8, and the auto run still returns a
+    subset of the brute-force pairs."""
+    from options_data_pipeline_spark.functions.similarity import (
+        auto_rp_lsh_params,
+        cosine_near_dup_pairs,
+        rp_lsh_near_dup_pairs,
+    )
+
+    assert auto_rp_lsh_params(2_000) == (64, 8)          # floor: 8-bit bands
+    assert auto_rp_lsh_params(20_000) == (88, 8)         # w=11 → 2048 buckets
+    assert auto_rp_lsh_params(200_000) == (112, 8)       # w=14
+    assert auto_rp_lsh_params(1_000_000_000) == (208, 8) # w=26 — still sane
+    np_, nb = auto_rp_lsh_params(2_000_000)
+    assert (np_ // nb) >= 17  # 2^17 buckets ≥ N/16
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    auto = {(r.id_a, r.id_b) for r in rp_lsh_near_dup_pairs(emb, 0.35).collect()}
+    brute = {(r.id_a, r.id_b) for r in cosine_near_dup_pairs(emb, 0.35).collect()}
+    assert auto <= brute
 
 
 def test_kmeans_ivf_recall(spark):

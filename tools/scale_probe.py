@@ -127,6 +127,30 @@ NEEDS = {
 }
 
 
+def _probe_rp_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from options_data_pipeline_spark.functions.similarity import rp_lsh_near_dup_pairs
+    from options_data_pipeline_spark.sources.tables import load_table
+
+    return rp_lsh_near_dup_pairs(load_table(spark, "embeddings", sf_dir), threshold=0.35)
+
+
+def _probe_simhash_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from options_data_pipeline_spark.functions.dedupe import simhash_near_pairs
+    from options_data_pipeline_spark.sources.tables import load_table
+
+    return simhash_near_pairs(load_table(spark, "documents", sf_dir))
+
+
+# Probe-only entries: the registry queries pin small oracle params so their
+# hashes never move; these run the same operators at DEFAULT (auto-sized)
+# args — the config a user gets — so the scaling claim is measured on the
+# defaults, not the pinned toy config.
+EXTRA_PROBES = {
+    "rp_lsh_auto": _probe_rp_lsh_auto,
+    "simhash_auto": _probe_simhash_auto,
+}
+
+
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     names = sys.argv[2:] or ["minhash_lsh", "embedding_near_dup", "gap_fill"]
@@ -145,7 +169,7 @@ def main() -> None:
                 s = os.path.join(src, f)
                 (shutil.copytree if os.path.isdir(s) else shutil.copy)(s, dst)
 
-        qs = registry.queries()
+        qs = {**registry.queries(), **EXTRA_PROBES}
         timings: dict[str, float] = {}
         for name in names:
             t0 = time.perf_counter()
