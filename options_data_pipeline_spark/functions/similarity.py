@@ -304,6 +304,7 @@ def kmeans_cells(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_dp: int | None = 9,
 ) -> DataFrame:
     """Deterministic Lloyd's k-means over the embedding column, returning
     (id, cell) — the coarse quantizer for real IVF (no precomputed labels).
@@ -314,9 +315,18 @@ def kmeans_cells(
     groupBy(cell).avg to re-estimate. Centroids live driver-side (k×dim
     floats — tiny); the data never re-shuffles. Init = the first k vectors
     by id (deterministic; k-means++ would also be expressible but needs k
-    passes). Iterative refinement is inherently non-SQL-expressible, so
-    the registry exposes IVF search over these cells as a rows-only check
-    and correctness rides on the invariant tests.
+    passes). Empty cells keep their previous centroid.
+
+    ``round_dp`` quantizes each re-estimated mean to a fixed decimal grid
+    (via ``F.round``, half-away — same rule as DuckDB's ``round``). This
+    makes the centroids ENGINE-EXACT: float summation order differs
+    between engines (and between Spark task schedules) by ~1e-16, which
+    the 9-dp grid erases, so the whole Lloyd's trajectory — and therefore
+    every cell assignment — is reproducible bit-for-bit in any engine
+    that can round. That is what lets the registry hash-check learned IVF
+    end-to-end against a recursive DuckDB oracle instead of settling for
+    a rows-only check (a 1e-9 centroid grid is far below any quantizer's
+    useful resolution, so recall is unaffected — pinned by tests).
     """
     v = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v"))
     dim = len(v.first()["v"])
@@ -324,12 +334,15 @@ def kmeans_cells(
 
     for _ in range(iters):
         assigned = v.withColumn("cell", centroid_argmin(F.col("v"), centroids))
+        mean = lambda d: F.avg(f"d{d}")  # noqa: E731
+        if round_dp is not None:
+            mean = lambda d: F.round(F.avg(f"d{d}"), round_dp)  # noqa: E731
         means = (
             assigned.select(
                 "cell", *[F.col("v")[d].alias(f"d{d}") for d in range(dim)]
             )
             .groupBy("cell")
-            .agg(*[F.avg(f"d{d}").alias(f"d{d}") for d in range(dim)])
+            .agg(*[mean(d).alias(f"d{d}") for d in range(dim)])
             .collect()
         )
         new_cents = list(centroids)

@@ -1446,13 +1446,94 @@ def q_rp_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ivf_kmeans_topk")  # rows-only: iterative k-means has no SQL twin
+def _ivf_kmeans_oracle(
+    k: int = 8, iters: int = 3, dim: int = 64, topk: int = 5, round_dp: int = 9
+) -> str:
+    """DuckDB twin of LEARNED IVF: the full Lloyd's trajectory unrolled as
+    chained CTE stages (iters is small and fixed, so unrolling beats a
+    recursive CTE, whose single-recursive-reference rule forbids the
+    carry-over LEFT JOIN for empty cells). Engine-exactness rests on
+    ``kmeans_cells(round_dp=9)`` quantizing every re-estimated mean to a
+    9-dp grid: AVG summation order differs between engines by ~1e-16,
+    which the grid erases, so centroids — and every downstream cell
+    assignment — are bit-identical. Assignment tie-break: row_number
+    ordered by (score, cell) = Spark's strict-< first-wins fold over
+    cells 0..k-1. Per-dim means via a range(dim) cross join + list(mu
+    ORDER BY d) re-assembly; empty cells keep the previous centroid
+    (COALESCE on the left join)."""
+    stages = [
+        f"""v AS (
+  SELECT vec_id AS vid, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vid) - 1 AS INT) AS cell, v AS c
+  FROM (SELECT vid, v FROM v ORDER BY vid LIMIT {k})
+)"""
+    ]
+    for it in range(iters):
+        prev, nxt = f"c{it}", f"c{it + 1}"
+        stages.append(f"""a{it} AS (
+  SELECT vid, v, cell FROM (
+    SELECT v.vid, v.v, {prev}.cell,
+           row_number() OVER (
+             PARTITION BY v.vid
+             ORDER BY list_dot_product({prev}.c, {prev}.c)
+                      - 2.0 * list_dot_product(v.v, {prev}.c),
+                      {prev}.cell) AS rn
+    FROM v CROSS JOIN {prev}
+  ) WHERE rn = 1
+),
+m{it} AS (
+  SELECT cell, d, round(avg(v[d + 1]), {round_dp}) AS mu
+  FROM a{it} CROSS JOIN range({dim}) t(d)
+  GROUP BY cell, d
+),
+{nxt} AS (
+  SELECT p.cell, COALESCE(n.c, p.c) AS c
+  FROM c{it} p LEFT JOIN (
+    SELECT cell, list(mu ORDER BY d) AS c FROM m{it} GROUP BY cell
+  ) n USING (cell)
+)""")
+    final = f"c{iters}"
+    stages.append(f"""cells AS (
+  SELECT vid, v, nrm, cell FROM (
+    SELECT v.vid, v.v, v.nrm, {final}.cell,
+           row_number() OVER (
+             PARTITION BY v.vid
+             ORDER BY list_dot_product({final}.c, {final}.c)
+                      - 2.0 * list_dot_product(v.v, {final}.c),
+                      {final}.cell) AS rn
+    FROM v CROSS JOIN {final}
+  ) WHERE rn = 1
+),
+q AS (SELECT * FROM cells WHERE vid < 10),
+cand AS (
+  SELECT q.vid AS query_id, c.vid AS neighbor_id,
+         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine
+  FROM cells c JOIN q USING (cell)
+  WHERE q.vid <> c.vid
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS "rank"
+  FROM cand
+)""")
+    body = ",\n".join(stages)
+    return f"""WITH {body}
+SELECT query_id, neighbor_id, cosine, "rank" FROM ranked WHERE "rank" <= {topk}"""
+
+
+@register("ivf_kmeans_topk", _ivf_kmeans_oracle())
 def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real IVF: k-means coarse quantizer (kmeans_cells) + cell-probed
-    top-k. Rows-only check by design (Lloyd's iterations are not
-    SQL-expressible); recall vs brute force is pinned by tests. The
-    oracle-checked twin of the assignment+probe machinery (same argmin
-    fold, same cell join) is ``ivf_fixed_topk`` below."""
+    top-k — now FULLY hash-checked: quantizing each Lloyd's mean to a
+    9-dp grid (``round_dp=9`` in kmeans_cells) makes the centroid
+    trajectory engine-exact, so the DuckDB oracle unrolls all 3
+    iterations and reproduces assignment, probe and ranking
+    bit-for-bit. Recall vs brute force is additionally pinned by tests.
+    The literal-centroid twin (no learning) is ``ivf_fixed_topk``."""
     from .functions.similarity import kmeans_cells
 
     emb = load_table(spark, "embeddings", sf_dir)
