@@ -19,14 +19,22 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# events.ts is nanosecond-precision parquet (TIMESTAMP(NANOS)), which Spark's
-# vectorized reader rejects by default. Reading with an explicit LongType
-# schema (independent of any session conf the driver may use) yields raw
-# epoch-nanos; load_ticks converts with integer division to µs — matching
-# DuckDB's own ns→µs truncation so oracle timestamps agree bit-for-bit.
-EVENTS_SCHEMA = (
+# events.ts precision varies across testdata generations: TIMESTAMP(NANOS)
+# (which Spark's vectorized reader rejects by default — read as LongType
+# epoch-nanos and truncate to µs, matching DuckDB's own ns→µs truncation)
+# vs TIMESTAMP(MICROS) (read natively). The loader probes the parquet
+# footer once, driver-side, to pick the path — schema metadata only, no
+# data read, so it costs nothing at any scale.
+EVENTS_SCHEMA_NS = (
     "event_id long, ts long, user_id long, event_type string, value double, props string"
 )
+
+
+def _events_ts_is_nanos(path: str) -> bool:
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(path).field("ts").type
+    return getattr(t, "unit", None) == "ns"
 
 TABLES = [
     "region",
@@ -64,8 +72,14 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        raw = spark.read.schema(EVENTS_SCHEMA).parquet(path)
-        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if _events_ts_is_nanos(path):
+            raw = spark.read.schema(EVENTS_SCHEMA_NS).parquet(path)
+            return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        # native µs read infers TIMESTAMP_NTZ; cast to the session-TZ
+        # timestamp the ns path produced so downstream schemas (candle
+        # stream, sinks) stay identical across testdata generations —
+        # numerically a no-op under the UTC session contract
+        return spark.read.parquet(path).withColumn("ts", F.col("ts").cast("timestamp"))
     df = spark.read.parquet(path)
     if name in ("documents", "embeddings"):
         # the hash/regex/vector-arithmetic tables: per-row compute dwarfs

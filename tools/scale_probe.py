@@ -39,7 +39,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from options_data_pipeline_spark import registry  # noqa: E402
 from options_data_pipeline_spark.session import get_spark  # noqa: E402
-from options_data_pipeline_spark.sources.tables import EVENTS_SCHEMA  # noqa: E402
+from options_data_pipeline_spark.sources.tables import load_table  # noqa: E402
 
 LOWER = "abcdefghijklmnopqrstuvwxyz"
 UPPER = LOWER.upper()
@@ -57,7 +57,9 @@ def _caesar(col, r: int):
 
 
 def replicate_events(spark: SparkSession, src: str, out: str, factor: int) -> int:
-    raw = spark.read.schema(EVENTS_SCHEMA).parquet(os.path.join(src, "events.parquet"))
+    # load_table handles the ns-vs-µs parquet timestamp probe; replicas are
+    # written back as native timestamp[µs] parquet
+    raw = load_table(spark, "events", src)
     base = raw.agg((F.max("event_id") + 1).alias("m")).first().m
     parts = []
     for r in range(factor):
