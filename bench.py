@@ -21,11 +21,12 @@ from options_data_pipeline_spark import registry
 # ngram_jaccard deliberately excluded: exact all-pairs verification on the
 # synthetic corpus (tiny vocab → ~all pairs are candidates) is inherently
 # quadratic; minhash_lsh is the benched scale path for near-dup.
-# dedup_clusters excluded too: its driver loop runs EAGERLY at query
-# construction (localCheckpoint per round), which this lazy-timing harness
-# can't attribute honestly — measured separately: 5.6 s at sf0.1, round
-# count = component diameter, per-round cost is one join+agg.
+# dedup_clusters (re-admitted): the star-contraction loop still runs
+# EAGERLY at query construction, so the timer starts BEFORE construction
+# for every query — lazy queries charge ~ms there, iterative ones their
+# real cost.
 HEADLINE = [
+    "dedup_clusters",
     "ohlc_5m",
     "ohlc_true_range",
     "atr_wilder",
@@ -71,8 +72,8 @@ def main() -> None:
     qs["buffer_stats"](spark, sf_dir).write.format("noop").mode("overwrite").save()
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        df = qs[name](spark, sf_dir)
         t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
     total = round(sum(timings.values()), 3)

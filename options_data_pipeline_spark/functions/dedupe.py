@@ -244,6 +244,118 @@ def connected_components(
     return labels.select(F.col("v").alias("doc_id"), "label")
 
 
+def connected_components_star(
+    pairs: DataFrame, max_iters: int = 30, id_a: str = "doc_a", id_b: str = "doc_b"
+) -> DataFrame:
+    """Connected components in O(log n) rounds via alternating
+    large-star / small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) — the scale-safe twin of
+    :func:`connected_components`, whose round count equals the component
+    DIAMETER. Near-dup clusters are dense clouds (diameter ~2), but
+    templated-boilerplate corpora produce long chains: a 1000-doc chain
+    costs ~1000 rounds under label propagation and ~O(log 1000) here.
+
+    Per round, each with one shuffle pair (groupBy-min + join):
+     - large-star: every node connects its LARGER neighbors to the
+       minimum of its neighborhood (incl. itself);
+     - small-star: with edges oriented big→small, every node connects its
+       smaller neighbors AND itself to that minimum.
+    The edge set monotonically contracts toward stars centered at each
+    component's minimum id; fixpoint = stars = the answer. Convergence is
+    checked set-wise (anti-join + count), and each round ends in
+    ``localCheckpoint(eager=True)`` to keep lineage flat (same driver-heap
+    hazard measured on the propagation loop).
+
+    Output contract matches :func:`connected_components`: (doc_id, label)
+    for every vertex appearing in ``pairs``, label = component min."""
+    # materialize the candidate-pair input once — verts and edges each end
+    # in an eager checkpoint, which would otherwise recompute the (usually
+    # expensive) upstream LSH candidate join twice
+    pairs = pairs.localCheckpoint(eager=True)
+    verts = (
+        pairs.select(F.col(id_a).alias("v"))
+        .union(pairs.select(F.col(id_b).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # canonical undirected form: u > v, no self-loops
+    edges = (
+        pairs.select(F.greatest(id_a, id_b).alias("u"), F.least(id_a, id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    def _sig(e: DataFrame) -> tuple:
+        # one tiny agg job on checkpointed data: (edge count, XOR of 64-bit
+        # edge hashes — order-independent, overflow-free under ANSI mode) —
+        # a set signature for the cheap per-round convergence test; the
+        # claimed fixpoint is then PROVEN with one anti-join (so a hash
+        # collision can delay but never corrupt)
+        r = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).first()
+        return (r.n, r.h)
+
+    sig = _sig(edges)
+    converged = False
+    for _ in range(max_iters):
+        sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            # consumed twice below (mins2 + join); checkpoint so the
+            # sym/groupBy/join subplan runs once, not twice (measured:
+            # skipping this costs ~2× even on tiny rounds — the doubled
+            # subplan defeats AQE's coalescing and reruns the shuffles)
+            .localCheckpoint(eager=True)
+        )
+        # large-star output is already oriented u > v (m ≤ min-neighbor < v)
+        mins2 = (
+            large.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
+        )
+        joined = large.join(mins2, "u")
+        small = (
+            joined.select(F.col("v").alias("x"), F.col("m"))
+            .union(joined.select(F.col("u").alias("x"), F.col("m")))
+            .filter(F.col("x") != F.col("m"))
+            .select(F.col("x").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_sig = _sig(small)
+        if new_sig == sig and small.join(edges, ["u", "v"], "left_anti").count() == 0:
+            edges = small
+            converged = True
+            break
+        edges, sig = small, new_sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iters} rounds;"
+            " O(log n) bound implies a graph with > 2^max_iters vertices —"
+            " raise max_iters"
+        )
+    # fixpoint edges are (member, component-min) stars; centers map to self
+    return (
+        verts.join(
+            edges.select(F.col("u").alias("v"), F.col("v").alias("lbl")), "v", "left"
+        )
+        .groupBy("v")
+        .agg(F.min(F.coalesce("lbl", F.col("v"))).alias("label"))
+        .select(F.col("v").alias("doc_id"), "label")
+    )
+
+
 def simhash_signatures(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
     """doc_id → simhash (bits-wide integer). Bit b of the signature is 1
     iff the count of tokens whose hash has bit b set exceeds half the

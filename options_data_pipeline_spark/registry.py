@@ -1037,14 +1037,16 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_clusters", _dedup_clusters_oracle())
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clustering over the MinHash candidate graph: iterative
-    min-label propagation to connected components (label = surviving
-    doc_id). The fixpoint equals transitive min-reachability, which the
+    """Near-dup clustering over the MinHash candidate graph to connected
+    components (label = surviving doc_id), via alternating large-star /
+    small-star contraction — O(log n) rounds regardless of component
+    diameter, so adversarial chain corpora can't stretch the job count.
+    The fixpoint equals transitive min-reachability, which the
     recursive-CTE oracle computes directly."""
-    from .functions.dedupe import connected_components
+    from .functions.dedupe import connected_components_star
 
     pairs = minhash_lsh_candidates(load_table(spark, "documents", sf_dir))
-    return connected_components(pairs)
+    return connected_components_star(pairs)
 
 
 def _simhash_oracle(bits: int = 32) -> str:

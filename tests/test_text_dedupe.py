@@ -190,6 +190,63 @@ def test_connected_components_chain_and_islands(spark):
     assert got == {9: 1, 7: 1, 5: 1, 3: 1, 1: 1, 2: 2, 4: 2}
 
 
+def test_connected_components_star_matches_propagation(spark):
+    """Star contraction must produce bit-identical labels to label
+    propagation on a mixed graph: chain + island + a dense triangle that
+    shares no vertices with either."""
+    from options_data_pipeline_spark.functions.dedupe import (
+        connected_components,
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(7, 9), (5, 7), (3, 5), (1, 3), (2, 4), (10, 11), (11, 12), (10, 12)],
+        "doc_a long, doc_b long",
+    )
+    prop = {r.doc_id: r.label for r in connected_components(pairs).collect()}
+    star = {r.doc_id: r.label for r in connected_components_star(pairs).collect()}
+    assert star == prop == {
+        9: 1, 7: 1, 5: 1, 3: 1, 1: 1, 2: 2, 4: 2, 10: 10, 11: 10, 12: 10,
+    }
+
+
+def test_connected_components_star_adversarial_chain(spark):
+    """The O(log n) bound under attack: a 1000-vertex chain (diameter 999,
+    the templated-boilerplate worst case) must fully collapse to label 0
+    within the default 30-round budget — label propagation would need
+    ~1000 rounds here."""
+    from options_data_pipeline_spark.functions.dedupe import (
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(999)], "doc_a long, doc_b long"
+    )
+    rows = connected_components_star(pairs).collect()
+    assert len(rows) == 1000
+    assert all(r.label == 0 for r in rows)
+
+
+def test_connected_components_star_randomized_equivalence(spark):
+    """Property check: on a seeded random graph the two implementations
+    agree exactly (deterministic seed; no runtime randomness in the op)."""
+    import random
+
+    from options_data_pipeline_spark.functions.dedupe import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(42)
+    edges = list({
+        tuple(sorted(rng.sample(range(200), 2))) for _ in range(150)
+    })
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    prop = {r.doc_id: r.label for r in connected_components(pairs, max_iters=200).collect()}
+    star = {r.doc_id: r.label for r in connected_components_star(pairs).collect()}
+    assert star == prop
+
+
 def test_simhash_banding_wide_signature_knob(spark):
     """The scale knob: 62-bit signatures (max for signed long) band into
     4 pieces incl. an uneven last band — exactness must hold there too."""
