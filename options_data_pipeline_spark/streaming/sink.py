@@ -119,6 +119,161 @@ def _promote_staged(staging: str, sink_path: str) -> None:
             )
 
 
+# ---------------------------------------------------------------------------
+# Manifest-commit sink: the object-store-safe twin of the rename sink above.
+#
+# Per-file os.rename promotion is atomic only on POSIX filesystems; object
+# stores (S3/GCS) have no rename, only copy+delete, so a crash mid-promotion
+# can expose half an append. The manifest pattern (what Delta/Iceberg commit
+# protocols do) makes the COMMIT a single small-object publish instead:
+#
+#   sink/segments/<uuid>/part-*.parquet   — data, written first, invisible
+#   sink/_manifests/<uuid>.json           — the commit: lists the segment,
+#                                           row count, and prune-col min/max
+#
+# Readers resolve the file set from committed manifests ONLY, so:
+#   crash before manifest publish → segment is invisible; streaming replay's
+#     anti-join doesn't see those ids and re-emits the rows exactly once
+#     (the orphan segment is garbage, collectable any time);
+#   crash after publish → replay's anti-join sees every id and writes 0.
+# The manifest doubles as Delta-style data skipping: the dedup read opens
+# only segments whose [lo, hi] overlaps the incoming batch's key range.
+# Reference counterpart: the confirmed-write flag in
+# checkpoint_manager.py:62-67 — same write-then-confirm contract.
+# ---------------------------------------------------------------------------
+
+
+def _manifest_dir(sink_path: str) -> str:
+    return os.path.join(sink_path, "_manifests")
+
+
+def _committed_segments(
+    sink_path: str, lo=None, hi=None
+) -> list[str]:
+    """Segment dirs named by committed manifests, optionally pruned to
+    those whose recorded [lo, hi] range overlaps the given bounds.
+    Skipping is conservative: manifests without parseable bounds are
+    always included — pruning is a fast path, never a correctness gate."""
+    import json
+
+    mdir = _manifest_dir(sink_path)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for f in sorted(os.listdir(mdir)):
+        if not f.endswith(".json"):
+            continue
+        with open(os.path.join(mdir, f)) as fh:
+            m = json.load(fh)
+        if lo is not None and hi is not None:
+            slo, shi = m.get("lo"), m.get("hi")
+            if slo is not None and shi is not None and (shi < lo or slo > hi):
+                continue  # disjoint range — skip the segment entirely
+        seg = os.path.join(sink_path, "segments", m["segment"])
+        if os.path.isdir(seg):
+            out.append(seg)
+    return out
+
+
+def _publish_manifest(sink_path: str, segment: str, n_rows: int, lo, hi) -> None:
+    """The commit point: stage the manifest JSON then atomically rename it
+    into _manifests/. On a real object store this maps to a single PUT of
+    the manifest object — one atomic publish, no multi-file rename."""
+    import json
+
+    mdir = _manifest_dir(sink_path)
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".{segment}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"segment": segment, "rows": n_rows, "lo": lo, "hi": hi}, fh)
+    os.rename(tmp, os.path.join(mdir, f"{segment}.json"))
+
+
+def _bound_str(v) -> str | None:
+    # ISO-8601 strings (timestamps/dates) and stringified numerics compare
+    # consistently within one sink because every manifest is written by the
+    # same prune column type
+    return None if v is None else str(v)
+
+
+def manifest_append_batch(
+    batch: DataFrame,
+    sink_path: str,
+    id_col: str = "id",
+    prune_col: str | None = "window_start",
+) -> int:
+    """Object-store-safe idempotent append: anti-join against COMMITTED
+    segments only, write the delta as a new segment, then commit it with a
+    single manifest publish. Partition-style layout is deliberately not
+    used — segments keep all columns in-data and skipping happens at the
+    manifest (segment min/max) and parquet row-group-stat levels, the same
+    posture Delta data skipping takes on object stores."""
+    spark = batch.sparkSession
+    blo = bhi = lo = hi = None
+    if prune_col is not None:
+        b = batch.agg(F.min(prune_col).alias("lo"), F.max(prune_col).alias("hi")).collect()[0]
+        blo, bhi = b.lo, b.hi
+        # manifest bounds are strings from THIS formatter on both the write
+        # and the skip side, so the overlap test is self-consistent
+        lo, hi = _bound_str(blo), _bound_str(bhi)
+    segments = _committed_segments(sink_path, lo, hi)
+    delta = batch
+    if segments:
+        sink = spark.read.parquet(*segments)
+        if prune_col is not None and blo is not None:
+            # typed in-data filter (never string-compared) pushes to the
+            # parquet scan and prunes row groups by their stats
+            sink = sink.filter((F.col(prune_col) >= blo) & (F.col(prune_col) <= bhi))
+        delta = batch.join(sink.select(id_col), id_col, "left_anti")
+    delta = delta.cache()
+    n = delta.count()
+    if n:
+        import uuid
+
+        seg_name = uuid.uuid4().hex[:12]
+        delta.write.mode("overwrite").parquet(
+            os.path.join(sink_path, "segments", seg_name)
+        )
+        _publish_manifest(sink_path, seg_name, n, lo, hi)
+    delta.unpersist()
+    return n
+
+
+def manifest_sink_read(spark, sink_path: str) -> DataFrame:
+    """Read exactly the committed rows — uncommitted (crashed) segments are
+    invisible by construction."""
+    segments = _committed_segments(sink_path)
+    if not segments:
+        raise FileNotFoundError(f"no committed segments under {sink_path}")
+    return spark.read.parquet(*segments)
+
+
+def gc_uncommitted_segments(sink_path: str) -> list[str]:
+    """Remove segment dirs that no committed manifest names — the debris a
+    crash between segment write and manifest publish leaves behind. Safe at
+    any time: an uncommitted segment can never become visible (its uuid is
+    gone from every writer's scope after the crash)."""
+    seg_root = os.path.join(sink_path, "segments")
+    if not os.path.isdir(seg_root):
+        return []
+    committed = {os.path.basename(s) for s in _committed_segments(sink_path)}
+    removed = []
+    for d in sorted(os.listdir(seg_root)):
+        if d not in committed:
+            shutil.rmtree(os.path.join(seg_root, d), ignore_errors=True)
+            removed.append(d)
+    return removed
+
+
+def manifest_foreach_batch_writer(sink_path: str, id_col: str = "id"):
+    """foreachBatch hook for the manifest sink."""
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        manifest_append_batch(batch, sink_path, id_col)
+
+    return write
+
+
 def overwrite_snapshot(df: DataFrame, sink_path: str) -> None:
     """S4: full-overwrite state snapshot (reference sync_atr_state,
     ``write_pipeline.py:328-362``)."""
