@@ -3,12 +3,13 @@
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata structs. The Spark-side plumbing — schema, batch iteration via
 ``mapInPandas`` (Arrow-batched), partition sizing — is real and tested.
-Codecs: uncompressed 24-bit BMP and 16-bit PCM WAV are decoded for real
-with the stdlib (``struct`` / ``wave``) — a genuine bytes→pixels/samples
-→features path exercised end-to-end in tests via the ``make_bmp`` /
-``make_wav`` fixture builders below. Compressed formats (PNG/JPEG, MP3,
-any video codec) need external libraries absent from this container and
-stay behind clearly-marked ``NotImplementedError`` stubs.
+Codecs: uncompressed 24-bit BMP (``struct``), 8-bit PNG (``zlib`` IDAT
+inflate + per-scanline unfilter, all five spec filters), and 16-bit PCM
+WAV (``wave``) are decoded for real with the stdlib — genuine bytes→
+pixels/samples→features paths exercised end-to-end in tests via the
+``make_bmp`` / ``make_png`` / ``make_wav`` fixture builders below. JPEG,
+MP3, and video codecs need external libraries absent from this container
+and stay behind clearly-marked ``NotImplementedError`` stubs.
 
 Scale notes: binary payloads dominate row size, so the loaders should set
 ``spark.sql.files.maxPartitionBytes`` low enough that an Arrow batch of
@@ -99,13 +100,191 @@ def make_wav(freq_hz: float, duration_ms: int, framerate: int = 8000, amplitude:
     return buf.getvalue()
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _finish_image_features(
+    width: int, height: int, sums: list[int], lum_top: float, lum_bot: float
+) -> list[float]:
+    """Common 8-dim image feature vector: [width, height, mean_r, mean_g,
+    mean_b, top-half lum, bottom-half lum, overall lum], channel means in
+    [0,1] — identical for every image codec, so the same picture encoded
+    as BMP and PNG yields the same features (pinned by test)."""
+    n = float(width * height) * 255.0
+    half = max(n / 2 * 3, 1.0)
+    return [
+        float(width),
+        float(height),
+        sums[0] / n,
+        sums[1] / n,
+        sums[2] / n,
+        lum_top / half,
+        lum_bot / half,
+        (lum_top + lum_bot) / max(n * 3, 1.0),
+    ]
+
+
+def _png_unfilter_row(ft: int, line: bytearray, prev: bytes, bpp: int) -> None:
+    """Reverse one PNG scanline filter in place (spec §9: None, Sub, Up,
+    Average, Paeth)."""
+    if ft == 0:
+        return
+    n = len(line)
+    if ft == 1:  # Sub
+        for i in range(bpp, n):
+            line[i] = (line[i] + line[i - bpp]) & 0xFF
+    elif ft == 2:  # Up
+        for i in range(n):
+            line[i] = (line[i] + prev[i]) & 0xFF
+    elif ft == 3:  # Average
+        for i in range(n):
+            left = line[i - bpp] if i >= bpp else 0
+            line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+    elif ft == 4:  # Paeth
+        for i in range(n):
+            a = line[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            line[i] = (line[i] + pred) & 0xFF
+    else:
+        raise NotImplementedError(f"PNG filter type {ft}")
+
+
+def _decode_png(payload: bytes) -> list[float]:
+    """Real PNG decode with the stdlib alone: chunk walk → zlib-inflate the
+    IDAT stream → per-scanline unfilter (all five spec filters) → pixels.
+    Supports 8-bit depth, color types 0 (gray), 2 (RGB), 6 (RGBA; alpha
+    ignored for the luminance features), no interlacing. Adam7/16-bit/
+    palette stay NotImplementedError — the majority of real-corpus PNGs
+    are 8-bit (A)RGB non-interlaced."""
+    import zlib
+
+    if payload[:8] != PNG_SIG:
+        raise NotImplementedError("not a PNG signature")
+    pos = 8
+    idat = bytearray()
+    width = height = bitdepth = ctype = interlace = None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + payload + crc
+        if ctag == b"IHDR":
+            width, height, bitdepth, ctype, _c, _f, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif ctag == b"IDAT":
+            idat += data
+        elif ctag == b"IEND":
+            break
+    if width is None:
+        raise NotImplementedError("PNG missing IHDR")
+    if bitdepth != 8 or ctype not in (0, 2, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit gray/RGB/RGBA non-interlaced PNG supported"
+            f" (depth={bitdepth} color_type={ctype} interlace={interlace})"
+        )
+    bpp = {0: 1, 2: 3, 6: 4}[ctype]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * bpp
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG IDAT length does not match dimensions")
+    prev = bytes(stride)
+    sums = [0, 0, 0]
+    lum_top = lum_bot = 0.0
+    for y in range(height):
+        base = y * (stride + 1)
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        _png_unfilter_row(raw[base], line, prev, bpp)
+        row_lum = 0
+        for x in range(width):
+            o = x * bpp
+            if ctype == 0:
+                r = g = b = line[o]
+            else:
+                r, g, b = line[o], line[o + 1], line[o + 2]
+            sums[0] += r
+            sums[1] += g
+            sums[2] += b
+            row_lum += r + g + b
+        if y < height // 2:
+            lum_top += row_lum
+        else:
+            lum_bot += row_lum
+        prev = bytes(line)
+    return _finish_image_features(width, height, sums, lum_top, lum_bot)
+
+
+def make_png(width: int, height: int, pixel_fn, filter_type: int = 4) -> bytes:
+    """Serialize an 8-bit RGB PNG with the stdlib (zlib + crc32), applying
+    the given scanline filter to every row — fixture builder that lets the
+    tests exercise each unfilter path (0=None, 1=Sub, 2=Up, 3=Average,
+    4=Paeth). ``pixel_fn(x, y) -> (r, g, b)`` with y=0 at the top."""
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    bpp = 3
+    prev = bytes(width * bpp)
+    out = bytearray()
+    for y in range(height):
+        line = bytearray()
+        for x in range(width):
+            r, g, b = pixel_fn(x, y)
+            line += bytes((r, g, b))
+        filt = bytearray(line)
+        if filter_type == 1:
+            for i in range(len(line) - 1, bpp - 1, -1):
+                filt[i] = (line[i] - line[i - bpp]) & 0xFF
+        elif filter_type == 2:
+            for i in range(len(line)):
+                filt[i] = (line[i] - prev[i]) & 0xFF
+        elif filter_type == 3:
+            for i in range(len(line)):
+                left = line[i - bpp] if i >= bpp else 0
+                filt[i] = (line[i] - ((left + prev[i]) >> 1)) & 0xFF
+        elif filter_type == 4:
+            for i in range(len(line)):
+                a = line[i - bpp] if i >= bpp else 0
+                b2 = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b2 - c
+                pa, pb, pc = abs(p - a), abs(p - b2), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b2 if pb <= pc else c)
+                filt[i] = (line[i] - pred) & 0xFF
+        elif filter_type != 0:
+            raise ValueError(f"filter_type {filter_type}")
+        out += bytes((filter_type,)) + bytes(filt)
+        prev = bytes(line)
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _decode_image(payload: bytes) -> list[float]:
-    """Real image decode for uncompressed 24-bit BMP: bytes → pixels →
-    8-dim feature [width, height, mean_r, mean_g, mean_b, top-half lum,
-    bottom-half lum, overall lum] (channel means in [0,1]). Compressed
-    formats (PNG/JPEG) would go through PIL — not in this container."""
+    """Real image decode: uncompressed 24-bit BMP (struct) or 8-bit PNG
+    (zlib inflate + scanline unfilter) → pixels → the shared 8-dim feature
+    vector of :func:`_finish_image_features`. JPEG needs an external codec
+    and stays NotImplementedError."""
+    if payload[:8] == PNG_SIG:
+        return _decode_png(payload)
     if payload[:2] != b"BM":
-        raise NotImplementedError("only uncompressed BMP is decodable without PIL")
+        raise NotImplementedError(
+            "only BMP and PNG are decodable without external codecs"
+        )
     width, height, _planes, bpp, compression = struct.unpack_from("<iiHHI", payload, 18)
     if bpp != 24 or compression != 0:
         raise NotImplementedError("only 24-bit uncompressed BMP supported")
@@ -129,18 +308,7 @@ def _decode_image(payload: bytes) -> list[float]:
             lum_top += row_lum
         else:
             lum_bot += row_lum
-    n = float(width * height) * 255.0
-    half = max(n / 2 * 3, 1.0)
-    return [
-        float(width),
-        float(height),
-        sums[0] / n,
-        sums[1] / n,
-        sums[2] / n,
-        lum_top / half,
-        lum_bot / half,
-        (lum_top + lum_bot) / max(n * 3, 1.0),
-    ]
+    return _finish_image_features(width, height, sums, lum_top, lum_bot)
 
 
 def _decode_audio(payload: bytes) -> list[float]:
@@ -177,7 +345,7 @@ def _decode_audio(payload: bytes) -> list[float]:
 
 DECODERS = {
     "fake": _fake_decode,  # deterministic test decoder
-    "image": _decode_image,  # real: uncompressed 24-bit BMP; PNG/JPEG → NotImplementedError (needs PIL)
+    "image": _decode_image,  # real: 24-bit BMP + 8-bit PNG; JPEG → NotImplementedError (needs PIL)
     "audio": _decode_audio,  # real: 16-bit PCM WAV; MP3/AAC → NotImplementedError (needs ffmpeg/librosa)
     "video": _unavailable,  # STUB: ffmpeg frame sample → per-frame image path
 }

@@ -84,11 +84,74 @@ def test_multimodal_feature_extract(spark):
 
 
 def test_multimodal_compressed_codec_is_stubbed(spark):
-    """Compressed formats (PNG bytes here) still raise: only stdlib-decodable
-    BMP/WAV have real codecs in this container."""
-    media = spark.createDataFrame([(1, "image", bytearray(b"\x89PNG"), ("png", 1, 1, None))], MEDIA_SCHEMA)
+    """Formats with no stdlib codec (JPEG bytes here) still raise: only
+    BMP/PNG/WAV have real decoders in this container."""
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"\xff\xd8\xff\xe0JFIF"), ("jpeg", 1, 1, None))],
+        MEDIA_SCHEMA,
+    )
     with pytest.raises(Exception, match="NotImplementedError|BMP|codec"):
         extract_features(media, decoder="image").collect()
+
+
+def test_multimodal_png_decode_end_to_end(spark):
+    """Real PNG path: zlib-inflate + unfilter through mapInPandas. The
+    same red-top/blue-bottom picture as the BMP test must produce the
+    SAME feature vector (shared feature definition across codecs)."""
+    from options_data_pipeline_spark.functions.multimodal import make_bmp, make_png
+
+    px = lambda x, y: (255, 0, 0) if y == 0 else (0, 0, 255)
+    png = make_png(4, 2, px)
+    bmp = make_bmp(4, 2, px)
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(png), ("png", 4, 2, None)),
+            (2, "image", bytearray(bmp), ("bmp", 4, 2, None)),
+        ],
+        MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r.feature for r in extract_features(media, decoder="image").collect()}
+    assert out[1] == pytest.approx(out[2])
+    assert out[1][0] == 4.0 and out[1][2] == pytest.approx(0.5)  # width, mean_r
+
+
+def test_multimodal_png_all_filter_types_roundtrip():
+    """Every PNG scanline filter (None/Sub/Up/Average/Paeth) must unfilter
+    back to the same pixels — a gradient image stresses the predictors."""
+    from options_data_pipeline_spark.functions.multimodal import (
+        _decode_png,
+        make_png,
+    )
+
+    px = lambda x, y: ((x * 37) % 256, (y * 91) % 256, (x * y * 13) % 256)
+    want = _decode_png(make_png(9, 7, px, filter_type=0))
+    for ft in (1, 2, 3, 4):
+        got = _decode_png(make_png(9, 7, px, filter_type=ft))
+        assert got == pytest.approx(want), f"filter {ft} mismatch"
+
+
+def test_multimodal_png_unsupported_variants_raise():
+    """Interlaced and 16-bit PNGs stay NotImplementedError — declared
+    bounds of the stdlib codec, not silent wrong answers."""
+    import struct as _struct
+    import zlib
+
+    from options_data_pipeline_spark.functions.multimodal import PNG_SIG, _decode_png
+
+    def chunk(tag, data):
+        return (
+            _struct.pack(">I", len(data)) + tag + data
+            + _struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    interlaced = PNG_SIG + chunk(
+        b"IHDR", _struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    )
+    with pytest.raises(NotImplementedError, match="interlace=1"):
+        _decode_png(interlaced)
+    deep = PNG_SIG + chunk(b"IHDR", _struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+    with pytest.raises(NotImplementedError, match="depth=16"):
+        _decode_png(deep)
 
 
 def test_multimodal_bmp_decode_end_to_end(spark):
