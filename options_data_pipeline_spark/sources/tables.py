@@ -33,7 +33,22 @@ EVENTS_SCHEMA_NS = (
 def _events_ts_is_nanos(path: str) -> bool:
     import pyarrow.parquet as pq
 
-    t = pq.read_schema(path).field("ts").type
+    if os.path.isdir(path):  # Spark-written dataset dir: probe any part-file
+        path = next(
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(path)
+            for f in sorted(fs)
+            if f.endswith(".parquet")
+        )
+    pf = pq.ParquetFile(path)
+    sch = pf.schema
+    for i in range(len(sch)):
+        c = sch.column(i)
+        if c.name == "ts" and c.physical_type == "INT96":
+            # legacy Spark INT96 timestamps: pyarrow reports ns, but Spark
+            # reads them natively — NOT the long-epoch-nanos path
+            return False
+    t = pf.schema_arrow.field("ts").type
     return getattr(t, "unit", None) == "ns"
 
 TABLES = [
