@@ -57,6 +57,10 @@ HEADLINE = [
     "quantize_int8",
     "rare_token_stats",
     "dataset_splits",
+    "ohlc_sliding",
+    "dup_ngram_stats",
+    "gopher_quality",
+    "pq_quantize",
 ]
 
 

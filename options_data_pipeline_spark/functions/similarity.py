@@ -443,3 +443,86 @@ def quantize_int8_stats(
         (sse / F.col("dim")).alias("mse"),
         F.array_max(F.transform(F.col("err"), lambda x: F.abs(x))).alias("max_abs_err"),
     )
+
+
+def pq_codebooks(m: int = 4, ksub: int = 8, dim: int = 64) -> list[list[list[float]]]:
+    """Deterministic md5-derived product-quantization codebooks: ``m``
+    subspaces of ``dim/m`` dims, ``ksub`` centroids each — the fixed-seed
+    twin of a trained PQ codebook, same construction trick as
+    :func:`fixed_centroids` so the DuckDB oracle reproduces every float."""
+    import hashlib
+
+    sub = dim // m
+    books = []
+    for j in range(m):
+        book = []
+        for c in range(ksub):
+            row = []
+            for d in range(sub):
+                h = hashlib.md5(f"pq:{j}:{c}:{d}".encode()).hexdigest()[:8]
+                row.append(int(h, 16) / float(1 << 31) - 1.0)
+            book.append(row)
+        books.append(book)
+    return books
+
+
+def pq_encode(
+    vectors: DataFrame,
+    books: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization encode: split each vector into ``m``
+    subvectors, assign each to its nearest codebook centroid (squared L2,
+    strict-< first-wins ties), and report the total reconstruction error —
+    the memory face of billion-scale ANN (a 64-dim float vector compresses
+    to m bytes + the shared codebook; IVF-PQ = this after
+    :func:`assign_cells`).
+
+    One narrow map, no shuffle, no Python: per subspace an ``aggregate``
+    fold over an array<struct> codebook literal (the same plan-bounded
+    shape as :func:`centroid_argmin`), distance via the exact
+    |v_j|² + |c|² − 2·v_j·c identity so DuckDB mirrors it bit-for-bit.
+
+    Output: (vec_id, code_0..code_{m-1}, recon_err)."""
+    books = books if books is not None else pq_codebooks()
+    sub = len(books[0][0])
+    v = F.col(vec_col).cast("array<double>")
+    out_cols = [F.col(id_col)]
+    err_total = F.lit(0.0)
+    for j, book in enumerate(books):
+        vj = F.slice(v, j * sub + 1, sub)
+        vj2 = dot_col(vj, vj)
+        entries = F.array(*[
+            F.struct(
+                F.lit(ci).alias("code"),
+                F.array(*[F.lit(x) for x in c]).alias("c"),
+                F.lit(sum(x * x for x in c)).alias("c2"),
+            )
+            for ci, c in enumerate(book)
+        ])
+        init = F.struct(
+            F.lit(-1).alias("code"), F.lit(float("inf")).alias("err")
+        )
+
+        def make_step(vj, vj2):
+            def step(acc, e):
+                d = vj2 + e["c2"] - 2.0 * dot_col(vj, e["c"])
+                better = d < acc["err"]
+                return F.struct(
+                    F.when(better, e["code"]).otherwise(acc["code"]).alias("code"),
+                    F.when(better, d).otherwise(acc["err"]).alias("err"),
+                )
+
+            return step
+
+        best = F.aggregate(entries, init, make_step(vj, vj2))
+        out_cols.append(best["code"].alias(f"code_{j}"))
+        err_total = err_total + best["err"]
+    # 9-dp grid (same trick as the learned-IVF centroid quantization):
+    # DuckDB's list_dot_product uses pairwise summation, so the error sum
+    # can differ from the sequential fold in the last ulp — codes are
+    # unaffected (centroid score gaps are far above ulp), only the
+    # reported error is snapped to a cross-engine-stable grid
+    out_cols.append(F.round(err_total, 9).alias("recon_err"))
+    return vectors.select(*out_cols)

@@ -218,3 +218,76 @@ def with_text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("lang_guess", lang_guess_col(text_col)).withColumn(
         "fingerprint", fingerprint_col(text_col)
     )
+
+
+def dup_ngram_cols(text_col: str = "text", n: int = 2) -> dict[str, Column]:
+    """Gopher-style repetition signals over word n-grams: the fraction of
+    n-gram OCCURRENCES that are repeats (1 − distinct/total) and the share
+    of the single most frequent n-gram. Boilerplate, keyword-stuffed, and
+    template-generated text scores high; both are standard pre-training
+    filter inputs (Gopher §A1.1 uses exactly these at n=2..4).
+
+    Pure array expressions (regexp tokenize → slice/join n-grams →
+    distinct/filter/max) — a narrow map, no shuffle, mirrored verbatim by
+    DuckDB list functions. ``top_frac`` is O(d·g) per document (d distinct
+    × g total grams); documents are bounded (pre-chunked) by pipeline
+    contract, so the per-row cost is a constant, not a scale axis."""
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '\\\\S+', 0)")
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(regexp_extract_all(lower({text_col}),"
+        f" '\\\\S+', 0)) - {n - 1}, 1)),"
+        f" i -> array_join(slice(regexp_extract_all(lower({text_col}), '\\\\S+', 0),"
+        f" i, {n}), ' '))"
+    )
+    n_grams = F.size(grams).cast("long")
+    n_distinct = F.size(F.array_distinct(grams)).cast("long")
+    dup_frac = F.lit(1.0) - n_distinct.cast("double") / n_grams.cast("double")
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda x: F.size(F.filter(grams, lambda y: y == x)),
+        )
+    )
+    top_frac = top_count.cast("double") / n_grams.cast("double")
+    return {
+        f"n_{n}grams": n_grams,
+        f"dup_frac_{n}": dup_frac,
+        f"top_frac_{n}": top_frac,
+    }
+
+
+def gopher_cols(text_col: str = "text") -> dict[str, Column]:
+    """Gopher rule-set quality signals (Rae et al. 2021 §A1.1, the
+    deterministic subset): word count bounds, mean word length bounds,
+    fraction of words containing an alphabetic character, and a minimum
+    stopword hit count. ``gopher_keep`` is the AND of the published
+    thresholds — the baseline document filter a pre-training pipeline
+    applies before dedup."""
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '\\\\S+', 0)")
+    n_words = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    safe_words = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_word_len = sum_len.cast("double") / safe_words
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).cast("long")
+    frac_alpha_words = n_alpha.cast("double") / safe_words
+    stop = "|".join(EN_STOPWORDS)
+    n_stop = _count_matches(f"lower({text_col})", f"\\\\b({stop})\\\\b")
+    keep = (
+        (n_words >= 50)
+        & (n_words <= 100000)
+        & (mean_word_len >= 3.0)
+        & (mean_word_len <= 10.0)
+        & (frac_alpha_words >= 0.8)
+        & (n_stop >= 2)
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "frac_alpha_words": frac_alpha_words,
+        "n_stopword_hits": n_stop,
+        "gopher_keep": keep,
+    }

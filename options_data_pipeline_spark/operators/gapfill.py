@@ -39,12 +39,13 @@ def gap_fill(
     (reference ``config/instruments.py``); defaults to symbols observed in
     ``candles``.
 
-    Plan shape: the scaffold (bounds + symbol universe) comes from ONE
-    aggregate over ``candles`` — min/max window plus ``collect_set(symbol)``
-    (the universe is bounded by contract: 178 in the reference, thousands
-    at most) — then two explodes. ``candles`` is cached by default so the
-    scaffold pass and the outer-join pass don't recompute the upstream
-    OHLC aggregation from raw ticks (3 tick-table scans → 1 at 100 TB).
+    Plan shape: window bounds come from ONE aggregate over ``candles``;
+    the window range is then expanded in day-sized blocks across tasks
+    (never one global sequence on one task) and cross-joined with the
+    broadcast symbol universe (bounded by contract: 178 in the reference,
+    thousands at most). ``candles`` is cached by default so the scaffold
+    passes and the outer-join pass don't recompute the upstream OHLC
+    aggregation from raw ticks (3 tick-table scans → 1 at 100 TB).
     """
     if cache:
         # The cache serves the scaffold pass + the join pass within THIS
@@ -55,24 +56,52 @@ def gap_fill(
         candles = candles.cache()
         if handles is not None:
             handles.append(candles)
-    windows = F.explode(
-        F.sequence("w_min", "w_max", F.expr(f"INTERVAL {interval_seconds} SECONDS"))
-    ).alias("window_start")
-    if symbols is None:
-        scaffold = (
-            candles.agg(
-                F.min("window_start").alias("w_min"),
-                F.max("window_start").alias("w_max"),
-                F.collect_set("symbol").alias("syms"),
+
+    # Scaffold windows, built DISTRIBUTED: a single global
+    # sequence(w_min, w_max) materializes the whole range on ONE task —
+    # fine for a session, fatal for months × 100× symbols. Decompose the
+    # window index range [0, K] into day-sized blocks, explode the (few)
+    # block ids from the one-row bounds aggregate, repartition so each
+    # block expands on its own task, then expand each block to its
+    # windows. Output is exactly w_min + k·interval for k in [0, K] —
+    # bit-identical to the single-sequence form (oracle-pinned).
+    per_block = max(86400 // interval_seconds, 1)  # ≈ one day of windows
+    bounds = candles.agg(
+        F.min("window_start").alias("w_min"), F.max("window_start").alias("w_max")
+    )
+    k_max = F.floor(
+        (F.unix_timestamp("w_max") - F.unix_timestamp("w_min"))
+        / F.lit(interval_seconds)
+    ).cast("int")
+    windows_df = (
+        bounds.select("w_min", k_max.alias("k_max"))
+        .select(
+            "w_min",
+            "k_max",
+            F.explode(
+                F.sequence(F.lit(0), F.floor(F.col("k_max") / per_block).cast("int"))
+            ).alias("blk"),
+        )
+        .repartition(F.col("blk"))
+        .select(
+            "w_min",
+            F.explode(
+                F.sequence(
+                    F.col("blk") * per_block,
+                    F.least(F.col("blk") * per_block + (per_block - 1), F.col("k_max")),
+                )
+            ).alias("k"),
+        )
+        .select(
+            F.expr(f"w_min + k * INTERVAL {interval_seconds} SECONDS").alias(
+                "window_start"
             )
-            .select(windows, "syms")
-            .select("window_start", F.explode("syms").alias("symbol"))
         )
-    else:
-        bounds = candles.agg(
-            F.min("window_start").alias("w_min"), F.max("window_start").alias("w_max")
-        )
-        scaffold = symbols.crossJoin(F.broadcast(bounds.select(windows)))
+    )
+    # symbol universe is bounded by contract (thousands at most) → the
+    # broadcast side of the scaffold cross join
+    dim = symbols if symbols is not None else candles.select("symbol").distinct()
+    scaffold = windows_df.crossJoin(F.broadcast(dim))
 
     joined = scaffold.join(candles, ["symbol", "window_start"], "left")
     ffill = Window.partitionBy("symbol").orderBy("window_start").rowsBetween(

@@ -63,3 +63,46 @@ def ohlc_candles(
             "tick_count",
         )
     )
+
+
+def sliding_ohlc(
+    ticks: DataFrame,
+    duration: str = "10 minutes",
+    slide: str = "5 minutes",
+    symbol_col: str = "symbol",
+    price_col: str = "price",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Sliding (hopping) OHLC: overlapping windows of ``duration`` every
+    ``slide`` — the smoothing view a trading dashboard layers over the
+    tumbling candles (each tick lands in duration/slide windows).
+
+    Same agg/tie-break contract as :func:`ohlc_candles`; the only plan
+    difference is the window generator exploding duration/slide rows per
+    tick BEFORE the hash agg — the shuffle stays on (symbol, window) and
+    grows by exactly that small constant factor, nothing quadratic."""
+    order = F.col(order_col)
+    return (
+        ticks.groupBy(
+            F.col(symbol_col).alias("symbol"),
+            F.window(ts_col, duration, slide).alias("w"),
+        )
+        .agg(
+            F.min_by(price_col, order).alias("open"),
+            F.max(price_col).alias("high"),
+            F.min(price_col).alias("low"),
+            F.max_by(price_col, order).alias("close"),
+            F.count(F.lit(1)).alias("tick_count"),
+        )
+        .select(
+            "symbol",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "tick_count",
+        )
+    )

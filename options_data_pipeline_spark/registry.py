@@ -1813,6 +1813,163 @@ def q_approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ohlc_sliding",
+    """WITH ticks AS (
+  SELECT event_type AS symbol, value AS price, ts, event_id
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL
+),
+expanded AS (
+  SELECT symbol, price, ts, event_id,
+         time_bucket(INTERVAL '300 seconds', ts) - k.k * INTERVAL '300 seconds'
+           AS window_start
+  FROM ticks CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+)
+SELECT symbol, window_start,
+       window_start + INTERVAL '600 seconds' AS window_end,
+       arg_min(price, event_id) AS "open",
+       max(price) AS high,
+       min(price) AS low,
+       arg_max(price, event_id) AS "close",
+       count(*) AS tick_count
+FROM expanded GROUP BY symbol, window_start""",
+)
+def q_ohlc_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) OHLC — 10-minute windows every 5 minutes, each
+    tick in exactly 2 windows. Oracle: every tick expands to its two
+    containing slide-aligned starts (bucket, bucket − slide), then the
+    same arg_min/arg_max hash agg as the tumbling twin."""
+    from .operators.ohlc import sliding_ohlc
+
+    return sliding_ohlc(load_ticks(spark, sf_dir), "10 minutes", "5 minutes")
+
+
+@register(
+    "dup_ngram_stats",
+    r"""WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id,
+    list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+                   i -> array_to_string(toks[i:i+1], ' ')) AS g2,
+    list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                   i -> array_to_string(toks[i:i+2], ' ')) AS g3
+  FROM t
+)
+SELECT doc_id,
+  CAST(len(g2) AS BIGINT) AS n_2grams,
+  1.0 - len(list_distinct(g2))::DOUBLE / len(g2)::DOUBLE AS dup_frac_2,
+  list_max(list_transform(list_distinct(g2),
+                          x -> len(list_filter(g2, y -> y = x))))::DOUBLE
+    / len(g2)::DOUBLE AS top_frac_2,
+  1.0 - len(list_distinct(g3))::DOUBLE / len(g3)::DOUBLE AS dup_frac_3
+FROM g""",
+)
+def q_dup_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signals: duplicate word-bigram /
+    trigram occurrence fractions and the top bigram's share — narrow
+    array-expression map, no shuffle."""
+    from .functions.text import dup_ngram_cols
+
+    docs = load_table(spark, "documents", sf_dir)
+    c2 = dup_ngram_cols("text", 2)
+    c3 = dup_ngram_cols("text", 3)
+    return docs.select(
+        "doc_id",
+        c2["n_2grams"].alias("n_2grams"),
+        c2["dup_frac_2"].alias("dup_frac_2"),
+        c2["top_frac_2"].alias("top_frac_2"),
+        c3["dup_frac_3"].alias("dup_frac_3"),
+    )
+
+
+@register(
+    "gopher_quality",
+    r"""WITH t AS (
+  SELECT doc_id, text, regexp_extract_all(lower(text), '\S+') AS toks
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_words,
+    list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+      / greatest(len(toks), 1)::DOUBLE AS mean_word_len,
+    len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+      / greatest(len(toks), 1)::DOUBLE AS frac_alpha_words,
+    CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|it)\b'))
+      AS BIGINT) AS n_stopword_hits
+  FROM t
+)
+SELECT *,
+  (n_words >= 50 AND n_words <= 100000
+   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+   AND frac_alpha_words >= 0.8 AND n_stopword_hits >= 2) AS gopher_keep
+FROM sig""",
+)
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic Gopher rule set (word-count bounds, mean word
+    length, alphabetic-word fraction, minimum stopword hits) and its AND
+    as the keep/drop flag — the baseline pre-dedup document filter."""
+    from .functions.text import gopher_cols
+
+    docs = load_table(spark, "documents", sf_dir)
+    cols = gopher_cols("text")
+    return docs.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
+def _pq_oracle(m: int = 4, ksub: int = 8, dim: int = 64) -> str:
+    """DuckDB twin of product quantization: per subspace the score list is
+    the same |v_j|² + |c|² − 2·v_j·c arithmetic over the md5-derived
+    codebook literals; code = first position of the list min (matching
+    the Spark fold's strict-< first-wins), recon_err = the sum of the
+    per-subspace minima in subspace order."""
+    from .functions.similarity import pq_codebooks
+
+    books = pq_codebooks(m, ksub, dim)
+    sub = dim // m
+    score_lists = []
+    for j, book in enumerate(books):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        vj = f"v[{lo}:{hi}]"
+        scores = ",\n      ".join(
+            f"list_dot_product({vj}, {vj}) + {sum(x * x for x in c)!r}"
+            f" - 2.0*list_dot_product({vj}, [" + ", ".join(repr(x) for x in c) + "])"
+            for c in book
+        )
+        score_lists.append(f"    [{scores}] AS s{j}")
+    codes = ",\n  ".join(
+        f"list_position(s{j}, list_min(s{j})) - 1 AS code_{j}" for j in range(m)
+    )
+    err = " + ".join(f"list_min(s{j})" for j in range(m))
+    scored_block = ",\n".join(score_lists)
+    return f"""WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+scored AS (
+  SELECT vec_id,
+{scored_block}
+  FROM v
+)
+SELECT vec_id,
+  {codes},
+  ROUND({err}, 9) AS recon_err
+FROM scored"""
+
+
+@register("pq_quantize", _pq_oracle())
+def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization encode against deterministic codebooks: each
+    64-dim embedding compresses to 4 sub-codes (+ shared codebook) with
+    the exact reconstruction error — the memory face of billion-scale ANN
+    (IVF-PQ = this after cell assignment). One narrow map, aggregate-fold
+    argmin per subspace, no Python, no shuffle."""
+    from .functions.similarity import pq_encode
+
+    return pq_encode(load_table(spark, "embeddings", sf_dir))
+
+
 # ---------------------------------------------------------------------------
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:

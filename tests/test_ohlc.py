@@ -78,3 +78,30 @@ def test_ohlc_invariants_hold_on_real_data(spark):
     ]
     candles = ohlc_candles(ticks_df(spark, rows))
     assert validate_ohlc(candles).count() == 0
+
+
+def test_sliding_ohlc_each_tick_in_two_windows(spark):
+    """10m/5m hopping windows: a tick at 09:17 belongs to the windows
+    starting 09:10 and 09:15; per-window OHLC matches the tick subsets."""
+    from datetime import datetime
+
+    from options_data_pipeline_spark.operators.ohlc import sliding_ohlc
+
+    rows = [
+        ("A", 10.0, datetime(2024, 1, 1, 9, 17), 1, 1),
+        ("A", 12.0, datetime(2024, 1, 1, 9, 21), 2, 1),  # 09:15 + 09:20 windows
+    ]
+    ticks = spark.createDataFrame(
+        rows, "symbol string, price double, ts timestamp, event_id long, user_id long"
+    )
+    out = {
+        r.window_start: r for r in sliding_ohlc(ticks, "10 minutes", "5 minutes").collect()
+    }
+    assert len(out) == 3  # 09:10 (tick1), 09:15 (both), 09:20 (tick2)
+    w1510 = out[datetime(2024, 1, 1, 9, 10)]
+    w1515 = out[datetime(2024, 1, 1, 9, 15)]
+    w1520 = out[datetime(2024, 1, 1, 9, 20)]
+    assert (w1510.open, w1510.close, w1510.tick_count) == (10.0, 10.0, 1)
+    assert (w1515.open, w1515.close, w1515.high, w1515.tick_count) == (10.0, 12.0, 12.0, 2)
+    assert (w1520.open, w1520.tick_count) == (12.0, 1)
+    assert w1515.window_end == datetime(2024, 1, 1, 9, 25)

@@ -200,3 +200,26 @@ def test_centroid_argmin_builds_bounded_plan_at_large_k(spark):
     c = np.array(cents)
     want = np.argmin(((vecs[:, None, :] - c[None, :, :]) ** 2).sum(-1), axis=1)
     assert got == {i: int(want[i]) for i in range(len(vecs))}
+
+
+def test_pq_encode_codes_and_error(spark):
+    """PQ invariants: codes land in [0, ksub); a vector equal to the
+    concatenation of one centroid per codebook reconstructs with ~0 error
+    and exactly those codes."""
+    from options_data_pipeline_spark.functions.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    books = pq_codebooks()
+    perfect = [x for j in range(4) for x in books[j][3]]  # centroid 3 each
+    noisy = [x + 0.5 for x in perfect]
+    df = spark.createDataFrame(
+        [(1, perfect), (2, noisy)], "vec_id long, embedding array<double>"
+    )
+    out = {r.vec_id: r for r in pq_encode(df, books).collect()}
+    assert [out[1][f"code_{j}"] for j in range(4)] == [3, 3, 3, 3]
+    assert out[1].recon_err == pytest.approx(0.0, abs=1e-9)
+    assert out[2].recon_err > 0.5
+    for j in range(4):
+        assert 0 <= out[2][f"code_{j}"] < 8

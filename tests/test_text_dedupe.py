@@ -364,3 +364,56 @@ def test_simhash_band_pairing_exact_vs_naive(spark):
     want = {(a, b, bin(sa ^ sb).count("1")) for a, sa, b, sb in naive}
     assert got == want
     assert (0, 1, 3) in got  # the old prefix-bucket blind spot
+
+
+def test_dup_ngram_stats_crafted(spark):
+    """Bigram repetition arithmetic on hand-built docs: a fully repeated
+    doc scores high dup fraction; an all-distinct doc scores 0."""
+    from options_data_pipeline_spark.functions.text import dup_ngram_cols
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),          # g2 = [spam spam]×3 → dup 2/3, top 1
+            (2, "a b c d"),                       # g2 distinct → dup 0, top 1/3
+            (3, "x"),                             # 1 token → 1 degenerate gram
+        ],
+        "doc_id long, text string",
+    )
+    c = dup_ngram_cols("text", 2)
+    out = {
+        r.doc_id: r
+        for r in docs.select(
+            "doc_id",
+            c["n_2grams"].alias("n"),
+            c["dup_frac_2"].alias("dup"),
+            c["top_frac_2"].alias("top"),
+        ).collect()
+    }
+    assert out[1].n == 3 and out[1].dup == pytest.approx(2 / 3) and out[1].top == 1.0
+    assert out[2].n == 3 and out[2].dup == 0.0 and out[2].top == pytest.approx(1 / 3)
+    assert out[3].n == 1 and out[3].dup == 0.0
+
+
+def test_gopher_rules_crafted(spark):
+    """Each Gopher rule flips the keep flag independently."""
+    from options_data_pipeline_spark.functions.text import gopher_cols
+
+    good = "the quick brown fox jumps over a lazy dog and then it runs far " * 5
+    docs = spark.createDataFrame(
+        [
+            (1, good),                       # passes all rules
+            (2, "the of and is it"),         # too few words
+            (3, ("aa " * 60) + "the of"),    # mean word len 2 → fails length rule
+            (4, ("12345 " * 60) + "the of"), # numeric words → frac_alpha < 0.8
+        ],
+        "doc_id long, text string",
+    )
+    cols = gopher_cols("text")
+    out = {
+        r.doc_id: r
+        for r in docs.select("doc_id", *[c.alias(n) for n, c in cols.items()]).collect()
+    }
+    assert out[1].gopher_keep is True
+    assert out[2].gopher_keep is False and out[2].n_words < 50
+    assert out[3].gopher_keep is False and out[3].mean_word_len < 3.0
+    assert out[4].gopher_keep is False and out[4].frac_alpha_words < 0.8
