@@ -149,3 +149,26 @@ def test_no_array_or_map_columns_in_query_outputs(spark, qs):
         if offenders:
             bad[name] = offenders
     assert not bad, f"non-scalar output columns: {bad}"
+
+
+def test_sliding_ohlc_single_shuffle_hash_agg(spark, qs):
+    """The hopping-window twin keeps the tumbling plan shape: window
+    expansion (Expand/explode) happens map-side BEFORE the one hash
+    shuffle at the (symbol, window) result grain."""
+    df = qs["ohlc_sliding"](spark, SF)
+    plan = physical_plan(df)
+    assert count_exchanges(df) == 1
+    assert "HashAggregate" in plan and "SortAggregate" not in plan
+
+
+def test_narrow_map_queries_have_no_shuffle(spark, qs):
+    """dup_ngram_stats / gopher_quality / pq_quantize are per-row column
+    expressions — any Exchange beyond the test-SF spread repartition means
+    an accidental aggregation or join crept in."""
+    for name in ("dup_ngram_stats", "gopher_quality", "pq_quantize"):
+        df = qs[name](spark, SF)
+        plan = physical_plan(df)
+        assert "Join" not in plan, name
+        assert "HashAggregate" not in plan and "SortAggregate" not in plan, name
+        # the only allowed exchange is load_table's small-file spread
+        assert count_exchanges(df) <= 1, name
