@@ -61,6 +61,11 @@ HEADLINE = [
     "dup_ngram_stats",
     "gopher_quality",
     "pq_quantize",
+    "decontamination",
+    "chunk_documents",
+    "pack_sequences",
+    "pq_adc_topk",
+    "vocab_topk",
 ]
 
 

@@ -78,3 +78,58 @@ def mixture_keep_col(
             threshold
         )
     return b < threshold
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 128,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy sequential SEQUENCE PACKING: walk each source's documents in
+    doc_id order and close the current bin whenever the next document
+    would overflow ``budget`` tokens — the batch-assembly step that turns
+    a filtered corpus into fixed-token-budget training rows (wasted pad
+    tokens ∝ bin underfill). A document longer than the budget gets a bin
+    of its own (never split here; chunk first if that matters).
+
+    The walk is inherently sequential, so it runs as a pandas island
+    per source group (``applyInPandas``) — same justification as the ATR
+    recursion: per-group state, parallel ACROSS groups/shards, and at
+    100 TB you pack within shards anyway (global packing order is not a
+    training requirement; determinism is). Token counts are computed
+    Spark-side first; pandas only runs the integer walk. Oracle: linear
+    recursive CTE per source, like the ATR recursion."""
+    import pandas as pd
+
+    counted = docs.select(
+        F.col(source_col).alias("source"),
+        "doc_id",
+        F.size(
+            F.expr(f"regexp_extract_all(lower({text_col}), '\\\\S+', 0)")
+        ).cast("long").alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id", ignore_index=True)
+        bins, fills = [], []
+        bin_id, fill = 0, 0
+        for i, tok in enumerate(pdf["n_tokens"]):
+            tok = int(tok)
+            if i == 0:
+                fill = tok
+            elif fill + tok > budget:
+                bin_id += 1
+                fill = tok
+            else:
+                fill += tok
+            bins.append(bin_id)
+            fills.append(fill)
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        pdf["bin_fill"] = pd.Series(fills, dtype="int64")
+        return pdf
+
+    return counted.groupBy("source").applyInPandas(
+        pack,
+        schema="source string, doc_id long, n_tokens long, bin_id long, bin_fill long",
+    )

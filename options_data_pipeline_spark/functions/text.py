@@ -291,3 +291,71 @@ def gopher_cols(text_col: str = "text") -> dict[str, Column]:
         "n_stopword_hits": n_stop,
         "gopher_keep": keep,
     }
+
+
+def _word_ngrams_expr(text_col: str, n: int) -> str:
+    """SQL expr: distinct space-joined word n-grams of the casefolded
+    text (shared by decontamination and the dup-n-gram signals)."""
+    toks = f"regexp_extract_all(lower({text_col}), '\\\\S+', 0)"
+    return (
+        f"array_distinct(transform(sequence(1, greatest(size({toks}) - {n - 1}, 1)),"
+        f" i -> array_join(slice({toks}, i, {n}), ' ')))"
+    )
+
+
+def decontamination_hits(
+    train: DataFrame, eval_docs: DataFrame, text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """Benchmark DECONTAMINATION: for every training document, how many
+    distinct word n-grams it shares with ANY evaluation document — the
+    standard leakage filter (GPT-3 §C / PaLM style: drop train docs with a
+    13-gram collision against the eval suite; n is a knob, 8 here because
+    the synthetic docs are short). Downstream: ``filter(n_shared == 0)``.
+
+    Scale shape: the eval suite is small by nature (benchmarks, not
+    corpora), so its distinct-n-gram set BROADCASTS; the train side stays
+    a narrow map + one broadcast semi-join + one groupBy at doc grain.
+    100 TB of train text streams through without a shuffle of the grams
+    themselves."""
+    tg = train.select(
+        "doc_id", F.explode(F.expr(_word_ngrams_expr(text_col, n))).alias("gram")
+    )
+    eg = eval_docs.select(
+        F.explode(F.expr(_word_ngrams_expr(text_col, n))).alias("gram")
+    ).distinct()
+    return (
+        tg.join(F.broadcast(eg), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
+
+
+def chunk_documents(
+    docs: DataFrame, chunk_tokens: int = 20, overlap: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Fixed-size token chunking with overlap — the pre-tokenization
+    splitter every context-bounded training/embedding pipeline runs.
+    Chunk k covers tokens [k·stride, k·stride + chunk_tokens) with
+    stride = chunk_tokens − overlap; the last chunk may be short; every
+    document yields ≥ 1 chunk (possibly empty for empty text).
+
+    Pure integer arithmetic (no float ceil — cross-engine exact) and one
+    explode; a narrow map otherwise."""
+    stride = chunk_tokens - overlap
+    toks = f"regexp_extract_all(lower({text_col}), '\\\\S+', 0)"
+    n_chunks = (
+        f"greatest((size({toks}) - {overlap} + {stride - 1}) div {stride}, 1)"
+    )
+    chunks = (
+        f"transform(sequence(0, {n_chunks} - 1),"
+        f" k -> slice({toks}, k * {stride} + 1, {chunk_tokens}))"
+    )
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.expr(chunks)).alias("chunk_id", "ctoks"),
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size("ctoks").cast("long").alias("n_tokens"),
+        F.array_join("ctoks", " ").alias("chunk_text"),
+    )

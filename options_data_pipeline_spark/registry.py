@@ -1970,6 +1970,222 @@ def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_encode(load_table(spark, "embeddings", sf_dir))
 
 
+@register(
+    "decontamination",
+    r"""WITH grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(regexp_extract_all(lower(text), '\S+')) - 3, 1) + 1),
+           i -> array_to_string(regexp_extract_all(lower(text), '\S+')[i:i+3], ' ')
+         ))) AS gram
+  FROM documents
+),
+eval_grams AS (SELECT DISTINCT gram FROM grams WHERE doc_id < 25),
+train_grams AS (SELECT doc_id, gram FROM grams WHERE doc_id >= 25)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_ngrams
+FROM train_grams JOIN eval_grams USING (gram)
+GROUP BY doc_id""",
+)
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 §C-style leakage filter): training
+    docs ranked by distinct n-gram collisions with the eval set (doc_id <
+    25 as the stand-in benchmark suite; n=4 because the synthetic docs are
+    short — real suites use 8–13). Eval grams broadcast; the train side is
+    a narrow map + broadcast join + doc-grain groupBy."""
+    from .functions.text import decontamination_hits
+
+    docs = load_table(spark, "documents", sf_dir)
+    return decontamination_hits(
+        docs.filter(F.col("doc_id") >= 25), docs.filter(F.col("doc_id") < 25), n=4
+    )
+
+
+@register(
+    "chunk_documents",
+    r"""WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents
+),
+c AS (
+  SELECT doc_id, toks,
+         unnest(range(0, greatest((len(toks) - 5 + 14) // 15, 1))) AS chunk_id
+  FROM t
+)
+SELECT doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(toks[chunk_id * 15 + 1 : chunk_id * 15 + 20]) AS BIGINT) AS n_tokens,
+       array_to_string(toks[chunk_id * 15 + 1 : chunk_id * 15 + 20], ' ') AS chunk_text
+FROM c""",
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size chunking with overlap (20-token chunks, stride 15) — the
+    context-bound splitter before tokenization/embedding. Integer-exact
+    chunk-count arithmetic, one posexplode, otherwise narrow."""
+    from .functions.text import chunk_documents
+
+    return chunk_documents(load_table(spark, "documents", sf_dir), 20, 5)
+
+
+@register(
+    "pack_sequences",
+    r"""WITH RECURSIVE t AS (
+  SELECT source, doc_id,
+         CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM t
+),
+p(source, rn, doc_id, n_tokens, bin_id, bin_fill) AS (
+  SELECT source, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.source, o.rn, o.doc_id, o.n_tokens,
+         CASE WHEN p.bin_fill + o.n_tokens > 128 THEN p.bin_id + 1 ELSE p.bin_id END,
+         CASE WHEN p.bin_fill + o.n_tokens > 128 THEN o.n_tokens
+              ELSE p.bin_fill + o.n_tokens END
+  FROM o JOIN p ON o.source = p.source AND o.rn = p.rn + 1
+)
+SELECT source, doc_id, n_tokens, bin_id, bin_fill FROM p""",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequential sequence packing into 128-token bins per source —
+    the batch-assembly step after filtering/dedup. Sequential walk as a
+    per-source pandas island (parallel across sources); the oracle is the
+    same linear recursion as a recursive CTE."""
+    from .functions.sampling import pack_sequences
+
+    return pack_sequences(load_table(spark, "documents", sf_dir), budget=128)
+
+
+def _pq_adc_oracle(
+    kcells: int = 8, m: int = 4, ksub: int = 8, dim: int = 64, topk: int = 5
+) -> str:
+    """DuckDB twin of cell-confined IVF-ADC: cells from the fixed-centroid
+    argmin (same as ``_ivf_fixed_oracle``), codes from the PQ argmin (same
+    as ``_pq_oracle``), and the asymmetric distance is a per-subspace
+    list-literal lookup by code — Σ_j |q_j|² + |c|² − 2·q_j·c, rounded to
+    the 9-dp grid before ranking (rounded ties break by neighbor id)."""
+    from .functions.similarity import fixed_centroids, pq_codebooks
+
+    cents = fixed_centroids(kcells, dim)
+    books = pq_codebooks(m, ksub, dim)
+    sub = dim // m
+    cell_scores = ",\n      ".join(
+        f"{sum(x * x for x in c)!r} - 2.0*list_dot_product(v, ["
+        + ", ".join(repr(x) for x in c)
+        + "])"
+        for c in cents
+    )
+    code_lists = []
+    for j, book in enumerate(books):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        vj = f"v[{lo}:{hi}]"
+        scores = ",\n        ".join(
+            f"list_dot_product({vj}, {vj}) + {sum(x * x for x in c)!r}"
+            f" - 2.0*list_dot_product({vj}, [" + ", ".join(repr(x) for x in c) + "])"
+            for c in book
+        )
+        code_lists.append(
+            f"    list_position([{scores}], list_min([{scores}])) - 1 AS code_{j}"
+        )
+    codes_block = ",\n".join(code_lists)
+    dist_terms = []
+    for j, book in enumerate(books):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        qj = f"q.v[{lo}:{hi}]"
+        book_lit = "[" + ", ".join(
+            "[" + ", ".join(repr(x) for x in c) + "]" for c in book
+        ) + "]"
+        c2_lit = "[" + ", ".join(repr(sum(x * x for x in c)) for c in book) + "]"
+        dist_terms.append(
+            f"(list_dot_product({qj}, {qj}) + ({c2_lit})[c.code_{j} + 1]"
+            f" - 2.0*list_dot_product({qj}, ({book_lit})[c.code_{j} + 1]))"
+        )
+    dist = "\n         + ".join(dist_terms)
+    return f"""WITH v0 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+cells AS (
+  SELECT vec_id, v,
+         list_position([{cell_scores}],
+                       list_min([{cell_scores}])) - 1 AS cell
+  FROM v0
+),
+codes AS (
+  SELECT vec_id, cell,
+{codes_block}
+  FROM cells
+),
+q AS (SELECT vec_id, v, cell FROM cells WHERE vec_id < 10),
+cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND({dist}, 9) AS adc_dist
+  FROM codes c JOIN q ON c.cell = q.cell AND c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist, neighbor_id) AS "rank"
+  FROM cand
+)
+SELECT query_id, neighbor_id, adc_dist, "rank" FROM ranked WHERE "rank" <= {topk}"""
+
+
+@register("pq_adc_topk", _pq_adc_oracle())
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-confined IVF-ADC: corpus stored as PQ codes only (m bytes per
+    vector), queries exact, distance = per-subspace codebook lookup — the
+    compressed-index read path that makes billion-vector ANN fit a
+    cluster. Cells from the fixed-centroid assignment, candidates
+    equi-joined on the cell with the query side broadcast."""
+    from .functions.similarity import assign_cells, fixed_centroids, pq_adc_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cells = assign_cells(emb, fixed_centroids(8, 64)).withColumnRenamed("vid", "vec_id")
+    with_cell = emb.join(cells, "vec_id")
+    return pq_adc_topk(
+        with_cell.filter(F.col("vec_id") < 10), with_cell, k=5, cell_col="cell"
+    )
+
+
+@register(
+    "vocab_topk",
+    r"""WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+  FROM documents
+),
+df AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS doc_freq FROM toks GROUP BY tok
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY doc_freq DESC, tok) AS "rank" FROM df
+)
+SELECT tok, doc_freq, "rank" FROM ranked WHERE "rank" <= 50""",
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary head: top-50 tokens by document frequency — the
+    heavy-hitter scan behind tokenizer/vocab construction and stopword
+    derivation. One explode + hash agg + a 50-row global top-k (the only
+    all-to-one step is over the tiny ranked head)."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr("regexp_extract_all(lower(text), '\\\\S+', 0)")
+            )
+        ).alias("tok"),
+    )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("doc_freq"))
+    # global top-k via sort+limit → TakeOrderedAndProject (per-partition
+    # heaps, no all-to-one shuffle of the full vocab); the rank window
+    # then runs over only the 50-row head
+    head = dfreq.orderBy(F.col("doc_freq").desc(), F.col("tok").asc()).limit(50)
+    w = Window.orderBy(F.col("doc_freq").desc(), F.col("tok").asc())
+    return head.select(
+        "tok", "doc_freq", F.row_number().over(w).cast("long").alias("rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:

@@ -223,3 +223,26 @@ def test_pq_encode_codes_and_error(spark):
     assert out[2].recon_err > 0.5
     for j in range(4):
         assert 0 <= out[2][f"code_{j}"] < 8
+
+
+def test_pq_adc_self_distance_equals_recon_err(spark):
+    """ADC identity: for a query equal to a corpus vector, the asymmetric
+    distance to that vector is exactly the vector's own PQ reconstruction
+    error (both on the 9-dp grid)."""
+    from options_data_pipeline_spark.functions.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    books = pq_codebooks()
+    vec = [((i * 37) % 100) / 100.0 - 0.5 for i in range(64)]
+    other = [((i * 11) % 100) / 100.0 - 0.5 for i in range(64)]
+    corpus = spark.createDataFrame(
+        [(1, vec), (2, other)], "vec_id long, embedding array<double>"
+    )
+    query = spark.createDataFrame([(99, vec)], "vec_id long, embedding array<double>")
+    recon = {r.vec_id: r.recon_err for r in pq_encode(corpus, books).collect()}
+    out = {r.neighbor_id: r for r in pq_adc_topk(query, corpus, k=2, books=books).collect()}
+    assert out[1].adc_dist == pytest.approx(recon[1], abs=1e-9)
+    assert out[1].rank == 1  # self-identical vector ranks first

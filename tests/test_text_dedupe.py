@@ -417,3 +417,60 @@ def test_gopher_rules_crafted(spark):
     assert out[2].gopher_keep is False and out[2].n_words < 50
     assert out[3].gopher_keep is False and out[3].mean_word_len < 3.0
     assert out[4].gopher_keep is False and out[4].frac_alpha_words < 0.8
+
+
+def test_decontamination_crafted(spark):
+    """A train doc sharing a 4-gram with the eval set is flagged with the
+    right collision count; clean docs don't appear."""
+    from options_data_pipeline_spark.functions.text import decontamination_hits
+
+    eval_docs = docs_df(spark, ["alpha beta gamma delta epsilon"])
+    train = spark.createDataFrame(
+        [
+            (100, "zzz alpha beta gamma delta epsilon qqq"),  # 2 shared 4-grams
+            (101, "totally clean words nothing here"),
+            (102, "beta gamma delta epsilon tail"),           # 1 shared
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.n_shared_ngrams for r in decontamination_hits(train, eval_docs, n=4).collect()}
+    assert out == {100: 2, 102: 1}
+
+
+def test_chunk_documents_stride_and_tail(spark):
+    """20-token chunks, stride 15: a 35-token doc yields [0,20)+[15,35);
+    short and empty docs yield exactly one chunk."""
+    from options_data_pipeline_spark.functions.text import chunk_documents
+
+    words35 = " ".join(f"w{i}" for i in range(35))
+    docs = spark.createDataFrame(
+        [(1, words35), (2, "a b c"), (3, "")], "doc_id long, text string"
+    )
+    rows = chunk_documents(docs, 20, 5).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [r.n_tokens for r in c1] == [20, 20]
+    assert c1[0].chunk_text.split()[0] == "w0"
+    assert c1[1].chunk_text.split()[0] == "w15"  # overlap of 5
+    assert c1[1].chunk_text.split()[-1] == "w34"
+    assert [r.n_tokens for r in by_doc[2]] == [3]
+    assert [r.n_tokens for r in by_doc[3]] == [0]
+
+
+def test_pack_sequences_greedy_walk(spark):
+    """Greedy packing: bins close exactly when the next doc would
+    overflow; oversized docs get singleton bins."""
+    from pyspark.sql import functions as F
+
+    from options_data_pipeline_spark.functions.sampling import pack_sequences
+
+    sizes = {0: 50, 1: 60, 2: 30, 3: 128, 4: 5}
+    docs = spark.createDataFrame(
+        [(i, "s", "w " * n) for i, n in sizes.items()],
+        "doc_id long, source string, text string",
+    )
+    out = {r.doc_id: r for r in pack_sequences(docs, budget=128).collect()}
+    assert {i: out[i].bin_id for i in sizes} == {0: 0, 1: 0, 2: 1, 3: 2, 4: 3}
+    assert out[1].bin_fill == 110 and out[3].bin_fill == 128
