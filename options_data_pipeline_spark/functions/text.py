@@ -228,10 +228,12 @@ def dup_ngram_cols(text_col: str = "text", n: int = 2) -> dict[str, Column]:
     filter inputs (Gopher §A1.1 uses exactly these at n=2..4).
 
     Pure array expressions (regexp tokenize → slice/join n-grams →
-    distinct/filter/max) — a narrow map, no shuffle, mirrored verbatim by
-    DuckDB list functions. ``top_frac`` is O(d·g) per document (d distinct
-    × g total grams); documents are bounded (pre-chunked) by pipeline
-    contract, so the per-row cost is a constant, not a scale axis."""
+    distinct / sorted-run fold) — a narrow map, no shuffle. ``top_frac``
+    (max gram multiplicity) is computed as the longest run in the SORTED
+    gram array via one ``aggregate`` fold — O(g log g) per document; the
+    naive distinct×filter form is O(d·g) and measured 5× slower at sf0.1
+    (9.5 s → the fold). The DuckDB oracle keeps the O(d·g) list form
+    (same value: max multiplicity), which is fine at oracle SF."""
     toks = F.expr(f"regexp_extract_all(lower({text_col}), '\\\\S+', 0)")
     grams = F.expr(
         f"transform(sequence(1, greatest(size(regexp_extract_all(lower({text_col}),"
@@ -242,11 +244,23 @@ def dup_ngram_cols(text_col: str = "text", n: int = 2) -> dict[str, Column]:
     n_grams = F.size(grams).cast("long")
     n_distinct = F.size(F.array_distinct(grams)).cast("long")
     dup_frac = F.lit(1.0) - n_distinct.cast("double") / n_grams.cast("double")
-    top_count = F.array_max(
-        F.transform(
-            F.array_distinct(grams),
-            lambda x: F.size(F.filter(grams, lambda y: y == x)),
+    run_init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def run_step(acc, x):
+        # null-safe: x == NULL prev is NULL → otherwise branch → run resets
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
         )
+
+    top_count = F.aggregate(
+        F.array_sort(grams), run_init, run_step, lambda acc: acc["best"]
     )
     top_frac = top_count.cast("double") / n_grams.cast("double")
     return {

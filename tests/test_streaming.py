@@ -548,3 +548,40 @@ def test_manifest_segment_skipping_by_bounds(spark, tmpdir):
     assert len(both) == 2 and len(jan) == 1
     # and correctness through the skip path: a replay overlapping only Jan
     assert sink_mod.manifest_append_batch(mk(["a"], "2024-01-01 09:15:00"), sink) == 0
+
+
+def test_streaming_sliding_ohlc_matches_batch(spark, tmpdir):
+    """Hopping windows run in Structured Streaming too: closed 10m/5m
+    windows from the stream match the batch sliding_ohlc exactly."""
+    from options_data_pipeline_spark.operators.ohlc import sliding_ohlc
+
+    base = datetime(2024, 1, 1, 9, 15)
+    rows = []
+    eid = 0
+    for w in range(5):
+        for s, off in [("A", 10), ("A", 200), ("B", 40)]:
+            rows.append((s, 100.0 + w + off / 100.0, base + timedelta(minutes=5 * w, seconds=off), eid))
+            eid += 1
+    src = spark.createDataFrame(rows, TICK_SCHEMA)
+
+    def build(stream):
+        t = stream.withWatermark("ts", "500 milliseconds")
+        return sliding_ohlc(t, "10 minutes", "5 minutes")
+
+    got = run_stream(spark, src, tmpdir, build, TICK_SCHEMA).collect()
+    # windows whose END precedes the final watermark (max ts - 500ms) close
+    cutoff = base + timedelta(minutes=20, seconds=40) - timedelta(milliseconds=500)
+    batch = [
+        r
+        for r in sliding_ohlc(src, "10 minutes", "5 minutes").collect()
+        if r.window_end <= cutoff
+    ]
+    key = lambda r: (r.symbol, r.window_start)  # noqa: E731
+    assert len(got) > 0
+    assert sorted(map(key, got)) == sorted(map(key, batch))
+    got_map = {key(r): r for r in got}
+    for b in batch:
+        g = got_map[key(b)]
+        assert (g.open, g.high, g.low, g.close, g.tick_count) == (
+            b.open, b.high, b.low, b.close, b.tick_count,
+        )
