@@ -66,6 +66,8 @@ HEADLINE = [
     "pack_sequences",
     "pq_adc_topk",
     "vocab_topk",
+    "stratified_sample",
+    "tfidf_top_terms",
 ]
 
 

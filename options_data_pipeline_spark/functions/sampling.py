@@ -133,3 +133,33 @@ def pack_sequences(
         pack,
         schema="source string, doc_id long, n_tokens long, bin_id long, bin_fill long",
     )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    per_stratum: int = 100,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sampling: keep the first ``per_stratum``
+    documents of each stratum under a salted-hash order — balanced
+    subsampling for eval-set construction or per-source corpus caps.
+    Hash order (not id order) makes the sample unbiased w.r.t. id
+    assignment while staying a pure function of the ids: re-runs,
+    engines, and cluster sizes all pick the same rows.
+
+    One shuffle at the stratum grain; the rank is a window with a
+    per-stratum heap (WindowGroupLimit pushes the ``<= N`` bound down,
+    same plan as top_parts_per_brand)."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit("strat:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        docs.select(F.col(id_col), F.col(stratum_col), h.alias("h"))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= per_stratum)
+        .select(
+            id_col, stratum_col, F.col("sample_rank").cast("long").alias("sample_rank")
+        )
+    )

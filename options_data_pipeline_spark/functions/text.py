@@ -373,3 +373,45 @@ def chunk_documents(
         F.size("ctoks").cast("long").alias("n_tokens"),
         F.array_join("ctoks", " ").alias("chunk_text"),
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame, text_col: str = "text", top_n: int = 3
+) -> DataFrame:
+    """Per-document top tf-idf terms — the classic keyword/topic signal a
+    corpus profiler reports per document. Scored with the LOG-FREE exact
+    rational ``tf · N / df`` ((tf·N) exact in a double, one IEEE divide —
+    bit-identical across engines, unlike ``ln`` whose last ulp is
+    library-dependent); ranking is order-equivalent to tf·(N/df) and
+    monotone in tf and 1/df like the log form.
+
+    Two-pass shape, same as :func:`rare_token_stats`: the (token → df)
+    table stays distributed, joins back on token, and the per-doc top-n
+    is a window heap (WindowGroupLimit)."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '\\\\S+', 0)")
+        ).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            (F.col("tf") * F.col("n")).cast("double") / F.col("df").cast("double"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select("doc_id", "tok", "tf", "df", "tfidf", F.col("rank").cast("long").alias("rank"))
+    )

@@ -2186,6 +2186,68 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stratified_sample",
+    """WITH h AS (
+  SELECT doc_id, source,
+         md5(concat('strat:', CAST(doc_id AS VARCHAR))) AS hh
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY hh, doc_id)
+           AS sample_rank
+  FROM h
+)
+SELECT doc_id, source, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM ranked WHERE sample_rank <= 30""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: first 30 docs per source under a
+    salted-hash order — balanced eval-set construction / per-source caps,
+    reproducible across runs and engines. WindowGroupLimit pushes the
+    rank bound into the per-stratum heap."""
+    from .functions.sampling import stratified_sample
+
+    return stratified_sample(
+        load_table(spark, "documents", sf_dir), per_stratum=30
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    r"""WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+),
+dfreq AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
+         CAST(tf.tf * n.n AS DOUBLE) / CAST(dfreq.df AS DOUBLE) AS tfidf
+  FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, tok) AS "rank"
+  FROM scored
+)
+SELECT doc_id, tok, tf, df, tfidf, "rank" FROM ranked WHERE "rank" <= 3""",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf terms per document (log-free exact tf·N/df scoring —
+    bit-identical across engines, order-equivalent to the log form) —
+    the per-doc keyword profile a corpus analyzer reports."""
+    from .functions.text import tfidf_top_terms
+
+    return tfidf_top_terms(load_table(spark, "documents", sf_dir), top_n=3)
+
+
 # ---------------------------------------------------------------------------
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:

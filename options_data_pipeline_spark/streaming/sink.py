@@ -140,6 +140,13 @@ def _promote_staged(staging: str, sink_path: str) -> None:
 # only segments whose [lo, hi] overlaps the incoming batch's key range.
 # Reference counterpart: the confirmed-write flag in
 # checkpoint_manager.py:62-67 — same write-then-confirm contract.
+#
+# Concurrency contract: SINGLE WRITER per sink (what foreachBatch
+# guarantees — micro-batches of one query never overlap), same as the
+# reference's one-process writer. Two independent writers could both pass
+# the anti-join before either commits and double-append; fixing that
+# needs a compare-and-swap commit log (Delta's optimistic protocol), out
+# of scope for the parquet sink.
 # ---------------------------------------------------------------------------
 
 
