@@ -112,3 +112,89 @@ def test_winnowing_guarantee_for_any_shared_passage(spark_prop, pre, post, share
 @pytest.fixture(scope="module")
 def spark_prop(spark):
     return spark
+
+
+words = st.lists(
+    st.text(alphabet="abcdef", min_size=1, max_size=4), min_size=0, max_size=60
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(words)
+def test_chunking_covers_document_exactly(spark_prop, ws):
+    """Chunk invariants for any token sequence: stride-trimmed chunks
+    reconstruct the document exactly (no token lost or duplicated beyond
+    the declared overlap), every chunk ≤ chunk_tokens, and only the tail
+    chunk may be shorter than the overlap-free stride."""
+    from options_data_pipeline_spark.functions.text import chunk_documents
+
+    chunk, overlap = 8, 3
+    stride = chunk - overlap
+    df = spark_prop.createDataFrame([(1, " ".join(ws))], "doc_id long, text string")
+    rows = sorted(chunk_documents(df, chunk, overlap).collect(), key=lambda r: r.chunk_id)
+    toks = " ".join(ws).split()
+    # reconstruction: first chunk whole, later chunks minus the overlap
+    recon = []
+    for r in rows:
+        ct = r.chunk_text.split()
+        assert len(ct) <= chunk
+        recon.extend(ct if r.chunk_id == 0 else ct[overlap - len(ct):] if len(ct) < overlap else ct[overlap:])
+    # chunks start every `stride` tokens → trimming `overlap` from each
+    # non-first chunk yields the original sequence
+    if toks:
+        assert recon == toks
+    else:
+        assert [r.n_tokens for r in rows] == [0]
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=40))
+def test_packing_never_overfills_except_singletons(spark_prop, sizes):
+    """Packing invariants for any size sequence: bin ids are contiguous
+    and non-decreasing in doc order; a bin's total exceeds the budget only
+    when it holds a single oversized document."""
+    from collections import defaultdict
+
+    from options_data_pipeline_spark.functions.sampling import pack_sequences
+
+    budget = 60
+    docs = spark_prop.createDataFrame(
+        [(i, "s", "w " * n) for i, n in enumerate(sizes)],
+        "doc_id long, source string, text string",
+    )
+    rows = sorted(pack_sequences(docs, budget=budget).collect(), key=lambda r: r.doc_id)
+    bins = defaultdict(list)
+    for r in rows:
+        bins[r.bin_id].append(r.n_tokens)
+    assert sorted(bins) == list(range(len(bins)))  # contiguous ids
+    assert [r.bin_id for r in rows] == sorted(r.bin_id for r in rows)  # monotone
+    for members in bins.values():
+        if sum(members) > budget:
+            assert len(members) == 1  # only an oversized singleton may overflow
+
+
+def test_stratified_sample_stable_under_growth(spark_prop):
+    """Adding documents never changes which of the ORIGINAL docs rank in
+    the top-N of their stratum relative to each other (hash order is a
+    pure function of ids) — new docs may displace old ones, but never
+    reorder them."""
+    from options_data_pipeline_spark.functions.sampling import stratified_sample
+
+    def sample(n_docs, k):
+        df = spark_prop.createDataFrame(
+            [(i, f"s{i % 2}") for i in range(n_docs)], "doc_id long, source string"
+        )
+        return {
+            r.doc_id: (r.source, r.sample_rank)
+            for r in stratified_sample(df, per_stratum=k).collect()
+        }
+
+    small, big = sample(100, 10), sample(200, 10)
+    for doc, (src, _rank) in small.items():
+        if doc in big:
+            # relative order within the stratum is preserved
+            peers = [d for d in small if small[d][0] == src and d in big]
+            order_small = sorted(peers, key=lambda d: small[d][1])
+            order_big = sorted(peers, key=lambda d: big[d][1])
+            assert order_small == order_big
+            break
