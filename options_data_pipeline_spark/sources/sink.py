@@ -14,15 +14,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def write_market_data(df: DataFrame, path: str, mode: str = "append") -> None:
-    """S3/S11: append fact rows partitioned by (year, month) of the window."""
-    (
-        df.withColumn("year", F.year("window_start"))
-        .withColumn("month", F.month("window_start"))
-        .write.mode(mode)
-        .partitionBy("year", "month")
-        .parquet(path)
+def write_market_data(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    cluster: bool = True,
+    **options: str,
+) -> None:
+    """S3/S11: append fact rows partitioned by (year, month) of the window.
+
+    ``cluster=True`` sorts rows WITHIN each write task by (symbol,
+    window_start) before writing — a task-local sort, no extra shuffle —
+    so parquet row-group min/max statistics become tight per symbol and a
+    ``symbol = 'X'`` (or window-ranged) read skips whole row groups
+    instead of scanning them. At 100 TB this is the difference between a
+    per-symbol query reading ~1/|symbols| of each file and reading all of
+    it; the same idea Delta's Z-ORDER serves (one clustering column here,
+    so a plain sort dominates). Verified by a row-group-stats test."""
+    out = df.withColumn("year", F.year("window_start")).withColumn(
+        "month", F.month("window_start")
     )
+    if cluster:
+        # partition columns lead the sort: the dynamic-partition writer
+        # requires (year, month) ordering and would otherwise inject its
+        # own (non-stable) sort, destroying the symbol clustering
+        out = out.sortWithinPartitions("year", "month", "symbol", "window_start")
+    out.write.mode(mode).options(**options).partitionBy("year", "month").parquet(path)
 
 
 def read_market_data(spark, path: str) -> DataFrame:

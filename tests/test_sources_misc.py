@@ -254,3 +254,59 @@ def test_alert_manager_escalation():
     assert am.fire("WARNING", "RECONNECT")["level"] == "WARNING"
     # dual channel: all five + one post-resolve events recorded
     assert len(am.events) == 5
+
+
+def test_clustered_write_tightens_row_group_stats(spark, tmpdir):
+    """The 100 TB clustering lever: sortWithinPartitions(symbol, window)
+    before the parquet write must produce row groups whose symbol min/max
+    stats are tight (mostly single-symbol), so per-symbol reads skip row
+    groups; an unclustered write of the same interleaved data spans the
+    symbol range in every row group."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from datetime import datetime, timedelta
+
+    from options_data_pipeline_spark.sources.sink import write_market_data
+
+    base = datetime(2024, 3, 1, 9, 15)
+    rows = [
+        (f"SYM{i % 8}", base + timedelta(minutes=5 * (i // 8)), 1.0 + i, 1.0, 1.0, 1.0, 3)
+        for i in range(16000)  # symbols interleaved — worst case for stats
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "symbol string, window_start timestamp, open double, high double,"
+        " low double, close double, tick_count long",
+    ).coalesce(2)
+
+    def stats(path):
+        tight = total = 0
+        for root, _d, files in os.walk(path):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(root, f)).metadata
+                ci = next(
+                    i for i in range(md.num_columns)
+                    if md.row_group(0).column(i).path_in_schema == "symbol"
+                )
+                for g in range(md.num_row_groups):
+                    s = md.row_group(g).column(ci).statistics
+                    total += 1
+                    if s.min == s.max:
+                        tight += 1
+        return tight, total
+
+    # small row groups at test scale (writer option, reaches the
+    # parquet committer unlike a runtime hadoop conf)
+    opts = {"parquet.block.size": "16384", "parquet.page.size": "4096"}
+    clustered, plain = tmpdir + "/clustered", tmpdir + "/plain"
+    write_market_data(df, clustered, mode="overwrite", cluster=True, **opts)
+    write_market_data(df, plain, mode="overwrite", cluster=False, **opts)
+    tight_c, total_c = stats(clustered)
+    tight_p, total_p = stats(plain)
+    assert total_c > 8  # small block size actually split row groups
+    assert tight_c / total_c > 0.5  # sorted runs → mostly single-symbol groups
+    assert tight_p / total_p < 0.1  # interleaved write spans symbols
