@@ -45,3 +45,59 @@ def write_market_data(
 def read_market_data(spark, path: str) -> DataFrame:
     df = spark.read.parquet(path)
     return df.drop("year", "month")
+
+
+def compact_market_data(
+    spark,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 4,
+) -> dict[str, tuple[int, int]]:
+    """Small-file compaction for the partitioned sink — the maintenance
+    job every streaming-append table needs: micro-batch appends leave
+    hundreds of tiny files per partition, and at 100 TB the scan's task
+    count (and the NameNode/listing cost) is driven by file count, not
+    bytes. Per (year, month) partition with ≥ ``min_files`` files: read,
+    re-cluster (same symbol/window sort as the write path), rewrite as
+    ⌈bytes/target⌉ files, atomically swap the directory.
+
+    Returns {partition: (files_before, files_after)}. The swap is two
+    renames (old → trash, staged → live) — atomic per rename on POSIX;
+    on object stores run it under the manifest sink instead, where
+    compaction is "write new segment + one manifest that supersedes N".
+    Readers racing the swap see the old OR new directory, both complete.
+    """
+    import os
+    import shutil
+    import uuid
+
+    results: dict[str, tuple[int, int]] = {}
+    if not os.path.isdir(path):
+        return results
+    for ydir in sorted(os.listdir(path)):
+        if not ydir.startswith("year="):
+            continue
+        for mdir in sorted(os.listdir(os.path.join(path, ydir))):
+            pdir = os.path.join(path, ydir, mdir)
+            if not os.path.isdir(pdir):
+                continue
+            files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+            if len(files) < min_files:
+                continue
+            total = sum(os.path.getsize(os.path.join(pdir, f)) for f in files)
+            n_out = max(1, -(-total // target_bytes))
+            staged = f"{pdir}.compact-{uuid.uuid4().hex[:8]}"
+            (
+                spark.read.parquet(pdir)
+                .repartition(n_out)
+                .sortWithinPartitions("symbol", "window_start")
+                .write.mode("overwrite")
+                .parquet(staged)
+            )
+            trash = f"{pdir}.old-{uuid.uuid4().hex[:8]}"
+            os.rename(pdir, trash)
+            os.rename(staged, pdir)
+            shutil.rmtree(trash, ignore_errors=True)
+            after = len([f for f in os.listdir(pdir) if f.endswith(".parquet")])
+            results[f"{ydir}/{mdir}"] = (len(files), after)
+    return results

@@ -310,3 +310,41 @@ def test_clustered_write_tightens_row_group_stats(spark, tmpdir):
     assert total_c > 8  # small block size actually split row groups
     assert tight_c / total_c > 0.5  # sorted runs → mostly single-symbol groups
     assert tight_p / total_p < 0.1  # interleaved write spans symbols
+
+
+def test_compaction_merges_small_files_losslessly(spark, tmpdir):
+    """Streaming appends leave tiny files; compaction must collapse them
+    to few files with IDENTICAL data (count + content) and leave
+    under-threshold partitions untouched."""
+    from datetime import datetime, timedelta
+
+    from options_data_pipeline_spark.sources.sink import (
+        compact_market_data,
+        read_market_data,
+        write_market_data,
+    )
+
+    path = tmpdir + "/m"
+    base = datetime(2024, 5, 1, 9, 15)
+    # 6 small appends into May; one lone append into June
+    for i in range(6):
+        df = spark.createDataFrame(
+            [("S%d" % (j % 3), base + timedelta(minutes=5 * (i * 10 + j)), float(j))
+             for j in range(10)],
+            "symbol string, window_start timestamp, close double",
+        )
+        write_market_data(df, path)
+    june = spark.createDataFrame(
+        [("A", datetime(2024, 6, 3, 9, 15), 1.0)],
+        "symbol string, window_start timestamp, close double",
+    )
+    write_market_data(june, path)
+
+    before = read_market_data(spark, path).orderBy("symbol", "window_start", "close").collect()
+    stats = compact_market_data(spark, path, target_bytes=1 << 30, min_files=4)
+    after = read_market_data(spark, path).orderBy("symbol", "window_start", "close").collect()
+
+    assert list(stats) == ["year=2024/month=5"]  # June (1 file) untouched
+    b, a = stats["year=2024/month=5"]
+    assert b >= 6 and a == 1  # collapsed to a single target-size file
+    assert after == before  # lossless
