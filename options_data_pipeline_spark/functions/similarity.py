@@ -260,10 +260,28 @@ def assign_cells(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, cell) assignment of every vector to its nearest centroid —
-    one narrow map, no shuffle, no Python."""
+    one narrow map, no shuffle, no Python. For attaching the cell to the
+    full corpus frame use :func:`with_cell` instead of re-joining this
+    result back on the id (a corpus×corpus self-join)."""
     return vectors.select(
         F.col(id_col).alias("vid"),
         centroid_argmin(F.col(vec_col).cast("array<double>"), cents).alias("cell"),
+    )
+
+
+def with_cell(
+    vectors: DataFrame,
+    cents: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Corpus frame + nearest-centroid cell column, as a ``withColumn``
+    narrow map — NO self-join. Joining :func:`assign_cells` output back
+    to the corpus on the id re-shuffles the entire corpus twice (plan
+    audit caught a SortMergeJoin of corpus against itself); the cell is a
+    pure function of the vector, so it belongs in the same scan."""
+    return vectors.withColumn(
+        out_col, centroid_argmin(F.col(vec_col).cast("array<double>"), cents)
     )
 
 
@@ -471,6 +489,7 @@ def pq_encode(
     books: list[list[list[float]]] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Product quantization encode: split each vector into ``m``
     subvectors, assign each to its nearest codebook centroid (squared L2,
@@ -488,7 +507,9 @@ def pq_encode(
     books = books if books is not None else pq_codebooks()
     sub = len(books[0][0])
     v = F.col(vec_col).cast("array<double>")
-    out_cols = [F.col(id_col)]
+    # extra_cols ride along in the same narrow map (e.g. the IVF cell) —
+    # re-attaching them later by id would self-join the corpus
+    out_cols = [F.col(id_col)] + [F.col(c) for c in extra_cols]
     err_total = F.lit(0.0)
     for j, book in enumerate(books):
         vj = F.slice(v, j * sub + 1, sub)
@@ -553,14 +574,12 @@ def pq_adc_topk(
     books = books if books is not None else pq_codebooks()
     sub = len(books[0][0])
     m = len(books)
-    codes = pq_encode(corpus, books, id_col, vec_col).withColumnRenamed(
+    extra = (cell_col,) if cell_col is not None else ()
+    codes = pq_encode(corpus, books, id_col, vec_col, extra_cols=extra).withColumnRenamed(
         id_col, "neighbor_id"
     )
-    if cell_col is not None:
-        codes = codes.join(
-            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(cell_col).alias("cell")),
-            "neighbor_id",
-        )
+    if cell_col is not None and cell_col != "cell":
+        codes = codes.withColumnRenamed(cell_col, "cell")
     qsel = [
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q"),

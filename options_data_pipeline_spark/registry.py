@@ -1598,14 +1598,14 @@ def q_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly-checkable half of real IVF (the Lloyd's refinement lives in
     ``ivf_kmeans_topk``). Cell assignment is one `aggregate`-fold argmin
     over an array<struct> centroid literal (no Python, no shuffle); the
-    probe equi-joins on the cell with the query side broadcast."""
-    from .functions.similarity import assign_cells, fixed_centroids
+    probe equi-joins on the cell with the query side broadcast. The cell
+    rides the scan as a withColumn (with_cell) — never re-joined by id."""
+    from .functions.similarity import fixed_centroids, with_cell
 
     emb = load_table(spark, "embeddings", sf_dir)
-    cells = assign_cells(emb, fixed_centroids(8, 64))
-    with_cell = emb.join(cells.withColumnRenamed("vid", "vec_id"), "vec_id")
+    wc = with_cell(emb, fixed_centroids(8, 64))
     return cosine_topk_partitioned(
-        with_cell.filter(F.col("vec_id") < 10), with_cell, k=5, cell_col="cell"
+        wc.filter(F.col("vec_id") < 10), wc, k=5, cell_col="cell"
     )
 
 
@@ -1663,14 +1663,14 @@ def q_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query (query side stays broadcast-small); the corpus is still assigned
     to exactly one cell, so candidates need no dedup."""
     from .functions.similarity import (
-        assign_cells,
         centroid_top_cells,
         fixed_centroids,
+        with_cell,
     )
 
     emb = load_table(spark, "embeddings", sf_dir)
     cents = fixed_centroids(8, 64)
-    corpus = emb.join(assign_cells(emb, cents).withColumnRenamed("vid", "vec_id"), "vec_id")
+    corpus = with_cell(emb, cents)
     qprobe = (
         emb.filter(F.col("vec_id") < 10)
         .select(
@@ -2137,13 +2137,12 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     compressed-index read path that makes billion-vector ANN fit a
     cluster. Cells from the fixed-centroid assignment, candidates
     equi-joined on the cell with the query side broadcast."""
-    from .functions.similarity import assign_cells, fixed_centroids, pq_adc_topk
+    from .functions.similarity import fixed_centroids, pq_adc_topk, with_cell
 
     emb = load_table(spark, "embeddings", sf_dir)
-    cells = assign_cells(emb, fixed_centroids(8, 64)).withColumnRenamed("vid", "vec_id")
-    with_cell = emb.join(cells, "vec_id")
+    wc = with_cell(emb, fixed_centroids(8, 64))
     return pq_adc_topk(
-        with_cell.filter(F.col("vec_id") < 10), with_cell, k=5, cell_col="cell"
+        wc.filter(F.col("vec_id") < 10), wc, k=5, cell_col="cell"
     )
 
 

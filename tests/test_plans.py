@@ -172,3 +172,26 @@ def test_narrow_map_queries_have_no_shuffle(spark, qs):
         assert "HashAggregate" not in plan and "SortAggregate" not in plan, name
         # the only allowed exchange is load_table's small-file spread
         assert count_exchanges(df) <= 1, name
+
+
+def test_decontamination_broadcasts_eval_grams(spark, qs):
+    """The eval suite must stay the broadcast side — a sort-merge join
+    here would shuffle 100 TB of train grams."""
+    df = qs["decontamination"](spark, SF)
+    assert has_broadcast_join(df)
+    assert not has_sort_merge_join(df)
+
+
+def test_stratified_sample_uses_group_limit(spark, qs):
+    """The per-stratum rank bound must push into a WindowGroupLimit heap
+    (not a full sort of every stratum)."""
+    df = qs["stratified_sample"](spark, SF)
+    assert has_window_group_limit(df)
+
+
+def test_pq_adc_broadcasts_queries(spark, qs):
+    """ADC candidates join on the cell with the query side broadcast —
+    the corpus (codes) side must never shuffle for the join."""
+    df = qs["pq_adc_topk"](spark, SF)
+    assert has_broadcast_join(df)
+    assert not has_sort_merge_join(df)

@@ -114,17 +114,17 @@ def test_multiprobe_recall_at_least_single_probe(spark):
     """nprobe=2 candidate sets are supersets of single-probe (cell 1 of 2
     is the argmin cell), so recall vs brute force can only improve."""
     from options_data_pipeline_spark.functions.similarity import (
-        assign_cells,
         centroid_top_cells,
         cosine_topk,
         cosine_topk_partitioned,
         fixed_centroids,
+        with_cell,
     )
     from pyspark.sql import functions as F
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     cents = fixed_centroids(8, 64)
-    corpus = emb.join(assign_cells(emb, cents).withColumnRenamed("vid", "vec_id"), "vec_id")
+    corpus = with_cell(emb, cents)
     q1 = corpus.filter("vec_id < 5")
     qp = (
         emb.filter("vec_id < 5")
