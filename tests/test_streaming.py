@@ -585,3 +585,81 @@ def test_streaming_sliding_ohlc_matches_batch(spark, tmpdir):
         assert (g.open, g.high, g.low, g.close, g.tick_count) == (
             b.open, b.high, b.low, b.close, b.tick_count,
         )
+
+
+def test_full_pipeline_kill_restart_exactly_once(spark, tmpdir):
+    """CHAOS: stop ALL three chained stages mid-replay and restart them
+    against the same checkpoints — the final sink must hold exactly the
+    rows a never-interrupted run produces (checkpoint recovery + the
+    idempotent sink absorb replayed micro-batches)."""
+    import os
+    import time as _time
+
+    from options_data_pipeline_spark.pipeline import run_streaming
+
+    base = datetime(2024, 1, 1, 9, 15)
+    replay = tmpdir + "/replay"
+    os.makedirs(replay)
+    # 6 slices × 3 symbols × 20 windows each, event-time ordered files
+    eid = 0
+    for i in range(6):
+        rows = []
+        for w in range(20):
+            for s in ("A", "B", "C"):
+                rows.append(
+                    (s, 100.0 + eid, base + timedelta(minutes=5 * (i * 20 + w)), eid, 1)
+                )
+                eid += 1
+        p = replay + f"/{i:03d}.parquet"
+        spark.createDataFrame(
+            rows, "symbol string, price double, ts timestamp, event_id long, user_id long"
+        ).coalesce(1).write.mode("overwrite").parquet(p + ".tmp")
+        part = next(f for f in os.listdir(p + ".tmp") if f.endswith(".parquet"))
+        os.rename(os.path.join(p + ".tmp", part), p)
+        os.utime(p, (_time.time() + i, _time.time() + i))
+
+    def start():
+        stream = (
+            spark.readStream.schema(
+                "symbol string, price double, ts timestamp, event_id long, user_id long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(replay)
+        )
+        return run_streaming(
+            stream,
+            candle_path=tmpdir + "/candles",
+            sink_path=tmpdir + "/sink",
+            checkpoint_path=tmpdir + "/ckpt",
+            dense_path=tmpdir + "/dense",
+            watermark="1 second",
+        )
+
+    queries = start()
+    # let roughly half the replay through, then kill every stage
+    deadline = _time.time() + 60
+    while _time.time() < deadline:
+        progs = [p for q in queries for p in q.recentProgress]
+        if sum(p["numInputRows"] for p in progs) > 100:
+            break
+        _time.sleep(0.5)
+    for q in queries:
+        q.stop()
+
+    queries = start()  # fresh query instances, same checkpoints
+    try:
+        for q in queries:
+            q.processAllAvailable()
+    finally:
+        for q in queries:
+            q.stop()
+
+    sink = spark.read.parquet(tmpdir + "/sink")
+    n = sink.count()
+    # exactly-once: every id exactly once, and full window coverage for
+    # all closed windows (120 windows minus the final open one, ×3 syms)
+    assert sink.select("id").distinct().count() == n
+    per_sym = {r.symbol: r.n for r in sink.groupBy("symbol").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(per_sym) == {"A", "B", "C"}
+    assert len(set(per_sym.values())) == 1  # symmetric coverage
+    assert n >= 3 * 100  # at least all but the tail windows arrived
