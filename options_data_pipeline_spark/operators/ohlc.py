@@ -106,3 +106,35 @@ def sliding_ohlc(
             "tick_count",
         )
     )
+
+
+def resample_candles(
+    candles: DataFrame, interval: str = "1 hour"
+) -> DataFrame:
+    """Resample finer candles into coarser ones (5m → 1h): open/close are
+    the first/last child candle's open/close BY WINDOW TIME (candles are
+    already time-keyed — no arrival-order key needed at this level),
+    high/low/tick_count aggregate. The standard OHLC roll-up a charting
+    layer requests at every zoom level; one hash agg at the coarser
+    (symbol, window) grain — same single-shuffle shape as the base agg."""
+    return (
+        candles.groupBy(
+            "symbol", F.window("window_start", interval).alias("w")
+        )
+        .agg(
+            F.min_by("open", F.col("window_start")).alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", F.col("window_start")).alias("close"),
+            F.sum("tick_count").alias("tick_count"),
+        )
+        .select(
+            "symbol",
+            F.col("w.start").alias("window_start"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "tick_count",
+        )
+    )

@@ -2247,6 +2247,78 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(load_table(spark, "documents", sf_dir), top_n=3)
 
 
+@register(
+    "ohlc_resample_1h",
+    "WITH " + candles_cte(300)
+    + """
+SELECT symbol,
+       time_bucket(INTERVAL '3600 seconds', window_start) AS window_start,
+       arg_min("open", window_start) AS "open",
+       max(high) AS high,
+       min(low) AS low,
+       arg_max("close", window_start) AS "close",
+       CAST(sum(tick_count) AS BIGINT) AS tick_count
+FROM candles
+GROUP BY 1, 2""",
+)
+def q_ohlc_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC roll-up: 5-minute candles resampled to 1-hour candles —
+    open/close by first/last child window, high/low/ticks aggregated.
+    Two chained hash aggs, each at its result grain."""
+    from .operators.ohlc import resample_candles
+
+    return resample_candles(
+        ohlc_candles(load_ticks(spark, sf_dir), "5 minutes"), "1 hour"
+    )
+
+
+@register(
+    "donchian_channels",
+    "WITH " + candles_cte(3600)
+    + """
+SELECT symbol, window_start, "close",
+       CASE WHEN count(*) OVER w >= 20 THEN max(high) OVER w END AS dc_upper,
+       CASE WHEN count(*) OVER w >= 20 THEN min(low) OVER w END AS dc_lower,
+       CASE WHEN count(*) OVER w >= 20 THEN
+         CASE WHEN max(high) OVER w - min(low) OVER w > 0
+              THEN ("close" - min(low) OVER w)
+                   / (max(high) OVER w - min(low) OVER w)
+              ELSE 0.5 END
+       END AS dc_pos
+FROM candles
+WINDOW w AS (PARTITION BY symbol ORDER BY window_start
+             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""",
+)
+def q_donchian_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Donchian channels over 1-hour candles: rolling 20-candle max-high /
+    min-low and the close's channel position — the breakout indicator
+    family next to ATR. Rolling max/min are float-exact cross-engine."""
+    from .operators.indicators import donchian_channels
+
+    return donchian_channels(
+        ohlc_candles(load_ticks(spark, sf_dir), "1 hour"), n=20
+    )
+
+
+@register(
+    "sma_20",
+    "WITH " + candles_cte(3600)
+    + """
+SELECT symbol, window_start, "close" AS value,
+       CASE WHEN count(*) OVER w >= 20
+            THEN ROUND(avg("close") OVER w, 9) END AS sma_20
+FROM candles
+WINDOW w AS (PARTITION BY symbol ORDER BY window_start
+             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""",
+)
+def q_sma_20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-candle simple moving average of the close per symbol (9-dp grid:
+    sliding-frame SUM accumulation order is engine-internal)."""
+    from .operators.indicators import sma
+
+    return sma(ohlc_candles(load_ticks(spark, sf_dir), "1 hour"), n=20)
+
+
 # ---------------------------------------------------------------------------
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:

@@ -105,3 +105,58 @@ def test_sliding_ohlc_each_tick_in_two_windows(spark):
     assert (w1515.open, w1515.close, w1515.high, w1515.tick_count) == (10.0, 12.0, 12.0, 2)
     assert (w1520.open, w1520.tick_count) == (12.0, 1)
     assert w1515.window_end == datetime(2024, 1, 1, 9, 25)
+
+
+def test_resample_candles_1h_rollup(spark):
+    """5m → 1h roll-up: open/close from first/last child window, high/low/
+    tick_count aggregated."""
+    from datetime import datetime, timedelta
+
+    from options_data_pipeline_spark.operators.ohlc import resample_candles
+
+    base = datetime(2024, 1, 1, 9, 0)
+    rows = [
+        ("A", base + timedelta(minutes=5 * i), 10.0 + i, 20.0 + i, 5.0 + i, 15.0 + i, 2)
+        for i in range(15)  # 12 candles in hour 1, 3 in hour 2
+    ]
+    candles = spark.createDataFrame(
+        rows,
+        "symbol string, window_start timestamp, open double, high double,"
+        " low double, close double, tick_count long",
+    )
+    out = {r.window_start: r for r in resample_candles(candles, "1 hour").collect()}
+    h1, h2 = out[base], out[base + timedelta(hours=1)]
+    assert (h1.open, h1.close) == (10.0, 15.0 + 11)  # first open, last close
+    assert (h1.high, h1.low, h1.tick_count) == (20.0 + 11, 5.0, 24)
+    assert (h2.open, h2.close, h2.tick_count) == (10.0 + 12, 15.0 + 14, 6)
+
+
+def test_donchian_and_sma_warmup_and_values(spark):
+    """Indicators: NULL during warmup; after it, channel = rolling 20
+    max/min and position reflects the close; SMA equals the arithmetic
+    mean of the window."""
+    from datetime import datetime, timedelta
+
+    import pytest as _pytest
+
+    from options_data_pipeline_spark.operators.indicators import donchian_channels, sma
+
+    base = datetime(2024, 1, 1, 9, 0)
+    rows = [
+        ("A", base + timedelta(hours=i), 10.0, 10.0 + i, 5.0, 7.0 + (i % 3), 1)
+        for i in range(25)
+    ]
+    candles = spark.createDataFrame(
+        rows,
+        "symbol string, window_start timestamp, open double, high double,"
+        " low double, close double, tick_count long",
+    )
+    dc = sorted(donchian_channels(candles, 20).collect(), key=lambda r: r.window_start)
+    assert all(r.dc_upper is None for r in dc[:19])  # warmup
+    r20 = dc[19]
+    assert (r20.dc_upper, r20.dc_lower) == (10.0 + 19, 5.0)
+    assert r20.dc_pos == _pytest.approx((r20.close - 5.0) / (29.0 - 5.0))
+    sm = sorted(sma(candles, 20).collect(), key=lambda r: r.window_start)
+    assert all(r.sma_20 is None for r in sm[:19])
+    want = sum(7.0 + (i % 3) for i in range(20)) / 20
+    assert sm[19].sma_20 == _pytest.approx(want, abs=1e-9)
