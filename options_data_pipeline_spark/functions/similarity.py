@@ -201,40 +201,56 @@ def fixed_centroids(k: int = 8, dim: int = 64) -> list[list[float]]:
     return cents
 
 
-def centroid_argmin(vec_col: str | Column, cents: list[list[float]]) -> Column:
-    """Nearest-centroid id via a single ``aggregate`` fold over an
-    array<struct> literal — O(k×dim) flat literal nodes plus ONE fold
-    expression, instead of the k-deep nested CASE-WHEN chain that made the
-    plan explode at IVF-realistic k (thousands). Squared distance
-    ``|c|² − 2·v·c`` (|v|² is constant per row); strict ``<`` keeps the
-    first (lowest-id) centroid on ties, matching the oracle's
-    first-occurrence ``list_position`` semantics."""
-    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    entries = F.array(*[
-        F.struct(
-            F.lit(ci).alias("cell"),
-            F.array(*[F.lit(x) for x in c]).alias("c"),
-            F.lit(sum(x * x for x in c)).alias("c2"),
-        )
-        for ci, c in enumerate(cents)
-    ])
-    init = F.struct(
-        F.lit(-1).alias("cell"), F.lit(float("inf")).alias("score")
-    )
+def _sql_double(x: float) -> str:
+    """Render a Python float as a Spark SQL DOUBLE literal. ``repr`` emits
+    the shortest decimal that round-trips (both Python and the JVM parse
+    via correctly-rounded decimal→binary64), so the parsed literal is
+    bit-identical to ``F.lit(x)``."""
+    return repr(float(x)) + "D"
 
-    def step(acc: Column, e: Column) -> Column:
-        score = e["c2"] - 2.0 * dot_col(v, e["c"])
-        better = score < acc["score"]
-        return F.struct(
-            F.when(better, e["cell"]).otherwise(acc["cell"]).alias("cell"),
-            F.when(better, score).otherwise(acc["score"]).alias("score"),
-        )
 
-    return F.aggregate(entries, init, step, lambda acc: acc["cell"])
+def _dot_sql(a: str, b: str) -> str:
+    """SQL text of the sequential dot-product fold — the string twin of
+    :func:`dot_col` (zip_with + aggregate, same summation order, so values
+    stay bit-identical with DuckDB's list_dot_product where dot_col was)."""
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (a, x) -> a + x)"
+
+
+def _score_entries_sql(vec_col: str, cents: list[list[float]]) -> str:
+    """SQL text for the per-centroid score array
+    ``array(named_struct('score', |c|² − 2·v·c, 'cell', i), ...)``.
+
+    One string parsed by ONE ``F.expr`` call instead of O(k×dim) Python
+    Column constructions: at k=8 × dim=64 the old literal tree cost ~0.5 s
+    of py4j round trips PER CALL at query-construction time — the whole
+    r3 `ivf_multiprobe_topk` bench regression once the timer started
+    spanning construction. Each dot product is written once per entry
+    (the old fold evaluated it twice, once for the comparison and once
+    for the kept score)."""
+    v = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
+    parts = []
+    for ci, c in enumerate(cents):
+        arr = "array(" + ",".join(_sql_double(x) for x in c) + ")"
+        c2 = _sql_double(sum(x * x for x in c))
+        parts.append(
+            f"named_struct('score', {c2} - 2.0D * {_dot_sql(v, arr)}, 'cell', {ci})"
+        )
+    return "array(" + ",".join(parts) + ")"
+
+
+def centroid_argmin(vec_col: str, cents: list[list[float]]) -> Column:
+    """Nearest-centroid id for column ``vec_col`` (a column NAME — the
+    whole expression is rendered as one SQL string, see
+    :func:`_score_entries_sql`). Squared distance ``|c|² − 2·v·c`` (|v|²
+    is constant per row); ``array_min`` over struct<score,cell> compares
+    field-by-field, so ties go to the lower cell id — matching the
+    oracle's first-occurrence ``list_position`` / ``list_sort``
+    semantics."""
+    return F.expr(f"array_min({_score_entries_sql(vec_col, cents)}).cell")
 
 
 def centroid_top_cells(
-    vec_col: str | Column, cents: list[list[float]], nprobe: int = 2
+    vec_col: str, cents: list[list[float]], nprobe: int = 2
 ) -> Column:
     """The ``nprobe`` nearest centroid ids, closest first — the IVF
     multi-probe knob: probing >1 cell recovers the recall lost to queries
@@ -242,15 +258,10 @@ def centroid_top_cells(
     score arithmetic as :func:`centroid_argmin`; ``array_sort`` over
     struct<score,cell> breaks ties toward the lower cell id, matching the
     oracle's struct list_sort."""
-    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    entries = F.array(*[
-        F.struct(
-            (F.lit(sum(x * x for x in c)) - 2.0 * dot_col(v, F.array(*[F.lit(x) for x in c]))).alias("score"),
-            F.lit(ci).alias("cell"),
-        )
-        for ci, c in enumerate(cents)
-    ])
-    return F.transform(F.slice(F.array_sort(entries), 1, nprobe), lambda e: e["cell"])
+    entries = _score_entries_sql(vec_col, cents)
+    return F.expr(
+        f"transform(slice(array_sort({entries}), 1, {int(nprobe)}), e -> e.cell)"
+    )
 
 
 def assign_cells(
@@ -265,7 +276,7 @@ def assign_cells(
     result back on the id (a corpus×corpus self-join)."""
     return vectors.select(
         F.col(id_col).alias("vid"),
-        centroid_argmin(F.col(vec_col).cast("array<double>"), cents).alias("cell"),
+        centroid_argmin(vec_col, cents).alias("cell"),
     )
 
 
@@ -280,9 +291,7 @@ def with_cell(
     to the corpus on the id re-shuffles the entire corpus twice (plan
     audit caught a SortMergeJoin of corpus against itself); the cell is a
     pure function of the vector, so it belongs in the same scan."""
-    return vectors.withColumn(
-        out_col, centroid_argmin(F.col(vec_col).cast("array<double>"), cents)
-    )
+    return vectors.withColumn(out_col, centroid_argmin(vec_col, cents))
 
 
 def cosine_near_dup_pairs(
@@ -351,7 +360,7 @@ def kmeans_cells(
     centroids = [r["v"] for r in v.orderBy("vid").limit(k).collect()]
 
     for _ in range(iters):
-        assigned = v.withColumn("cell", centroid_argmin(F.col("v"), centroids))
+        assigned = v.withColumn("cell", centroid_argmin("v", centroids))
         mean = lambda d: F.avg(f"d{d}")  # noqa: E731
         if round_dp is not None:
             mean = lambda d: F.round(F.avg(f"d{d}"), round_dp)  # noqa: E731
@@ -368,7 +377,7 @@ def kmeans_cells(
             new_cents[r["cell"]] = [r[f"d{d}"] for d in range(dim)]
         centroids = new_cents
 
-    return v.withColumn("cell", centroid_argmin(F.col("v"), centroids)).select("vid", "cell")
+    return v.withColumn("cell", centroid_argmin("v", centroids)).select("vid", "cell")
 
 
 def cosine_topk_partitioned(
@@ -506,47 +515,44 @@ def pq_encode(
     Output: (vec_id, code_0..code_{m-1}, recon_err)."""
     books = books if books is not None else pq_codebooks()
     sub = len(books[0][0])
-    v = F.col(vec_col).cast("array<double>")
+    m = len(books)
+    v = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
     # extra_cols ride along in the same narrow map (e.g. the IVF cell) —
-    # re-attaching them later by id would self-join the corpus
-    out_cols = [F.col(id_col)] + [F.col(c) for c in extra_cols]
-    err_total = F.lit(0.0)
+    # re-attaching them later by id would self-join the corpus.
+    # Two-level select: the per-subspace argmin struct b_j is an alias
+    # referenced twice (code + err) so CollapseProject keeps it a single
+    # evaluation — the old fold built the whole aggregate expression
+    # TWICE per subspace (once for .code, once for .err), and its O(m ×
+    # ksub × sub) F.lit tree cost ~0.5 s of py4j calls at construction.
+    stage1 = [F.col(id_col)] + [F.col(c) for c in extra_cols]
     for j, book in enumerate(books):
-        vj = F.slice(v, j * sub + 1, sub)
-        vj2 = dot_col(vj, vj)
-        entries = F.array(*[
-            F.struct(
-                F.lit(ci).alias("code"),
-                F.array(*[F.lit(x) for x in c]).alias("c"),
-                F.lit(sum(x * x for x in c)).alias("c2"),
+        vj = f"slice({v}, {j * sub + 1}, {sub})"
+        vj2 = _dot_sql(vj, vj)
+        parts = []
+        for ci, c in enumerate(book):
+            arr = "array(" + ",".join(_sql_double(x) for x in c) + ")"
+            c2 = _sql_double(sum(x * x for x in c))
+            # |v_j|² + |c|² − 2·v_j·c, strict-< first-wins ties via the
+            # struct<err,code> ordering of array_min (lower code on ties)
+            parts.append(
+                f"named_struct('err', {vj2} + {c2} - 2.0D * {_dot_sql(vj, arr)},"
+                f" 'code', {ci})"
             )
-            for ci, c in enumerate(book)
-        ])
-        init = F.struct(
-            F.lit(-1).alias("code"), F.lit(float("inf")).alias("err")
+        stage1.append(
+            F.expr("array_min(array(" + ",".join(parts) + "))").alias(f"b_{j}")
         )
-
-        def make_step(vj, vj2):
-            def step(acc, e):
-                d = vj2 + e["c2"] - 2.0 * dot_col(vj, e["c"])
-                better = d < acc["err"]
-                return F.struct(
-                    F.when(better, e["code"]).otherwise(acc["code"]).alias("code"),
-                    F.when(better, d).otherwise(acc["err"]).alias("err"),
-                )
-
-            return step
-
-        best = F.aggregate(entries, init, make_step(vj, vj2))
-        out_cols.append(best["code"].alias(f"code_{j}"))
-        err_total = err_total + best["err"]
+    out_cols = [F.col(id_col)] + [F.col(c) for c in extra_cols]
+    out_cols += [F.col(f"b_{j}")["code"].alias(f"code_{j}") for j in range(m)]
+    err_total = F.lit(0.0)
+    for j in range(m):
+        err_total = err_total + F.col(f"b_{j}")["err"]
     # 9-dp grid (same trick as the learned-IVF centroid quantization):
     # DuckDB's list_dot_product uses pairwise summation, so the error sum
     # can differ from the sequential fold in the last ulp — codes are
     # unaffected (centroid score gaps are far above ulp), only the
     # reported error is snapped to a cross-engine-stable grid
     out_cols.append(F.round(err_total, 9).alias("recon_err"))
-    return vectors.select(*out_cols)
+    return vectors.select(*stage1).select(*out_cols)
 
 
 def pq_adc_topk(
@@ -591,17 +597,22 @@ def pq_adc_topk(
         codes.join(F.broadcast(q), "cell") if cell_col is not None
         else codes.crossJoin(F.broadcast(q))
     ).filter(F.col("query_id") != F.col("neighbor_id"))
-    dist = F.lit(0.0)
+    # whole ADC distance as ONE parsed expression (the old per-subspace
+    # F.lit codebook trees cost ~0.5 s of py4j calls at construction)
+    terms = []
     for j, book in enumerate(books):
-        qj = F.slice(F.col("q"), j * sub + 1, sub)
-        book_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in book])
-        c2_lit = F.array(*[F.lit(sum(x * x for x in c)) for c in book])
-        cvec = F.element_at(book_lit, F.col(f"code_{j}") + 1)
-        c2 = F.element_at(c2_lit, F.col(f"code_{j}") + 1)
-        dist = dist + (dot_col(qj, qj) + c2 - 2.0 * dot_col(qj, cvec))
-    scored = joined.select(
-        "query_id", "neighbor_id", F.round(dist, 9).alias("adc_dist")
-    )
+        qj = f"slice(`q`, {j * sub + 1}, {sub})"
+        book_lit = "array(" + ",".join(
+            "array(" + ",".join(_sql_double(x) for x in c) + ")" for c in book
+        ) + ")"
+        c2_lit = "array(" + ",".join(
+            _sql_double(sum(x * x for x in c)) for c in book
+        ) + ")"
+        cvec = f"element_at({book_lit}, `code_{j}` + 1)"
+        c2 = f"element_at({c2_lit}, `code_{j}` + 1)"
+        terms.append(f"({_dot_sql(qj, qj)} + {c2} - 2.0D * {_dot_sql(qj, cvec)})")
+    dist = F.expr("round(0.0D + " + " + ".join(terms) + ", 9)")
+    scored = joined.select("query_id", "neighbor_id", dist.alias("adc_dist"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()
     )

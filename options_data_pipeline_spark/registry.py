@@ -1676,7 +1676,7 @@ def q_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "embedding",
-            centroid_top_cells(F.col("embedding").cast("array<double>"), cents, 2).alias("probes"),
+            centroid_top_cells("embedding", cents, 2).alias("probes"),
         )
         .select("vec_id", "embedding", F.explode("probes").alias("cell"))
     )

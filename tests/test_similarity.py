@@ -131,7 +131,7 @@ def test_multiprobe_recall_at_least_single_probe(spark):
         .select(
             "vec_id",
             "embedding",
-            centroid_top_cells(F.col("embedding").cast("array<double>"), cents, 2).alias("p"),
+            centroid_top_cells("embedding", cents, 2).alias("p"),
         )
         .select("vec_id", "embedding", F.explode("p").alias("cell"))
     )
