@@ -19,10 +19,67 @@ All built-in Column expressions — no Python UDFs.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import fingerprint_col
+
+
+class _RoundCheckpointer:
+    """Per-round checkpoint manager for iterative graph loops.
+
+    Two modes:
+     - local (default, ``checkpoint_dir=None``): ``localCheckpoint(eager)``
+       — fastest, but blocks live on executors, so an executor loss on a
+       real cluster kills the job mid-loop; fine on local[*].
+     - reliable (``checkpoint_dir`` set, or env
+       ``SPARK_GRAFT_CHECKPOINT_DIR``): ``checkpoint(eager)`` against the
+       dir — data lands on the checkpoint filesystem (HDFS/object store),
+       survives executor loss. THE CLUSTER DEFAULT: set the env var in any
+       multi-executor deployment.
+
+    Either way, :meth:`free` explicitly drops a superseded generation's
+    storage (blocks or checkpoint files) instead of waiting for the JVM
+    ContextCleaner — measured on the ×100 probe: 16 generations left live
+    forced a 24 g driver heap; with eager freeing ≤2 generations hold
+    storage at any point.
+    """
+
+    def __init__(self, spark, checkpoint_dir: str | None = None):
+        if checkpoint_dir is None:
+            checkpoint_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR") or None
+        self._spark = spark
+        self.reliable = checkpoint_dir is not None
+        if self.reliable:
+            spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        if self.reliable:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    def free(self, df: DataFrame) -> None:
+        """Release a SUPERSEDED generation (never the one still feeding
+        downstream plans: a freed localCheckpoint cannot be recomputed).
+        Best-effort — reaches the checkpointed internal RDD behind the
+        LogicalRDD plan via the JVM; any failure just defers cleanup to
+        the ContextCleaner."""
+        try:
+            rdd = df._jdf.queryExecution().analyzed().rdd()
+            rdd.unpersist(False)
+            if self.reliable:
+                ckf = rdd.getCheckpointFile()
+                if ckf.isDefined():
+                    jvm = self._spark._jvm
+                    path = jvm.org.apache.hadoop.fs.Path(ckf.get())
+                    fs = path.getFileSystem(
+                        self._spark._jsc.hadoopConfiguration()
+                    )
+                    fs.delete(path, True)
+        except Exception:
+            pass
 
 # (a, b) parameters for the affine min-hash family h_j(x) = (a*x + b) mod P.
 # Odd constants, fixed seed — mirrored literally in the oracle SQL.
@@ -197,14 +254,13 @@ def connected_components(
     one level per round and the analyzer blows the driver heap around
     round 15 (measured); the checkpoint truncates lineage so every round
     starts from a flat plan."""
+    ck = _RoundCheckpointer(pairs.sparkSession)
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    edges = edges.localCheckpoint(eager=True)
-    labels = (
+    edges = ck(e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))))
+    labels = ck(
         edges.select(F.col("src").alias("v"))
         .distinct()
         .withColumn("label", F.col("v"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iters):
         nbr = (
@@ -215,13 +271,12 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("nl").alias("nl"))
         )
-        new_labels = (
+        new_labels = ck(
             labels.join(nbr, labels.v == nbr.src, "left")
             .select(
                 "v",
                 F.least(F.col("label"), F.coalesce("nl", F.col("label"))).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -229,6 +284,7 @@ def connected_components(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        ck.free(labels)
         labels = new_labels
         if changed == 0:
             break
@@ -245,7 +301,11 @@ def connected_components(
 
 
 def connected_components_star(
-    pairs: DataFrame, max_iters: int = 30, id_a: str = "doc_a", id_b: str = "doc_b"
+    pairs: DataFrame,
+    max_iters: int = 30,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components in O(log n) rounds via alternating
     large-star / small-star contraction (Kiveris et al., "Connected
@@ -262,29 +322,34 @@ def connected_components_star(
        smaller neighbors AND itself to that minimum.
     The edge set monotonically contracts toward stars centered at each
     component's minimum id; fixpoint = stars = the answer. Convergence is
-    checked set-wise (anti-join + count), and each round ends in
-    ``localCheckpoint(eager=True)`` to keep lineage flat (same driver-heap
-    hazard measured on the propagation loop).
+    checked set-wise (anti-join + count), and each round ends in an eager
+    checkpoint to keep lineage flat (same driver-heap hazard measured on
+    the propagation loop).
 
     Output contract matches :func:`connected_components`: (doc_id, label)
-    for every vertex appearing in ``pairs``, label = component min."""
+    for every vertex appearing in ``pairs``, label = component min.
+
+    ``checkpoint_dir`` (or env ``SPARK_GRAFT_CHECKPOINT_DIR``) switches the
+    per-round checkpoints from executor-local blocks to reliable
+    checkpoint files — the cluster default; see :class:`_RoundCheckpointer`.
+    Superseded rounds are freed eagerly, so storage holds ≤2 generations."""
+    ck = _RoundCheckpointer(pairs.sparkSession, checkpoint_dir)
     # materialize the candidate-pair input once — verts and edges each end
     # in an eager checkpoint, which would otherwise recompute the (usually
     # expensive) upstream LSH candidate join twice
-    pairs = pairs.localCheckpoint(eager=True)
-    verts = (
+    pairs = ck(pairs)
+    verts = ck(
         pairs.select(F.col(id_a).alias("v"))
         .union(pairs.select(F.col(id_b).alias("v")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     # canonical undirected form: u > v, no self-loops
-    edges = (
+    edges = ck(
         pairs.select(F.greatest(id_a, id_b).alias("u"), F.least(id_a, id_b).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    ck.free(pairs)  # verts + edges are self-contained now
     def _sig(e: DataFrame) -> tuple:
         # one tiny agg job on checkpointed data: (edge count, XOR of 64-bit
         # edge hashes — order-independent, overflow-free under ANSI mode) —
@@ -306,7 +371,7 @@ def connected_components_star(
             .agg(F.min("v").alias("mn"))
             .select("u", F.least("u", "mn").alias("m"))
         )
-        large = (
+        large = ck(
             sym.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
@@ -316,7 +381,6 @@ def connected_components_star(
             # sym/groupBy/join subplan runs once, not twice (measured:
             # skipping this costs ~2× even on tiny rounds — the doubled
             # subplan defeats AQE's coalescing and reruns the shuffles)
-            .localCheckpoint(eager=True)
         )
         # large-star output is already oriented u > v (m ≤ min-neighbor < v)
         mins2 = (
@@ -325,20 +389,27 @@ def connected_components_star(
             .select("u", F.least("u", "mn").alias("m"))
         )
         joined = large.join(mins2, "u")
-        small = (
+        small = ck(
             joined.select(F.col("v").alias("x"), F.col("m"))
             .union(joined.select(F.col("u").alias("x"), F.col("m")))
             .filter(F.col("x") != F.col("m"))
             .select(F.col("x").alias("u"), F.col("m").alias("v"))
             .distinct()
-            .localCheckpoint(eager=True)
         )
         new_sig = _sig(small)
-        if new_sig == sig and small.join(edges, ["u", "v"], "left_anti").count() == 0:
-            edges = small
+        fixpoint = (
+            new_sig == sig
+            and small.join(edges, ["u", "v"], "left_anti").count() == 0
+        )
+        # the anti-join above was this round's last read of the previous
+        # generation — drop it (and the intra-round `large`) NOW, keeping
+        # at most current + in-flight generations in storage
+        ck.free(large)
+        ck.free(edges)
+        edges, sig = small, new_sig
+        if fixpoint:
             converged = True
             break
-        edges, sig = small, new_sig
     if not converged:
         raise RuntimeError(
             f"connected_components_star did not converge in {max_iters} rounds;"

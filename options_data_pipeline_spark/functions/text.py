@@ -234,12 +234,14 @@ def dup_ngram_cols(text_col: str = "text", n: int = 2) -> dict[str, Column]:
     naive distinct×filter form is O(d·g) and measured 5× slower at sf0.1
     (9.5 s → the fold). The DuckDB oracle keeps the O(d·g) list form
     (same value: max multiplicity), which is fine at oracle SF."""
-    toks = F.expr(f"regexp_extract_all(lower({text_col}), '\\\\S+', 0)")
+    # tokenize ONCE: the 1-element transform binds the token array to a
+    # lambda variable (SQL has no LET), so the regexp scan isn't inlined
+    # into the sequence bound AND the slice source per gram
+    tok = f"regexp_extract_all(lower({text_col}), '\\\\S+', 0)"
     grams = F.expr(
-        f"transform(sequence(1, greatest(size(regexp_extract_all(lower({text_col}),"
-        f" '\\\\S+', 0)) - {n - 1}, 1)),"
-        f" i -> array_join(slice(regexp_extract_all(lower({text_col}), '\\\\S+', 0),"
-        f" i, {n}), ' '))"
+        f"element_at(transform(array({tok}),"
+        f" t -> transform(sequence(1, greatest(size(t) - {n - 1}, 1)),"
+        f" i -> array_join(slice(t, i, {n}), ' '))), 1)"
     )
     n_grams = F.size(grams).cast("long")
     n_distinct = F.size(F.array_distinct(grams)).cast("long")

@@ -111,6 +111,7 @@ def run_streaming(
     dense_path: str | None = None,
     interval_seconds: int = 300,
     universe: DataFrame | None = None,
+    densify_max_files: int | None = 16,
 ):
     """The live twin: chained streaming stages (Spark disallows a stateful
     grouped-map after a streaming aggregation in one query, and the
@@ -149,7 +150,20 @@ def run_streaming(
     if dense_path is not None:
         from .streaming.gapfill_stream import run_densify_stage
 
-        candle_stream = spark.readStream.schema(CANDLE_STREAM_SCHEMA).parquet(candle_path)
+        # paced trigger BY DEFAULT (densify_max_files): unbounded, the file
+        # source hands the densifier every candle file its upstream has
+        # written since the last trigger — multi-slice gulps measured at
+        # p95 = 22.6 s against the 30 s write-timeout NFR (reference
+        # WRITE_TIMEOUT_S, config/settings.py:54). Bounding files-per-
+        # trigger keeps each densify batch (and its scaffold join) small
+        # and the NFR headroom wide; idempotent dedup-by-grain appends
+        # make the finer batch slicing correctness-neutral.
+        candle_reader = spark.readStream.schema(CANDLE_STREAM_SCHEMA)
+        if densify_max_files is not None:
+            candle_reader = candle_reader.option(
+                "maxFilesPerTrigger", densify_max_files
+            )
+        candle_stream = candle_reader.parquet(candle_path)
         queries.append(
             run_densify_stage(
                 candle_stream,

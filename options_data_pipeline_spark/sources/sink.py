@@ -62,11 +62,16 @@ def compact_market_data(
     ⌈bytes/target⌉ files, atomically swap the directory.
 
     Returns {partition: (files_before, files_after)}. The swap is two
-    renames (old → trash, staged → live) — atomic per rename on POSIX;
-    on object stores run it under the manifest sink instead, where
-    compaction is "write new segment + one manifest that supersedes N".
-    Readers racing the swap see the old OR new directory, both complete.
-    """
+    renames (old → trash, staged → live) — atomic per rename on POSIX,
+    but NOT atomic as a pair: between them the partition dir briefly does
+    not exist, so on a local FS compaction requires no concurrent readers
+    of that partition (root-level listings are safe — staging and trash
+    live under ``_compact_tmp``, an underscore-prefixed dir that Spark's
+    partition discovery treats as hidden, so a racing root read never
+    parses a half-written dir as a ``month=`` value). On object stores
+    run compaction under the manifest sink instead, where it is "write
+    new segment + one manifest that supersedes N" — a single atomic
+    publish."""
     import os
     import shutil
     import uuid
@@ -74,6 +79,7 @@ def compact_market_data(
     results: dict[str, tuple[int, int]] = {}
     if not os.path.isdir(path):
         return results
+    tmp_root = os.path.join(path, "_compact_tmp")
     for ydir in sorted(os.listdir(path)):
         if not ydir.startswith("year="):
             continue
@@ -86,7 +92,9 @@ def compact_market_data(
                 continue
             total = sum(os.path.getsize(os.path.join(pdir, f)) for f in files)
             n_out = max(1, -(-total // target_bytes))
-            staged = f"{pdir}.compact-{uuid.uuid4().hex[:8]}"
+            os.makedirs(tmp_root, exist_ok=True)
+            tag = f"{ydir}-{mdir}-{uuid.uuid4().hex[:8]}"
+            staged = os.path.join(tmp_root, f"{tag}.compact")
             (
                 spark.read.parquet(pdir)
                 .repartition(n_out)
@@ -94,10 +102,11 @@ def compact_market_data(
                 .write.mode("overwrite")
                 .parquet(staged)
             )
-            trash = f"{pdir}.old-{uuid.uuid4().hex[:8]}"
+            trash = os.path.join(tmp_root, f"{tag}.old")
             os.rename(pdir, trash)
             os.rename(staged, pdir)
             shutil.rmtree(trash, ignore_errors=True)
             after = len([f for f in os.listdir(pdir) if f.endswith(".parquet")])
             results[f"{ydir}/{mdir}"] = (len(files), after)
+    shutil.rmtree(tmp_root, ignore_errors=True)
     return results

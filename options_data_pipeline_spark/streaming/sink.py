@@ -154,13 +154,35 @@ def _manifest_dir(sink_path: str) -> str:
     return os.path.join(sink_path, "_manifests")
 
 
+def _bounds_comparable(a, b) -> bool:
+    """True when two manifest bounds can be range-compared meaningfully:
+    number-vs-number or string-vs-string. Mixed (e.g. a manifest written
+    before the numeric-bounds fix holds strings while the batch bound is a
+    number) → NOT comparable, so the caller keeps the segment — skipping
+    is only ever allowed on a sound comparison."""
+    if isinstance(a, bool) or isinstance(b, bool):
+        return False
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return True
+    return isinstance(a, str) and isinstance(b, str)
+
+
 def _committed_segments(
     sink_path: str, lo=None, hi=None
 ) -> list[str]:
     """Segment dirs named by committed manifests, optionally pruned to
     those whose recorded [lo, hi] range overlaps the given bounds.
-    Skipping is conservative: manifests without parseable bounds are
-    always included — pruning is a fast path, never a correctness gate."""
+
+    Pruning IS a correctness gate — `manifest_append_batch` feeds the
+    surviving segments into its dedup anti-join, so a wrongly-skipped
+    segment would let replayed rows re-append. Hence: skip only on a
+    sound comparison (see `_bounds_comparable`; bounds are stored as
+    native JSON numbers / ISO strings by `_bound_json`), and keep any
+    manifest whose bounds are missing or of a mismatched type.
+
+    A committed manifest whose segment dir is missing is CORRUPTION
+    (someone deleted committed data — e.g. GC racing an active writer)
+    and raises rather than silently shrinking the sink."""
     import json
 
     mdir = _manifest_dir(sink_path)
@@ -174,11 +196,23 @@ def _committed_segments(
             m = json.load(fh)
         if lo is not None and hi is not None:
             slo, shi = m.get("lo"), m.get("hi")
-            if slo is not None and shi is not None and (shi < lo or slo > hi):
+            if (
+                slo is not None
+                and shi is not None
+                and _bounds_comparable(slo, lo)
+                and _bounds_comparable(shi, hi)
+                and (shi < lo or slo > hi)
+            ):
                 continue  # disjoint range — skip the segment entirely
         seg = os.path.join(sink_path, "segments", m["segment"])
-        if os.path.isdir(seg):
-            out.append(seg)
+        if not os.path.isdir(seg):
+            raise FileNotFoundError(
+                f"manifest {f} commits segment {m['segment']} but the segment"
+                f" dir is missing — committed data was deleted out-of-band"
+                f" (was gc_uncommitted_segments run while a writer was"
+                f" active?)"
+            )
+        out.append(seg)
     return out
 
 
@@ -196,11 +230,26 @@ def _publish_manifest(sink_path: str, segment: str, n_rows: int, lo, hi) -> None
     os.rename(tmp, os.path.join(mdir, f"{segment}.json"))
 
 
-def _bound_str(v) -> str | None:
-    # ISO-8601 strings (timestamps/dates) and stringified numerics compare
-    # consistently within one sink because every manifest is written by the
-    # same prune column type
-    return None if v is None else str(v)
+def _bound_json(v):
+    """Manifest bound encoding, type-aware: numerics stay native JSON
+    numbers (stringified numerics do NOT compare consistently — '900' >
+    '1000' lexicographically, so a numerically overlapping segment could
+    be judged disjoint and skipped out of the dedup read); Decimals go
+    through float (round-to-nearest is monotonic, so a float-rounded
+    overlap test can only err toward keeping a segment, never skipping
+    an overlapping one); timestamps/dates/strings use str(), whose
+    fixed-width ISO form is lexicographically ordered."""
+    if v is None:
+        return None
+    if isinstance(v, bool):  # bool is an int subclass; never range-prune it
+        return str(v)
+    if isinstance(v, (int, float)):
+        return v
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    return str(v)
 
 
 def manifest_append_batch(
@@ -220,9 +269,10 @@ def manifest_append_batch(
     if prune_col is not None:
         b = batch.agg(F.min(prune_col).alias("lo"), F.max(prune_col).alias("hi")).collect()[0]
         blo, bhi = b.lo, b.hi
-        # manifest bounds are strings from THIS formatter on both the write
-        # and the skip side, so the overlap test is self-consistent
-        lo, hi = _bound_str(blo), _bound_str(bhi)
+        # manifest bounds go through THIS encoder on both the write and
+        # the skip side, so the overlap test is self-consistent and
+        # type-aware (native numbers for numerics, ISO strings otherwise)
+        lo, hi = _bound_json(blo), _bound_json(bhi)
     segments = _committed_segments(sink_path, lo, hi)
     delta = batch
     if segments:
@@ -255,20 +305,40 @@ def manifest_sink_read(spark, sink_path: str) -> DataFrame:
     return spark.read.parquet(*segments)
 
 
-def gc_uncommitted_segments(sink_path: str) -> list[str]:
+def gc_uncommitted_segments(sink_path: str, grace_s: float = 600.0) -> list[str]:
     """Remove segment dirs that no committed manifest names — the debris a
-    crash between segment write and manifest publish leaves behind. Safe at
-    any time: an uncommitted segment can never become visible (its uuid is
-    gone from every writer's scope after the crash)."""
+    crash between segment write and manifest publish leaves behind.
+
+    NOT safe while a writer is active: between its segment write and its
+    manifest publish the segment is indistinguishable from crash debris,
+    and deleting it would make rows the writer then reports as committed
+    invisible (the read path now raises on such a manifest rather than
+    silently skipping it). GC shares the sink's single-writer contract —
+    run it from the writer's own process between batches, or while no
+    writer runs. ``grace_s`` is belt-and-braces for clock-skewed
+    schedulers: segments younger than it are never collected, so a
+    write→publish window shorter than the grace period survives even a
+    misscheduled concurrent GC."""
+    import time
+
     seg_root = os.path.join(sink_path, "segments")
     if not os.path.isdir(seg_root):
         return []
     committed = {os.path.basename(s) for s in _committed_segments(sink_path)}
     removed = []
+    now = time.time()
     for d in sorted(os.listdir(seg_root)):
-        if d not in committed:
-            shutil.rmtree(os.path.join(seg_root, d), ignore_errors=True)
-            removed.append(d)
+        if d in committed:
+            continue
+        path = os.path.join(seg_root, d)
+        try:
+            age = now - os.path.getmtime(path)
+        except OSError:
+            continue  # vanished mid-scan (another GC) — nothing to do
+        if age < grace_s:
+            continue  # possibly an in-flight writer's segment
+        shutil.rmtree(path, ignore_errors=True)
+        removed.append(d)
     return removed
 
 

@@ -195,3 +195,19 @@ def test_pq_adc_broadcasts_queries(spark, qs):
     df = qs["pq_adc_topk"](spark, SF)
     assert has_broadcast_join(df)
     assert not has_sort_merge_join(df)
+
+
+def test_pq_adc_indexed_reads_stored_codes(spark, qs):
+    """The indexed search must NOT re-encode the corpus: its plan scans
+    the persisted pq_index parquet (cell-partitioned), and the only
+    embedding scan left is the broadcast query side. The encode fold
+    (zip_with per codebook centroid) would show up as aggregate(zip_with
+    expressions over the full corpus — 32 of them in pq_adc_topk's plan."""
+    df = qs["pq_adc_topk_indexed"](spark, SF)
+    plan = physical_plan(df)
+    assert "pq_index" in plan  # the stored index is the scanned source
+    assert has_broadcast_join(df)
+    assert not has_sort_merge_join(df)
+    # corpus-side re-encode gone: the distance lookup references stored
+    # code_j columns instead of computing them
+    assert "code_0#" in plan

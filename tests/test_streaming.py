@@ -519,8 +519,11 @@ def test_manifest_sink_crash_between_write_and_commit(spark, tmpdir, monkeypatch
     out = sink_mod.manifest_sink_read(spark, sink)
     assert out.count() == 3
     assert out.select("id").distinct().count() == 3
-    # the orphan is GC-able debris, never part of the visible set
-    removed = sink_mod.gc_uncommitted_segments(sink)
+    # the orphan is GC-able debris, never part of the visible set — but
+    # only once the no-active-writer contract holds (grace_s=0 asserts it);
+    # at the default grace the young segment is deliberately left alone
+    assert sink_mod.gc_uncommitted_segments(sink) == []
+    removed = sink_mod.gc_uncommitted_segments(sink, grace_s=0)
     assert len(removed) == 1
     assert sink_mod.manifest_sink_read(spark, sink).count() == 3
 
@@ -548,6 +551,51 @@ def test_manifest_segment_skipping_by_bounds(spark, tmpdir):
     assert len(both) == 2 and len(jan) == 1
     # and correctness through the skip path: a replay overlapping only Jan
     assert sink_mod.manifest_append_batch(mk(["a"], "2024-01-01 09:15:00"), sink) == 0
+
+
+def test_manifest_numeric_bounds_prune_correctly(spark, tmpdir):
+    """ADVICE r3: with a numeric prune column the bounds must compare as
+    numbers — lexicographically '900' > '1000', so string-encoded bounds
+    would judge an overlapping segment disjoint, skip it out of the dedup
+    anti-join, and let replayed rows re-append (breaking exactly-once)."""
+    from options_data_pipeline_spark.streaming import sink as sink_mod
+
+    sink = tmpdir + "/nsink"
+
+    def mk(ids, seq):
+        return spark.createDataFrame(
+            [(i, seq) for i in ids], "id string, seq long"
+        )
+
+    # seq 900..999 then a replay at seq 950: '900' > '1000' would be the
+    # lexicographic trap if any segment spanned into 4 digits
+    assert sink_mod.manifest_append_batch(mk(["a", "b"], 900), sink, prune_col="seq") == 2
+    assert sink_mod.manifest_append_batch(mk(["c"], 1000), sink, prune_col="seq") == 1
+    # replay of id 'a' at its original seq: the [900, 900] segment MUST be
+    # consulted (numeric overlap), so the append dedups to 0
+    assert sink_mod.manifest_append_batch(mk(["a"], 900), sink, prune_col="seq") == 0
+    # and a manifest bound stored as a JSON number round-trips as a number
+    segs = sink_mod._committed_segments(sink, 899, 901)
+    assert len(segs) == 1  # only the seq-900 segment overlaps [899, 901]
+
+
+def test_manifest_raises_on_deleted_committed_segment(spark, tmpdir):
+    """A committed manifest whose segment dir is gone is corruption (GC
+    racing an active writer) — the read path must fail loudly, not
+    silently shrink the sink."""
+    import shutil as sh
+
+    from options_data_pipeline_spark.streaming import sink as sink_mod
+
+    sink = tmpdir + "/csink"
+    batch = spark.createDataFrame([("a", 1.0)], "id string, v double").withColumn(
+        "window_start", F.lit("2024-01-01 09:15:00").cast("timestamp")
+    )
+    assert sink_mod.manifest_append_batch(batch, sink) == 1
+    seg = sink_mod._committed_segments(sink)[0]
+    sh.rmtree(seg)
+    with pytest.raises(FileNotFoundError, match="committed data was deleted"):
+        sink_mod._committed_segments(sink)
 
 
 def test_streaming_sliding_ohlc_matches_batch(spark, tmpdir):

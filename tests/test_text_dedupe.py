@@ -247,6 +247,43 @@ def test_connected_components_star_randomized_equivalence(spark):
     assert star == prop
 
 
+def test_connected_components_star_reliable_checkpoint(spark, tmp_path):
+    """Cluster mode (VERDICT r3 #3): with a checkpoint_dir the per-round
+    checkpoints are RELIABLE (files under the dir — executor-loss-safe,
+    unlike localCheckpoint blocks), labels are identical to local mode,
+    and superseded generations are deleted eagerly so the dir ends with
+    ≤2 generations of rdd checkpoint dirs, not one per round."""
+    import os
+
+    from options_data_pipeline_spark.functions.dedupe import (
+        connected_components_star,
+    )
+
+    ckdir = str(tmp_path / "ck")
+    pairs = spark.createDataFrame(
+        [(7, 9), (5, 7), (3, 5), (1, 3), (2, 4), (10, 11), (11, 12), (10, 12)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r.doc_id: r.label
+        for r in connected_components_star(pairs, checkpoint_dir=ckdir).collect()
+    }
+    assert got == {
+        9: 1, 7: 1, 5: 1, 3: 1, 1: 1, 2: 2, 4: 2, 10: 10, 11: 10, 12: 10,
+    }
+    # reliable checkpoints actually landed on the filesystem...
+    app_dirs = [
+        os.path.join(root, d)
+        for root, dirs, _ in os.walk(ckdir)
+        for d in dirs
+        if d.startswith("rdd-")
+    ]
+    assert app_dirs, "no reliable checkpoint dirs were written"
+    # ...and eager freeing kept only the live tail (final edges + verts +
+    # at most one in-flight generation), not one dir per round
+    assert len(app_dirs) <= 4, f"superseded checkpoints not freed: {app_dirs}"
+
+
 def test_simhash_banding_wide_signature_knob(spark):
     """The scale knob: 62-bit signatures (max for signed long) band into
     4 pieces incl. an uneven last band — exactness must hold there too."""
