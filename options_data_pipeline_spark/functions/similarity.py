@@ -356,6 +356,24 @@ def kmeans_cells(
     useful resolution, so recall is unaffected — pinned by tests).
     """
     v = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v"))
+    centroids = kmeans_centroids(vectors, k, iters, id_col, vec_col, round_dp)
+    return v.withColumn("cell", centroid_argmin("v", centroids)).select("vid", "cell")
+
+
+def kmeans_centroids(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int | None = 9,
+) -> list[list[float]]:
+    """The Lloyd's loop behind :func:`kmeans_cells`, returning the learned
+    centroid list itself (k×dim driver-side floats). Exposed so the
+    learned quantizer composes with the other centroid primitives —
+    :func:`with_cell` for corpus assignment and :func:`centroid_top_cells`
+    for multi-probe — exactly like the fixed-centroid twin does."""
+    v = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v"))
     dim = len(v.first()["v"])
     centroids = [r["v"] for r in v.orderBy("vid").limit(k).collect()]
 
@@ -376,8 +394,7 @@ def kmeans_cells(
         for r in means:
             new_cents[r["cell"]] = [r[f"d{d}"] for d in range(dim)]
         centroids = new_cents
-
-    return v.withColumn("cell", centroid_argmin("v", centroids)).select("vid", "cell")
+    return centroids
 
 
 def cosine_topk_partitioned(

@@ -1449,7 +1449,12 @@ def q_rp_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_kmeans_oracle(
-    k: int = 8, iters: int = 3, dim: int = 64, topk: int = 5, round_dp: int = 9
+    k: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+    topk: int = 5,
+    round_dp: int = 9,
+    nprobe: int = 1,
 ) -> str:
     """DuckDB twin of LEARNED IVF: the full Lloyd's trajectory unrolled as
     chained CTE stages (iters is small and fixed, so unrolling beats a
@@ -1499,6 +1504,24 @@ m{it} AS (
   ) n USING (cell)
 )""")
     final = f"c{iters}"
+    if nprobe == 1:
+        q_cte = "q AS (SELECT * FROM cells WHERE vid < 10)"
+    else:
+        # multi-probe: each query ranks ALL k learned cells by the same
+        # score and probes the nprobe best (rn ≤ nprobe ties toward the
+        # lower cell id — Spark's array_sort over struct<score,cell>)
+        q_cte = f"""q AS (
+  SELECT vid, v, nrm, cell FROM (
+    SELECT v.vid, v.v, v.nrm, {final}.cell,
+           row_number() OVER (
+             PARTITION BY v.vid
+             ORDER BY list_dot_product({final}.c, {final}.c)
+                      - 2.0 * list_dot_product(v.v, {final}.c),
+                      {final}.cell) AS rn
+    FROM v CROSS JOIN {final}
+    WHERE v.vid < 10
+  ) WHERE rn <= {nprobe}
+)"""
     stages.append(f"""cells AS (
   SELECT vid, v, nrm, cell FROM (
     SELECT v.vid, v.v, v.nrm, {final}.cell,
@@ -1510,7 +1533,7 @@ m{it} AS (
     FROM v CROSS JOIN {final}
   ) WHERE rn = 1
 ),
-q AS (SELECT * FROM cells WHERE vid < 10),
+{q_cte},
 cand AS (
   SELECT q.vid AS query_id, c.vid AS neighbor_id,
          list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine
@@ -1536,16 +1559,47 @@ def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations and reproduces assignment, probe and ranking
     bit-for-bit. Recall vs brute force is additionally pinned by tests.
     The literal-centroid twin (no learning) is ``ivf_fixed_topk``."""
-    from .functions.similarity import kmeans_cells
+    from .functions.similarity import kmeans_centroids, with_cell
 
     emb = load_table(spark, "embeddings", sf_dir)
-    cells = kmeans_cells(emb, k=8, iters=3)
-    with_cell = emb.join(
-        cells.withColumnRenamed("vid", "vec_id"), "vec_id"
-    )
+    # learned centroids come back driver-side (k×dim floats), then ride
+    # the corpus scan as a withColumn argmin — NOT re-joined by id (the
+    # kmeans_cells-join form was a corpus×corpus SortMergeJoin)
+    cents = kmeans_centroids(emb, k=8, iters=3)
+    wc = with_cell(emb, cents)
     return cosine_topk_partitioned(
-        with_cell.filter(F.col("vec_id") < 10), with_cell, k=5, cell_col="cell"
+        wc.filter(F.col("vec_id") < 10), wc, k=5, cell_col="cell"
     )
+
+
+@register("ivf_kmeans_multiprobe", _ivf_kmeans_oracle(nprobe=2))
+def q_ivf_kmeans_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe over the LEARNED quantizer (VERDICT r3 #8): each query
+    probes its 2 nearest k-means cells — the real IVF recall knob
+    composed with the real coarse quantizer (``ivf_multiprobe_topk``
+    probes fixed literal centroids; this probes the Lloyd's-trained,
+    9-dp-quantized ones, hash-checked end-to-end by the unrolled oracle).
+    Corpus stays single-cell (no candidate dedup needed); the probe
+    explode doubles only the broadcast-small query side."""
+    from .functions.similarity import (
+        centroid_top_cells,
+        kmeans_centroids,
+        with_cell,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = kmeans_centroids(emb, k=8, iters=3)
+    corpus = with_cell(emb, cents)
+    qprobe = (
+        emb.filter(F.col("vec_id") < 10)
+        .select(
+            "vec_id",
+            "embedding",
+            centroid_top_cells("embedding", cents, 2).alias("probes"),
+        )
+        .select("vec_id", "embedding", F.explode("probes").alias("cell"))
+    )
+    return cosine_topk_partitioned(qprobe, corpus, k=5, cell_col="cell")
 
 
 def _ivf_fixed_oracle(k: int = 8, dim: int = 64, topk: int = 5) -> str:

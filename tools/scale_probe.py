@@ -176,7 +176,11 @@ def main() -> None:
         for name in names:
             t0 = time.perf_counter()
             qs[name](spark, out).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            # a repeated name records as name@warm — used to split a
+            # build-once query (e.g. pq_adc_topk_indexed) into its cold
+            # (index build + search) and warm (search-only) costs
+            key = name if name not in timings else f"{name}@warm"
+            timings[key] = round(time.perf_counter() - t0, 3)
         print(json.dumps({"factor": factor, "rows": rows, "queries": timings}))
     finally:
         shutil.rmtree(out, ignore_errors=True)
