@@ -71,6 +71,13 @@ HEADLINE = [
     "ohlc_resample_1h",
     "donchian_channels",
     "sma_20",
+    # round-4 additions: the indexed ADC search (min-of-2 makes the
+    # recorded number the warm, search-only cost — run 1 builds the
+    # write-once index) and the learned-quantizer multiprobe
+    "pq_adc_topk_indexed",
+    "ivf_kmeans_multiprobe",
+    "dedup_canonical",
+    "source_overlap_matrix",
 ]
 
 

@@ -427,6 +427,55 @@ def connected_components_star(
     )
 
 
+def canonical_docs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """The KEEP RULE that turns near-dup clusters into a deduplicated
+    corpus: cluster the candidate graph (star contraction), then per
+    cluster keep the longest document (ties → lowest id) — the standard
+    "best representative" heuristic (longest ≈ least-truncated copy).
+    Documents in no cluster are their own canonical, so the output is one
+    row per surviving document group covering the WHOLE corpus.
+
+    Output: (label, canonical_doc_id, n_docs, canonical_chars). A
+    training pipeline keeps exactly the canonical ids; `n_docs` is the
+    dedup ratio diagnostic.
+
+    Scale: clustering is the O(log n)-round contraction; the keep rule is
+    one shuffle on the label with WindowGroupLimit pruning the per-label
+    sort to a running top-1."""
+    labels = connected_components_star(
+        pairs, id_a="doc_a", id_b="doc_b", checkpoint_dir=checkpoint_dir
+    )
+    labeled = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.length(text_col).cast("long").alias("n_chars"),
+        )
+        .join(labels, "doc_id", "left")
+        .withColumn("label", F.coalesce("label", F.col("doc_id")))
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    wc = Window.partitionBy("label")
+    return (
+        labeled.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_docs", F.count(F.lit(1)).over(wc).cast("long"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "label",
+            F.col("doc_id").alias("canonical_doc_id"),
+            "n_docs",
+            F.col("n_chars").alias("canonical_chars"),
+        )
+    )
+
+
 def simhash_signatures(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
     """doc_id → simhash (bits-wide integer). Bit b of the signature is 1
     iff the count of tokens whose hash has bit b set exceeds half the

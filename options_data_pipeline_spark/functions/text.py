@@ -175,6 +175,47 @@ def winnow_overlap_pairs(
     )
 
 
+def cross_source_overlap(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 12,
+    w: int = 8,
+    max_df: int | None = 64,
+) -> DataFrame:
+    """Cross-SOURCE contamination matrix: for every source pair, how many
+    distinct winnowing fingerprints the two corpora share — the
+    source-granular diagnostic run before mixing corpora into a training
+    set (a hot cell means one source embeds another's passages; eval
+    suites leak into crawls this way).
+
+    Same scale shape as :func:`winnow_overlap_pairs`: df-capped
+    fingerprints, sources grouped per fp, pairs exploded from the (tiny)
+    per-fp source list — two shuffles, no self-join, pair volume bounded
+    by (sources choose 2) per fingerprint."""
+    fps = winnow_fingerprints(docs, text_col, k, w)
+    counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    kept = counts.filter(F.col("df") <= max_df) if max_df is not None else counts
+    src_fp = (
+        fps.join(kept.select("fp"), "fp")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "fp")
+        .distinct()
+    )
+    gs = src_fp.groupBy("fp").agg(F.sort_array(F.collect_set("source")).alias("ss"))
+    pairs = gs.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ss, (a, i) ->"
+                " transform(slice(ss, i + 2, size(ss) - i - 1),"
+                " b -> struct(a AS source_a, b AS source_b))))"
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy(
+        F.col("p.source_a").alias("source_a"), F.col("p.source_b").alias("source_b")
+    ).agg(F.count(F.lit(1)).alias("n_shared_fps"))
+
+
 def rare_token_stats(
     docs: DataFrame, text_col: str = "text", min_df: int = 3
 ) -> DataFrame:

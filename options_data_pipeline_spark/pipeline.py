@@ -111,7 +111,7 @@ def run_streaming(
     dense_path: str | None = None,
     interval_seconds: int = 300,
     universe: DataFrame | None = None,
-    densify_max_files: int | None = 16,
+    densify_max_files: int | None = 32,
 ):
     """The live twin: chained streaming stages (Spark disallows a stateful
     grouped-map after a streaming aggregation in one query, and the

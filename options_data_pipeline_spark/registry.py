@@ -690,6 +690,96 @@ def q_returned_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "local_supplier_volume",
+    """SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name""",
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — the join-reordering workout: 6-table join
+    (fact-fact on the order key plus the customer=supplier nation
+    residual), date range pushed to the orders scan, region/nation/
+    supplier dims broadcast, decimal-exact revenue agg per nation.
+    Catalyst reorders the dim joins after pruning; AQE picks broadcast
+    for every sub-10MB side at runtime."""
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    customer = load_table(spark, "customer", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "large_order_quantities",
+    """WITH big AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING SUM(l_quantity) > 180
+)
+SELECT c_name, o_orderkey, o_totalprice,
+       SUM(l_quantity) AS total_qty
+FROM lineitem
+JOIN big USING (l_orderkey)
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_name, o_orderkey, o_totalprice""",
+)
+def q_large_order_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — the agg-subquery semi-join workout: orders whose
+    total line quantity exceeds a threshold (HAVING over a fact
+    pre-aggregation), semi-joined back to the fact, then re-aggregated
+    with customer context. Quantities are integral doubles, so the sums
+    are float-exact cross-engine without a decimal detour."""
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("tq"))
+        .filter(F.col("tq") > 180)
+        .select("l_orderkey")
+    )
+    return (
+        lineitem.join(big, "l_orderkey", "left_semi")
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+    )
+
+
+@register(
     "customers_no_orders",
     """SELECT c_custkey, c_name FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
@@ -854,6 +944,35 @@ def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     explodes — measured 12.4 s vs 1.5 s at sf0.1. Cap and parameters are
     deterministic — the oracle mirrors both."""
     return winnow_overlap_pairs(load_table(spark, "documents", sf_dir), k=12, w=8)
+
+
+@register(
+    "source_overlap_matrix",
+    f"""WITH fps AS ({_winnow_fps_sql(12, 8)}),
+kept AS (
+  SELECT doc_id, fp FROM fps
+  WHERE fp IN (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 64)
+),
+sfp AS (
+  SELECT DISTINCT d.source, k.fp
+  FROM kept k JOIN documents d USING (doc_id)
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_shared_fps
+FROM sfp a JOIN sfp b USING (fp)
+WHERE a.source < b.source
+GROUP BY a.source, b.source""",
+)
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: distinct shared winnowing
+    fingerprints per source pair (df-capped, k=12/w=8 passage
+    granularity) — the pre-mixing diagnostic that catches one corpus
+    embedding another's text (eval-suite leakage into crawls). Two
+    shuffles, pairs exploded from per-fp source lists — never a
+    fingerprint self-join."""
+    from .functions.text import cross_source_overlap
+
+    return cross_source_overlap(load_table(spark, "documents", sf_dir))
 
 
 @register(
@@ -1033,6 +1152,45 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(docs × 16 hashes) + a bucket equi-join; md5-derived hash family keeps
     the oracle bit-identical."""
     return minhash_lsh_candidates(load_table(spark, "documents", sf_dir))
+
+
+def _dedup_canonical_oracle() -> str:
+    """Wraps the recursive cluster oracle with the keep rule: every doc
+    labeled (cluster min or itself), then per label keep the longest doc
+    (ties → lowest id) with the cluster size."""
+    base = _dedup_clusters_oracle()
+    tail = "SELECT v AS doc_id, CAST(min(l) AS BIGINT) AS label FROM reach GROUP BY v"
+    assert base.endswith(tail)
+    return base[: -len(tail)] + f""", clusters AS (
+  {tail}
+),
+labeled AS (
+  SELECT d.doc_id, COALESCE(c.label, d.doc_id) AS label,
+         CAST(length(d.text) AS BIGINT) AS n_chars
+  FROM documents d LEFT JOIN clusters c USING (doc_id)
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY n_chars DESC, doc_id) AS rn,
+         CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS n_docs
+  FROM labeled
+)
+SELECT label, doc_id AS canonical_doc_id, n_docs, n_chars AS canonical_chars
+FROM ranked WHERE rn = 1"""
+
+
+@register("dedup_canonical", _dedup_canonical_oracle())
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup KEEP RULE: cluster the MinHash candidate graph, keep the
+    longest doc per cluster (ties → lowest id), singletons keep
+    themselves — the step that actually shrinks a corpus after candidate
+    generation. One row per surviving group with the dedup-ratio
+    diagnostic (n_docs)."""
+    from .functions.dedupe import canonical_docs
+
+    docs = load_table(spark, "documents", sf_dir)
+    return canonical_docs(docs, minhash_lsh_candidates(docs))
 
 
 @register("dedup_clusters", _dedup_clusters_oracle())

@@ -117,6 +117,9 @@ def batch_stats(progresses) -> dict:
         "mean_s": round(sum(durs) / len(durs), 3),
         "p95_s": round(durs_sorted[int(0.95 * (len(durs_sorted) - 1))], 3),
         "max_s": round(max(durs), 3),
+        # which batch was the max — batch 0 is plan-compile + cold-cache
+        # warmup, a structurally different cost than steady-state
+        "max_i": durs.index(max(durs)),
     }
 
 
