@@ -230,6 +230,49 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text", k: int = 5) 
     )
 
 
+def minhash_jaccard_estimates(
+    docs: DataFrame, text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """LSH candidate pairs WITH their estimated Jaccard — the scoring
+    step between candidate generation and exact verification: the
+    fraction of agreeing minhashes is an unbiased Jaccard estimator
+    (E[mh_a = mh_b] = J), so pipelines threshold on it and only
+    exact-verify the survivors.
+
+    The full 16-wide signature rides the banded frame through the ONE
+    bucket self-join, so signatures are computed once — attaching them
+    afterwards by id would re-derive the shingle pipeline per join side
+    (the same 4× md5-work trap the winnow match step measured)."""
+    rows_per_band = len(MINHASH_PARAMS) // LSH_BANDS
+    m = len(MINHASH_PARAMS)
+    wide = minhash_signatures_wide(docs, text_col, k)
+    band_cols = []
+    for band in range(LSH_BANDS):
+        js = range(band * rows_per_band, (band + 1) * rows_per_band)
+        band_cols.append(
+            F.concat_ws(",", *[F.col(f"mh{j}").cast("string") for j in js]).alias(f"b{band}")
+        )
+    stack_args = ", ".join(f"{band}, b{band}" for band in range(LSH_BANDS))
+    mh_cols = [f"mh{j}" for j in range(m)]
+    banded = wide.select("doc_id", *mh_cols, *band_cols).selectExpr(
+        "doc_id", *mh_cols, f"stack({LSH_BANDS}, {stack_args}) as (band, bucket)"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    matches = sum(
+        (F.col(f"a.mh{j}") == F.col(f"b.mh{j}")).cast("int") for j in range(m)
+    )
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (matches / float(m)).alias("jaccard_est"),
+        )
+        .distinct()
+    )
+
+
 def connected_components(
     pairs: DataFrame, max_iters: int = 20, id_a: str = "doc_a", id_b: str = "doc_b"
 ) -> DataFrame:

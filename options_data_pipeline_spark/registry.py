@@ -1146,6 +1146,56 @@ SELECT v AS doc_id, CAST(min(l) AS BIGINT) AS label FROM reach GROUP BY v""",
     )
 
 
+def _minhash_estimate_oracle() -> str:
+    """The candidate oracle extended with the signature-agreement
+    estimator: per pair, matches/16 over the wide minhash columns."""
+    from .functions.dedupe import MINHASH_PARAMS, MINHASH_PRIME
+
+    mins = ",\n         ".join(
+        f"min(({a} * h + {b}) % {MINHASH_PRIME}) AS mh{j}"
+        for j, (a, b) in enumerate(MINHASH_PARAMS)
+    )
+    m = len(MINHASH_PARAMS)
+    bands = []
+    for band in range(4):
+        js = range(band * 4, (band + 1) * 4)
+        concat = " || ',' || ".join(f"mh{j}::VARCHAR" for j in js)
+        mh_list = ", ".join(f"mh{j}" for j in range(m))
+        bands.append(
+            f"SELECT doc_id, {mh_list}, {band} AS band, {concat} AS bucket FROM wide"
+        )
+    banded = "\n  UNION ALL\n  ".join(bands)
+    matches = " + ".join(f"(a.mh{j} = b.mh{j})::INT" for j in range(m))
+    return f"""WITH {SHINGLES_CTE},
+hashed AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+  FROM sh
+),
+wide AS (
+  SELECT doc_id,
+         {mins}
+  FROM hashed GROUP BY doc_id
+),
+banded AS (
+  {banded}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ({matches}) / {float(m)!r} AS jaccard_est
+FROM banded a JOIN banded b USING (band, bucket)
+WHERE a.doc_id < b.doc_id"""
+
+
+@register("minhash_jaccard_estimate", _minhash_estimate_oracle())
+def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH scoring step: candidate pairs with their estimated Jaccard
+    (fraction of agreeing minhashes — unbiased, E[mh_a=mh_b] = J). The
+    threshold-then-exact-verify pattern runs on this column; signatures
+    ride the bucket join so they are computed once."""
+    from .functions.dedupe import minhash_jaccard_estimates
+
+    return minhash_jaccard_estimates(load_table(spark, "documents", sf_dir))
+
+
 @register("minhash_lsh", _minhash_oracle())
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates — the scale path for dedup: cost is

@@ -197,6 +197,49 @@ def test_pq_adc_broadcasts_queries(spark, qs):
     assert not has_sort_merge_join(df)
 
 
+def test_q5_broadcasts_dims_no_cartesian(spark, qs):
+    """local_supplier_volume: every dim (supplier/nation/region) joins by
+    broadcast; the only allowed shuffle joins are fact-fact (lineitem ⋈
+    orders ⋈ customer). No BroadcastNestedLoop/Cartesian may appear —
+    the nation residual must ride the equi-joins as a filter."""
+    df = qs["local_supplier_volume"](spark, SF)
+    plan = physical_plan(df)
+    assert has_broadcast_join(df)
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    assert "PushedFilters" in plan  # the date range reaches the orders scan
+    assert "r_name" in plan  # region filter exists pre-join
+
+
+def test_q18_semi_join_on_having_subquery(spark, qs):
+    """large_order_quantities: the HAVING pre-aggregation must come back
+    as a LeftSemi join on the fact, never an inner join that duplicates
+    lineitem rows (row counts would silently double-count quantities)."""
+    df = qs["large_order_quantities"](spark, SF)
+    assert "LeftSemi" in physical_plan(df)
+
+
+def test_source_overlap_no_self_join(spark, qs):
+    """source_overlap_matrix: source pairs are exploded from per-fp
+    grouped lists — a fingerprint self-join (two scans of the fp side
+    joined on fp) or a cartesian would be the quadratic regression."""
+    df = qs["source_overlap_matrix"](spark, SF)
+    plan = physical_plan(df)
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    assert "explode(flatten(transform(ss" in plan  # pairs from the array explode
+
+
+def test_dedup_canonical_keep_rule_windows_on_label(spark, qs):
+    """dedup_canonical: the keep rule runs as label-partitioned windows
+    (one shuffle at the label grain) — an unpartitioned window here would
+    serialize the whole corpus through one task."""
+    df = qs["dedup_canonical"](spark, SF)
+    plan = physical_plan(df)
+    assert "Window" in plan
+    # the window spec's partition list must name the label key (an empty
+    # partition list would render as `], []` with no label reference)
+    assert "label#" in plan
+
+
 def test_pq_adc_indexed_reads_stored_codes(spark, qs):
     """The indexed search must NOT re-encode the corpus: its plan scans
     the persisted pq_index parquet (cell-partitioned), and the only

@@ -122,10 +122,41 @@ def replicate_embeddings(spark: SparkSession, src: str, out: str, factor: int) -
     return raw.count() * factor
 
 
+def replicate_orders_lineitem(
+    spark: SparkSession, src: str, out: str, factor: int
+) -> int:
+    """TPC-H fact growth axis: ×N orders (and their lineitems) over the
+    SAME customer/supplier/part dims — keys offset per replica so the
+    order→lineitem join cardinality is preserved while dim fan-in grows,
+    which is how a real order fact scales."""
+    orders = spark.read.parquet(os.path.join(src, "orders.parquet"))
+    lineitem = spark.read.parquet(os.path.join(src, "lineitem.parquet"))
+    base = orders.agg((F.max("o_orderkey") + 1).alias("m")).first().m
+    o_parts, l_parts = [], []
+    for r in range(factor):
+        off = F.lit(r * base)
+        o_parts.append(orders.select(
+            (F.col("o_orderkey") + off).alias("o_orderkey"),
+            *[c for c in orders.columns if c != "o_orderkey"],
+        ))
+        l_parts.append(lineitem.select(
+            (F.col("l_orderkey") + off).alias("l_orderkey"),
+            *[c for c in lineitem.columns if c != "l_orderkey"],
+        ))
+    functools.reduce(DataFrame.unionByName, o_parts).write.mode("overwrite").parquet(
+        os.path.join(out, "orders.parquet")
+    )
+    functools.reduce(DataFrame.unionByName, l_parts).write.mode("overwrite").parquet(
+        os.path.join(out, "lineitem.parquet")
+    )
+    return lineitem.count() * factor
+
+
 NEEDS = {
     "events": replicate_events,
     "documents": replicate_documents,
     "embeddings": replicate_embeddings,
+    "lineitem+orders": replicate_orders_lineitem,
 }
 
 
@@ -162,7 +193,16 @@ def main() -> None:
     out = tempfile.mkdtemp(prefix=f"scale_probe_x{factor}_")
     try:
         rows: dict[str, int] = {}
+        # SPARK_GRAFT_PROBE_TABLES (comma-separated NEEDS keys) restricts
+        # replication to the tables the probed queries actually read —
+        # the rest pass through at ×1. Replicating every axis for every
+        # probe wastes minutes and, worse, stacks unrelated ×100 tables'
+        # write-side memory into the probe JVM.
+        only = os.environ.get("SPARK_GRAFT_PROBE_TABLES")
+        wanted = {t.strip() for t in only.split(",")} if only else None
         for table, fn in NEEDS.items():
+            if wanted is not None and table not in wanted:
+                continue
             rows[table] = fn(spark, src, out, factor)
         # non-replicated tables pass through so any query can run
         for f in os.listdir(src):
