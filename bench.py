@@ -78,6 +78,10 @@ HEADLINE = [
     "ivf_kmeans_multiprobe",
     "dedup_canonical",
     "source_overlap_matrix",
+    "minhash_jaccard_estimate",
+    "local_supplier_volume",
+    "large_order_quantities",
+    "ivf_kmeans_multiprobe_indexed",
 ]
 
 

@@ -622,6 +622,67 @@ def build_pq_index(
     return spark.read.parquet(path)
 
 
+def build_kmeans_index(
+    vectors: DataFrame,
+    path: str,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int | None = 9,
+    overwrite: bool = False,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Write-once LEARNED-IVF index: run Lloyd's once, persist the corpus
+    itself CLUSTERED BY CELL — (vec_id, embedding, cell) partitioned by
+    cell — plus the centroid table (cell, centroid) as a sibling
+    `_centroids` parquet. A deployment trains the quantizer once at
+    index-build time — re-running Lloyd's per query (what the
+    non-indexed registry queries do, by declared design, to stay
+    self-contained) costs iters+1 corpus passes per search; and because
+    the stored table IS the corpus laid out by cell, a probe reads only
+    its cells' partitions with no assignment re-join. Returns
+    (clustered corpus, centroids-as-list).
+
+    Same write-once publish discipline as :func:`build_pq_index`
+    (stage + rename, concurrent builders converge on identical bytes —
+    the 9-dp grid makes the trajectory deterministic)."""
+    import os
+    import shutil
+    import uuid
+
+    spark = vectors.sparkSession
+    marker = os.path.join(path, "_SUCCESS")
+    if overwrite and os.path.isdir(path):
+        shutil.rmtree(path)
+        shutil.rmtree(path + "_centroids", ignore_errors=True)
+    if not os.path.exists(marker):
+        cents = kmeans_centroids(vectors, k, iters, id_col, vec_col, round_dp)
+        assigned = with_cell(vectors, cents, vec_col=vec_col).select(
+            F.col(id_col), F.col(vec_col), F.col("cell")
+        )
+        tag = uuid.uuid4().hex[:8]
+        staged = f"{path}.build-{tag}"
+        assigned.write.mode("overwrite").partitionBy("cell").parquet(staged)
+        cent_rows = [(ci, c) for ci, c in enumerate(cents)]
+        cent_df = spark.createDataFrame(cent_rows, "cell int, centroid array<double>")
+        staged_c = f"{path}_centroids.build-{tag}"
+        cent_df.coalesce(1).write.mode("overwrite").parquet(staged_c)
+        parent = os.path.dirname(os.path.abspath(path))
+        os.makedirs(parent, exist_ok=True)
+        try:
+            os.rename(staged_c, path + "_centroids")
+        except OSError:
+            shutil.rmtree(staged_c, ignore_errors=True)
+        try:
+            os.rename(staged, path)
+        except OSError:
+            shutil.rmtree(staged, ignore_errors=True)
+    assignments = spark.read.parquet(path)
+    cent_rows = spark.read.parquet(path + "_centroids").collect()
+    cents = [r.centroid for r in sorted(cent_rows, key=lambda r: r.cell)]
+    return assignments, cents
+
+
 def pq_adc_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -756,26 +756,27 @@ JOIN customer ON o_custkey = c_custkey
 GROUP BY c_name, o_orderkey, o_totalprice""",
 )
 def q_large_order_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape — the agg-subquery semi-join workout: orders whose
-    total line quantity exceeds a threshold (HAVING over a fact
-    pre-aggregation), semi-joined back to the fact, then re-aggregated
-    with customer context. Quantities are integral doubles, so the sums
-    are float-exact cross-engine without a decimal detour."""
+    """TPC-H Q18 shape — the HAVING-subquery workout, in its ONE-shuffle
+    form: the textbook plan semi-joins the qualifying keys back onto the
+    fact and re-aggregates, shuffling the fact TWICE; but the pre-agg
+    already holds the only metric the final output needs (total_qty per
+    order, and o_orderkey is unique per output group), so the rewrite
+    carries it through a single join to the dims — at ×100 (60M
+    lineitems) this is one 60M-row shuffle instead of two plus a
+    semi-join. Quantities are integral doubles, so sums are float-exact
+    cross-engine without a decimal detour."""
     lineitem = load_table(spark, "lineitem", sf_dir)
     orders = load_table(spark, "orders", sf_dir)
     customer = load_table(spark, "customer", sf_dir)
     big = (
         lineitem.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("tq"))
-        .filter(F.col("tq") > 180)
-        .select("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 180)
     )
     return (
-        lineitem.join(big, "l_orderkey", "left_semi")
-        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        big.join(orders, F.col("l_orderkey") == orders.o_orderkey)
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
-        .groupBy("c_name", "o_orderkey", "o_totalprice")
-        .agg(F.sum("l_quantity").alias("total_qty"))
+        .select("c_name", "o_orderkey", "o_totalprice", "total_qty")
     )
 
 
@@ -1810,6 +1811,38 @@ def q_ivf_kmeans_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_partitioned(qprobe, corpus, k=5, cell_col="cell")
 
 
+@register("ivf_kmeans_multiprobe_indexed", _ivf_kmeans_oracle(nprobe=2))
+def q_ivf_kmeans_multiprobe_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The train-ONCE form of learned multiprobe: Lloyd's runs at index
+    build and the corpus lands CLUSTERED BY CELL in a write-once
+    partitioned table (with a sibling centroid table); a search loads
+    the k×dim centroids (tiny), computes its 2 probes, and scans only
+    the probed cells' partitions — no Lloyd's passes and no assignment
+    re-join per query. Same oracle as `ivf_kmeans_multiprobe`; the plan
+    difference is the deployment honesty (the self-contained twin
+    retrains per run by design)."""
+    from .functions.similarity import (
+        build_kmeans_index,
+        centroid_top_cells,
+        cosine_topk_partitioned,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    corpus, cents = build_kmeans_index(
+        emb, _vector_index_path(sf_dir, "kmeans_index")
+    )
+    qprobe = (
+        emb.filter(F.col("vec_id") < 10)
+        .select(
+            "vec_id",
+            "embedding",
+            centroid_top_cells("embedding", cents, 2).alias("probes"),
+        )
+        .select("vec_id", "embedding", F.explode("probes").alias("cell"))
+    )
+    return cosine_topk_partitioned(qprobe, corpus, k=5, cell_col="cell")
+
+
 def _ivf_fixed_oracle(k: int = 8, dim: int = 64, topk: int = 5) -> str:
     """Exact DuckDB twin of the fixed-centroid IVF assignment+probe:
     centroids are md5-derived literals, the score list is the same
@@ -2455,7 +2488,7 @@ SELECT vec_id, cell,
 FROM scored"""
 
 
-def _pq_index_path(sf_dir: str) -> str:
+def _vector_index_path(sf_dir: str, kind: str) -> str:
     """Deterministic index location keyed to the SOURCE FILE's identity
     (mtime_ns + size): a driver-side testdata regeneration changes the
     fingerprint, so a stale index can never serve a regenerated corpus —
@@ -2469,7 +2502,11 @@ def _pq_index_path(sf_dir: str) -> str:
         f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}".encode()
     ).hexdigest()[:12]
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    return os.path.join(repo_root, "spark-warehouse", "pq_index", fp)
+    return os.path.join(repo_root, "spark-warehouse", kind, fp)
+
+
+def _pq_index_path(sf_dir: str) -> str:
+    return _vector_index_path(sf_dir, "pq_index")
 
 
 @register("pq_index_build", _pq_index_oracle())

@@ -210,12 +210,16 @@ def test_q5_broadcasts_dims_no_cartesian(spark, qs):
     assert "r_name" in plan  # region filter exists pre-join
 
 
-def test_q18_semi_join_on_having_subquery(spark, qs):
-    """large_order_quantities: the HAVING pre-aggregation must come back
-    as a LeftSemi join on the fact, never an inner join that duplicates
-    lineitem rows (row counts would silently double-count quantities)."""
+def test_q18_single_fact_shuffle(spark, qs):
+    """large_order_quantities: the fact must shuffle exactly once (the
+    HAVING pre-agg) — the textbook semi-join-then-reaggregate form scans
+    and shuffles lineitem twice for the same answer. One HashAggregate
+    pair over lineitem, then joins only."""
     df = qs["large_order_quantities"](spark, SF)
-    assert "LeftSemi" in physical_plan(df)
+    plan = physical_plan(df)
+    # lineitem's file location appears in exactly ONE scan node's detail
+    assert plan.count("lineitem.parquet") == 1
+    assert "LeftSemi" not in plan
 
 
 def test_source_overlap_no_self_join(spark, qs):
@@ -238,6 +242,20 @@ def test_dedup_canonical_keep_rule_windows_on_label(spark, qs):
     # the window spec's partition list must name the label key (an empty
     # partition list would render as `], []` with no label reference)
     assert "label#" in plan
+
+
+def test_kmeans_indexed_search_reads_clustered_corpus(spark, qs):
+    """The indexed learned-IVF search must read the cell-clustered index
+    table (no Lloyd's re-train, no assignment re-join): its plan scans
+    kmeans_index and joins ONLY the broadcast probe side."""
+    df = qs["ivf_kmeans_multiprobe_indexed"](spark, SF)
+    plan = physical_plan(df)
+    assert "kmeans_index" in plan
+    # no Lloyd's re-train in the search plan: training shows up as the
+    # per-dimension avg() re-estimation aggregates
+    assert "avg(" not in plan
+    assert has_broadcast_join(df)
+    assert not has_sort_merge_join(df)
 
 
 def test_pq_adc_indexed_reads_stored_codes(spark, qs):
