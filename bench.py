@@ -82,6 +82,13 @@ HEADLINE = [
     "local_supplier_volume",
     "large_order_quantities",
     "ivf_kmeans_multiprobe_indexed",
+    # round-4 TPC-H breadth (the shapes the reduced schema supports)
+    "forecast_revenue",
+    "promo_revenue",
+    "volume_shipping",
+    "market_share",
+    "top_supplier",
+    "dormant_high_balance",
 ]
 
 

@@ -2733,6 +2733,293 @@ def q_sma_20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-4 TPC-H breadth: the remaining shapes expressible on the reduced
+# synthetic schema (no partsupp / shipmode / commitdate columns exist, so
+# Q2/Q4/Q12/Q16/Q19/Q20/Q21 are out of scope by data, not by engine).
+# ---------------------------------------------------------------------------
+
+@register(
+    "forecast_revenue",
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24""",
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — the pure-pushdown probe: every predicate (date
+    range, discount band, quantity cap) must reach the parquet scan as
+    PushedFilters, the scan must read only 4 columns, and the whole query
+    is one partial+final agg with NO shuffle beyond the 1-row exchange.
+    The cheapest query in the suite by design; plan-pinned."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * F.col("l_discount").cast("decimal(4,2)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "promo_revenue",
+    """SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                   ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+       * 100 AS promo_pct,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-06-01' AND l_shipdate < TIMESTAMP '1997-07-01'""",
+)
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — conditional aggregation over a fact⨝dim join:
+    promo share of one month's revenue. The part dim broadcasts (100 rows
+    here; at 100 TB part is ~20 GB so the real plan shuffles — the query
+    does not hard-pin broadcast, it lets AQE decide). Both sums are
+    decimal-exact; the final ratio is one double division → bit-stable."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    part = load_table(spark, "part", sf_dir)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    zero = F.lit(0).cast("decimal(18,4)")
+    return li.join(part, li.l_partkey == part.p_partkey).agg(
+        (
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast("double")
+            / F.sum(rev).cast("double")
+            * 100
+        ).alias("promo_pct"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "volume_shipping",
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)""",
+)
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — the disjunctive nation-pair workout: trade volume
+    between two nations, by direction and year. The pair predicate can't
+    split per-table (each side constrains BOTH nation aliases), so
+    Catalyst keeps it as a post-join residual while still pushing the
+    derived IN('NATION_1','NATION_2') constraints down each nation scan —
+    broadcast dims shrink the fact before the single orderkey shuffle."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    pair = ["NATION_1", "NATION_2"]
+    n1 = nation.filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "market_share",
+    """WITH vol AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS volume,
+         n1.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region ON n2.n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+)
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+       / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+       count(*) AS n_items
+FROM vol GROUP BY o_year""",
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — one nation's share of PROMO-part revenue into one
+    region, per year: an 8-table join where only the customer side is
+    region-gated and only the supplier side feeds the numerator flag.
+    Every dim broadcasts; the share is two decimal-exact sums and one
+    double division per year group."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    part = load_table(spark, "part", sf_dir).filter(F.col("p_type") == "PROMO")
+    supplier = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    )
+    vol = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(region), F.col("n2_region") == F.col("r_regionkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(18,4)")
+            .alias("volume"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return vol.groupBy("o_year").agg(
+        (
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_5", F.col("volume")).otherwise(zero)
+            ).cast("double")
+            / F.sum("volume").cast("double")
+        ).alias("mkt_share"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "top_supplier",
+    """WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE r = (SELECT max(r) FROM rev)""",
+)
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — scalar-subquery max: the quarter's top supplier
+    by revenue. The per-supplier agg is computed ONCE and reused for both
+    the scalar max and the final filter (no second lineitem scan — Spark
+    self-reuses the agg subtree); the 1-row max broadcasts into the
+    filter, equality compares the exact decimals, and only the final
+    output casts to double. Ties would all surface, matching the spec."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        # explicit null-drop so BOTH consumers of `rev` (the scalar max and
+        # the equality join) see byte-identical subtrees — without it the
+        # join pushes isnotnull(l_suppkey) into its branch only and the
+        # exchange no longer canonicalizes equal, defeating ReusedExchange
+        # and scanning the fact twice.
+        & F.col("l_suppkey").isNotNull()
+    )
+    supplier = load_table(spark, "supplier", sf_dir)
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+        ).alias("r")
+    )
+    max_rev = rev.agg(F.max("r").alias("max_r"))
+    return (
+        rev.join(F.broadcast(max_rev), rev.r == max_rev.max_r)
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.col("r").cast("double").alias("total_revenue"))
+    )
+
+
+@register(
+    "dormant_high_balance",
+    """WITH stats AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS total, count(*) AS cnt
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_custkey, c_name, c_acctbal
+FROM customer, stats
+WHERE CAST(c_acctbal AS DECIMAL(12,2)) * cnt > total
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')""",
+)
+def q_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — scalar-average threshold + anti join: customers
+    whose balance beats the positive-balance average but placed no order
+    since 2000. The average is compared in exact integer-decimal form
+    (bal*cnt > total — no double division anywhere), the 1-row stats
+    broadcast, and the recency probe is a LEFT ANTI against the
+    date-pruned orders scan."""
+    customer = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    stats = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(12,2)")).alias("total"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        customer.crossJoin(F.broadcast(stats))
+        .filter(F.col("c_acctbal").cast("decimal(12,2)") * F.col("cnt") > F.col("total"))
+        .join(recent, "c_custkey", "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+# ---------------------------------------------------------------------------
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     """Pin the session timezone to UTC before building the plan — DuckDB

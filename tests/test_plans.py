@@ -272,3 +272,64 @@ def test_pq_adc_indexed_reads_stored_codes(spark, qs):
     # corpus-side re-encode gone: the distance lookup references stored
     # code_j columns instead of computing them
     assert "code_0#" in plan
+
+
+def test_q6_full_pushdown_single_scan_no_join(spark, qs):
+    """forecast_revenue (Q6 shape): the whole predicate set — date range,
+    discount band, quantity cap — must reach the parquet reader, the scan
+    must read only the 4 referenced columns, and the plan is one
+    partial+final agg (single 1-row exchange, no join of any kind)."""
+    df = qs["forecast_revenue"](spark, SF)
+    pf = pushed_filters(df)
+    for frag in ("l_shipdate", "l_discount,0.05", "l_discount,0.07", "l_quantity,24"):
+        assert frag in pf, frag
+    [schema] = read_schemas(df)
+    assert "l_orderkey" not in schema and "l_extendedprice" in schema
+    assert count_exchanges(df) == 1
+    assert "Join" not in physical_plan(df)
+
+
+def test_q7_nation_constraint_derived_to_scans(spark, qs):
+    """volume_shipping (Q7 shape): the disjunctive pair predicate stays a
+    residual, but its derived In(n_name, [NATION_1,NATION_2]) constraint
+    must be pushed into BOTH nation scans; dims broadcast, exactly one
+    fact-grain shuffle pair feeds the final agg."""
+    df = qs["volume_shipping"](spark, SF)
+    pf = pushed_filters(df)
+    assert pf.count("In(n_name") == 2
+    assert has_broadcast_join(df)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_q15_reuses_fact_exchange_at_runtime(spark, qs):
+    """top_supplier (Q15 shape): the per-supplier revenue agg feeds both
+    the scalar max and the equality join — AQE must dedupe the identical
+    exchange subtree (ReusedExchange) so the quarter's fact scan happens
+    ONCE. Runtime pin: the static plan can't show reuse decisions."""
+    df = qs["top_supplier"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+
+
+def test_q22_anti_join_with_pruned_recency_scan(spark, qs):
+    """dormant_high_balance (Q22 shape): the recency probe must run as a
+    LEFT ANTI against an orders scan with the date bound pushed down, and
+    the 1-row stats side must broadcast (nested-loop on 1 row is fine;
+    a shuffled cross join is not)."""
+    df = qs["dormant_high_balance"](spark, SF)
+    plan = physical_plan(df)
+    assert "LeftAnti" in plan
+    assert "GreaterThanOrEqual(o_orderdate,2000-01-01" in pushed_filters(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "ShuffledHashJoin" not in plan.split("LeftAnti")[0]
+
+
+def test_q8_and_q14_broadcast_all_dims(spark, qs):
+    """market_share (Q8) / promo_revenue (Q14): every dim side broadcasts;
+    the only sort-merge candidate is the fact-fact orderkey join."""
+    for name in ("market_share", "promo_revenue"):
+        df = qs[name](spark, SF)
+        assert has_broadcast_join(df), name
+        assert "CartesianProduct" not in physical_plan(df), name
