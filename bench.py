@@ -89,6 +89,13 @@ HEADLINE = [
     "market_share",
     "top_supplier",
     "dormant_high_balance",
+    # round-4 LLM-pipeline additions
+    "knn_join",
+    "ann_recall_report",
+    "length_buckets",
+    "pii_scrub_stats",
+    "domain_quality_filter",
+    "temperature_mixture",
 ]
 
 

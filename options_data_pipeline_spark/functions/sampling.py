@@ -163,3 +163,78 @@ def stratified_sample(
             id_col, stratum_col, F.col("sample_rank").cast("long").alias("sample_rank")
         )
     )
+
+
+def per_group_top_fraction(
+    df: DataFrame,
+    score: Column,
+    keep_fraction: float = 0.75,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the top ``keep_fraction`` of each group by score — the
+    per-domain quality gate (a global threshold over-prunes clean domains
+    and under-prunes noisy ones; filtering against the DOMAIN's own
+    distribution is the standard fix). Rank-based, so the cut is
+    integer-exact in every engine: a float percentile threshold would
+    hang the keep decision on an interpolated value's last bits.
+
+    One shuffle at the group grain; rank and group size come from the
+    same window pass. Ties break toward the smaller id (deterministic)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(score.desc(), F.col(id_col).asc())
+    wc = Window.partitionBy(group_col)
+    ranked = (
+        df.withColumn("q_rank", F.row_number().over(w))
+        .withColumn("grp_n", F.count(F.lit(1)).over(wc))
+    )
+    # ceil(f * n) in pure integer arithmetic: f as a ratio of 10000ths
+    frac = int(round(keep_fraction * 10000))
+    keep_n = F.floor((F.col("grp_n") * frac + 9999) / 10000)
+    return (
+        ranked.filter(F.col("q_rank") <= keep_n)
+        .withColumn("q_rank", F.col("q_rank").cast("long"))
+        .drop("grp_n")
+    )
+
+
+def temperature_weights(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    source_col: str = "source",
+) -> DataFrame:
+    """α-tempered source re-weighting (multilingual-LM sampling, Conneau &
+    Lample 2019): sampling share t_i = p_i^α / Σ p_j^α flattens the raw
+    source distribution toward uniform as α→0, leaving it unchanged at
+    α=1 — the knob that keeps low-resource sources from drowning.
+
+    Per-source counts aggregate first (one shuffle to ~|sources| rows);
+    the Σ p^α normalizer is a 1-row broadcast cross join, never a second
+    scan. Shares are rounded to the 9-dp grid: the normalizer is a
+    multi-row double sum whose addition order is engine-internal (same
+    rule as the k-means centroid grid). ``sample_cap`` = floor(t_i × N),
+    the integer per-source budget a sampler would enforce."""
+    counts = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    total = counts.agg(
+        F.sum("n_docs").alias("n_total"),
+        F.sum(F.pow(F.col("n_docs").cast("double"), F.lit(alpha))).alias("z"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            source_col,
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("n_total"), 9).alias("raw_share"),
+            F.round(
+                F.pow(F.col("n_docs").cast("double"), F.lit(alpha)) / F.col("z"), 9
+            ).alias("tempered_share"),
+            F.floor(
+                F.round(
+                    F.pow(F.col("n_docs").cast("double"), F.lit(alpha))
+                    / F.col("z"), 9
+                )
+                * F.col("n_total")
+            ).cast("long").alias("sample_cap"),
+        )
+    )

@@ -444,6 +444,54 @@ def cosine_topk_partitioned(
     )
 
 
+def knn_within_cell(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """Each vector's nearest neighbor WITHIN its coarse cell — the
+    SemDeDup primitive (cluster the corpus, then compare only inside a
+    cluster; Abbas et al. 2023). Declared-approximate by construction:
+    the true global NN can live in another cell, which is exactly the
+    trade the clustering buys — the all-pairs join collapses to a
+    per-cell join, so cost is O(Σ cell²) instead of O(N²) and each cell's
+    work is an independent task.
+
+    Deterministic semantics (hash-checkable): highest cosine wins, ties
+    break toward the smaller neighbor id; vectors alone in their cell
+    emit no row. One shuffle at the cell grain for the join, one at the
+    id grain for the top-1 window (WindowGroupLimit prunes to 1 row per
+    id before the final sort)."""
+    a = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("va"),
+        norm_col(vec_col).alias("na"),
+        F.col(cell_col).alias("cell"),
+    )
+    b = vectors.select(
+        F.col(id_col).alias("nn_id"),
+        F.col(vec_col).alias("vb"),
+        norm_col(vec_col).alias("nb"),
+        F.col(cell_col).alias("cell"),
+    )
+    scored = (
+        a.join(b, "cell")
+        .filter(F.col("vid") != F.col("nn_id"))
+        .select(
+            F.col("vid").alias("vec_id"),
+            "nn_id",
+            (dot_col(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("nn_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "nn_id", "cosine")
+    )
+
+
 def quantize_int8_stats(
     vectors: DataFrame,
     id_col: str = "vec_id",

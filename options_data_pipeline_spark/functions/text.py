@@ -458,3 +458,60 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= top_n)
         .select("doc_id", "tok", "tf", "df", "tfidf", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# --- PII scrubbing -----------------------------------------------------------
+# Patterns restricted to the Java-regex ∩ RE2 common subset (no lookaround,
+# no backrefs) so the SAME string runs identically in Spark and DuckDB.
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_URL = "https?://[^ \\t\\n]+"
+PII_DIGIT_RUN = "[0-9]{7,}"  # phone/SSN/account-number-shaped runs
+
+
+def pii_cols(text_col: str = "text") -> dict[str, Column]:
+    """PII scrub signals for corpus cleaning: per-document counts of
+    email / URL / long-digit-run matches plus the redacted text length.
+    All narrow maps (regexp over the text column, no shuffle); redaction
+    replaces URL→email→digit-run in that fixed order (a URL can contain
+    an email-shaped or digit-run-shaped substring, so the coarser pattern
+    must fire first for deterministic output)."""
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col(text_col), PII_URL, "<URL>"),
+            PII_EMAIL,
+            "<EMAIL>",
+        ),
+        PII_DIGIT_RUN,
+        "<NUM>",
+    )
+    return {
+        "n_emails": _count_matches(text_col, PII_EMAIL.replace("\\", "\\\\")),
+        "n_urls": _count_matches(text_col, PII_URL.replace("\\", "\\\\")),
+        "n_digit_runs": _count_matches(text_col, PII_DIGIT_RUN),
+        "redacted_len": F.length(redacted).cast("long"),
+    }
+
+
+# --- Length-bucketed batching ------------------------------------------------
+
+LENGTH_BUCKETS = [2**p for p in range(4, 18)]  # 16 … 131072 tokens
+
+
+def length_bucket_col(n_tokens: Column) -> Column:
+    """Smallest power-of-two bucket holding ``n_tokens`` — the standard
+    batching move for variable-length sequences (pad within a bucket, not
+    to the global max). A CASE chain over the fixed boundary list keeps
+    it integer-exact in every engine (2^ceil(log2 n) via float log is NOT
+    exact across libm implementations at exact-power boundaries)."""
+    expr = F.lit(LENGTH_BUCKETS[-1])
+    for b in reversed(LENGTH_BUCKETS):
+        expr = F.when(n_tokens <= b, F.lit(b)).otherwise(expr)
+    return expr.cast("long")
+
+
+def length_bucket_sql(n_expr: str) -> str:
+    """The DuckDB twin of :func:`length_bucket_col` (same CASE chain)."""
+    whens = " ".join(
+        f"WHEN {n_expr} <= {b} THEN {b}" for b in LENGTH_BUCKETS
+    )
+    return f"CAST(CASE {whens} ELSE {LENGTH_BUCKETS[-1]} END AS BIGINT)"

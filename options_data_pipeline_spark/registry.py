@@ -3020,6 +3020,256 @@ def q_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-4 LLM-pipeline additions: semantic-dedup kNN, ANN quality metric,
+# batching/PII/mixture ops
+# ---------------------------------------------------------------------------
+
+@register(
+    "knn_join",
+    """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+         list_dot_product(a.e, b.e)
+           / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cosine
+  FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cosine DESC, nn_id) AS rn
+  FROM pairs
+)
+SELECT vec_id, nn_id, cosine FROM ranked WHERE rn = 1""",
+)
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-cell nearest-neighbor join — the SemDeDup primitive: every
+    vector's closest neighbor inside its coarse cluster. Cost O(Σ cell²)
+    not O(N²); dot products are bit-identical cross-engine so the top-1
+    ordering hash-checks unrounded."""
+    from .functions.similarity import knn_within_cell
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return knn_within_cell(emb, cell_col="label")
+
+
+def _ann_recall_oracle(k: int = 8, dim: int = 64, topk: int = 5) -> str:
+    """DuckDB twin of the IVF-vs-brute recall report: the fixed-centroid
+    IVF chain (same literals/argmin as _ivf_fixed_oracle) and the brute
+    chain share one scanned+celled `cells` CTE; recall@k joins the two
+    top-k sets per query."""
+    from .functions.similarity import fixed_centroids
+
+    cents = fixed_centroids(k, dim)
+    scores = ",\n      ".join(
+        f"{sum(x * x for x in c)!r} - 2.0*list_dot_product(v, ["
+        + ", ".join(repr(x) for x in c)
+        + "])"
+        for c in cents
+    )
+    return f"""WITH v AS (
+  SELECT vec_id AS vid, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+cells AS (
+  SELECT vid, v, nrm,
+         list_position([{scores}], list_min([{scores}])) - 1 AS cell
+  FROM v
+),
+q AS (SELECT * FROM cells WHERE vid < 10),
+icand AS (
+  SELECT q.vid AS query_id, c.vid AS neighbor_id,
+         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine
+  FROM cells c JOIN q USING (cell) WHERE q.vid <> c.vid
+),
+ivf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM icand) WHERE rn <= {topk}
+),
+bcand AS (
+  SELECT q.vid AS query_id, c.vid AS neighbor_id,
+         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine
+  FROM cells c CROSS JOIN q WHERE q.vid <> c.vid
+),
+brute AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM bcand) WHERE rn <= {topk}
+)
+SELECT b.query_id,
+       CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
+       count(i.neighbor_id) / {float(topk)!r} AS recall_at_{topk}
+FROM brute b LEFT JOIN ivf i
+  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+GROUP BY b.query_id"""
+
+
+@register("ann_recall_report", _ann_recall_oracle())
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality metric as a first-class query: recall@5 of the
+    fixed-centroid IVF probe against brute-force ground truth, per query.
+    The production use is a sampled recall audit next to an index build —
+    brute force over a small query sample is cheap even at 100 TB corpus
+    scale because the corpus side is scanned once for both arms (shared
+    celled frame)."""
+    from .functions.similarity import fixed_centroids, with_cell, cosine_topk_partitioned
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    wc = with_cell(emb, fixed_centroids(8, 64))
+    queries_side = wc.filter(F.col("vec_id") < 10)
+    ivf = cosine_topk_partitioned(queries_side, wc, k=5, cell_col="cell").select(
+        "query_id", "neighbor_id"
+    )
+    brute = cosine_topk(emb.filter(F.col("vec_id") < 10), emb, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    hits = brute.join(
+        ivf.withColumn("hit", F.lit(1)), ["query_id", "neighbor_id"], "left"
+    )
+    return hits.groupBy("query_id").agg(
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+        (F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.lit(5.0)).alias("recall_at_5"),
+    )
+
+
+def _length_buckets_oracle() -> str:
+    from .functions.text import length_bucket_sql
+
+    bucket = length_bucket_sql("len(regexp_extract_all(text, '\\S+'))")
+    return f"""WITH b AS (
+  SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+         {bucket} AS bucket
+  FROM documents
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(count(*) * bucket AS BIGINT) AS padded_tokens,
+       CAST(SUM(n_tokens) AS DOUBLE) / CAST(count(*) * bucket AS DOUBLE) AS fill_ratio
+FROM b GROUP BY bucket"""
+
+
+@register("length_buckets", _length_buckets_oracle())
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching stats: docs binned to the smallest
+    power-of-two token bucket, with the padding fill ratio per bucket —
+    the number a batching pipeline watches (pad-to-global-max wastes
+    1−fill of every batch). Narrow map + one bucket-grain agg; integer
+    sums, one double division."""
+    from .functions.text import token_count_col, length_bucket_col
+
+    docs = load_table(spark, "documents", sf_dir)
+    b = docs.select(
+        length_bucket_col(token_count_col("text")).alias("bucket"),
+        token_count_col("text").alias("n_tokens"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        (F.count(F.lit(1)) * F.col("bucket").cast("long")).cast("long").alias("padded_tokens"),
+        (
+            F.sum("n_tokens").cast("double")
+            / (F.count(F.lit(1)) * F.col("bucket")).cast("double")
+        ).alias("fill_ratio"),
+    )
+
+
+@register(
+    "pii_scrub_stats",
+    """SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, 'https?://[^ \t\n]+')) AS BIGINT) AS n_urls,
+       CAST(len(regexp_extract_all(text, '[0-9]{7,}')) AS BIGINT) AS n_digit_runs,
+       CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+              'https?://[^ \t\n]+', '<URL>', 'g'),
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              '[0-9]{7,}', '<NUM>', 'g')) AS BIGINT) AS redacted_len
+FROM documents""",
+)
+def q_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing signals per document: email / URL / long-digit-run
+    counts and the redacted length — the pre-training privacy pass.
+    Patterns live in the Java-regex ∩ RE2 common subset so both engines
+    match identical spans; pure narrow map, no shuffle."""
+    from .functions.text import pii_cols
+
+    docs = load_table(spark, "documents", sf_dir)
+    cols = pii_cols("text")
+    return docs.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
+@register(
+    "domain_quality_filter",
+    """WITH scored AS (
+  SELECT doc_id, source,
+         CAST(length(text) AS DOUBLE) / (1 + len(regexp_extract_all(text, '[.,!?;:]'))) AS score
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source, score,
+         row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS q_rank,
+         count(*) OVER (PARTITION BY source) AS grp_n
+  FROM scored
+)
+SELECT doc_id, source, score, CAST(q_rank AS BIGINT) AS q_rank
+FROM ranked WHERE q_rank <= floor((grp_n * 7500 + 9999) / 10000.0)""",
+)
+def q_domain_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality gate: keep the top 75% of each source by score,
+    ranked against the source's OWN distribution (a global threshold
+    over-prunes clean domains and under-prunes noisy ones). Rank-based →
+    integer-exact cut; one shuffle at the source grain. The score here is
+    a chars-per-punctuation proxy; any scorer column slots in."""
+    from .functions.sampling import per_group_top_fraction
+    from .functions.text import _count_matches
+
+    docs = load_table(spark, "documents", sf_dir)
+    score = F.length("text").cast("double") / (
+        1 + _count_matches("text", "[.,!?;:]")
+    )
+    scored = docs.select("doc_id", "source", score.alias("score"))
+    return per_group_top_fraction(
+        scored, F.col("score"), keep_fraction=0.75, group_col="source"
+    ).select("doc_id", "source", "score", "q_rank")
+
+
+@register(
+    "temperature_mixture",
+    """WITH counts AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+),
+tot AS (
+  SELECT SUM(n_docs) AS n_total, SUM(POW(CAST(n_docs AS DOUBLE), 0.5)) AS z
+  FROM counts
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       ROUND(CAST(n_docs AS DOUBLE) / n_total, 9) AS raw_share,
+       ROUND(POW(CAST(n_docs AS DOUBLE), 0.5) / z, 9) AS tempered_share,
+       CAST(FLOOR(ROUND(POW(CAST(n_docs AS DOUBLE), 0.5) / z, 9) * n_total) AS BIGINT) AS sample_cap
+FROM counts, tot""",
+)
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α-tempered source re-weighting (α=0.5): the sampling distribution
+    that flattens source shares toward uniform — low-resource sources
+    stop drowning. One count agg to ~|sources| rows, 1-row normalizer
+    broadcast back; shares on the 9-dp grid (the Σp^α normalizer is an
+    order-dependent double sum)."""
+    from .functions.sampling import temperature_weights
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = temperature_weights(docs, alpha=0.5)
+    return out.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "raw_share",
+        "tempered_share",
+        "sample_cap",
+    )
+
+
+# ---------------------------------------------------------------------------
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     """Pin the session timezone to UTC before building the plan — DuckDB

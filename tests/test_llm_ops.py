@@ -1,0 +1,170 @@
+"""Unit tests for the round-4 LLM-pipeline operators: within-cell kNN,
+PII scrubbing, length-bucketed batching, per-domain quality gate,
+temperature mixture."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from options_data_pipeline_spark.functions.similarity import knn_within_cell
+from options_data_pipeline_spark.functions.sampling import (
+    per_group_top_fraction,
+    temperature_weights,
+)
+from options_data_pipeline_spark.functions.text import (
+    LENGTH_BUCKETS,
+    length_bucket_col,
+    pii_cols,
+)
+
+
+# --- knn_within_cell ---------------------------------------------------------
+
+def test_knn_picks_true_within_cell_neighbor(spark):
+    # cell A: v1 ~ v2 (near-identical), v3 orthogonal-ish; cell B: alone
+    rows = [
+        Row(vec_id=1, label=0, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=2, label=0, embedding=[0.9, 0.1, 0.0]),
+        Row(vec_id=3, label=0, embedding=[0.0, 0.0, 1.0]),
+        Row(vec_id=4, label=1, embedding=[0.5, 0.5, 0.5]),  # alone in cell
+    ]
+    out = {r["vec_id"]: r for r in knn_within_cell(spark.createDataFrame(rows)).collect()}
+    assert out[1]["nn_id"] == 2 and out[2]["nn_id"] == 1
+    # the lone vector in cell B emits no row
+    assert 4 not in out
+    # v3's NN is whichever of v1/v2 scores higher; ties break to smaller id
+    assert out[3]["nn_id"] in (1, 2)
+
+
+def test_knn_tie_breaks_to_smaller_id(spark):
+    # two neighbors at EXACTLY the same cosine (mirror duplicates)
+    rows = [
+        Row(vec_id=10, label=0, embedding=[1.0, 0.0]),
+        Row(vec_id=11, label=0, embedding=[0.6, 0.8]),
+        Row(vec_id=12, label=0, embedding=[0.6, 0.8]),
+    ]
+    out = {r["vec_id"]: r for r in knn_within_cell(spark.createDataFrame(rows)).collect()}
+    assert out[10]["nn_id"] == 11  # same cosine, smaller id wins
+
+
+# --- PII scrubbing -----------------------------------------------------------
+
+def test_pii_counts_and_redaction(spark):
+    text = (
+        "mail me at a.b+c@example.org or see https://x.io/p?q=1 "
+        "call 12345678 not 123456"
+    )
+    df = spark.createDataFrame([Row(doc_id=1, text=text)])
+    cols = pii_cols("text")
+    row = df.select(*[c.alias(n) for n, c in cols.items()]).collect()[0]
+    assert row["n_emails"] == 1
+    assert row["n_urls"] == 1
+    assert row["n_digit_runs"] == 1  # 12345678 yes, 123456 (6 digits) no
+    redacted = df.select(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), "https?://[^ \\t\\n]+", "<URL>"),
+                "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+                "<EMAIL>",
+            ),
+            "[0-9]{7,}",
+            "<NUM>",
+        ).alias("r")
+    ).collect()[0]["r"]
+    assert "<EMAIL>" in redacted and "<URL>" in redacted and "<NUM>" in redacted
+    assert "example.org" not in redacted and "x.io" not in redacted
+    assert row["redacted_len"] == len(redacted)
+
+
+def test_pii_url_swallows_contained_email_and_digits(spark):
+    # the URL pattern must fire first: its query string contains an
+    # email-shaped and digit-run-shaped substring
+    text = "see http://h.com/a?e=x@y.zz&n=99999999 end"
+    df = spark.createDataFrame([Row(doc_id=1, text=text)])
+    cols = pii_cols("text")
+    row = df.select(*[c.alias(n) for n, c in cols.items()]).collect()[0]
+    # counts are measured on the RAW text (the email/digits ARE present),
+    # but redaction collapses the whole URL into one token
+    assert row["n_urls"] == 1
+    assert row["redacted_len"] == len("see <URL> end")
+
+
+# --- length buckets ----------------------------------------------------------
+
+def test_length_bucket_boundaries(spark):
+    df = spark.createDataFrame(
+        [Row(n=1), Row(n=15), Row(n=16), Row(n=17), Row(n=128), Row(n=129)]
+    )
+    got = {
+        r["n"]: r["b"]
+        for r in df.select("n", length_bucket_col(F.col("n")).alias("b")).collect()
+    }
+    assert got == {1: 16, 15: 16, 16: 16, 17: 32, 128: 128, 129: 256}
+
+
+def test_length_buckets_are_powers_of_two():
+    assert all(b & (b - 1) == 0 for b in LENGTH_BUCKETS)
+    assert LENGTH_BUCKETS == sorted(LENGTH_BUCKETS)
+
+
+# --- per-group top fraction --------------------------------------------------
+
+@pytest.mark.parametrize(
+    "n,frac,expect",
+    [(1, 0.75, 1), (2, 0.75, 2), (3, 0.75, 3), (4, 0.75, 3), (8, 0.75, 6), (10, 0.5, 5)],
+)
+def test_per_group_top_fraction_ceil_math(spark, n, frac, expect):
+    rows = [Row(doc_id=i, source="s", score=float(i)) for i in range(n)]
+    out = per_group_top_fraction(
+        spark.createDataFrame(rows), F.col("score"), keep_fraction=frac
+    )
+    assert out.count() == expect
+
+
+def test_per_group_top_fraction_keeps_highest_scores(spark):
+    rows = [Row(doc_id=i, source="s", score=float(i)) for i in range(4)]
+    kept = {
+        r["doc_id"]
+        for r in per_group_top_fraction(
+            spark.createDataFrame(rows), F.col("score"), keep_fraction=0.75
+        ).collect()
+    }
+    assert kept == {1, 2, 3}  # ceil(3) best scores; doc 0 (lowest) pruned
+
+
+def test_per_group_top_fraction_is_per_group(spark):
+    rows = [Row(doc_id=i, source=f"s{i % 2}", score=float(i)) for i in range(8)]
+    out = per_group_top_fraction(
+        spark.createDataFrame(rows), F.col("score"), keep_fraction=0.5
+    )
+    by_src = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+    assert by_src == {"s0": 2, "s1": 2}
+
+
+# --- temperature mixture -----------------------------------------------------
+
+def test_temperature_alpha_one_is_identity(spark):
+    rows = [Row(doc_id=i, source="a" if i < 30 else "b") for i in range(40)]
+    out = temperature_weights(spark.createDataFrame(rows), alpha=1.0).collect()
+    for r in out:
+        assert abs(r["tempered_share"] - r["raw_share"]) < 1e-9
+
+
+def test_temperature_flattens_toward_uniform(spark):
+    rows = [Row(doc_id=i, source="big" if i < 90 else "small") for i in range(100)]
+    out = {r["source"]: r for r in temperature_weights(
+        spark.createDataFrame(rows), alpha=0.5).collect()}
+    assert out["big"]["raw_share"] == pytest.approx(0.9)
+    # tempered share moves toward 0.5 but stays ordered
+    assert 0.5 < out["big"]["tempered_share"] < 0.9
+    assert out["small"]["tempered_share"] > out["small"]["raw_share"]
+    # shares still sum to 1
+    assert math.isclose(
+        sum(r["tempered_share"] for r in out.values()), 1.0, abs_tol=2e-9
+    )
+    # caps never exceed the corpus
+    assert sum(r["sample_cap"] for r in out.values()) <= 100

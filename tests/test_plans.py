@@ -333,3 +333,41 @@ def test_q8_and_q14_broadcast_all_dims(spark, qs):
         df = qs[name](spark, SF)
         assert has_broadcast_join(df), name
         assert "CartesianProduct" not in physical_plan(df), name
+
+
+def test_knn_join_is_cell_equi_join_with_group_limit(spark, qs):
+    """knn_join: the pair generation must be an equi-join on the cell
+    (never a cartesian), and the top-1-per-vector filter must push into
+    the sort as WindowGroupLimit."""
+    df = qs["knn_join"](spark, SF)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert has_window_group_limit(df)
+
+
+def test_pii_and_length_buckets_stay_narrow(spark, qs):
+    """pii_scrub_stats is a pure narrow map — its ONLY exchange is the
+    deliberate round-robin small-file spread, never a hash shuffle;
+    length_buckets adds exactly one hash shuffle, at the bucket grain."""
+    assert physical_plan(qs["pii_scrub_stats"](spark, SF)).count("hashpartitioning") == 0
+    assert physical_plan(qs["length_buckets"](spark, SF)).count("hashpartitioning") == 1
+
+
+def test_domain_quality_filter_windows_on_source(spark, qs):
+    """domain_quality_filter: one hash shuffle at the source grain; the
+    rank and group-size windows must share it (no second exchange)."""
+    plan = physical_plan(qs["domain_quality_filter"](spark, SF))
+    assert plan.count("hashpartitioning") == 1
+    assert "Window" in plan
+
+
+def test_temperature_mixture_broadcasts_normalizer(spark, qs):
+    """temperature_mixture: the Σp^α normalizer is a 1-row broadcast —
+    the per-source counts never re-shuffle against it. Two hash exchanges
+    (one per count-agg arm; the scan feeds both), one single-partition
+    collapse for the normalizer, and a broadcast join back."""
+    df = qs["temperature_mixture"](spark, SF)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("hashpartitioning") <= 2
+    assert plan.count("SinglePartition") == 1
