@@ -96,6 +96,7 @@ HEADLINE = [
     "pii_scrub_stats",
     "domain_quality_filter",
     "temperature_mixture",
+    "span_dedup",
 ]
 
 

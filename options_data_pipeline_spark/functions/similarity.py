@@ -484,11 +484,19 @@ def knn_within_cell(
             (dot_col(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
         )
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("nn_id").asc())
+    # top-1 as a struct-max AGGREGATE, not a window: the pair stream is
+    # |cell| rows per vector, and a window would shuffle ALL of it to sort
+    # per vec_id; max() partial-aggregates map-side, so only one row per
+    # vector reaches the shuffle (×100 probe: 45.8 s window → agg form).
+    # struct compares fields in order: cosine desc ≡ max, then -nn_id max
+    # ≡ smaller id wins ties.
+    best = F.max(
+        F.struct(F.col("cosine"), (-F.col("nn_id")).alias("neg"), F.col("nn_id").alias("nn"))
+    ).alias("m")
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "nn_id", "cosine")
+        scored.groupBy("vec_id")
+        .agg(best)
+        .select("vec_id", F.col("m.nn").alias("nn_id"), F.col("m.cosine").alias("cosine"))
     )
 
 

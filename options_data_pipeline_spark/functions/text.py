@@ -515,3 +515,60 @@ def length_bucket_sql(n_expr: str) -> str:
         f"WHEN {n_expr} <= {b} THEN {b}" for b in LENGTH_BUCKETS
     )
     return f"CAST(CASE {whens} ELSE {LENGTH_BUCKETS[-1]} END AS BIGINT)"
+
+
+# --- Cross-document span dedup ----------------------------------------------
+
+def span_dedup_stats(
+    docs: DataFrame,
+    span_tokens: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document span duplication (the MassiveText/C4 inter-document
+    repetition filter): split each doc into NON-overlapping ``span_tokens``
+    windows, count how many of a doc's spans also appear verbatim in at
+    least one OTHER document, and report the duplicated fraction — the
+    signal that catches boilerplate (headers, license blocks, templated
+    pages) that whole-doc dedup misses.
+
+    Shape: one explode to span grain, one agg at the span-text grain for
+    the cross-doc occurrence count (map-side partial combine shrinks it —
+    most spans are unique), broadcast-free join back, one agg to doc
+    grain. No pairwise doc joins anywhere; cost is O(total tokens).
+    Distinct from ``dup_ngram_cols`` (WITHIN-doc repetition) and
+    ``decontamination_hits`` (train×eval overlap).
+
+    A span is 'duplicated' when it occurs in >1 DISTINCT doc; duplicate
+    occurrences inside one doc are the within-doc signal, not this one.
+    The trailing short span (< span_tokens tokens) participates — a
+    shared short tail is still shared text."""
+    toks = f"regexp_extract_all(lower({text_col}), '\\\\S+', 0)"
+    n_spans = f"greatest((size({toks}) + {span_tokens - 1}) div {span_tokens}, 1)"
+    spans = (
+        f"transform(sequence(0, {n_spans} - 1),"
+        f" k -> array_join(slice({toks}, k * {span_tokens} + 1, {span_tokens}), ' '))"
+    )
+    doc_spans = docs.select(
+        "doc_id", F.explode(F.expr(spans)).alias("span_text")
+    )
+    # distinct (doc, span) first so within-doc repeats count once, then
+    # span → number of distinct docs carrying it
+    span_docs = (
+        doc_spans.distinct()
+        .groupBy("span_text")
+        .agg(F.count(F.lit(1)).alias("span_doc_count"))
+    )
+    return (
+        doc_spans.join(span_docs, "span_text")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("span_doc_count") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared_spans"),
+        )
+        .withColumn(
+            "shared_fraction",
+            F.col("n_shared_spans").cast("double") / F.col("n_spans").cast("double"),
+        )
+    )

@@ -2843,12 +2843,20 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = nation.filter(F.col("n_name").isin(pair)).select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
+    # Join ORDER is the scale lever here (CBO join reordering is off by
+    # default and AQE never reorders): the pair predicate keeps only ~2/25
+    # of suppliers and customers, so each broadcast dim join SEMI-REDUCES
+    # its fact BEFORE the fact-fact orderkey shuffle — joining the facts
+    # first shuffles the full 60M rows for an answer that needs ~8% of
+    # them (×100 probe: 38.4 s fact-first → dim-first rewrite).
+    li_n = li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey).join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key")
+    )
+    orders_n = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    ).join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        li_n.join(orders_n, li_n.l_orderkey == orders_n.o_orderkey)
         .filter(
             ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
             | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
@@ -2910,14 +2918,22 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = nation.select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
     )
-    vol = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    # dim-first join order (see q_volume_shipping): the PROMO part filter
+    # prunes lineitem ~6× and the region gate prunes orders ~5× BEFORE the
+    # fact-fact orderkey shuffle — fact-first shuffled the full 60M rows
+    # (×100 probe: 13.6 s → dim-first rewrite)
+    li_p = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+    )
+    orders_r = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .join(F.broadcast(region), F.col("n2_region") == F.col("r_regionkey"))
+    )
+    vol = (
+        li_p.join(orders_r, li_p.l_orderkey == orders_r.o_orderkey)
         .select(
             F.year("o_orderdate").cast("int").alias("o_year"),
             (F.col("l_extendedprice") * (1 - F.col("l_discount")))
@@ -3267,6 +3283,40 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tempered_share",
         "sample_cap",
     )
+
+
+@register(
+    "span_dedup",
+    """WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks FROM documents
+),
+spans AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(0, greatest((len(toks) + 7) // 8, 1) - 1),
+           k -> array_to_string(toks[k*8+1 : k*8+8], ' '))) AS span_text
+  FROM d
+),
+ds AS (SELECT DISTINCT doc_id, span_text FROM spans),
+sd AS (SELECT span_text, count(*) AS span_doc_count FROM ds GROUP BY span_text)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN span_doc_count > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_spans,
+       CAST(SUM(CASE WHEN span_doc_count > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS shared_fraction
+FROM spans JOIN sd USING (span_text)
+GROUP BY doc_id""",
+)
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document span duplication (MassiveText/C4 inter-doc filter):
+    fraction of each doc's non-overlapping 8-token spans that appear
+    verbatim in another document — catches shared boilerplate that
+    whole-doc dedup misses. No pairwise doc join: span-grain agg (most
+    spans unique → partial combine collapses them) + join back."""
+    from .functions.text import span_dedup_stats
+
+    docs = load_table(spark, "documents", sf_dir)
+    return span_dedup_stats(docs, span_tokens=8)
 
 
 # ---------------------------------------------------------------------------

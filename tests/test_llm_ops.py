@@ -168,3 +168,32 @@ def test_temperature_flattens_toward_uniform(spark):
     )
     # caps never exceed the corpus
     assert sum(r["sample_cap"] for r in out.values()) <= 100
+
+
+# --- span dedup --------------------------------------------------------------
+
+def test_span_dedup_detects_cross_doc_boilerplate(spark):
+    from options_data_pipeline_spark.functions.text import span_dedup_stats
+
+    boiler = " ".join(f"w{i}" for i in range(8))  # one exact 8-token span
+    rows = [
+        Row(doc_id=1, text=boiler + " unique one tail"),
+        Row(doc_id=2, text=boiler + " other words entirely here"),
+        Row(doc_id=3, text="completely different text with no overlap at all"),
+    ]
+    out = {r["doc_id"]: r for r in span_dedup_stats(
+        spark.createDataFrame(rows), span_tokens=8).collect()}
+    assert out[1]["n_shared_spans"] == 1 and out[2]["n_shared_spans"] == 1
+    assert out[3]["n_shared_spans"] == 0
+    assert out[1]["n_spans"] == 2  # 11 tokens -> 2 spans (8 + short tail)
+    assert out[1]["shared_fraction"] == 0.5
+
+
+def test_span_dedup_within_doc_repeat_is_not_shared(spark):
+    from options_data_pipeline_spark.functions.text import span_dedup_stats
+
+    span = " ".join(f"x{i}" for i in range(8))
+    # the same span twice in ONE doc: within-doc repetition, not cross-doc
+    rows = [Row(doc_id=1, text=span + " " + span)]
+    [r] = span_dedup_stats(spark.createDataFrame(rows), span_tokens=8).collect()
+    assert r["n_spans"] == 2 and r["n_shared_spans"] == 0
