@@ -97,6 +97,8 @@ HEADLINE = [
     "domain_quality_filter",
     "temperature_mixture",
     "span_dedup",
+    "vwap_5m",
+    "bollinger_20",
 ]
 
 

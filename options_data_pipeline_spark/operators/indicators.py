@@ -55,3 +55,26 @@ def sma(candles: DataFrame, n: int = 20, col: str = "close") -> DataFrame:
         F.col(col).alias("value"),
         F.when(full, F.round(F.avg(col).over(w), 9)).alias(f"sma_{n}"),
     )
+
+
+def bollinger_bands(candles: DataFrame, n: int = 20, k: float = 2.0) -> DataFrame:
+    """Bollinger bands: n-candle SMA ± k·σ (population) of the close per
+    symbol, NULL during warmup — the volatility envelope next to Donchian
+    (range-based) and ATR (true-range-based). Mean and σ both snap to the
+    9-dp grid: windowed SUM accumulation order is engine-internal, and
+    stddev implementations (Welford vs two-pass) differ in the last ulp
+    across engines. Same single symbol-grain shuffle as sma/donchian."""
+    w = Window.partitionBy("symbol").orderBy("window_start").rowsBetween(
+        -(n - 1), 0
+    )
+    full = F.count(F.lit(1)).over(w) >= n
+    mid = F.round(F.avg("close").over(w), 9)
+    sd = F.round(F.stddev_pop("close").over(w), 9)
+    return candles.select(
+        "symbol",
+        "window_start",
+        "close",
+        F.when(full, mid).alias("bb_mid"),
+        F.when(full, F.round(mid - k * sd, 9)).alias("bb_lower"),
+        F.when(full, F.round(mid + k * sd, 9)).alias("bb_upper"),
+    )

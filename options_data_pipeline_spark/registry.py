@@ -3319,6 +3319,87 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup_stats(docs, span_tokens=8)
 
 
+@register(
+    "vwap_5m",
+    """WITH t AS (
+  SELECT event_type AS symbol,
+         time_bucket(INTERVAL '300 seconds', ts) AS window_start,
+         CAST(value AS DECIMAL(12,2)) AS price,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS qty
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL
+    AND props IS NOT NULL
+)
+SELECT symbol, window_start,
+       CASE WHEN SUM(qty) > 0
+            THEN CAST(SUM(price * qty) AS DOUBLE) / CAST(SUM(qty) AS DOUBLE)
+       END AS vwap,
+       CAST(SUM(qty) AS BIGINT) AS total_qty,
+       count(*) AS n_ticks
+FROM t GROUP BY symbol, window_start""",
+)
+def q_vwap_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average price per 5-minute window (qty = the JSON
+    props payload — the reference's tick qty field, ws_client.py:146-174).
+    Both sums are exact (decimal × bigint / bigint), the final division is
+    one double op → bit-stable; same single-shuffle hash-agg shape as
+    ohlc_5m."""
+    events = load_table(spark, "events", sf_dir)
+    qty = F.from_json("props", "k long")["k"]
+    t = events.filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("props").isNotNull()
+    ).select(
+        F.col("event_type").alias("symbol"),
+        F.window("ts", "5 minutes")["start"].alias("window_start"),
+        F.col("value").cast("decimal(12,2)").alias("price"),
+        qty.alias("qty"),
+    )
+    # NULL vwap for zero-quantity windows (a window of qty-0 ticks has no
+    # volume to weight by; ANSI mode would otherwise raise DIVIDE_BY_ZERO)
+    return t.groupBy("symbol", "window_start").agg(
+        F.when(
+            F.sum("qty") > 0,
+            F.sum(F.col("price") * F.col("qty")).cast("double")
+            / F.sum("qty").cast("double"),
+        ).alias("vwap"),
+        F.sum("qty").cast("long").alias("total_qty"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+
+
+@register(
+    "bollinger_20",
+    "WITH " + candles_cte(3600)
+    + """
+SELECT symbol, window_start, "close",
+       CASE WHEN count(*) OVER w >= 20
+            THEN ROUND(avg("close") OVER w, 9) END AS bb_mid,
+       CASE WHEN count(*) OVER w >= 20
+            THEN ROUND(ROUND(avg("close") OVER w, 9)
+                       - 2.0 * ROUND(stddev_pop("close") OVER w, 9), 9) END AS bb_lower,
+       CASE WHEN count(*) OVER w >= 20
+            THEN ROUND(ROUND(avg("close") OVER w, 9)
+                       + 2.0 * ROUND(stddev_pop("close") OVER w, 9), 9) END AS bb_upper
+FROM candles
+WINDOW w AS (PARTITION BY symbol ORDER BY window_start
+             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""",
+)
+def q_bollinger_20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands (20-candle SMA ± 2σ of the close) — the volatility
+    envelope completing the indicator family (Donchian = range, ATR =
+    true range, Bollinger = stddev). Mean and σ on the 9-dp grid: window
+    SUM order is engine-internal and stddev algorithms (Welford vs
+    two-pass) differ in the last ulp."""
+    from .operators.indicators import bollinger_bands
+
+    return bollinger_bands(
+        ohlc_candles(load_ticks(spark, sf_dir), "1 hour"), n=20, k=2.0
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:

@@ -197,3 +197,18 @@ def test_span_dedup_within_doc_repeat_is_not_shared(spark):
     rows = [Row(doc_id=1, text=span + " " + span)]
     [r] = span_dedup_stats(spark.createDataFrame(rows), span_tokens=8).collect()
     assert r["n_spans"] == 2 and r["n_shared_spans"] == 0
+
+
+# --- indicators / vwap edge cases -------------------------------------------
+
+def test_bollinger_warmup_and_band_order(spark):
+    from options_data_pipeline_spark.operators.indicators import bollinger_bands
+
+    rows = [Row(symbol="A", window_start=i, close=100.0 + (i % 7)) for i in range(30)]
+    out = bollinger_bands(spark.createDataFrame(rows), n=20, k=2.0).collect()
+    by_ws = {r["window_start"]: r for r in out}
+    assert by_ws[18]["bb_mid"] is None  # warmup: only 19 candles seen
+    r = by_ws[25]
+    assert r["bb_lower"] < r["bb_mid"] < r["bb_upper"]
+    # symmetric bands around the mid (9-dp grid)
+    assert abs((r["bb_upper"] - r["bb_mid"]) - (r["bb_mid"] - r["bb_lower"])) < 2e-9
