@@ -77,3 +77,51 @@ def streaming_ohlc(
             "tick_count",
         )
     )
+
+
+def tick_followups(
+    ticks: DataFrame,
+    horizon: str = "10 seconds",
+    watermark: str = "5 seconds",
+) -> DataFrame:
+    """Stream-stream interval self-join: pair every tick with the SAME
+    symbol's ticks arriving within ``horizon`` after it — the
+    confirmation/echo pattern (a fill following an order, a quote
+    following a trade). The one streaming capability the rest of the
+    suite doesn't exercise: BOTH sides are unbounded, so Spark keeps a
+    watermark-bounded buffer of each and the time-range predicate is
+    what lets it EVICT — without the range bound on the event time the
+    state would grow forever (Spark refuses such joins in append mode).
+
+    State per side ≈ horizon+watermark of ticks per symbol partition —
+    bounded, the same NFR contract as the OHLC window state. Works
+    identically as a batch join (parity-tested): one definition, two
+    execution modes, like streaming_ohlc."""
+    a = ticks.withWatermark("ts", watermark).select(
+        F.col("symbol"),
+        F.col("ts").alias("ts_a"),
+        F.col("event_id").alias("id_a"),
+        F.col("price").alias("price_a"),
+    )
+    b = ticks.withWatermark("ts", watermark).select(
+        F.col("symbol").alias("symbol_b"),
+        F.col("ts").alias("ts_b"),
+        F.col("event_id").alias("id_b"),
+        F.col("price").alias("price_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("symbol") == F.col("symbol_b"))
+            & (F.col("ts_b") > F.col("ts_a"))
+            & (F.col("ts_b") <= F.col("ts_a") + F.expr(f"INTERVAL {horizon}")),
+        )
+        .select(
+            "symbol",
+            "ts_a",
+            "id_a",
+            "ts_b",
+            "id_b",
+            (F.col("price_b") - F.col("price_a")).alias("price_delta"),
+        )
+    )

@@ -711,3 +711,40 @@ def test_full_pipeline_kill_restart_exactly_once(spark, tmpdir):
     assert set(per_sym) == {"A", "B", "C"}
     assert len(set(per_sym.values())) == 1  # symmetric coverage
     assert n >= 3 * 100  # at least all but the tail windows arrived
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmpdir):
+    """tick_followups: the watermarked stream-stream self-join must emit
+    exactly the batch join's pairs for data whose windows the watermark
+    has fully passed (append-mode completeness), with bounded state."""
+    from options_data_pipeline_spark.streaming.ohlc_stream import tick_followups
+
+    base = datetime(2024, 1, 1, 10, 0, 0)
+    rows = []
+    eid = 0
+    for sym in ("A", "B"):
+        for sec in (0, 3, 8, 20, 24, 60):
+            rows.append((sym, 100.0 + eid, base + timedelta(seconds=sec), eid))
+            eid += 1
+    # a far-future flush tick per symbol pushes the watermark past
+    # every real pair's eviction point so append emits them all
+    for sym in ("A", "B"):
+        rows.append((sym, 0.0, base + timedelta(hours=1), eid))
+        eid += 1
+    ticks = spark.createDataFrame(rows, TICK_SCHEMA)
+
+    got = run_stream(
+        spark, ticks, tmpdir, lambda s: tick_followups(s), TICK_SCHEMA
+    ).collect()
+    expected = tick_followups(ticks).collect()
+
+    key = lambda r: (r["symbol"], r["id_a"], r["id_b"])
+    assert sorted(map(key, got)) == sorted(map(key, expected))
+    # sanity on the batch semantics themselves: 0→3s and 0→8s pair, 8→20s
+    # does not (12 s > horizon), 20→24s does
+    pairs_a = {(r["id_a"], r["id_b"]) for r in expected if r["symbol"] == "A"}
+    assert (0, 1) in pairs_a and (0, 2) in pairs_a and (1, 2) in pairs_a
+    assert (3, 4) in pairs_a
+    assert all(b != 3 for (a, b) in pairs_a if a == 2)  # 8s->20s gap excluded
+    # no cross-symbol pairs
+    assert all(r["symbol"] in ("A", "B") for r in expected)
