@@ -99,6 +99,8 @@ HEADLINE = [
     "span_dedup",
     "vwap_5m",
     "bollinger_20",
+    "customer_order_distribution",
+    "priority_order_check",
 ]
 
 

@@ -3400,6 +3400,63 @@ def q_bollinger_20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "customer_order_distribution",
+    """WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust GROUP BY c_count""",
+)
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — the left-outer histogram: distribution of orders
+    per customer INCLUDING zero-order customers (the inner join would
+    silently drop them — the classic Q13 trap). count(o_orderkey) counts
+    non-null keys only, so the null row of a customer with no orders
+    lands in bucket 0. Two chained aggs: custkey grain, then count grain
+    (a few dozen rows)."""
+    customer = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "priority_order_check",
+    """SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority""",
+)
+def q_priority_order_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — correlated EXISTS as a LEFT SEMI join with a
+    non-equi residual (l_shipdate > o_orderdate; the schema has no
+    commitdate, so late-shipment stands in for late-commit): one quarter
+    of orders, each kept iff ANY of its lineitems shipped after the order
+    date. The semi join stops probing an order at its first match — no
+    pair blow-up, no distinct needed (the EXISTS trap: an inner join
+    would double-count multi-lineitem orders)."""
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    kept = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return kept.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
 # ---------------------------------------------------------------------------
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:

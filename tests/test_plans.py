@@ -377,3 +377,21 @@ def test_temperature_mixture_broadcasts_normalizer(spark, qs):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert plan.count("hashpartitioning") <= 2
     assert plan.count("SinglePartition") == 1
+
+
+def test_q4_semi_join_no_double_count(spark, qs):
+    """priority_order_check (Q4 shape): EXISTS must run as a LEFT SEMI
+    (first-match short-circuit, no distinct, no row blow-up), with the
+    quarter filter pushed to the orders scan."""
+    df = qs["priority_order_check"](spark, SF)
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan
+    assert "GreaterThanOrEqual(o_orderdate,1997-01-01" in pushed_filters(df)
+
+
+def test_q13_left_join_keeps_zero_order_customers(spark, qs):
+    """customer_order_distribution (Q13 shape): the customer→orders join
+    must stay LEFT OUTER — bucket 0 exists iff some customer has no
+    orders in the window; an inner join silently drops the bucket."""
+    plan = physical_plan(qs["customer_order_distribution"](spark, SF))
+    assert "LeftOuter" in plan
