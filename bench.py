@@ -101,6 +101,8 @@ HEADLINE = [
     "bollinger_20",
     "customer_order_distribution",
     "priority_order_check",
+    "ema_12",
+    "rsi_14",
 ]
 
 

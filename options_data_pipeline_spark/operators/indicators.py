@@ -78,3 +78,98 @@ def bollinger_bands(candles: DataFrame, n: int = 20, k: float = 2.0) -> DataFram
         F.when(full, F.round(mid - k * sd, 9)).alias("bb_lower"),
         F.when(full, F.round(mid + k * sd, 9)).alias("bb_upper"),
     )
+
+
+def _ema_series(values, n: int):
+    """Sequential EMA recursion over one symbol's ordered closes: SMA(n)
+    seed, then e_t = e + (x − e)·α with α = 2/(n+1). Pure Python floats,
+    op-for-op mirrored by the recursive-CTE oracle (each step is sub→
+    mul→add — IEEE-deterministic, no rounding grid needed; only the seed
+    average's accumulation order has to match, which sequential left-fold
+    on both sides guarantees)."""
+    alpha = 2.0 / (n + 1)
+    out, acc, prev = [], 0.0, None
+    for i, x in enumerate(values):
+        x = float(x)
+        if prev is None:
+            acc += x
+            if i + 1 == n:
+                prev = acc / n
+                out.append(prev)
+            else:
+                out.append(None)
+        else:
+            prev = prev + (x - prev) * alpha
+            out.append(prev)
+    return out
+
+
+def _rsi_series(values, n: int):
+    """Sequential Wilder RSI over one symbol's ordered closes: deltas
+    split into gains/losses, avg gain/loss seeded as the plain mean of
+    the first n deltas, then Wilder-smoothed ((a·(n−1)+g)/n); RSI =
+    100 − 100/(1+rs), with the all-gain edge (avg loss = 0) pinned to
+    100. Same op sequence as the oracle's recursive CTE."""
+    out, prev = [None], None  # first row has no delta
+    gains, losses, ag, al = 0.0, 0.0, None, None
+    for i in range(1, len(values)):
+        d = float(values[i]) - float(values[i - 1])
+        g = d if d > 0 else 0.0
+        l = -d if d < 0 else 0.0
+        if ag is None:
+            gains += g
+            losses += l
+            if i == n:
+                ag, al = gains / n, losses / n
+                out.append(100.0 if al == 0.0 else 100.0 - 100.0 / (1.0 + ag / al))
+            else:
+                out.append(None)
+        else:
+            ag = (ag * (n - 1) + g) / n
+            al = (al * (n - 1) + l) / n
+            out.append(100.0 if al == 0.0 else 100.0 - 100.0 / (1.0 + ag / al))
+    return out
+
+
+def _recursive_per_symbol(candles: DataFrame, out_col: str, series_fn, n: int):
+    """Shared applyInPandas island for the sequentially-recursive
+    indicators (same shape as operators/atr.py::with_wilder_atr — the one
+    justified pandas island class: Wilder/EMA recursions have no
+    closed-form window expression). Groups by symbol, sorts within the
+    group, runs the pure-Python fold. At scale: one shuffle at symbol
+    grain, group size = candles per symbol (bounded by the calendar)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("window_start").reset_index(drop=True)
+        pdf[out_col] = pd.Series(
+            series_fn(pdf["close"].tolist(), n), dtype="float64"
+        )
+        return pdf
+
+    out_schema = T.StructType(
+        [
+            T.StructField("symbol", T.StringType()),
+            T.StructField("window_start", T.TimestampType()),
+            T.StructField("close", T.DoubleType()),
+            T.StructField(out_col, T.DoubleType()),
+        ]
+    )
+    return (
+        candles.select("symbol", "window_start", "close")
+        .groupBy("symbol")
+        .applyInPandas(compute, schema=out_schema)
+    )
+
+
+def ema(candles: DataFrame, n: int = 12) -> DataFrame:
+    """Exponential moving average of the close per symbol (α = 2/(n+1),
+    SMA seed, NULL warmup)."""
+    return _recursive_per_symbol(candles, f"ema_{n}", _ema_series, n)
+
+
+def rsi(candles: DataFrame, n: int = 14) -> DataFrame:
+    """Wilder RSI of the close per symbol (NULL warmup; all-gain edge
+    pinned to 100)."""
+    return _recursive_per_symbol(candles, f"rsi_{n}", _rsi_series, n)

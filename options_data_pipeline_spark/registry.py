@@ -3457,6 +3457,86 @@ def q_priority_order_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
 
 
+@register(
+    "ema_12",
+    "WITH RECURSIVE " + candles_cte(3600)
+    + """,
+numbered AS (
+  SELECT symbol, window_start, "close",
+         row_number() OVER (PARTITION BY symbol ORDER BY window_start) AS rn
+  FROM candles
+),
+seed AS (
+  SELECT symbol, rn,
+         avg("close") OVER (PARTITION BY symbol ORDER BY rn
+                            ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS ema
+  FROM numbered QUALIFY rn = 12
+),
+rec AS (
+  SELECT symbol, rn, ema FROM seed
+  UNION ALL
+  SELECT t.symbol, t.rn, r.ema + (t."close" - r.ema) * (2.0 / 13)
+  FROM rec r JOIN numbered t ON t.symbol = r.symbol AND t.rn = r.rn + 1
+)
+SELECT n.symbol, n.window_start, n."close", rec.ema AS ema_12
+FROM numbered n LEFT JOIN rec ON rec.symbol = n.symbol AND rec.rn = n.rn""",
+)
+def q_ema_12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-candle EMA per symbol — the sequentially-recursive indicator
+    class (e_t = e + (x−e)·α, SMA seed), same justified pandas-island
+    shape as Wilder ATR, hash-checked UNROUNDED against a recursive-CTE
+    oracle: every recursion step is the identical sub→mul→add sequence
+    in both engines, so the whole trajectory is bit-stable."""
+    from .operators.indicators import ema
+
+    return ema(ohlc_candles(load_ticks(spark, sf_dir), "1 hour"), n=12)
+
+
+@register(
+    "rsi_14",
+    "WITH RECURSIVE " + candles_cte(3600)
+    + """,
+numbered AS (
+  SELECT symbol, window_start, "close",
+         lag("close") OVER (PARTITION BY symbol ORDER BY window_start) AS prev_close,
+         row_number() OVER (PARTITION BY symbol ORDER BY window_start) AS rn
+  FROM candles
+),
+deltas AS (
+  SELECT symbol, rn,
+         CASE WHEN "close" - prev_close > 0 THEN "close" - prev_close ELSE 0.0 END AS g,
+         CASE WHEN "close" - prev_close < 0 THEN -("close" - prev_close) ELSE 0.0 END AS l
+  FROM numbered WHERE rn >= 2
+),
+seed AS (
+  SELECT symbol, rn,
+         avg(g) OVER w AS ag, avg(l) OVER w AS al
+  FROM deltas
+  WINDOW w AS (PARTITION BY symbol ORDER BY rn
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+  QUALIFY rn = 15
+),
+rec AS (
+  SELECT symbol, rn, ag, al FROM seed
+  UNION ALL
+  SELECT t.symbol, t.rn, (r.ag * 13 + t.g) / 14, (r.al * 13 + t.l) / 14
+  FROM rec r JOIN deltas t ON t.symbol = r.symbol AND t.rn = r.rn + 1
+)
+SELECT n.symbol, n.window_start, n."close",
+       CASE WHEN rec.al = 0 THEN 100.0
+            ELSE 100.0 - 100.0 / (1.0 + rec.ag / rec.al) END AS rsi_14
+FROM numbered n LEFT JOIN rec ON rec.symbol = n.symbol AND rec.rn = n.rn""",
+)
+def q_rsi_14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilder RSI(14) per symbol — the two-state recursion (smoothed avg
+    gain AND avg loss), oracle-checked unrounded via a recursive CTE
+    carrying both accumulators; the all-gain edge (avg loss = 0) is
+    pinned to RSI = 100 on both sides."""
+    from .operators.indicators import rsi
+
+    return rsi(ohlc_candles(load_ticks(spark, sf_dir), "1 hour"), n=14)
+
+
 # ---------------------------------------------------------------------------
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:

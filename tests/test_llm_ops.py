@@ -212,3 +212,42 @@ def test_bollinger_warmup_and_band_order(spark):
     assert r["bb_lower"] < r["bb_mid"] < r["bb_upper"]
     # symmetric bands around the mid (9-dp grid)
     assert abs((r["bb_upper"] - r["bb_mid"]) - (r["bb_mid"] - r["bb_lower"])) < 2e-9
+
+
+def test_ema_hand_computed(spark):
+    from options_data_pipeline_spark.operators.indicators import _ema_series
+
+    # n=3, alpha=0.5: seed SMA(1,2,3)=2; then 2+(4-2)*.5=3; 3+(5-3)*.5=4
+    assert _ema_series([1, 2, 3, 4, 5], 3) == [None, None, 2.0, 3.0, 4.0]
+
+
+def test_rsi_hand_computed_and_edges(spark):
+    from options_data_pipeline_spark.operators.indicators import _rsi_series
+
+    # n=2 over 1,2,3,2: deltas +1,+1,-1; seed at i=2: ag=1, al=0 -> 100
+    out = _rsi_series([1.0, 2.0, 3.0, 2.0], 2)
+    assert out[0] is None and out[1] is None
+    assert out[2] == 100.0  # all-gain edge
+    # next: ag=(1*1+0)/2=.5, al=(0*1+1)/2=.5 -> rs=1 -> rsi=50
+    assert out[3] == 50.0
+    # monotone sanity: falling-only series pins to 0
+    falling = _rsi_series([5.0, 4.0, 3.0, 2.0], 2)
+    assert falling[2] == 0.0
+
+
+def test_ema_rsi_dataframe_warmup_nulls(spark):
+    from options_data_pipeline_spark.operators.indicators import ema, rsi
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        Row(symbol="A", window_start=base + timedelta(hours=i), close=float(10 + i))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows)
+    e = {r["window_start"]: r["ema_12"] for r in ema(df, n=12).collect()}
+    assert e[base + timedelta(hours=10)] is None  # warmup
+    assert e[base + timedelta(hours=11)] is not None  # seed at 12th candle
+    r14 = {r["window_start"]: r["rsi_14"] for r in rsi(df, n=14).collect()}
+    assert r14[base + timedelta(hours=13)] is None
+    assert r14[base + timedelta(hours=14)] == 100.0  # strictly rising
