@@ -699,42 +699,56 @@ def build_kmeans_index(
     its cells' partitions with no assignment re-join. Returns
     (clustered corpus, centroids-as-list).
 
-    Same write-once publish discipline as :func:`build_pq_index`
-    (stage + rename, concurrent builders converge on identical bytes —
-    the 9-dp grid makes the trajectory deterministic)."""
+    Same write-once publish discipline as :func:`build_pq_index`, with
+    ONE atomic rename for BOTH assets: the index root contains
+    ``corpus/`` and ``centroids/`` subdirs, staged together and published
+    by a single os.rename — so no crash or concurrent-builder interleave
+    can ever pair one run's centroids with another run's cell layout
+    (the two-sibling-renames form had exactly that window: a stale
+    ``_centroids`` dir survived an overwrite crash and the publish kept
+    it while the fresh assignments rename succeeded). Concurrent
+    builders converge on identical bytes (the 9-dp grid makes the
+    trajectory deterministic), so a lost rename race just discards an
+    identical staging dir."""
     import os
     import shutil
     import uuid
 
     spark = vectors.sparkSession
-    marker = os.path.join(path, "_SUCCESS")
+    corpus_dir = os.path.join(path, "corpus")
+    cent_dir = os.path.join(path, "centroids")
     if overwrite and os.path.isdir(path):
         shutil.rmtree(path)
-        shutil.rmtree(path + "_centroids", ignore_errors=True)
-    if not os.path.exists(marker):
+    if not os.path.isdir(corpus_dir):
+        if os.path.isdir(path):
+            # root exists without corpus/: a pre-single-rename layout (or
+            # foreign dir) — never silently read mismatched halves
+            raise RuntimeError(
+                f"index root {path!r} has no corpus/ subdir (stale layout?);"
+                " pass overwrite=True to rebuild"
+            )
         cents = kmeans_centroids(vectors, k, iters, id_col, vec_col, round_dp)
         assigned = with_cell(vectors, cents, vec_col=vec_col).select(
             F.col(id_col), F.col(vec_col), F.col("cell")
         )
         tag = uuid.uuid4().hex[:8]
         staged = f"{path}.build-{tag}"
-        assigned.write.mode("overwrite").partitionBy("cell").parquet(staged)
+        assigned.write.mode("overwrite").partitionBy("cell").parquet(
+            os.path.join(staged, "corpus")
+        )
         cent_rows = [(ci, c) for ci, c in enumerate(cents)]
         cent_df = spark.createDataFrame(cent_rows, "cell int, centroid array<double>")
-        staged_c = f"{path}_centroids.build-{tag}"
-        cent_df.coalesce(1).write.mode("overwrite").parquet(staged_c)
+        cent_df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(staged, "centroids")
+        )
         parent = os.path.dirname(os.path.abspath(path))
         os.makedirs(parent, exist_ok=True)
         try:
-            os.rename(staged_c, path + "_centroids")
+            os.rename(staged, path)  # ONE atomic publish of both assets
         except OSError:
-            shutil.rmtree(staged_c, ignore_errors=True)
-        try:
-            os.rename(staged, path)
-        except OSError:
-            shutil.rmtree(staged, ignore_errors=True)
-    assignments = spark.read.parquet(path)
-    cent_rows = spark.read.parquet(path + "_centroids").collect()
+            shutil.rmtree(staged, ignore_errors=True)  # lost the race
+    assignments = spark.read.parquet(corpus_dir)
+    cent_rows = spark.read.parquet(cent_dir).collect()
     cents = [r.centroid for r in sorted(cent_rows, key=lambda r: r.cell)]
     return assignments, cents
 

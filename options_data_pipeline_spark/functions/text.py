@@ -190,18 +190,21 @@ def cross_source_overlap(
 
     Same scale shape as :func:`winnow_overlap_pairs`: df-capped
     fingerprints, sources grouped per fp, pairs exploded from the (tiny)
-    per-fp source list — two shuffles, no self-join, pair volume bounded
-    by (sources choose 2) per fingerprint."""
+    per-fp source list — no self-join, pair volume bounded by
+    (sources choose 2) per fingerprint. The md5 fingerprint subtree is
+    evaluated ONCE: df and the source set come out of the SAME
+    groupBy("fp") pass, with the df cap filtered after (the first cut
+    counted df in a separate arm and equi-joined it back on fp — the
+    exact re-evaluation shape winnow_overlap_pairs measured at ~4× the
+    md5 work and replaced)."""
     fps = winnow_fingerprints(docs, text_col, k, w)
-    counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
-    kept = counts.filter(F.col("df") <= max_df) if max_df is not None else counts
-    src_fp = (
-        fps.join(kept.select("fp"), "fp")
-        .join(docs.select("doc_id", "source"), "doc_id")
-        .select("source", "fp")
-        .distinct()
+    src_fp = fps.join(docs.select("doc_id", "source"), "doc_id")
+    gs = src_fp.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sort_array(F.collect_set("source")).alias("ss"),
     )
-    gs = src_fp.groupBy("fp").agg(F.sort_array(F.collect_set("source")).alias("ss"))
+    if max_df is not None:
+        gs = gs.filter(F.col("df") <= max_df)
     pairs = gs.select(
         F.explode(
             F.expr(
@@ -548,22 +551,37 @@ def span_dedup_stats(
         f"transform(sequence(0, {n_spans} - 1),"
         f" k -> array_join(slice({toks}, k * {span_tokens} + 1, {span_tokens}), ' '))"
     )
+    # The span TEXT never leaves the map side: spans shuffle as a
+    # 60-bit md5-derived key (15 hex chars — collision odds ~1e-6 at
+    # 100M distinct spans, and the oracle mirrors the exact same hash so
+    # any collision is shared), cutting shuffle width ~6× vs raw
+    # strings. The explode reduces to (doc, key, occurrence-count) grain
+    # FIRST, and that one exchange feeds BOTH downstream arms (AQE
+    # ReusedExchange) — the first cut hung a distinct() and a join off
+    # the raw explode with different keys, evaluating the scan twice AND
+    # shuffling full span strings. occ also makes within-doc repeats
+    # count once for "is this span in >1 doc" while n_spans still counts
+    # every occurrence.
     doc_spans = docs.select(
         "doc_id", F.explode(F.expr(spans)).alias("span_text")
+    ).select(
+        "doc_id",
+        F.expr(
+            "cast(conv(substring(md5(span_text), 1, 15), 16, 10) as bigint)"
+        ).alias("span_key"),
     )
-    # distinct (doc, span) first so within-doc repeats count once, then
-    # span → number of distinct docs carrying it
-    span_docs = (
-        doc_spans.distinct()
-        .groupBy("span_text")
-        .agg(F.count(F.lit(1)).alias("span_doc_count"))
+    occ = doc_spans.groupBy("doc_id", "span_key").agg(
+        F.count(F.lit(1)).alias("n_occ")
+    )
+    span_docs = occ.groupBy("span_key").agg(
+        F.count(F.lit(1)).alias("span_doc_count")
     )
     return (
-        doc_spans.join(span_docs, "span_text")
+        occ.join(span_docs, "span_key")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_spans"),
-            F.sum(F.when(F.col("span_doc_count") > 1, 1).otherwise(0))
+            F.sum("n_occ").cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("span_doc_count") > 1, F.col("n_occ")).otherwise(0))
             .cast("long")
             .alias("n_shared_spans"),
         )

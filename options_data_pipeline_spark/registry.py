@@ -2489,20 +2489,50 @@ FROM scored"""
 
 
 def _vector_index_path(sf_dir: str, kind: str) -> str:
-    """Deterministic index location keyed to the SOURCE FILE's identity
-    (mtime_ns + size): a driver-side testdata regeneration changes the
-    fingerprint, so a stale index can never serve a regenerated corpus —
-    it is simply rebuilt at the new path."""
+    """Deterministic index location keyed to the SOURCE's identity: a
+    driver-side testdata regeneration changes the fingerprint, so a stale
+    index can never serve a regenerated corpus — it is rebuilt at the new
+    path. For a single-file source, (mtime_ns + size) of the file is the
+    identity (any rewrite touches it); for a directory source the child
+    files' (name, mtime_ns, size) are folded in too, because an in-place
+    part-file rewrite can leave the directory entry itself unchanged.
+    The fingerprint string embeds a layout version so index-format
+    changes (e.g. the single-root kmeans publish) never read old trees.
+
+    Superseded fingerprints and crashed ``.build-*`` staging dirs under
+    the kind dir are garbage-collected here (only entries untouched for
+    10+ minutes — never a concurrent builder's live staging; same grace
+    convention as the sink GC)."""
     import hashlib
     import os
+    import shutil
+    import time
 
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
-    fp = hashlib.md5(
-        f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}".encode()
-    ).hexdigest()[:12]
+    ident = f"v2:{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}"
+    if os.path.isdir(src):
+        for name in sorted(os.listdir(src)):
+            cst = os.stat(os.path.join(src, name))
+            ident += f"|{name}:{cst.st_mtime_ns}:{cst.st_size}"
+    fp = hashlib.md5(ident.encode()).hexdigest()[:12]
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    return os.path.join(repo_root, "spark-warehouse", kind, fp)
+    kind_dir = os.path.join(repo_root, "spark-warehouse", kind)
+    # GC: anything under kind/ that is not the live fingerprint and has
+    # been idle past the grace window is a superseded index or a crashed
+    # staging dir — both safe to drop (rebuilds are cheap and hermetic)
+    if os.path.isdir(kind_dir):
+        cutoff = time.time() - 600
+        for entry in os.listdir(kind_dir):
+            if entry == fp:
+                continue
+            p = os.path.join(kind_dir, entry)
+            try:
+                if os.path.getmtime(p) < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
+    return os.path.join(kind_dir, fp)
 
 
 def _pq_index_path(sf_dir: str) -> str:
@@ -3292,19 +3322,19 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 ),
 spans AS (
   SELECT doc_id,
-         unnest(list_transform(
+         CAST(concat('0x', substr(md5(unnest(list_transform(
            generate_series(0, greatest((len(toks) + 7) // 8, 1) - 1),
-           k -> array_to_string(toks[k*8+1 : k*8+8], ' '))) AS span_text
+           k -> array_to_string(toks[k*8+1 : k*8+8], ' ')))), 1, 15)) AS BIGINT) AS span_key
   FROM d
 ),
-ds AS (SELECT DISTINCT doc_id, span_text FROM spans),
-sd AS (SELECT span_text, count(*) AS span_doc_count FROM ds GROUP BY span_text)
+occ AS (SELECT doc_id, span_key, count(*) AS n_occ FROM spans GROUP BY doc_id, span_key),
+sd AS (SELECT span_key, count(*) AS span_doc_count FROM occ GROUP BY span_key)
 SELECT doc_id,
-       CAST(count(*) AS BIGINT) AS n_spans,
-       CAST(SUM(CASE WHEN span_doc_count > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_spans,
-       CAST(SUM(CASE WHEN span_doc_count > 1 THEN 1 ELSE 0 END) AS DOUBLE)
-         / CAST(count(*) AS DOUBLE) AS shared_fraction
-FROM spans JOIN sd USING (span_text)
+       CAST(SUM(n_occ) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN span_doc_count > 1 THEN n_occ ELSE 0 END) AS BIGINT) AS n_shared_spans,
+       CAST(SUM(CASE WHEN span_doc_count > 1 THEN n_occ ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(n_occ) AS DOUBLE) AS shared_fraction
+FROM occ JOIN sd USING (span_key)
 GROUP BY doc_id""",
 )
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
