@@ -103,6 +103,7 @@ HEADLINE = [
     "priority_order_check",
     "ema_12",
     "rsi_14",
+    "budget_sample",
 ]
 
 

@@ -238,3 +238,37 @@ def temperature_weights(
             ).cast("long").alias("sample_cap"),
         )
     )
+
+
+def budget_sample(
+    docs: DataFrame,
+    token_budget: int = 10_000,
+    score: Column | None = None,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Fill a per-source TOKEN budget greedily by score: documents are
+    taken best-first until the source's running token total passes the
+    budget (the first over-budget doc is included — budgets are floors
+    for training-mix construction, not caps; deterministic either way).
+    This is the assembly step after quality scoring and mixture
+    weighting: "give me the best N tokens per source".
+
+    One shuffle at the source grain; the running total is a cumulative
+    window SUM over the same partition the rank uses. Integer token
+    arithmetic — no float gate. Ties break toward the smaller id."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(*( [score.desc()] if score is not None else [] ), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(F.col(tokens_col)).over(w)
+    return (
+        docs.withColumn("cum_tokens", running.cast("long"))
+        .filter(
+            (F.col("cum_tokens") - F.col(tokens_col) < token_budget)
+        )
+    )

@@ -3567,6 +3567,47 @@ def q_rsi_14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rsi(ohlc_candles(load_ticks(spark, sf_dir), "1 hour"), n=14)
 
 
+@register(
+    "budget_sample",
+    """WITH scored AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+         CAST(length(text) AS DOUBLE)
+           / (1 + len(regexp_extract_all(text, '[.,!?;:]'))) AS score
+  FROM documents
+),
+r AS (
+  SELECT *, SUM(n_tokens) OVER (PARTITION BY source
+                                ORDER BY score DESC, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM scored
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM r WHERE cum_tokens - n_tokens < 600""",
+)
+def q_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget fill: take documents best-first until each
+    source's running token total passes the budget (the crossing doc is
+    included — budgets are floors for mix construction). The assembly
+    step after scoring and mixture weighting; cumulative-SUM window gate,
+    integer token arithmetic, one source-grain shuffle."""
+    from .functions.sampling import budget_sample
+    from .functions.text import token_count_col, _count_matches
+
+    docs = load_table(spark, "documents", sf_dir)
+    score = F.length("text").cast("double") / (1 + _count_matches("text", "[.,!?;:]"))
+    scored = docs.select(
+        "doc_id",
+        "source",
+        token_count_col("text").alias("n_tokens"),
+        score.alias("score"),
+    )
+    return budget_sample(
+        scored, token_budget=600, score=F.col("score")
+    ).select("doc_id", "source", "n_tokens", "cum_tokens")
+
+
 # ---------------------------------------------------------------------------
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:

@@ -125,3 +125,35 @@ def tick_followups(
             (F.col("price_b") - F.col("price_a")).alias("price_delta"),
         )
     )
+
+
+def streaming_vwap(
+    ticks: DataFrame,
+    interval: str = "5 minutes",
+    watermark: str = "500 milliseconds",
+) -> DataFrame:
+    """Streaming VWAP twin of the batch ``vwap_5m`` query: decimal-exact
+    price×qty and qty sums in the window state, one row per
+    (symbol, window) at watermark passage; zero-volume windows emit NULL
+    (same ANSI divide-by-zero guard as the batch side). Expects ticks
+    already carrying a ``qty`` column (the JSON payload parse is the
+    ingest projection's job, same as batch)."""
+    return (
+        ticks.withWatermark("ts", watermark)
+        .groupBy(F.col("symbol"), F.window("ts", interval).alias("w"))
+        .agg(
+            F.sum(F.col("price").cast("decimal(12,2)") * F.col("qty")).alias("pq"),
+            F.sum("qty").cast("long").alias("total_qty"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .select(
+            "symbol",
+            F.col("w.start").alias("window_start"),
+            F.when(
+                F.col("total_qty") > 0,
+                F.col("pq").cast("double") / F.col("total_qty").cast("double"),
+            ).alias("vwap"),
+            "total_qty",
+            "n_ticks",
+        )
+    )

@@ -251,3 +251,29 @@ def test_ema_rsi_dataframe_warmup_nulls(spark):
     r14 = {r["window_start"]: r["rsi_14"] for r in rsi(df, n=14).collect()}
     assert r14[base + timedelta(hours=13)] is None
     assert r14[base + timedelta(hours=14)] == 100.0  # strictly rising
+
+
+# --- budget sample -----------------------------------------------------------
+
+def test_budget_sample_greedy_fill_includes_crossing_doc(spark):
+    from options_data_pipeline_spark.functions.sampling import budget_sample
+
+    rows = [
+        Row(doc_id=1, source="s", n_tokens=400, score=3.0),
+        Row(doc_id=2, source="s", n_tokens=400, score=2.0),  # crosses 600 here
+        Row(doc_id=3, source="s", n_tokens=400, score=1.0),  # starts over budget
+    ]
+    kept = {r["doc_id"] for r in budget_sample(
+        spark.createDataFrame(rows), token_budget=600, score=F.col("score")).collect()}
+    assert kept == {1, 2}  # doc 2 starts at 400 < 600 (included), doc 3 at 800
+
+
+def test_budget_sample_is_per_source(spark):
+    from options_data_pipeline_spark.functions.sampling import budget_sample
+
+    rows = [
+        Row(doc_id=i, source=f"s{i % 2}", n_tokens=500, score=float(i)) for i in range(6)
+    ]
+    out = budget_sample(spark.createDataFrame(rows), token_budget=600, score=F.col("score"))
+    by_src = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+    assert by_src == {"s0": 2, "s1": 2}  # 500+500 crosses 600 at doc 2 each

@@ -748,3 +748,32 @@ def test_stream_stream_interval_join_matches_batch(spark, tmpdir):
     assert all(b != 3 for (a, b) in pairs_a if a == 2)  # 8s->20s gap excluded
     # no cross-symbol pairs
     assert all(r["symbol"] in ("A", "B") for r in expected)
+
+
+def test_streaming_vwap_matches_batch(spark, tmpdir):
+    """streaming_vwap emits, for every closed window, exactly the batch
+    vwap aggregate (decimal-exact sums, NULL on zero-volume windows)."""
+    from options_data_pipeline_spark.streaming.ohlc_stream import streaming_vwap
+
+    base = datetime(2024, 1, 1, 10, 0, 0)
+    schema = "symbol string, price double, ts timestamp, event_id long, qty long"
+    rows = [
+        ("A", 10.0, base, 1, 2),
+        ("A", 20.0, base + timedelta(minutes=1), 2, 6),
+        ("A", 30.0, base + timedelta(minutes=6), 3, 0),   # zero-qty window
+        ("B", 50.0, base + timedelta(minutes=2), 4, 4),
+        ("A", 40.0, base + timedelta(hours=1), 5, 1),     # watermark flush
+        ("B", 60.0, base + timedelta(hours=1), 6, 1),
+    ]
+    ticks = spark.createDataFrame(rows, schema)
+    got = {
+        (r["symbol"], r["window_start"]): r
+        for r in run_stream(spark, ticks, tmpdir, streaming_vwap, schema).collect()
+    }
+    # batch twin over the same frame, closed windows only
+    k = ("A", base)
+    assert got[k]["vwap"] == (10.0 * 2 + 20.0 * 6) / 8 and got[k]["total_qty"] == 8
+    zq = ("A", base + timedelta(minutes=5))
+    assert got[zq]["vwap"] is None and got[zq]["total_qty"] == 0
+    kb = ("B", base)
+    assert got[kb]["vwap"] == 50.0
