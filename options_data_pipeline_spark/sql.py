@@ -7,6 +7,8 @@ Spark-native query surface a reference user gains by switching).
  - ``ticks`` (parsed tick projection of events)
  - ``candles_5m`` / ``candles_1h`` (OHLC)
  - ``enriched_1h`` (TR + Wilder ATR)
+ - ``indicators_1h`` (Donchian + SMA + Bollinger over the 1h candles)
+ - ``doc_signals`` (per-document quality + language + PII signals)
 
 Catalyst treats temp views as inlined subplans — a filter on
 ``candles_5m`` still pushes down into the events parquet scan.
@@ -33,5 +35,30 @@ def create_views(spark: SparkSession, sf_dir: str) -> list[str]:
     candles_1h = ohlc_candles(ticks, "3600 seconds")
     candles_1h.createOrReplaceTempView("candles_1h")
     with_wilder_atr(with_true_range(candles_1h)).createOrReplaceTempView("enriched_1h")
-    names += ["ticks", "candles_5m", "candles_1h", "enriched_1h"]
+    from pyspark.sql import functions as F
+
+    from .operators.indicators import donchian_channels, sma, bollinger_bands
+    from .functions.text import quality_cols, lang_guess_col, pii_cols
+
+    ind = (
+        donchian_channels(candles_1h, 20)
+        .join(
+            sma(candles_1h, 20).select("symbol", "window_start", "sma_20"),
+            ["symbol", "window_start"],
+        )
+        .join(
+            bollinger_bands(candles_1h, 20).select(
+                "symbol", "window_start", "bb_mid", "bb_lower", "bb_upper"
+            ),
+            ["symbol", "window_start"],
+        )
+    )
+    ind.createOrReplaceTempView("indicators_1h")
+    docs = load_table(spark, "documents", sf_dir)
+    sig_cols = {**quality_cols("text"), **pii_cols("text"), "lang": lang_guess_col("text")}
+    docs.select(
+        "doc_id", "source", *[c.alias(n) for n, c in sig_cols.items()]
+    ).createOrReplaceTempView("doc_signals")
+    names += ["ticks", "candles_5m", "candles_1h", "enriched_1h",
+              "indicators_1h", "doc_signals"]
     return names

@@ -48,3 +48,18 @@ def test_adopt_fresher_state(spark):
     assert out["B"].source == "remote" and out["B"].last_close == 20.0  # D: remote ahead
     assert out["C"].source == "local"   # A: remote missing
     assert out["D"].source == "remote"  # only remote has it
+
+
+def test_round4_views_queryable(spark):
+    names = create_views(spark, SF)
+    assert "indicators_1h" in names and "doc_signals" in names
+    r = spark.sql(
+        """SELECT count(*) AS n,
+                  count(CASE WHEN bb_mid IS NOT NULL THEN 1 END) AS warm
+           FROM indicators_1h"""
+    ).collect()[0]
+    assert r.n > 0 and 0 < r.warm < r.n  # warmup nulls present, then bands
+    d = spark.sql(
+        "SELECT count(*) AS n FROM doc_signals WHERE quality_score IS NOT NULL"
+    ).collect()[0]
+    assert d.n == 500
