@@ -104,6 +104,7 @@ HEADLINE = [
     "ema_12",
     "rsi_14",
     "budget_sample",
+    "event_funnel",
 ]
 
 

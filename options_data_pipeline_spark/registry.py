@@ -3608,6 +3608,71 @@ def q_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "n_tokens", "cum_tokens")
 
 
+@register(
+    "event_funnel",
+    """WITH w1 AS (
+  SELECT user_id, event_type, ts,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS first_view
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+w2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts > first_view THEN ts END)
+              OVER (PARTITION BY user_id) AS first_click
+  FROM w1
+),
+w3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > first_click THEN ts END)
+              OVER (PARTITION BY user_id) AS first_purchase
+  FROM w2
+)
+SELECT user_id, max(first_view) AS first_view, max(first_click) AS first_click,
+       max(first_purchase) AS first_purchase,
+       CAST(max(first_purchase) IS NOT NULL AS BOOLEAN) AS converted
+FROM w3 GROUP BY user_id""",
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern funnel: per user, the earliest view, the
+    earliest click AFTER that view, and the earliest purchase AFTER that
+    click — the ordered-step conversion query (a plain per-type min
+    ignores ordering and overcounts). Three chained conditional window
+    mins share ONE user-grain exchange (each pass references the
+    previous pass's column, same partition spec — Spark plans one
+    shuffle, three Window nodes), then a user-grain agg collapses the
+    per-row constants. Timestamp mins are picked values → exact."""
+    events = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    w = Window.partitionBy("user_id")
+    w1 = events.withColumn(
+        "first_view", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    w2 = w1.withColumn(
+        "first_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("first_view")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    w3 = w2.withColumn(
+        "first_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("first_click")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    return w3.groupBy("user_id").agg(
+        F.max("first_view").alias("first_view"),
+        F.max("first_click").alias("first_click"),
+        F.max("first_purchase").alias("first_purchase"),
+        F.max("first_purchase").isNotNull().alias("converted"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:

@@ -395,3 +395,12 @@ def test_q13_left_join_keeps_zero_order_customers(spark, qs):
     orders in the window; an inner join silently drops the bucket."""
     plan = physical_plan(qs["customer_order_distribution"](spark, SF))
     assert "LeftOuter" in plan
+
+
+def test_event_funnel_single_user_shuffle(spark, qs):
+    """event_funnel: three chained conditional window mins + the final
+    agg must share ONE user-grain hash exchange (same partition spec
+    throughout) — a second shuffle means a pass lost the partitioning."""
+    plan = physical_plan(qs["event_funnel"](spark, SF))
+    assert plan.count("hashpartitioning") == 1
+    assert plan.count(") Window") == 3
