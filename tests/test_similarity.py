@@ -285,3 +285,77 @@ def test_pq_adc_self_distance_equals_recon_err(spark):
     out = {r.neighbor_id: r for r in pq_adc_topk(query, corpus, k=2, books=books).collect()}
     assert out[1].adc_dist == pytest.approx(recon[1], abs=1e-9)
     assert out[1].rank == 1  # self-identical vector ranks first
+
+
+def test_kmeans_index_atomic_layout_and_stale_root(spark, tmp_path):
+    """build_kmeans_index publishes corpus/ + centroids/ under ONE root in
+    one rename; a root missing corpus/ (stale layout) must raise rather
+    than silently read mismatched halves; overwrite=True rebuilds."""
+    import os
+    from pyspark.sql import Row
+    from options_data_pipeline_spark.functions.similarity import build_kmeans_index
+
+    vecs = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i % 4), float((i * 7) % 5)]) for i in range(40)]
+    )
+    root = str(tmp_path / "idx")
+    corpus, cents = build_kmeans_index(vecs, root, k=2, iters=1)
+    assert os.path.isdir(os.path.join(root, "corpus"))
+    assert os.path.isdir(os.path.join(root, "centroids"))
+    assert corpus.count() == 40 and len(cents) == 2
+    # no leftover staging dirs after a successful publish
+    parent = os.path.dirname(root)
+    assert not [d for d in os.listdir(parent) if ".build-" in d]
+    # second call reads back without rebuilding (same result)
+    corpus2, cents2 = build_kmeans_index(vecs, root, k=2, iters=1)
+    assert cents2 == cents
+    # stale layout: a root without corpus/ raises
+    stale = str(tmp_path / "stale")
+    os.makedirs(os.path.join(stale, "not_corpus"))
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="corpus"):
+        build_kmeans_index(vecs, stale, k=2, iters=1)
+    # overwrite=True clears and rebuilds the stale root
+    corpus3, cents3 = build_kmeans_index(vecs, stale, k=2, iters=1, overwrite=True)
+    assert cents3 == cents
+
+
+def test_vector_index_path_gc_and_fingerprint(tmp_path, monkeypatch):
+    """_vector_index_path: GC removes superseded fingerprints and crashed
+    staging dirs older than the grace window, keeps the live fingerprint
+    and young dirs; same source → same path."""
+    import os
+    import time
+    from options_data_pipeline_spark import registry
+
+    # point the warehouse somewhere disposable
+    monkeypatch.setattr(
+        registry, "__file__", str(tmp_path / "pkg" / "registry.py")
+    )
+    sf_dir = tmp_path / "sf"
+    sf_dir.mkdir()
+    (sf_dir / "embeddings.parquet").write_bytes(b"fake-parquet-bytes")
+
+    p1 = registry._vector_index_path(str(sf_dir), "kmeans_index")
+    assert registry._vector_index_path(str(sf_dir), "kmeans_index") == p1  # stable
+
+    kind_dir = os.path.dirname(p1)
+    os.makedirs(kind_dir, exist_ok=True)
+    old_fp = os.path.join(kind_dir, "deadbeef0000")
+    old_stage = os.path.join(kind_dir, "deadbeef0000.build-ab")
+    young = os.path.join(kind_dir, "feedface1111")
+    for d in (old_fp, old_stage, young):
+        os.makedirs(d)
+    stale_t = time.time() - 3600
+    os.utime(old_fp, (stale_t, stale_t))
+    os.utime(old_stage, (stale_t, stale_t))
+
+    registry._vector_index_path(str(sf_dir), "kmeans_index")
+    assert not os.path.exists(old_fp)      # superseded, past grace: GC'd
+    assert not os.path.exists(old_stage)   # crashed staging: GC'd
+    assert os.path.exists(young)           # inside grace window: kept
+
+    # content rewrite (file mtime/size change) → different fingerprint
+    time.sleep(0.01)
+    (sf_dir / "embeddings.parquet").write_bytes(b"fake-parquet-bytes-v2!")
+    assert registry._vector_index_path(str(sf_dir), "kmeans_index") != p1
