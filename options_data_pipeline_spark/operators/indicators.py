@@ -173,3 +173,35 @@ def rsi(candles: DataFrame, n: int = 14) -> DataFrame:
     """Wilder RSI of the close per symbol (NULL warmup; all-gain edge
     pinned to 100)."""
     return _recursive_per_symbol(candles, f"rsi_{n}", _rsi_series, n)
+
+
+def indicator_panel(candles: DataFrame, n: int = 20) -> DataFrame:
+    """All window-frame indicators (Donchian + SMA + Bollinger) in ONE
+    projection over one shared (symbol ORDER BY window_start) frame —
+    the view-layer composition. Joining the three single-indicator
+    frames recomputes the candle aggregation per branch and adds two
+    (symbol, window_start) join shuffles for columns that are all
+    expressions over the same window; here Catalyst plans one
+    symbol-grain exchange and one Window node."""
+    w = Window.partitionBy("symbol").orderBy("window_start").rowsBetween(
+        -(n - 1), 0
+    )
+    full = F.count(F.lit(1)).over(w) >= n
+    upper = F.when(full, F.max("high").over(w))
+    lower = F.when(full, F.min("low").over(w))
+    width = upper - lower
+    pos = F.when(width > 0, (F.col("close") - lower) / width).otherwise(F.lit(0.5))
+    mid = F.round(F.avg("close").over(w), 9)
+    sd = F.round(F.stddev_pop("close").over(w), 9)
+    return candles.select(
+        "symbol",
+        "window_start",
+        "close",
+        upper.alias("dc_upper"),
+        lower.alias("dc_lower"),
+        F.when(full, pos).alias("dc_pos"),
+        F.when(full, mid).alias(f"sma_{n}"),
+        F.when(full, mid).alias("bb_mid"),
+        F.when(full, F.round(mid - 2.0 * sd, 9)).alias("bb_lower"),
+        F.when(full, F.round(mid + 2.0 * sd, 9)).alias("bb_upper"),
+    )

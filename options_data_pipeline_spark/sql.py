@@ -35,25 +35,13 @@ def create_views(spark: SparkSession, sf_dir: str) -> list[str]:
     candles_1h = ohlc_candles(ticks, "3600 seconds")
     candles_1h.createOrReplaceTempView("candles_1h")
     with_wilder_atr(with_true_range(candles_1h)).createOrReplaceTempView("enriched_1h")
-    from pyspark.sql import functions as F
-
-    from .operators.indicators import donchian_channels, sma, bollinger_bands
+    from .operators.indicators import indicator_panel
     from .functions.text import quality_cols, lang_guess_col, pii_cols
 
-    ind = (
-        donchian_channels(candles_1h, 20)
-        .join(
-            sma(candles_1h, 20).select("symbol", "window_start", "sma_20"),
-            ["symbol", "window_start"],
-        )
-        .join(
-            bollinger_bands(candles_1h, 20).select(
-                "symbol", "window_start", "bb_mid", "bb_lower", "bb_upper"
-            ),
-            ["symbol", "window_start"],
-        )
-    )
-    ind.createOrReplaceTempView("indicators_1h")
+    # one projection over one shared window frame — joining the three
+    # single-indicator frames would recompute the candle agg per branch
+    # and add two join shuffles for same-frame expressions
+    indicator_panel(candles_1h, 20).createOrReplaceTempView("indicators_1h")
     docs = load_table(spark, "documents", sf_dir)
     sig_cols = {**quality_cols("text"), **pii_cols("text"), "lang": lang_guess_col("text")}
     docs.select(

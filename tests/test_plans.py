@@ -401,6 +401,8 @@ def test_event_funnel_single_user_shuffle(spark, qs):
     """event_funnel: three chained conditional window mins + the final
     agg must share ONE user-grain hash exchange (same partition spec
     throughout) — a second shuffle means a pass lost the partitioning."""
-    plan = physical_plan(qs["event_funnel"](spark, SF))
+    df = qs["event_funnel"](spark, SF)
+    plan = physical_plan(df)
+    assert count_exchanges(df) == 1  # the canonical exchange counter
     assert plan.count("hashpartitioning") == 1
     assert plan.count(") Window") == 3
