@@ -777,3 +777,36 @@ def test_streaming_vwap_matches_batch(spark, tmpdir):
     assert got[zq]["vwap"] is None and got[zq]["total_qty"] == 0
     kb = ("B", base)
     assert got[kb]["vwap"] == 50.0
+
+
+def test_stream_stream_join_state_is_watermark_bounded(spark, tmpdir):
+    """The interval self-join's dual buffers must EVICT once the watermark
+    passes ts + horizon — state after draining a long stream stays
+    bounded by the tail inside the horizon, not the stream length."""
+    from options_data_pipeline_spark.streaming.ohlc_stream import tick_followups
+
+    base = datetime(2024, 1, 1, 10, 0, 0)
+    # 600 ticks spread 1/minute: horizon=10s + watermark=5s keeps only
+    # the last ~15s of event time live once the watermark reaches the end
+    rows = [
+        ("A", float(i), base + timedelta(minutes=i), i) for i in range(600)
+    ]
+    ticks = spark.createDataFrame(rows, TICK_SCHEMA)
+    ticks.write.mode("overwrite").parquet(tmpdir)
+    stream = spark.readStream.schema(TICK_SCHEMA).parquet(tmpdir)
+    q = (
+        tick_followups(stream)
+        .writeStream.format("memory")
+        .queryName("ssj_state")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = q.lastProgress
+        state = progress["stateOperators"][0]
+        # 600 rows entered each side; bounded eviction means the retained
+        # state is a small multiple of the in-horizon tail, NOT ~1200
+        assert state["numRowsTotal"] < 100, state["numRowsTotal"]
+    finally:
+        q.stop()
