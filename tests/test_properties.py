@@ -198,3 +198,96 @@ def test_stratified_sample_stable_under_growth(spark_prop):
             order_big = sorted(peers, key=lambda d: big[d][1])
             assert order_small == order_big
             break
+
+
+# --- round-4 operator properties --------------------------------------------
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.floats(min_value=0.01, max_value=1e4, allow_nan=False,
+                          allow_infinity=False), min_size=1, max_size=60),
+       st.integers(min_value=2, max_value=10))
+def test_ema_properties(xs, n):
+    """EMA invariants: warmup NULLs before the seed, then every value lies
+    within the running [min, max] envelope of the inputs seen so far."""
+    from options_data_pipeline_spark.operators.indicators import _ema_series
+
+    out = _ema_series(xs, n)
+    assert len(out) == len(xs)
+    for i, v in enumerate(out):
+        if i + 1 < n:
+            assert v is None
+        else:
+            lo, hi = min(xs[: i + 1]), max(xs[: i + 1])
+            assert lo - 1e-9 <= v <= hi + 1e-9
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.floats(min_value=0.01, max_value=1e4, allow_nan=False,
+                          allow_infinity=False), min_size=2, max_size=60),
+       st.integers(min_value=1, max_value=10))
+def test_rsi_bounded_and_monotone_edges(xs, n):
+    """RSI stays in [0, 100]; a strictly rising tail pushes toward 100 and
+    a strictly falling series pins at 0 after warmup."""
+    from options_data_pipeline_spark.operators.indicators import _rsi_series
+
+    out = _rsi_series(xs, n)
+    for v in out:
+        if v is not None:
+            assert -1e-9 <= v <= 100 + 1e-9
+    falling = _rsi_series(sorted(set(xs), reverse=True), 1)
+    for v in falling[1:]:
+        if v is not None:
+            assert v == 0.0
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=30),
+       st.integers(min_value=1, max_value=2000))
+def test_budget_sample_prefix_property(spark_prop, tokens, budget):
+    """budget_sample keeps exactly a PREFIX of the score-ordered docs: the
+    selected set is the shortest best-first prefix whose running total
+    crosses the budget (crossing doc included), never a subset skipping a
+    better doc."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+    from options_data_pipeline_spark.functions.sampling import budget_sample
+
+    rows = [Row(doc_id=i, source="s", n_tokens=t, score=float(len(tokens) - i))
+            for i, t in enumerate(tokens)]
+    kept = sorted(
+        r["doc_id"] for r in budget_sample(
+            spark_prop.createDataFrame(rows), token_budget=budget,
+            score=F.col("score")).collect()
+    )
+    # expected: walk docs in score order (= doc_id order here), include
+    # while the running total BEFORE the doc is under budget
+    exp, cum = [], 0
+    for i, t in enumerate(tokens):
+        if cum < budget:
+            exp.append(i)
+        cum += t
+    assert kept == exp
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=80),
+       st.floats(min_value=0.05, max_value=1.0))
+def test_temperature_weights_properties(spark_prop, sources, alpha):
+    """Tempered shares: sum to 1, preserve the source-size ORDER, and
+    compress ratios toward uniform (bigger source's share shrinks
+    relative to raw when alpha < 1)."""
+    from pyspark.sql import Row
+    from options_data_pipeline_spark.functions.sampling import temperature_weights
+
+    rows = [Row(doc_id=i, source=s) for i, s in enumerate(sources)]
+    out = temperature_weights(spark_prop.createDataFrame(rows), alpha=alpha).collect()
+    total = sum(r["tempered_share"] for r in out)
+    assert abs(total - 1.0) < 5e-9
+    by_n = sorted(out, key=lambda r: r["n_docs"])
+    for a, b in zip(by_n, by_n[1:]):
+        assert a["tempered_share"] <= b["tempered_share"] + 1e-12
+        if alpha < 1.0 and a["n_docs"] < b["n_docs"]:
+            # ratio compression toward uniform
+            raw_ratio = b["raw_share"] / a["raw_share"]
+            temp_ratio = b["tempered_share"] / a["tempered_share"]
+            assert temp_ratio <= raw_ratio + 1e-9
