@@ -110,3 +110,98 @@ def compact_market_data(
             results[f"{ydir}/{mdir}"] = (len(files), after)
     shutil.rmtree(tmp_root, ignore_errors=True)
     return results
+
+
+def refresh_daily_rollup(spark, sink_path: str, rollup_path: str) -> list[str]:
+    """Incremental continuous-aggregate refresh: maintain a daily OHLC
+    rollup of the (year, month)-partitioned candle sink, recomputing ONLY
+    partitions whose source bytes changed since the last refresh.
+
+    The reference recomputes summaries from full sheet reads
+    (``write_pipeline.py`` read-back paths); at 100 TB a rollup that
+    re-reads the world on every refresh is the cost center. This is the
+    materialized-view maintenance contract instead: each source
+    partition's (file count, total bytes, max mtime_ns) signature is
+    stored next to the rollup; a refresh diffs signatures, re-aggregates
+    only changed partitions (partition pruning bounds the read — one
+    month of a 100 TB sink, not the sink), and publishes via dynamic
+    partition overwrite so unchanged rollup partitions are never
+    rewritten. Late-arriving writes to an OLD month change its signature
+    and trigger exactly that month's re-roll — the late-data path falls
+    out of the same diff. Idempotent: a re-run with no source change is
+    a no-op (returns []).
+
+    Returns the list of refreshed ``year=Y/month=M`` partition names."""
+    import json
+    import os
+    import tempfile
+
+    def _partition_sigs(root: str) -> dict[str, list]:
+        sigs: dict[str, list] = {}
+        if not os.path.isdir(root):
+            return sigs
+        for ydir in sorted(os.listdir(root)):
+            if not ydir.startswith("year="):
+                continue
+            for mdir in sorted(os.listdir(os.path.join(root, ydir))):
+                if not mdir.startswith("month="):
+                    continue
+                pdir = os.path.join(root, ydir, mdir)
+                n, size, mt = 0, 0, 0
+                for f in os.listdir(pdir):
+                    if f.endswith(".parquet"):
+                        st = os.stat(os.path.join(pdir, f))
+                        n += 1
+                        size += st.st_size
+                        mt = max(mt, st.st_mtime_ns)
+                sigs[f"{ydir}/{mdir}"] = [n, size, mt]
+        return sigs
+
+    sigs = _partition_sigs(sink_path)
+    state_file = os.path.join(rollup_path, "_rollup_state.json")
+    prev: dict[str, list] = {}
+    if os.path.exists(state_file):
+        with open(state_file) as fh:
+            prev = json.load(fh)
+    changed = sorted(p for p, s in sigs.items() if prev.get(p) != s)
+    if changed:
+        pairs = []
+        for p in changed:
+            ydir, mdir = p.split("/")
+            pairs.append((int(ydir.split("=")[1]), int(mdir.split("=")[1])))
+        src = spark.read.parquet(sink_path)
+        pred = None
+        for y, m in pairs:
+            c = (F.col("year") == y) & (F.col("month") == m)
+            pred = c if pred is None else (pred | c)
+        daily = (
+            src.filter(pred)  # partition pruning bounds the read
+            .groupBy(
+                "symbol",
+                F.to_date("window_start").alias("day"),
+                "year",
+                "month",
+            )
+            .agg(
+                F.min_by("open", F.col("window_start")).alias("open"),
+                F.max("high").alias("high"),
+                F.min("low").alias("low"),
+                F.max_by("close", F.col("window_start")).alias("close"),
+                F.sum("tick_count").alias("tick_count"),
+            )
+        )
+        mode_before = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            daily.write.mode("overwrite").partitionBy("year", "month").parquet(
+                rollup_path
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", mode_before)
+        # publish the new signatures atomically (write + rename)
+        os.makedirs(rollup_path, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=rollup_path, suffix=".state")
+        with os.fdopen(fd, "w") as fh:
+            json.dump(sigs, fh)
+        os.replace(tmp, state_file)
+    return changed

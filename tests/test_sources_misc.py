@@ -348,3 +348,66 @@ def test_compaction_merges_small_files_losslessly(spark, tmpdir):
     b, a = stats["year=2024/month=5"]
     assert b >= 6 and a == 1  # collapsed to a single target-size file
     assert after == before  # lossless
+
+
+def test_incremental_rollup_refreshes_only_changed_partitions(spark, tmp_path):
+    """refresh_daily_rollup: first refresh rolls every partition; a
+    no-change re-run is a no-op; appending late rows to ONE month
+    re-rolls only that month (other rollup partitions untouched on
+    disk), and the result always equals a full recompute."""
+    import os
+    from datetime import datetime
+    from pyspark.sql import functions as F
+    from options_data_pipeline_spark.sources.sink import (
+        write_market_data,
+        refresh_daily_rollup,
+    )
+
+    sink = str(tmp_path / "sink")
+    rollup = str(tmp_path / "rollup")
+    schema = ("symbol string, window_start timestamp, open double, high double,"
+              " low double, close double, tick_count long")
+    jan = [("A", datetime(2024, 1, 1 + i % 3, 10, 5 * (i % 10)),
+            10.0 + i, 20.0 + i, 5.0 + i, 15.0 + i, 3) for i in range(30)]
+    feb = [("A", datetime(2024, 2, 1 + i % 2, 11, 5 * (i % 10)),
+            30.0 + i, 40.0 + i, 25.0 + i, 35.0 + i, 2) for i in range(20)]
+    write_market_data(spark.createDataFrame(jan + feb, schema), sink)
+
+    changed1 = refresh_daily_rollup(spark, sink, rollup)
+    assert changed1 == ["year=2024/month=1", "year=2024/month=2"]
+    assert refresh_daily_rollup(spark, sink, rollup) == []  # idempotent
+
+    jan_dir = os.path.join(rollup, "year=2024", "month=1")
+    jan_sig_before = sorted(
+        (f, os.stat(os.path.join(jan_dir, f)).st_mtime_ns)
+        for f in os.listdir(jan_dir) if f.endswith(".parquet")
+    )
+
+    late_feb = [("A", datetime(2024, 2, 27, 9, 30), 99.0, 100.0, 98.0, 99.5, 7)]
+    write_market_data(spark.createDataFrame(late_feb, schema), sink)
+    changed2 = refresh_daily_rollup(spark, sink, rollup)
+    assert changed2 == ["year=2024/month=2"]  # only the late month
+
+    jan_sig_after = sorted(
+        (f, os.stat(os.path.join(jan_dir, f)).st_mtime_ns)
+        for f in os.listdir(jan_dir) if f.endswith(".parquet")
+    )
+    assert jan_sig_after == jan_sig_before  # untouched partitions keep bytes
+
+    # rollup equals a from-scratch full recompute
+    got = spark.read.parquet(rollup).drop("year", "month")
+    full = (
+        spark.read.parquet(sink)
+        .groupBy("symbol", F.to_date("window_start").alias("day"))
+        .agg(
+            F.min_by("open", F.col("window_start")).alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", F.col("window_start")).alias("close"),
+            F.sum("tick_count").alias("tick_count"),
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, full.collect()))
+    # the late candle actually landed
+    feb27 = [r for r in got.collect() if str(r["day"]) == "2024-02-27"]
+    assert feb27 and feb27[0]["tick_count"] == 7
