@@ -105,6 +105,11 @@ HEADLINE = [
     "rsi_14",
     "budget_sample",
     "event_funnel",
+    # incremental-dedup index: min-of-2 makes the recorded number the
+    # warm probe-only cost (run 1 builds the write-once signature index)
+    "lsh_index_build",
+    "minhash_lsh_incremental",
+    "unigram_logprob",
 ]
 
 

@@ -625,3 +625,107 @@ def simhash_pairs_from_signatures(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def band_bucket_cols() -> list:
+    """The LSH band-bucket expressions over a wide (mh0..mh15) frame —
+    shared by the self-join path and the stored index so both produce
+    byte-identical bucket keys."""
+    rows_per_band = len(MINHASH_PARAMS) // LSH_BANDS
+    cols = []
+    for band in range(LSH_BANDS):
+        js = range(band * rows_per_band, (band + 1) * rows_per_band)
+        cols.append(
+            F.concat_ws(",", *[F.col(f"mh{j}").cast("string") for j in js]).alias(f"b{band}")
+        )
+    return cols
+
+
+def build_lsh_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    k: int = 5,
+    overwrite: bool = False,
+) -> DataFrame:
+    """Write-once MinHash-LSH signature index: one row per corpus doc with
+    the full 16-wide signature plus the 4 precomputed band buckets
+    (doc_id, mh0..mh15, b0..b3), persisted as parquet.
+
+    This is the artifact an INCREMENTAL dedup deployment keys on: at
+    100 TB you shingle+hash the corpus exactly once at index-build time;
+    every subsequent batch is deduped against the stored signatures
+    (:func:`incremental_lsh_candidates`) — the probe reads 24 narrow
+    columns per corpus doc instead of re-tokenizing corpus text (the
+    shingle explode is ~|text| rows per doc; the index row is 16 longs +
+    4 strings). Maps the reference's incremental-write discipline
+    (`modules/pipeline/write_pipeline.py:150-214`: dedupe new rows
+    against already-written ids before appending) from exact-id grain to
+    near-dup grain.
+
+    Same stage-and-atomic-rename publish as the vector indexes: a
+    half-written build is never visible; a lost publish race discards a
+    byte-identical staging dir (signatures are deterministic)."""
+    import shutil
+    import uuid
+
+    spark = docs.sparkSession
+    marker = os.path.join(path, "_SUCCESS")
+    if overwrite and os.path.isdir(path):
+        shutil.rmtree(path)
+    if not os.path.exists(marker):
+        wide = minhash_signatures_wide(docs, text_col, k)
+        idx = wide.select("doc_id", *[f"mh{j}" for j in range(len(MINHASH_PARAMS))],
+                          *band_bucket_cols())
+        staged = f"{path}.build-{uuid.uuid4().hex[:8]}"
+        idx.write.mode("overwrite").parquet(staged)
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        try:
+            os.rename(staged, path)
+        except OSError:
+            shutil.rmtree(staged, ignore_errors=True)
+    return docs.sparkSession.read.parquet(path)
+
+
+def incremental_lsh_candidates(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Near-dup candidates of a NEW batch against a stored corpus index:
+    (doc_a = corpus id, doc_b = batch id, jaccard_est).
+
+    Only the batch is shingled; the corpus side comes entirely from the
+    index's stored signatures/buckets. The one shuffle is the
+    (band, bucket) equi-join, whose corpus side Spark exchanges at 24
+    narrow columns — at 1000-executor scale the batch side is typically
+    broadcast-eligible (a daily increment vs a 100 TB corpus).
+    Signature agreement (matches/16) rides the join as the unbiased
+    Jaccard estimate, so thresholding happens without touching corpus
+    text. Docs present in both frames (same id) are not self-paired."""
+    m = len(MINHASH_PARAMS)
+    mh_cols = [f"mh{j}" for j in range(m)]
+    stack_args = ", ".join(f"{b}, b{b}" for b in range(LSH_BANDS))
+
+    def _stacked(wide: DataFrame) -> DataFrame:
+        return wide.selectExpr(
+            "doc_id", *mh_cols, f"stack({LSH_BANDS}, {stack_args}) as (band, bucket)"
+        )
+
+    batch_wide = minhash_signatures_wide(batch, text_col, k)
+    bat = _stacked(batch_wide.select("doc_id", *mh_cols, *band_bucket_cols())).alias("b")
+    cor = _stacked(index).alias("a")
+    matches = sum(
+        (F.col(f"a.mh{j}") == F.col(f"b.mh{j}")).cast("int") for j in range(m)
+    )
+    return (
+        cor.join(bat, ["band", "bucket"])
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (matches / float(m)).alias("jaccard_est"),
+        )
+        .distinct()
+    )

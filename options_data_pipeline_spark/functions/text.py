@@ -590,3 +590,56 @@ def span_dedup_stats(
             F.col("n_shared_spans").cast("double") / F.col("n_spans").cast("double"),
         )
     )
+
+
+def unigram_logprob_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc average unigram log-probability under the corpus's OWN
+    unigram LM — the CCNet/kenlm-style perplexity proxy for quality
+    filtering (low avg logprob ⇒ improbable token stream ⇒ gibberish or
+    off-distribution text), computable without any external model.
+
+    Shape at 100 TB: one token-grain shuffle builds the (token, count)
+    LM table (map-side combinable), the corpus total rides in as a
+    broadcast scalar, and the score join is token→vocab — the vocab
+    table is millions of rows against trillions of token instances, so
+    Spark broadcasts it (or shuffles on token; either way no doc-pair
+    or vocab-pair blowup). Nothing driver-side.
+
+    Float discipline: each token's ln(p) is snapped to a 6-dp grid
+    (libm-vs-JVM ln agreement at the rounding boundary is ~1e-10/token
+    risk there, vs ~1e-7 at the 9-dp grid the centroid queries use) and
+    summed in DECIMAL — exact, associative, order-independent — then
+    the average is one double division. Same convention as the
+    pricing-summary DECIMAL sums; complements `rare_token_stats`, which
+    is the integer-exact stand-in when even grid-snapped logs are
+    unwanted."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '\\\\S+', 0)")
+        ).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    lm = counts.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.round(F.log(F.col("cnt").cast("double") / F.col("total").cast("double")), 6)
+        .cast("decimal(20,6)")
+        .alias("logp"),
+    )
+    return (
+        toks.join(lm, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum("logp").alias("sum_lp"),
+        )
+        .select(
+            "doc_id",
+            "n_toks",
+            F.col("sum_lp").cast("double").alias("sum_logprob"),
+            (F.col("sum_lp").cast("double") / F.col("n_toks").cast("double")).alias(
+                "avg_logprob"
+            ),
+        )
+    )

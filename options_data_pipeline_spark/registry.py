@@ -2488,7 +2488,7 @@ SELECT vec_id, cell,
 FROM scored"""
 
 
-def _vector_index_path(sf_dir: str, kind: str) -> str:
+def _vector_index_path(sf_dir: str, kind: str, source: str = "embeddings.parquet") -> str:
     """Deterministic index location keyed to the SOURCE's identity: a
     driver-side testdata regeneration changes the fingerprint, so a stale
     index can never serve a regenerated corpus — it is rebuilt at the new
@@ -2508,7 +2508,7 @@ def _vector_index_path(sf_dir: str, kind: str) -> str:
     import shutil
     import time
 
-    src = os.path.join(sf_dir, "embeddings.parquet")
+    src = os.path.join(sf_dir, source)
     st = os.stat(src)
     ident = f"v2:{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}"
     if os.path.isdir(src):
@@ -3671,6 +3671,157 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("first_purchase").alias("first_purchase"),
         F.max("first_purchase").isNotNull().alias("converted"),
     )
+
+
+def _lsh_index_oracle() -> str:
+    """Signature-index twin: the wide minhash CTE over the corpus split,
+    plus the 4 band-bucket strings exactly as the stored index lays them
+    out — the oracle checks the persisted artifact's rows."""
+    mins = ",\n         ".join(
+        f"min(({a} * h + {b}) % {MINHASH_PRIME}) AS mh{j}"
+        for j, (a, b) in enumerate(MINHASH_PARAMS)
+    )
+    buckets = ",\n       ".join(
+        " || ',' || ".join(f"mh{j}::VARCHAR" for j in range(band * 4, band * 4 + 4))
+        + f" AS b{band}"
+        for band in range(4)
+    )
+    return f"""WITH docs_n AS (
+  SELECT doc_id, {NORM_DOC} AS t FROM documents WHERE doc_id % 10 < 9
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(length(t) - 4, 1)),
+                               i -> substr(t, i, 5))) AS shingle
+  FROM docs_n
+),
+hashed AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+  FROM sh
+),
+wide AS (
+  SELECT doc_id,
+         {mins}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, {', '.join(f'mh{j}' for j in range(len(MINHASH_PARAMS)))},
+       {buckets}
+FROM wide"""
+
+
+def _lsh_incremental_oracle() -> str:
+    """Batch-vs-corpus twin: signatures for ALL docs (per-doc signatures
+    are split-independent), banded, then the cross-split bucket join with
+    the agreement estimate."""
+    mins = ",\n         ".join(
+        f"min(({a} * h + {b}) % {MINHASH_PRIME}) AS mh{j}"
+        for j, (a, b) in enumerate(MINHASH_PARAMS)
+    )
+    m = len(MINHASH_PARAMS)
+    mh_list = ", ".join(f"mh{j}" for j in range(m))
+    bands = []
+    for band in range(4):
+        concat = " || ',' || ".join(f"mh{j}::VARCHAR" for j in range(band * 4, band * 4 + 4))
+        bands.append(f"SELECT doc_id, {mh_list}, {band} AS band, {concat} AS bucket FROM wide")
+    banded = "\n  UNION ALL\n  ".join(bands)
+    matches = " + ".join(f"(a.mh{j} = b.mh{j})::INT" for j in range(m))
+    return f"""WITH docs_n AS (SELECT doc_id, {NORM_DOC} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(length(t) - 4, 1)),
+                               i -> substr(t, i, 5))) AS shingle
+  FROM docs_n
+),
+hashed AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+  FROM sh
+),
+wide AS (
+  SELECT doc_id,
+         {mins}
+  FROM hashed GROUP BY doc_id
+),
+banded AS (
+  {banded}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ({matches}) / 16.0 AS jaccard_est
+FROM banded a JOIN banded b USING (band, bucket)
+WHERE a.doc_id % 10 < 9 AND b.doc_id % 10 = 9"""
+
+
+def _lsh_index_path(sf_dir: str) -> str:
+    return _vector_index_path(sf_dir, "lsh_index", source="documents.parquet")
+
+
+@register("lsh_index_build", _lsh_index_oracle())
+def q_lsh_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-dedup index build: persist the corpus's MinHash
+    signatures + band buckets as a write-once parquet index
+    (functions/dedupe.py::build_lsh_index) and return the stored rows —
+    the oracle verifies the artifact itself. Corpus = 90% of documents
+    (doc_id % 10 < 9); the held-out 10% is the `minhash_lsh_incremental`
+    batch. At 100 TB this is the shingle+hash pass you pay exactly once;
+    every daily increment then probes 24 narrow columns per corpus doc
+    instead of re-tokenizing corpus text. Maps the reference's
+    dedupe-before-append discipline (write_pipeline.py:150-214) to
+    near-dup grain."""
+    from .functions.dedupe import build_lsh_index
+
+    docs = load_table(spark, "documents", sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 10 < 9)
+    return build_lsh_index(corpus, _lsh_index_path(sf_dir))
+
+
+@register("minhash_lsh_incremental", _lsh_incremental_oracle())
+def q_minhash_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: dedupe a NEW batch (10% of documents) against
+    the STORED corpus index — only the batch is shingled; the corpus side
+    is the index's 24 stored columns (building it first if absent, same
+    pattern as `pq_adc_topk_indexed`). Returns (corpus doc_a, batch
+    doc_b, signature-agreement Jaccard estimate)."""
+    from .functions.dedupe import build_lsh_index, incremental_lsh_candidates
+
+    docs = load_table(spark, "documents", sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 10 < 9)
+    batch = docs.filter(F.col("doc_id") % 10 == 9)
+    idx = build_lsh_index(corpus, _lsh_index_path(sf_dir))
+    return incremental_lsh_candidates(batch, idx)
+
+
+@register(
+    "unigram_logprob",
+    r"""WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+  FROM documents
+),
+counts AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok
+),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts),
+lm AS (
+  SELECT tok,
+         CAST(round(ln(cnt::DOUBLE / total::DOUBLE), 6) AS DECIMAL(20,6)) AS logp
+  FROM counts, tot
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_toks,
+       CAST(sum(logp) AS DOUBLE) AS sum_logprob,
+       CAST(sum(logp) AS DOUBLE) / count(*) AS avg_logprob
+FROM toks JOIN lm USING (tok)
+GROUP BY doc_id""",
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score (CCNet/kenlm-style perplexity proxy):
+    average log-probability of each doc's token stream under the
+    corpus's own unigram model — the statistical-model arm of quality
+    filtering, next to the heuristic `doc_quality` and integer-exact
+    `rare_token_stats`. 6-dp-grid ln + DECIMAL sum (see
+    functions/text.py::unigram_logprob_scores for the float
+    discipline)."""
+    from .functions.text import unigram_logprob_scores
+
+    return unigram_logprob_scores(load_table(spark, "documents", sf_dir))
 
 
 # ---------------------------------------------------------------------------

@@ -536,3 +536,108 @@ def test_pack_sequences_greedy_walk(spark):
     out = {r.doc_id: r for r in pack_sequences(docs, budget=128).collect()}
     assert {i: out[i].bin_id for i in sizes} == {0: 0, 1: 0, 2: 1, 3: 2, 4: 3}
     assert out[1].bin_fill == 110 and out[3].bin_fill == 128
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash-LSH index (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_index_write_once_and_incremental_parity(spark, tmp_path):
+    """The stored index must (a) publish atomically and read back without
+    recompute, and (b) make the incremental probe produce exactly the
+    cross-split subset of the full self-join candidate set, with the
+    agreement estimate riding along."""
+    import os
+
+    from options_data_pipeline_spark.functions.dedupe import (
+        build_lsh_index,
+        incremental_lsh_candidates,
+        minhash_jaccard_estimates,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "the quick brown fox jumps over the lazy dog again and again!",  # near-dup of 0
+        "completely different content about sparkling distributed engines",
+        "another unrelated document concerning market data pipelines",
+        "THE QUICK  brown fox jumps over the lazy DOG again and again",  # doc 0 modulo case/ws
+    ]
+    df = docs_df(spark, texts)
+    corpus = df.filter("doc_id < 3")
+    batch = df.filter("doc_id >= 3")
+
+    path = str(tmp_path / "lsh_index")
+    idx = build_lsh_index(corpus, path)
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    assert idx.count() == 3
+    assert {f"mh{j}" for j in range(16)} <= set(idx.columns)
+    assert {"b0", "b1", "b2", "b3"} <= set(idx.columns)
+
+    # write-once: rebuilding with different docs is a no-op read-back
+    again = build_lsh_index(batch, path)
+    assert again.count() == 3  # still the original corpus rows
+
+    inc = incremental_lsh_candidates(batch, idx).collect()
+    # oracle: full self-join estimates restricted to corpus×batch pairs
+    full = {
+        (r.doc_a, r.doc_b): r.jaccard_est
+        for r in minhash_jaccard_estimates(df).collect()
+        if r.doc_a < 3 <= r.doc_b
+    }
+    got = {(r.doc_a, r.doc_b): r.jaccard_est for r in inc}
+    assert got == full
+    assert got, "expected at least one cross-split candidate (0/1 vs 4)"
+
+
+def test_lsh_index_atomic_publish_no_partial(spark, tmp_path):
+    """A crashed build leaves only a .build-* staging dir, never a
+    half-published index at the final path."""
+    import os
+
+    from options_data_pipeline_spark.functions import dedupe as dd
+
+    df = docs_df(spark, ["some text here", "other text there"])
+    path = str(tmp_path / "idx")
+
+    real_rename = os.rename
+    calls = {}
+
+    def boom(src, dst):
+        if dst == path:
+            calls["hit"] = src
+            raise RuntimeError("crash before publish")
+        return real_rename(src, dst)
+
+    os.rename = boom
+    try:
+        try:
+            dd.build_lsh_index(df, path)
+        except RuntimeError:
+            pass
+    finally:
+        os.rename = real_rename
+    assert not os.path.exists(path)  # nothing half-published
+    assert "hit" in calls
+    # retry publishes cleanly and is readable
+    out = dd.build_lsh_index(df, path)
+    assert out.count() == 2
+
+
+def test_unigram_logprob_hand_computed(spark):
+    """Tiny corpus with hand-computable LM: tokens {a: 2, b: 2}, total 4,
+    so every token's logp = round(ln(0.5), 6) = -0.693147."""
+    from options_data_pipeline_spark.functions.text import unigram_logprob_scores
+
+    df = docs_df(spark, ["a A b", "b"])
+    out = {r.doc_id: r for r in unigram_logprob_scores(df).collect()}
+    lp = -0.693147
+    assert out[0].n_toks == 3
+    assert abs(out[0].sum_logprob - 3 * lp) < 1e-9
+    assert abs(out[0].avg_logprob - lp) < 1e-9
+    assert out[1].n_toks == 1
+    assert abs(out[1].avg_logprob - lp) < 1e-9
+    # rarer tokens score lower: extend with a doc introducing a hapax
+    df2 = docs_df(spark, ["a A b", "b", "zzz"])
+    out2 = {r.doc_id: r for r in unigram_logprob_scores(df2).collect()}
+    assert out2[2].avg_logprob < out2[0].avg_logprob
