@@ -1,0 +1,176 @@
+"""Streaming document ingest with incremental near-dup dedup — the full
+100 TB ingestion loop: each arriving batch of documents is probed against
+the corpus's STORED MinHash signature table; only novel docs are appended
+to the corpus, and exactly their signatures are appended to the index, so
+the index grows with the corpus and no batch ever re-tokenizes corpus
+text.
+
+Maps the reference's ingestion discipline (dedupe-new-rows-before-append,
+``modules/pipeline/write_pipeline.py:150-214``; idempotent replay via
+deterministic ids, ``:108-113``) from exact-id grain to near-dup grain,
+composed from the batch primitives:
+
+ - signatures/banding: ``functions/dedupe.py`` (oracle-checked)
+ - cross-batch probe: the `minhash_lsh_incremental` join shape
+ - within-batch rule: cluster-representative keep (min doc_id per
+   connected component) — identical semantics to `dedup_canonical`
+ - appends: the idempotent anti-join + stage-and-promote sink
+   (``streaming/sink.py``), so micro-batch REPLAYS write nothing
+
+Scale posture: per batch the work is O(batch tokens) + one
+(band, bucket) join whose corpus side reads 24 narrow columns from the
+signature table (never doc text); the within-batch CC runs on the batch's
+own candidate graph only. The signature read is a full index scan at this
+layout — a deployment at 10^10 docs would partition the signature table
+by a bucket hash range so the probe prunes, or keep it in a key-value
+store; the join shape is unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.dedupe import (
+    LSH_BANDS,
+    MINHASH_PARAMS,
+    band_bucket_cols,
+    connected_components,
+    minhash_signatures_wide,
+)
+from .sink import idempotent_append_batch, sink_has_data
+
+_MH_COLS = [f"mh{j}" for j in range(len(MINHASH_PARAMS))]
+_B_COLS = [f"b{b}" for b in range(LSH_BANDS)]
+
+
+def _stack_bands(wide: DataFrame) -> DataFrame:
+    stack_args = ", ".join(f"{b}, b{b}" for b in range(LSH_BANDS))
+    return wide.selectExpr(
+        "doc_id", *_MH_COLS, f"stack({LSH_BANDS}, {stack_args}) as (band, bucket)"
+    )
+
+
+def _colliding_ids(
+    probe: DataFrame, reference: DataFrame, threshold: float
+) -> DataFrame:
+    """doc_ids from ``probe`` whose signature agrees with any ``reference``
+    signature on ≥ threshold of the minhashes AND shares a band bucket.
+    Both inputs are wide signature frames (doc_id, mh0.., b0..)."""
+    m = len(MINHASH_PARAMS)
+    a, b = _stack_bands(reference).alias("a"), _stack_bands(probe).alias("b")
+    matches = sum((F.col(f"a.mh{j}") == F.col(f"b.mh{j}")).cast("int") for j in range(m))
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .filter((matches / float(m)) >= threshold)
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+    )
+
+
+def dedup_ingest_batch(
+    batch: DataFrame,
+    corpus_path: str,
+    sig_path: str,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> int:
+    """Process one micro-batch of documents; returns docs appended.
+
+    Steps (each deterministic, so failure-replay converges):
+      1. id-grain replay guard: drop doc_ids already in the corpus
+         (anti-join, pruned read — a replayed batch becomes empty here).
+      2. sign the remaining batch docs (the ONLY tokenization pass).
+      3. cross-batch near-dup: drop docs whose estimated Jaccard vs any
+         STORED signature ≥ threshold.
+      4. within-batch near-dup: connected components over the survivors'
+         own candidate pairs, keep the min doc_id per component
+         (`dedup_canonical` semantics).
+      5. append kept docs to the corpus and exactly their signature rows
+         to the signature table (stage-and-promote appends).
+    """
+    spark = batch.sparkSession
+    fresh = batch
+    if sink_has_data(corpus_path):
+        corpus_ids = spark.read.parquet(corpus_path).select("doc_id")
+        fresh = batch.join(corpus_ids, "doc_id", "left_anti")
+    fresh = fresh.cache()
+    try:
+        if not fresh.take(1):
+            return 0
+        wide = (
+            minhash_signatures_wide(fresh, text_col)
+            .select("doc_id", *_MH_COLS, *band_bucket_cols())
+            .cache()
+        )
+        survivors = wide
+        if sink_has_data(sig_path):
+            stored = spark.read.parquet(sig_path)
+            dup_ids = _colliding_ids(survivors, stored, threshold)
+            survivors = survivors.join(dup_ids, "doc_id", "left_anti")
+        # within-batch: candidate pairs among survivors, CC, keep min rep
+        m = len(MINHASH_PARAMS)
+        a, b = _stack_bands(survivors).alias("a"), _stack_bands(survivors).alias("b")
+        matches = sum(
+            (F.col(f"a.mh{j}") == F.col(f"b.mh{j}")).cast("int") for j in range(m)
+        )
+        pairs = (
+            a.join(b, ["band", "bucket"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .filter((matches / float(m)) >= threshold)
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .distinct()
+        )
+        comp = connected_components(pairs)
+        drop = comp.filter(F.col("doc_id") != F.col("label")).select("doc_id")
+        kept_sigs = survivors.join(drop, "doc_id", "left_anti")
+        kept_docs = fresh.join(kept_sigs.select("doc_id"), "doc_id")
+        n = idempotent_append_batch(
+            kept_docs, corpus_path, id_col="doc_id", prune_col=None
+        )
+        idempotent_append_batch(
+            kept_sigs, sig_path, id_col="doc_id", prune_col=None
+        )
+        wide.unpersist()
+        return n
+    finally:
+        fresh.unpersist()
+
+
+def run_doc_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    work_dir: str,
+    threshold: float = 0.5,
+    max_files_per_trigger: int = 8,
+    schema: str = "doc_id long, text string, lang string, source string, n_chars long",
+):
+    """File-source stream over parquet document drops → foreachBatch
+    incremental dedup ingest. Returns the started query; corpus lands in
+    ``work_dir/corpus``, signatures in ``work_dir/signatures``, stream
+    state in ``work_dir/_checkpoint``. The paced trigger bound follows the
+    densify lesson (BASELINE §7): bounded micro-batches keep per-trigger
+    latency inside the write-timeout NFR."""
+    corpus = os.path.join(work_dir, "corpus")
+    sigs = os.path.join(work_dir, "signatures")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+    )
+
+    def _process(bdf: DataFrame, _bid: int) -> None:
+        dedup_ingest_batch(bdf, corpus, sigs, threshold)
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", os.path.join(work_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,114 @@
+"""Streaming incremental near-dup ingest (streaming/doc_ingest.py).
+
+The contract under test: after any sequence of micro-batches, the corpus
+holds exactly the docs a sequential batch-at-a-time dedup would keep —
+novel docs survive, near-dups of ANY previously kept doc are dropped,
+within-batch clusters keep their min-id representative, and replaying a
+batch appends nothing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from options_data_pipeline_spark.streaming.doc_ingest import (
+    dedup_ingest_batch,
+    run_doc_ingest,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+OTHER = "completely different content about distributed analytics engines"
+THIRD = "yet another unrelated document concerning market data pipelines"
+
+
+def docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def corpus_ids(spark, path):
+    if not os.path.isdir(path):
+        return set()
+    return {r.doc_id for r in spark.read.parquet(path).select("doc_id").collect()}
+
+
+def test_sequential_batches_drop_cross_batch_near_dups(spark, tmp_path):
+    corpus = str(tmp_path / "corpus")
+    sigs = str(tmp_path / "sigs")
+
+    n1 = dedup_ingest_batch(docs(spark, [(1, BASE), (2, OTHER)]), corpus, sigs)
+    assert n1 == 2 and corpus_ids(spark, corpus) == {1, 2}
+
+    # batch 2: a case/whitespace variant of doc 1 (near-dup), plus a novel doc
+    n2 = dedup_ingest_batch(
+        docs(spark, [(10, BASE.upper()), (11, THIRD)]), corpus, sigs
+    )
+    assert n2 == 1 and corpus_ids(spark, corpus) == {1, 2, 11}
+
+    # signatures grew with exactly the kept docs
+    sig_ids = {r.doc_id for r in spark.read.parquet(sigs).select("doc_id").collect()}
+    assert sig_ids == {1, 2, 11}
+
+
+def test_within_batch_cluster_keeps_min_id(spark, tmp_path):
+    corpus = str(tmp_path / "corpus")
+    sigs = str(tmp_path / "sigs")
+    n = dedup_ingest_batch(
+        docs(spark, [(5, BASE), (3, BASE.upper()), (7, OTHER)]), corpus, sigs
+    )
+    assert n == 2
+    assert corpus_ids(spark, corpus) == {3, 7}  # min id of the {3,5} cluster
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    corpus = str(tmp_path / "corpus")
+    sigs = str(tmp_path / "sigs")
+    batch = docs(spark, [(1, BASE), (2, OTHER)])
+    assert dedup_ingest_batch(batch, corpus, sigs) == 2
+    assert dedup_ingest_batch(batch, corpus, sigs) == 0  # replay: nothing new
+    assert corpus_ids(spark, corpus) == {1, 2}
+    sig_rows = spark.read.parquet(sigs).count()
+    assert sig_rows == 2  # signature table didn't double either
+
+
+def test_streaming_ingest_matches_sequential_batches(spark, tmp_path):
+    """Drive the same three document drops through the file-source stream
+    and through direct sequential dedup_ingest_batch calls — identical
+    final corpora."""
+    src = str(tmp_path / "src")
+    slices = [
+        [(1, BASE), (2, OTHER)],
+        [(10, BASE + "!"), (11, THIRD)],  # 10 is a near-dup of 1
+        [(20, THIRD.upper()), (21, "one more genuinely novel doc here")],
+    ]
+    full_schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def widen(rows):
+        return spark.createDataFrame(
+            [(i, t, "en", "s0", len(t)) for i, t in rows], full_schema
+        )
+
+    import time
+
+    for k, rows in enumerate(slices):
+        widen(rows).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)  # distinct mtimes: the file source orders by timestamp
+
+    stream_dir = str(tmp_path / "stream")
+    q = run_doc_ingest(spark, src, stream_dir, max_files_per_trigger=1)
+    q.awaitTermination(120)
+
+    batch_dir = str(tmp_path / "batch")
+    for rows in slices:
+        dedup_ingest_batch(
+            widen(rows),
+            os.path.join(batch_dir, "corpus"),
+            os.path.join(batch_dir, "signatures"),
+        )
+
+    got = corpus_ids(spark, os.path.join(stream_dir, "corpus"))
+    want = corpus_ids(spark, os.path.join(batch_dir, "corpus"))
+    assert got == want
+    assert 10 not in got  # the cross-batch near-dup was dropped
+    assert {1, 2, 11, 21} <= got

@@ -406,3 +406,31 @@ def test_event_funnel_single_user_shuffle(spark, qs):
     assert count_exchanges(df) == 1  # the canonical exchange counter
     assert plan.count("hashpartitioning") == 1
     assert plan.count(") Window") == 3
+
+
+def test_incremental_lsh_probe_reads_index_not_corpus_text(spark, qs, tmp_path):
+    """The incremental probe's corpus side must come from the stored
+    index parquet — exactly one documents scan (the batch side), and the
+    index scan reads only the signature/bucket columns."""
+    from options_data_pipeline_spark import registry as reg
+
+    # ensure the index exists so the query plan is the warm probe path
+    qs["lsh_index_build"](spark, SF).count()
+    df = qs["minhash_lsh_incremental"](spark, SF)
+    plan = physical_plan(df)
+    assert plan.count("documents.parquet") == 1  # batch side only
+    assert "lsh_index" in plan  # corpus side is the stored index
+    schemas = read_schemas(df)
+    idx_schema = next(s for s in schemas if "mh0" in s)
+    assert "text" not in idx_schema  # index scan never touches doc text
+
+
+def test_unigram_logprob_two_token_shuffles_no_doc_pairs(spark, qs):
+    """Unigram scoring is token-grain: LM build (groupBy tok) + doc
+    re-agg; the corpus-total scalar rides in as a broadcast — no
+    doc×doc or vocab×vocab join anywhere."""
+    df = qs["unigram_logprob"](spark, SF)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or has_broadcast_join(df)  # the 1-row total
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
