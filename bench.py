@@ -110,6 +110,7 @@ HEADLINE = [
     "lsh_index_build",
     "minhash_lsh_incremental",
     "unigram_logprob",
+    "semdedup_prune",
 ]
 
 

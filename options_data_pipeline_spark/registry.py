@@ -1573,6 +1573,48 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semdedup_prune",
+    """WITH RECURSIVE v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.e, b.e)
+          / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.35
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(vx, l) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.l FROM edges e JOIN reach r ON r.vx = e.dst
+)
+SELECT vx AS vec_id, CAST(min(l) AS BIGINT) AS rep_id FROM reach GROUP BY vx""",
+)
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup over embeddings —
+    within each coarse cell, cosine-similar docs collapse to one
+    representative. Composition of the existing primitives: cell-confined
+    cosine pairs (`embedding_near_dup` shape) → O(log n) star-contraction
+    components → rep = min vec_id per component. Output is every vector
+    that belongs to a near-dup component with its surviving rep
+    (vec_id = rep_id rows are the keepers; vectors absent from the pair
+    graph are untouched singletons). The deployment keep-rule mirrors
+    `dedup_canonical`'s."""
+    from .functions.dedupe import connected_components_star
+    from .functions.similarity import cosine_near_dup_pairs
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    pairs = cosine_near_dup_pairs(emb, threshold=0.35, cell_col="label")
+    comp = connected_components_star(pairs, id_a="id_a", id_b="id_b")
+    return comp.select(
+        F.col("doc_id").alias("vec_id"), F.col("label").alias("rep_id")
+    )
+
+
+@register(
     "orders_cube",
     """SELECT o_orderstatus, o_orderpriority,
        count(*) AS n_orders,
