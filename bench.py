@@ -111,6 +111,7 @@ HEADLINE = [
     "minhash_lsh_incremental",
     "unigram_logprob",
     "semdedup_prune",
+    "small_quantity_revenue",
 ]
 
 

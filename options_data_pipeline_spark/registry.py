@@ -1573,6 +1573,50 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "small_quantity_revenue",
+    """WITH avg_qty AS (
+  SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_limit
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#4'
+JOIN avg_qty a ON a.l_partkey = l.l_partkey
+WHERE l.l_quantity < a.qty_limit""",
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    per-part AVG subquery, decorrelated the way Catalyst would — one
+    part-grain aggregate of the fact joined back onto the fact. Measured
+    plan: the probe-side fact NEVER shuffles — the filtered part dim AND
+    the part-grain qty-limit table both broadcast onto the fact scan; the
+    only hash exchange is the aggregate's, and map-side partial agg
+    shrinks it to (l_partkey, partial sums) before the wire. At a scale
+    where the part-grain aggregate outgrows the broadcast threshold it
+    degrades to one fact shuffle on l_partkey — the standard Q17 plan.
+    l_quantity is integer-valued, so avg = exact sum / count is
+    bit-stable cross-engine; revenue sums in DECIMAL."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).filter(F.col("p_brand") == "Brand#4")
+    avg_qty = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_limit")
+    )
+    return (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(avg_qty, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double")
+                / F.lit(7.0)
+            )
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@register(
     "semdedup_prune",
     """WITH RECURSIVE v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
 pairs AS (

@@ -434,3 +434,21 @@ def test_unigram_logprob_two_token_shuffles_no_doc_pairs(spark, qs):
     assert "BroadcastNestedLoopJoin" in plan or has_broadcast_join(df)  # the 1-row total
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+
+
+def test_q17_probe_side_never_shuffles(spark, qs):
+    """Q17 shape: both the part dim and the part-grain qty-limit
+    aggregate broadcast onto the fact — the probe-side fact is scanned,
+    not exchanged; the only hash exchange is the aggregate's own, fed by
+    map-side partial agg."""
+    df = qs["small_quantity_revenue"](spark, SF)
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert not has_sort_merge_join(df)
+    # exactly one hash exchange (the avg-qty aggregate); the rest are the
+    # single-partition final agg + broadcasts
+    import re
+
+    assert len(re.findall(r"hashpartitioning\(l_partkey", plan)) == 1
+    fact_schema = max(read_schemas(df), key=len)
+    assert "l_extendedprice" in fact_schema and "l_shipdate" not in fact_schema
