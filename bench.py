@@ -112,6 +112,7 @@ HEADLINE = [
     "unigram_logprob",
     "semdedup_prune",
     "small_quantity_revenue",
+    "oov_rate",
 ]
 
 

@@ -1573,6 +1573,61 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "oov_rate",
+    r"""WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+  FROM documents
+),
+counts AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok
+),
+vocab AS (
+  SELECT tok FROM counts ORDER BY cnt DESC, tok LIMIT 20
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_toks,
+       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*) AS oov_rate
+FROM toks t LEFT JOIN vocab v USING (tok)
+GROUP BY doc_id""",
+)
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer OOV audit: per doc, the fraction of token instances
+    outside the top-20 corpus vocabulary — the coverage check run before
+    committing to a tokenizer/vocab. Deterministic vocab cut (count desc,
+    token asc). Scale shape: vocab head via TakeOrderedAndProject (top-k,
+    never a global sort), broadcast to the token stream; integer counts +
+    one division, bit-exact cross-engine."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr("regexp_extract_all(lower(text), '\\\\S+', 0)")).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = counts.orderBy(F.col("cnt").desc(), F.col("tok")).limit(20).select(
+        "tok", F.lit(1).alias("in_vocab")
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_toks",
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_toks").cast("double")).alias(
+                "oov_rate"
+            ),
+        )
+    )
+
+
+@register(
     "small_quantity_revenue",
     """WITH avg_qty AS (
   SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_limit

@@ -37,13 +37,12 @@ from ..functions.dedupe import (
     LSH_BANDS,
     MINHASH_PARAMS,
     band_bucket_cols,
-    connected_components,
+    connected_components_star,
     minhash_signatures_wide,
 )
 from .sink import idempotent_append_batch, sink_has_data
 
 _MH_COLS = [f"mh{j}" for j in range(len(MINHASH_PARAMS))]
-_B_COLS = [f"b{b}" for b in range(LSH_BANDS)]
 
 
 def _stack_bands(wide: DataFrame) -> DataFrame:
@@ -95,7 +94,14 @@ def dedup_ingest_batch(
     spark = batch.sparkSession
     fresh = batch
     if sink_has_data(corpus_path):
+        # replay guard: the anti-join read is PRUNED to the batch's own
+        # doc_id range — replays carry the same id window, so row-group
+        # min/max stats skip the rest of the corpus (a full-corpus id
+        # scan per batch would grow linearly with corpus age)
+        b = batch.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).collect()[0]
         corpus_ids = spark.read.parquet(corpus_path).select("doc_id")
+        if b.lo is not None:
+            corpus_ids = corpus_ids.filter(F.col("doc_id").between(b.lo, b.hi))
         fresh = batch.join(corpus_ids, "doc_id", "left_anti")
     fresh = fresh.cache()
     try:
@@ -126,15 +132,17 @@ def dedup_ingest_batch(
             )
             .distinct()
         )
-        comp = connected_components(pairs)
+        # star contraction: O(log n) rounds even if a batch carries a
+        # long templated-boilerplate chain (propagation = diameter rounds)
+        comp = connected_components_star(pairs)
         drop = comp.filter(F.col("doc_id") != F.col("label")).select("doc_id")
         kept_sigs = survivors.join(drop, "doc_id", "left_anti")
         kept_docs = fresh.join(kept_sigs.select("doc_id"), "doc_id")
         n = idempotent_append_batch(
-            kept_docs, corpus_path, id_col="doc_id", prune_col=None
+            kept_docs, corpus_path, id_col="doc_id", prune_col="doc_id"
         )
         idempotent_append_batch(
-            kept_sigs, sig_path, id_col="doc_id", prune_col=None
+            kept_sigs, sig_path, id_col="doc_id", prune_col="doc_id"
         )
         wide.unpersist()
         return n

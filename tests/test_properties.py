@@ -291,3 +291,78 @@ def test_temperature_weights_properties(spark_prop, sources, alpha):
             raw_ratio = b["raw_share"] / a["raw_share"]
             temp_ratio = b["tempered_share"] / a["tempered_share"]
             assert temp_ratio <= raw_ratio + 1e-9
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abc d", min_size=5, max_size=30), min_size=2, max_size=10
+    ),
+    st.integers(min_value=1, max_value=9),
+)
+def test_incremental_lsh_equals_full_selfjoin_restriction(spark_prop, texts, cut):
+    """For ANY corpus and ANY corpus/batch split, probing the batch
+    against an index built from the corpus must produce exactly the
+    cross-split restriction of the full self-join estimates — the
+    incremental path may never invent or lose a candidate."""
+    import tempfile
+
+    from options_data_pipeline_spark.functions.dedupe import (
+        build_lsh_index,
+        incremental_lsh_candidates,
+        minhash_jaccard_estimates,
+    )
+
+    df = spark_prop.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    corpus = df.filter(f"doc_id % 10 < {cut}")
+    batch = df.filter(f"doc_id % 10 >= {cut}")
+    if not corpus.take(1) or not batch.take(1):
+        return
+    with tempfile.TemporaryDirectory() as d:
+        idx = build_lsh_index(corpus, f"{d}/idx")
+        got = {
+            (r.doc_a, r.doc_b): r.jaccard_est
+            for r in incremental_lsh_candidates(batch, idx).collect()
+        }
+    # full self-join orders pairs doc_a < doc_b; incremental orders
+    # (corpus, batch) — keep cross-split pairs, corpus-side first
+    in_corpus = lambda i: i % 10 < cut  # noqa: E731
+    want = {}
+    for r in minhash_jaccard_estimates(df).collect():
+        if in_corpus(r.doc_a) and not in_corpus(r.doc_b):
+            want[(r.doc_a, r.doc_b)] = r.jaccard_est
+        elif in_corpus(r.doc_b) and not in_corpus(r.doc_a):
+            want[(r.doc_b, r.doc_a)] = r.jaccard_est
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=1, max_size=8),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_unigram_logprob_matches_python_model(spark_prop, docs_toks):
+    """The Spark unigram score equals a pure-Python unigram LM on the
+    same corpus (to grid tolerance): per-token logp = round(ln(c/T), 6),
+    doc score = mean."""
+    import math
+    from collections import Counter
+
+    from options_data_pipeline_spark.functions.text import unigram_logprob_scores
+
+    texts = [" ".join(toks) for toks in docs_toks]
+    df = spark_prop.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    out = {r.doc_id: r for r in unigram_logprob_scores(df).collect()}
+
+    counts = Counter(t for toks in docs_toks for t in toks)
+    total = sum(counts.values())
+    for i, toks in enumerate(docs_toks):
+        lps = [round(math.log(counts[t] / total), 6) for t in toks]
+        assert out[i].n_toks == len(toks)
+        assert out[i].sum_logprob == pytest.approx(sum(lps), abs=1e-9)
+        assert out[i].avg_logprob == pytest.approx(sum(lps) / len(lps), abs=1e-9)
