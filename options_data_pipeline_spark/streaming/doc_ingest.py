@@ -138,11 +138,20 @@ def dedup_ingest_batch(
         drop = comp.filter(F.col("doc_id") != F.col("label")).select("doc_id")
         kept_sigs = survivors.join(drop, "doc_id", "left_anti")
         kept_docs = fresh.join(kept_sigs.select("doc_id"), "doc_id")
-        n = idempotent_append_batch(
-            kept_docs, corpus_path, id_col="doc_id", prune_col="doc_id"
-        )
+        # ORDER MATTERS: signatures first. A crash between the two appends
+        # then leaves sigs-without-docs, and the replay (docs still absent
+        # from the corpus ⇒ still "fresh") deterministically recomputes
+        # the same kept set — each survivor's own stored signature is
+        # excluded as a self-pair, so nothing is falsely dropped — and
+        # the doc append completes. The reverse order is a PERMANENT
+        # index gap: docs-without-sigs are dropped by the replay guard
+        # before re-signing, so their signatures never land and future
+        # near-dups of them go undetected.
         idempotent_append_batch(
             kept_sigs, sig_path, id_col="doc_id", prune_col="doc_id"
+        )
+        n = idempotent_append_batch(
+            kept_docs, corpus_path, id_col="doc_id", prune_col="doc_id"
         )
         wide.unpersist()
         return n

@@ -112,3 +112,44 @@ def test_streaming_ingest_matches_sequential_batches(spark, tmp_path):
     assert got == want
     assert 10 not in got  # the cross-batch near-dup was dropped
     assert {1, 2, 11, 21} <= got
+
+
+def test_crash_between_appends_converges_on_replay(spark, tmp_path, monkeypatch):
+    """Kill the batch after the signature append but before the corpus
+    append (the only non-atomic window): the replay must deterministically
+    re-keep the same docs — its own stored signatures are self-pairs, not
+    drop reasons — and complete the corpus append. Also pins the append
+    ORDER: sigs first (the reverse order leaves a permanent index gap)."""
+    import options_data_pipeline_spark.streaming.doc_ingest as di
+
+    corpus = str(tmp_path / "corpus")
+    sigs = str(tmp_path / "sigs")
+    batch = docs(spark, [(1, BASE), (2, BASE.upper()), (3, OTHER)])  # {1,2} cluster
+
+    real_append = di.idempotent_append_batch
+    calls = []
+
+    def crash_after_sigs(df, path, **kw):
+        out = real_append(df, path, **kw)
+        calls.append(path)
+        if path == sigs:
+            raise RuntimeError("injected crash after signature append")
+        return out
+
+    monkeypatch.setattr(di, "idempotent_append_batch", crash_after_sigs)
+    try:
+        di.dedup_ingest_batch(batch, corpus, sigs)
+    except RuntimeError:
+        pass
+    assert calls == [sigs]  # pins the order: signatures append FIRST
+    sig_ids = {r.doc_id for r in spark.read.parquet(sigs).select("doc_id").collect()}
+    assert sig_ids == {1, 3}  # kept set landed in the index
+    assert corpus_ids(spark, corpus) == set()  # corpus append never ran
+
+    monkeypatch.setattr(di, "idempotent_append_batch", real_append)
+    n = di.dedup_ingest_batch(batch, corpus, sigs)  # replay
+    assert n == 2
+    assert corpus_ids(spark, corpus) == {1, 3}
+    sig_ids = {r.doc_id for r in spark.read.parquet(sigs).select("doc_id").collect()}
+    assert sig_ids == {1, 3}  # no duplicate signature rows either
+    assert spark.read.parquet(sigs).count() == 2
