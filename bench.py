@@ -113,6 +113,7 @@ HEADLINE = [
     "semdedup_prune",
     "small_quantity_revenue",
     "oov_rate",
+    "pq_learned_quantize",
 ]
 
 
