@@ -114,6 +114,7 @@ HEADLINE = [
     "small_quantity_revenue",
     "oov_rate",
     "pq_learned_quantize",
+    "bpe_merge_token_count",
 ]
 
 

@@ -643,3 +643,88 @@ def unigram_logprob_scores(docs: DataFrame, text_col: str = "text") -> DataFrame
             ),
         )
     )
+
+
+def bpe_learn_merges(
+    docs: DataFrame, n_merges: int = 12, text_col: str = "text"
+) -> tuple[list[tuple[str, str]], dict[str, str]]:
+    """Train REAL BPE merges on the corpus (Sennrich et al. 2016) —
+    closes the README roadmap item ("BPE with a real merges table").
+
+    Classic trainer shape: pair statistics run over the WORD-FREQUENCY
+    table, not the corpus — one corpus pass builds (word, count), then
+    each merge round is O(|vocab|) driver-side work. The collected vocab
+    is the deliberate driver-side state (same contract as k-means
+    centroids / every production BPE trainer); the corpus itself is never
+    collected.
+
+    Word states use per-token delimiters (``~k~~e~~y~``) so the merge
+    rewrite ``~x~~y~ → ~xy~`` is a plain leftmost non-overlapping
+    ``replace`` — adjacent pair occurrences never share characters, which
+    makes Python str.replace, Spark ``replace`` and DuckDB ``replace``
+    agree bit-for-bit AND match canonical left-to-right BPE application
+    ("aaa" + merge(a,a) → [aa, a]). '~' is outside the document alphabet
+    (validated: corpus chars are [a-z ]); a deployment would map bytes.
+
+    Determinism: best pair = max total count, ties to the
+    lexicographically smallest (x, y) — mirrored exactly by the oracle's
+    ``ORDER BY total DESC, x, y LIMIT 1``. Exhausted pair space → later
+    rounds are no-ops (oracle: LEFT JOIN on an empty best).
+
+    Returns (merges in application order, word → final state)."""
+    from collections import Counter
+
+    words = docs.select(
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '\\\\S+', 0)")
+        ).alias("w")
+    )
+    vocab = {
+        r.w: r.cnt
+        for r in words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    states = {w: "~" + "~~".join(w) + "~" for w in vocab}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pc: Counter = Counter()
+        for w, s in states.items():
+            toks = s.strip("~").split("~~")
+            for a, b in zip(toks, toks[1:]):
+                pc[(a, b)] += vocab[w]
+        if not pc:
+            break
+        (x, y), _n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((x, y))
+        pat, rep = f"~{x}~~{y}~", f"~{x}{y}~"
+        states = {w: s.replace(pat, rep) for w, s in states.items()}
+    return merges, states
+
+
+def bpe_token_counts(
+    docs: DataFrame, n_merges: int = 12, text_col: str = "text"
+) -> DataFrame:
+    """Per-doc token counts under the TRAINED BPE merges: the merges
+    table (word → token count under the final states) broadcasts onto the
+    exploded word instances — one narrow explode + broadcast join + one
+    doc-grain agg; the driver-side piece is only the vocab-sized trainer.
+    Output: (doc_id, n_words, n_bpe_tokens)."""
+    spark = docs.sparkSession
+    _merges, states = bpe_learn_merges(docs, n_merges, text_col)
+    mapping = spark.createDataFrame(
+        [(w, len(s.strip("~").split("~~"))) for w, s in states.items()],
+        "w string, n_bpe int",
+    )
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '\\\\S+', 0)")
+        ).alias("w"),
+    )
+    return (
+        words.join(F.broadcast(mapping), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_bpe").cast("bigint").alias("n_bpe_tokens"),
+        )
+    )

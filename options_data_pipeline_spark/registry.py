@@ -2477,6 +2477,75 @@ FROM enc0 {joins}"""
     )
 
 
+def _bpe_oracle(n_merges: int = 12) -> str:
+    """DuckDB twin of the BPE trainer: the merge trajectory unrolled as
+    chained CTE stages over the word-frequency table (same technique as
+    the Lloyd's oracles). Each stage: adjacent-pair counts via
+    list_zip over the '~~'-split state, best pair by
+    (total DESC, x, y), rewrite via plain replace — the per-token
+    delimiter encoding makes replace semantics identical across
+    Python/Spark/DuckDB. Exhausted pairs → LEFT JOIN keeps states."""
+    stages = [
+        r"""w0 AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS w
+  FROM documents
+),
+v0 AS (
+  SELECT w, '~' || array_to_string(regexp_extract_all(w, '.'), '~~') || '~' AS s,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM w0 GROUP BY w
+)"""
+    ]
+    for i in range(n_merges):
+        stages.append(
+            f"""p{i} AS (
+  SELECT z[1] AS x, z[2] AS y, CAST(sum(cnt) AS BIGINT) AS total
+  FROM (
+    SELECT unnest(list_zip(toks[1:array_length(toks) - 1],
+                           toks[2:array_length(toks)])) AS z, cnt
+    FROM (SELECT string_split(trim(s, '~'), '~~') AS toks, cnt FROM v{i})
+  ) WHERE z[2] IS NOT NULL
+  GROUP BY x, y
+),
+best{i} AS (SELECT x, y FROM p{i} ORDER BY total DESC, x, y LIMIT 1),
+v{i + 1} AS (
+  SELECT w,
+         CASE WHEN b.x IS NULL THEN s
+              ELSE replace(s, '~' || b.x || '~~' || b.y || '~',
+                              '~' || b.x || b.y || '~')
+         END AS s,
+         cnt
+  FROM v{i} LEFT JOIN best{i} b ON TRUE
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(stages)
+        + f"""
+SELECT w0.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(array_length(string_split(trim(v.s, '~'), '~~'))) AS BIGINT) AS n_bpe_tokens
+FROM w0 JOIN v{n_merges} v USING (w)
+GROUP BY w0.doc_id"""
+    )
+
+
+@register("bpe_merge_token_count", _bpe_oracle())
+def q_bpe_merge_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL corpus-trained BPE (README roadmap item closed): learn 12
+    merges from the word-frequency table (Sennrich-style trainer —
+    driver work is vocab-sized, never corpus-sized), then count each
+    doc's tokens under the trained merges via a broadcast merges table.
+    Complements `bpe_token_count`, the regex PROXY that needs no
+    training. Hash-checked against the fully-unrolled merge trajectory
+    in DuckDB (functions/text.py::bpe_learn_merges documents the
+    delimiter encoding that makes the two engines' replace semantics
+    bit-identical)."""
+    from .functions.text import bpe_token_counts
+
+    return bpe_token_counts(load_table(spark, "documents", sf_dir))
+
+
 @register("pq_learned_quantize", _pq_kmeans_oracle())
 def q_pq_learned_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEARNED product quantization (README roadmap item closed): train

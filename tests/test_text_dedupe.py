@@ -641,3 +641,27 @@ def test_unigram_logprob_hand_computed(spark):
     df2 = docs_df(spark, ["a A b", "b", "zzz"])
     out2 = {r.doc_id: r for r in unigram_logprob_scores(df2).collect()}
     assert out2[2].avg_logprob < out2[0].avg_logprob
+
+
+def test_bpe_trainer_hand_computed(spark):
+    """Classic BPE on a 2-word corpus: (a,a) wins round 1 by frequency,
+    (a,b) round 2; 'aaa' merges left-to-right into [aa, a]."""
+    from options_data_pipeline_spark.functions.text import (
+        bpe_learn_merges,
+        bpe_token_counts,
+    )
+
+    df = docs_df(spark, ["aa ab", "aa"])
+    merges, states = bpe_learn_merges(df)
+    assert merges[:2] == [("a", "a"), ("a", "b")]
+    assert states["aa"] == "~aa~" and states["ab"] == "~ab~"
+    out = {r.doc_id: r for r in bpe_token_counts(df).collect()}
+    assert (out[0].n_words, out[0].n_bpe_tokens) == (2, 2)
+    assert (out[1].n_words, out[1].n_bpe_tokens) == (1, 1)
+
+    df2 = docs_df(spark, ["aaa aa"])
+    merges2, states2 = bpe_learn_merges(df2, n_merges=1)
+    assert merges2 == [("a", "a")]
+    # canonical left-to-right application: aaa -> [aa, a]
+    assert states2["aaa"] == "~aa~~a~"
+    assert states2["aa"] == "~aa~"
