@@ -381,3 +381,37 @@ def test_learned_pq_beats_fixed_codebooks(spark):
     # structure: m books of ksub centroids of dim/m floats
     assert len(books) == 4 and all(len(b) == 8 for b in books)
     assert all(len(c) == 16 for b in books for c in b)
+
+
+def test_semdedup_keepers_have_no_near_dup_pair(spark):
+    """The SemDeDup invariant: after pruning to component reps, NO pair
+    of survivors is still cosine-similar above the threshold (two
+    near-dup reps would have shared an edge and collapsed into one
+    component); and every pruned doc maps to a rep that survives."""
+    from options_data_pipeline_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    out = registry.queries()["semdedup_prune"](spark, sf)
+    rows = out.collect()
+    reps = {r.rep_id for r in rows}
+    members = {r.vec_id for r in rows}
+    assert reps <= members  # every rep is itself a component member
+    dropped = members - reps
+
+    from options_data_pipeline_spark.functions.similarity import (
+        cosine_near_dup_pairs,
+    )
+    from options_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf)
+    kept = emb.join(
+        emb.sparkSession.createDataFrame(
+            [(i,) for i in dropped], "vec_id long"
+        ),
+        "vec_id",
+        "left_anti",
+    )
+    survivors_pairs = cosine_near_dup_pairs(
+        kept, threshold=0.35, cell_col="label"
+    ).collect()
+    assert survivors_pairs == []
