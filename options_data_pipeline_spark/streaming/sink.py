@@ -216,18 +216,32 @@ def _committed_segments(
     return out
 
 
-def _publish_manifest(sink_path: str, segment: str, n_rows: int, lo, hi) -> None:
+def _publish_manifest(sink_path: str, segment: str, n_rows: int, lo, hi) -> int:
     """The commit point: stage the manifest JSON then atomically rename it
     into _manifests/. On a real object store this maps to a single PUT of
-    the manifest object — one atomic publish, no multi-file rename."""
+    the manifest object — one atomic publish, no multi-file rename.
+
+    Each manifest carries a monotonically-increasing ``version`` (the
+    count of already-committed manifests — race-free under the sink's
+    single-writer contract, the same way Delta's log assigns commit
+    numbers), which is what :func:`manifest_sink_read`'s time travel keys
+    on. Returns the assigned version."""
     import json
 
     mdir = _manifest_dir(sink_path)
     os.makedirs(mdir, exist_ok=True)
+    version = sum(
+        1 for f in os.listdir(mdir) if f.endswith(".json")
+    ) if os.path.isdir(mdir) else 0
     tmp = os.path.join(mdir, f".{segment}.json.tmp")
     with open(tmp, "w") as fh:
-        json.dump({"segment": segment, "rows": n_rows, "lo": lo, "hi": hi}, fh)
+        json.dump(
+            {"segment": segment, "rows": n_rows, "lo": lo, "hi": hi,
+             "version": version},
+            fh,
+        )
     os.rename(tmp, os.path.join(mdir, f"{segment}.json"))
+    return version
 
 
 def _bound_json(v):
@@ -296,10 +310,50 @@ def manifest_append_batch(
     return n
 
 
-def manifest_sink_read(spark, sink_path: str) -> DataFrame:
+def manifest_versions(sink_path: str) -> list[dict]:
+    """Commit history, oldest first: one dict per committed manifest
+    (version, segment, rows, lo, hi). The audit face of time travel."""
+    import json
+
+    mdir = _manifest_dir(sink_path)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for f in sorted(os.listdir(mdir)):
+        if f.endswith(".json"):
+            with open(os.path.join(mdir, f)) as fh:
+                out.append(json.load(fh))
+    out.sort(key=lambda m: m.get("version", -1))
+    return out
+
+
+def manifest_sink_read(spark, sink_path: str, at_version: int | None = None) -> DataFrame:
     """Read exactly the committed rows — uncommitted (crashed) segments are
-    invisible by construction."""
-    segments = _committed_segments(sink_path)
+    invisible by construction.
+
+    ``at_version`` = Delta-style TIME TRAVEL: the snapshot as of that
+    commit (manifests with version ≤ at_version). Because segments are
+    append-only and manifests immutable, a historical read is just a
+    smaller segment list — no log replay, no tombstones. Raises if any
+    committed manifest predates version stamping (no silent partial
+    snapshots)."""
+    if at_version is not None:
+        segments = []
+        for m in manifest_versions(sink_path):
+            if "version" not in m:
+                raise ValueError(
+                    f"manifest for segment {m.get('segment')} has no version"
+                    " — sink predates time travel; full reads only"
+                )
+            if m["version"] <= at_version:
+                seg = os.path.join(sink_path, "segments", m["segment"])
+                if not os.path.isdir(seg):
+                    raise FileNotFoundError(
+                        f"committed segment {m['segment']} missing"
+                    )
+                segments.append(seg)
+    else:
+        segments = _committed_segments(sink_path)
     if not segments:
         raise FileNotFoundError(f"no committed segments under {sink_path}")
     return spark.read.parquet(*segments)

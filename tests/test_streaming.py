@@ -810,3 +810,47 @@ def test_stream_stream_join_state_is_watermark_bounded(spark, tmpdir):
         assert state["numRowsTotal"] < 100, state["numRowsTotal"]
     finally:
         q.stop()
+
+
+def test_manifest_time_travel_reads_historical_snapshots(spark, tmp_path):
+    """Delta-style time travel on the manifest sink: each commit gets a
+    monotone version; reading at version v sees exactly commits 0..v.
+    Append-only segments + immutable manifests make the snapshot a
+    smaller segment list, nothing else."""
+    from options_data_pipeline_spark.streaming.sink import (
+        manifest_append_batch,
+        manifest_sink_read,
+        manifest_versions,
+    )
+
+    sink = str(tmp_path / "sink")
+
+    def batch(ids):
+        return spark.createDataFrame(
+            [(i, float(i)) for i in ids], "id long, v double"
+        )
+
+    assert manifest_append_batch(batch([1, 2]), sink, prune_col="id") == 2
+    assert manifest_append_batch(batch([3]), sink, prune_col="id") == 1
+    assert manifest_append_batch(batch([4, 5]), sink, prune_col="id") == 2
+
+    hist = manifest_versions(sink)
+    assert [m["version"] for m in hist] == [0, 1, 2]
+    assert [m["rows"] for m in hist] == [2, 1, 2]
+
+    def ids_at(v):
+        return {
+            r.id for r in manifest_sink_read(spark, sink, at_version=v).collect()
+        }
+
+    assert ids_at(0) == {1, 2}
+    assert ids_at(1) == {1, 2, 3}
+    assert ids_at(2) == {1, 2, 3, 4, 5}
+    assert ids_at(99) == {1, 2, 3, 4, 5}  # future version = latest
+    # full read (no version) unchanged
+    full = {r.id for r in manifest_sink_read(spark, sink).collect()}
+    assert full == {1, 2, 3, 4, 5}
+    # a replayed (deduped, zero-row) append publishes no manifest: the
+    # version chain stays contiguous
+    assert manifest_append_batch(batch([3]), sink, prune_col="id") == 0
+    assert [m["version"] for m in manifest_versions(sink)] == [0, 1, 2]
