@@ -115,6 +115,7 @@ HEADLINE = [
     "oov_rate",
     "pq_learned_quantize",
     "bpe_merge_token_count",
+    "simhash_wide_pairs",
 ]
 
 

@@ -729,3 +729,120 @@ def incremental_lsh_candidates(
         )
         .distinct()
     )
+
+
+def simhash_signatures_2w(
+    docs: DataFrame, text_col: str = "text", bits: int = 124
+) -> DataFrame:
+    """doc_id → TWO-WORD simhash (sh_lo carries signature bits 0..61,
+    sh_hi bits 62..123) — the beyond-N≈10⁷ rung the single-long
+    `simhash_signatures` docstring promises: band bucket entropy scales
+    with signature width, and 124 bits gives ~2³⁰ buckets per band at
+    max_hamming=3 (vs ~2¹⁵ for 62 bits), so expected candidate volume
+    N²/2^(bits/nbands) stays sub-quadratic two decades longer.
+
+    Bit b of the signature reads bit (b mod 32) of md5 hex word
+    (b div 32) — words 1–4 are hex chars 1–8, 9–16, 17–24, 25–32, so the
+    low 32 bits stay bit-identical to the historical formula and every
+    bit has genuinely independent entropy. Same majority-vote build: one
+    explode + one grouped agg, no shuffle beyond the doc grain."""
+    if not 63 <= bits <= 124:
+        raise ValueError(f"two-word simhash wants bits in [63, 124], got {bits}")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '\\\\S+', 0)")
+        ).alias("tok"),
+    )
+    hashed = toks
+    n_words = (bits + 31) // 32
+    for w in range(n_words):
+        hashed = hashed.withColumn(
+            f"h{w}",
+            F.conv(F.substring(F.md5(F.col("tok")), 1 + 8 * w, 8), 16, 10).cast("long"),
+        )
+
+    def bit_src(b: int) -> F.Column:
+        return F.shiftright(F.col(f"h{b // 32}"), b % 32).bitwiseAND(F.lit(1))
+
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(bit_src(b)).alias(f"b{b}") for b in range(bits)
+    ]
+    counts = hashed.groupBy("doc_id").agg(*aggs)
+    lo = F.lit(0).cast("long")
+    for b in range(min(bits, 62)):
+        lo = lo + F.when(F.col(f"b{b}") * 2 > F.col("n"), F.lit(1 << b)).otherwise(0)
+    hi = F.lit(0).cast("long")
+    for b in range(62, bits):
+        hi = hi + F.when(
+            F.col(f"b{b}") * 2 > F.col("n"), F.lit(1 << (b - 62))
+        ).otherwise(0)
+    return counts.select("doc_id", lo.alias("sh_lo"), hi.alias("sh_hi"))
+
+
+def simhash_pairs_from_2w_signatures(
+    sig: DataFrame, max_hamming: int = 3, bits: int = 124
+) -> DataFrame:
+    """Banded pairing over a (doc_id, sh_lo, sh_hi) frame — the same
+    pigeonhole guarantee as :func:`simhash_pairs_from_signatures`
+    (max_hamming+1 bands ⇒ any pair within budget agrees on ≥1 whole
+    band), with each band's value extracted from whichever word(s) it
+    falls in; a band straddling the 62-bit word boundary keys on both
+    fragments. Hamming = popcount(xor lo) + popcount(xor hi)."""
+    nbands = max_hamming + 1
+    width = bits // nbands
+    band_exprs = []
+    for i in range(nbands):
+        lo_bit = i * width
+        w = width if i < nbands - 1 else bits - lo_bit
+        hi_bit = lo_bit + w  # exclusive
+        # fragment from sh_lo: bits [lo_bit, min(hi_bit, 62))
+        if lo_bit < 62:
+            flo_w = min(hi_bit, 62) - lo_bit
+            frag_lo = F.shiftright(F.col("sh_lo"), lo_bit).bitwiseAND(
+                F.lit((1 << flo_w) - 1)
+            )
+        else:
+            frag_lo = F.lit(0).cast("long")
+        # fragment from sh_hi: bits [max(lo_bit, 62), hi_bit)
+        if hi_bit > 62:
+            s = max(lo_bit, 62) - 62
+            fhi_w = hi_bit - max(lo_bit, 62)
+            frag_hi = F.shiftright(F.col("sh_hi"), s).bitwiseAND(
+                F.lit((1 << fhi_w) - 1)
+            )
+        else:
+            frag_hi = F.lit(0).cast("long")
+        band_exprs.append(frag_lo.alias(f"vl{i}"))
+        band_exprs.append(frag_hi.alias(f"vh{i}"))
+    stack_args = ", ".join(f"{i}, vl{i}, vh{i}" for i in range(nbands))
+    nb = nbands
+    banded = sig.select("doc_id", "sh_lo", "sh_hi", *band_exprs).selectExpr(
+        "doc_id", "sh_lo", "sh_hi",
+        f"stack({nb}, {stack_args}) as (band, vl, vh)",
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(
+        F.col("a.sh_lo").bitwiseXOR(F.col("b.sh_lo"))
+    ) + F.bit_count(F.col("a.sh_hi").bitwiseXOR(F.col("b.sh_hi")))
+    return (
+        a.join(b, ["band", "vl", "vh"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def simhash_near_pairs_2w(
+    docs: DataFrame, text_col: str = "text", max_hamming: int = 3, bits: int = 124
+) -> DataFrame:
+    """124-bit SimHash near-dup pairing end-to-end — closes the README
+    roadmap item ("multi-word SimHash signatures beyond N≈10⁷")."""
+    return simhash_pairs_from_2w_signatures(
+        simhash_signatures_2w(docs, text_col, bits), max_hamming, bits
+    )

@@ -1304,6 +1304,65 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.withColumn("hamming", F.col("hamming").cast("int"))
 
 
+def _simhash_2w_oracle(bits: int = 124) -> str:
+    """Two-word (124-bit) simhash twin: four md5 hex words feed the bit
+    majority votes; sh_lo carries bits 0..61, sh_hi the rest. Pairs via
+    the naive quadratic hamming join (pigeonhole banding is EXACT, so
+    the naive oracle is a true twin — same argument as the 32-bit
+    `simhash_near_pairs` oracle)."""
+    n_words = (bits + 31) // 32
+    hs = ",\n         ".join(
+        f"CAST(concat('0x', substr(md5(tok), {1 + 8 * w}, 8)) AS BIGINT) AS h{w}"
+        for w in range(n_words)
+    )
+    bit_counts = ",\n         ".join(
+        f"CAST(SUM((h{b // 32} >> {b % 32}) & 1) AS BIGINT) AS b{b}" for b in range(bits)
+    )
+    lo = " + ".join(
+        f"(CASE WHEN b{b} * 2 > n THEN {1 << b} ELSE 0 END)" for b in range(62)
+    )
+    hi = " + ".join(
+        f"(CASE WHEN b{b} * 2 > n THEN {1 << (b - 62)} ELSE 0 END)"
+        for b in range(62, bits)
+    )
+    return rf"""WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         {hs}
+  FROM toks
+),
+counts AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+         {bit_counts}
+  FROM hashed GROUP BY doc_id
+),
+sigs AS (
+  SELECT doc_id, CAST({lo} AS BIGINT) AS sh_lo, CAST({hi} AS BIGINT) AS sh_hi
+  FROM counts
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sh_lo, b.sh_lo)) + bit_count(xor(a.sh_hi, b.sh_hi)) AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh_lo, b.sh_lo)) + bit_count(xor(a.sh_hi, b.sh_hi)) <= 3"""
+
+
+@register("simhash_wide_pairs", _simhash_2w_oracle())
+def q_simhash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """124-bit TWO-WORD SimHash near-dup pairs (README roadmap item
+    closed): the banding shape of `simhash_near_pairs` with ~2³⁰ buckets
+    per band instead of ~2¹⁵ — the rung for corpora beyond N≈10⁷ where a
+    single signed long saturates. Bands key on (band, lo-fragment,
+    hi-fragment); exactness is the same pigeonhole argument, proven by
+    the naive-quadratic oracle."""
+    from .functions.dedupe import simhash_near_pairs_2w
+
+    pairs = simhash_near_pairs_2w(load_table(spark, "documents", sf_dir))
+    return pairs.withColumn("hamming", F.col("hamming").cast("int"))
+
+
 COSINE_SQL = """list_dot_product(q.v, c.v)
         / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))"""
 

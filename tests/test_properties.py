@@ -366,3 +366,40 @@ def test_unigram_logprob_matches_python_model(spark_prop, docs_toks):
         assert out[i].n_toks == len(toks)
         assert out[i].sum_logprob == pytest.approx(sum(lps), abs=1e-9)
         assert out[i].avg_logprob == pytest.approx(sum(lps) / len(lps), abs=1e-9)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=(1 << 62) - 1),
+            st.integers(min_value=0, max_value=(1 << 62) - 1),
+        ),
+        min_size=2,
+        max_size=12,
+        unique=True,
+    )
+)
+def test_2w_simhash_banding_equals_naive(spark_prop, sig_pairs):
+    """Pigeonhole exactness for the TWO-WORD signature: banded pairing
+    over (sh_lo, sh_hi) returns exactly the naive all-pairs Hamming ≤ 3
+    set, for ANY signatures — including bands straddling the word
+    boundary."""
+    from options_data_pipeline_spark.functions.dedupe import (
+        simhash_pairs_from_2w_signatures,
+    )
+
+    rows = [(i, lo, hi) for i, (lo, hi) in enumerate(sig_pairs)]
+    sig = spark_prop.createDataFrame(rows, "doc_id long, sh_lo long, sh_hi long")
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_pairs_from_2w_signatures(sig, max_hamming=3).collect()
+    }
+    want = set()
+    for i, (alo, ahi) in enumerate(sig_pairs):
+        for j in range(i + 1, len(sig_pairs)):
+            blo, bhi = sig_pairs[j]
+            h = bin(alo ^ blo).count("1") + bin(ahi ^ bhi).count("1")
+            if h <= 3:
+                want.add((i, j, h))
+    assert got == want
