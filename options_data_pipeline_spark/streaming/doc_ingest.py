@@ -133,10 +133,18 @@ def dedup_ingest_batch(
             .distinct()
         )
         # star contraction: O(log n) rounds even if a batch carries a
-        # long templated-boilerplate chain (propagation = diameter rounds)
-        comp = connected_components_star(pairs)
-        drop = comp.filter(F.col("doc_id") != F.col("label")).select("doc_id")
-        kept_sigs = survivors.join(drop, "doc_id", "left_anti")
+        # long templated-boilerplate chain (propagation = diameter rounds).
+        # Short-circuited when the batch has no internal candidate pairs —
+        # the contraction loop costs several checkpointed jobs even on an
+        # empty graph (measured in the vector soak).
+        pairs = pairs.cache()
+        if pairs.take(1):
+            comp = connected_components_star(pairs)
+            drop = comp.filter(F.col("doc_id") != F.col("label")).select("doc_id")
+            kept_sigs = survivors.join(drop, "doc_id", "left_anti")
+        else:
+            kept_sigs = survivors
+        pairs.unpersist()
         kept_docs = fresh.join(kept_sigs.select("doc_id"), "doc_id")
         # ORDER MATTERS: signatures first. A crash between the two appends
         # then leaves sigs-without-docs, and the replay (docs still absent
@@ -147,11 +155,16 @@ def dedup_ingest_batch(
         # index gap: docs-without-sigs are dropped by the replay guard
         # before re-signing, so their signatures never land and future
         # near-dups of them go undetected.
+        # bound output files per batch: a micro-batch spread over all
+        # shuffle partitions writes dozens of kilobyte files, and every
+        # later batch re-lists them — file count is a growing per-batch
+        # tax (measured in the vector soak; deployments size to ~128 MB
+        # files)
         idempotent_append_batch(
-            kept_sigs, sig_path, id_col="doc_id", prune_col="doc_id"
+            kept_sigs.coalesce(1), sig_path, id_col="doc_id", prune_col="doc_id"
         )
         n = idempotent_append_batch(
-            kept_docs, corpus_path, id_col="doc_id", prune_col="doc_id"
+            kept_docs.coalesce(1), corpus_path, id_col="doc_id", prune_col="doc_id"
         )
         wide.unpersist()
         return n

@@ -54,7 +54,22 @@ def dedup_vec_ingest_batch(
             ids = ids.filter(F.col("vec_id").between(b.lo, b.hi))
         fresh = fresh.join(ids, "vec_id", "left_anti")
     cents = cents if cents is not None else fixed_centroids()
-    fresh = with_cell(fresh, cents, vec_col="v").withColumn("nrm", norm_col("v")).cache()
+    # Cell assignment runs on the UNIT vector: cosine similarity is
+    # magnitude-blind, but L2-nearest-centroid is not — a scaled copy of
+    # a stored vector can land in a different cell and slip past the
+    # cell-confined probe (measured: a ×2-scaled duplicate wave leaked
+    # 301/2000 vectors under raw-vector assignment, 0 under normalized).
+    fresh = (
+        fresh.withColumn("nrm", norm_col("v"))
+        .withColumn(
+            "unit",
+            F.when(
+                F.col("nrm") > 0,
+                F.transform(F.col("v"), lambda x: x / F.col("nrm")),
+            ).otherwise(F.col("v")),
+        )
+    )
+    fresh = with_cell(fresh, cents, vec_col="unit").drop("unit").cache()
     try:
         if not fresh.take(1):
             return 0
@@ -91,15 +106,30 @@ def dedup_vec_ingest_batch(
             .select("id_a", "id_b")
             .distinct()
         )
-        comp = connected_components_star(pairs, id_a="id_a", id_b="id_b")
-        drop = comp.filter(F.col("doc_id") != F.col("label")).select(
-            F.col("doc_id").alias("vec_id")
-        )
-        kept = survivors.join(drop, "vec_id", "left_anti")
+        # short-circuit: most batches have NO within-batch near-dups, and
+        # the star-contraction loop costs several jobs (checkpointed
+        # rounds + convergence counts) even on an empty graph — measured
+        # ~10-20 s/batch of pure overhead in the vector soak
+        pairs = pairs.cache()
+        if pairs.take(1):
+            comp = connected_components_star(pairs, id_a="id_a", id_b="id_b")
+            drop = comp.filter(F.col("doc_id") != F.col("label")).select(
+                F.col("doc_id").alias("vec_id")
+            )
+            kept = survivors.join(drop, "vec_id", "left_anti")
+        else:
+            kept = survivors
+        pairs.unpersist()
         # ONE append: the stored row carries vector + cell + norm, so the
-        # corpus is its own index — no doc/sig ordering hazard here
+        # corpus is its own index — no doc/sig ordering hazard here.
+        # Micro-batch-sized writes must not fan out shuffle-partitions ×
+        # cells of kilobyte files — every later batch re-lists and
+        # re-reads the whole corpus, so file count is a per-batch TAX
+        # that grows forever (measured: latency climbed 33 → 65 s across
+        # 10 batches before this bound; a deployment sizes this to
+        # ~128 MB per written file)
         return idempotent_append_batch(
-            kept, corpus_path, id_col="vec_id", prune_col="vec_id",
+            kept.coalesce(1), corpus_path, id_col="vec_id", prune_col="vec_id",
             partition_by=("cell",),
         )
     finally:
