@@ -205,3 +205,67 @@ def refresh_daily_rollup(spark, sink_path: str, rollup_path: str) -> list[str]:
             json.dump(sigs, fh)
         os.replace(tmp, state_file)
     return changed
+
+
+def compact_flat_sink(
+    spark,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 8,
+    partition_by: tuple[str, ...] = (),
+    sort_within: tuple[str, ...] = (),
+) -> tuple[int, int]:
+    """Compaction for the INGEST-LOOP sinks (doc corpus, signature table,
+    cell-partitioned vector corpus): one coalesced file per batch still
+    accumulates a file per batch forever, and the ingest probe re-lists
+    the whole sink every batch — compaction resets that tax.
+
+    Whole-table variant of :func:`compact_market_data`: read everything,
+    rewrite as ⌈bytes/target⌉ files (preserving ``partition_by`` layout
+    and an optional ``sort_within`` clustering), swap directories via
+    the sibling ``_compact_tmp`` staging. Same contracts: single-writer
+    (never run while an ingest batch is active — compaction IS a
+    writer), no concurrent readers of the table during the two-rename
+    swap on a local FS; object stores run this under the manifest sink
+    as segment-superseding commits instead.
+
+    Returns (files_before, files_after); no-op below ``min_files``."""
+    import os
+    import shutil
+    import uuid
+
+    if not os.path.isdir(path):
+        return (0, 0)
+
+    def _files(root):
+        return [
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(root)
+            if "_compact_tmp" not in r
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+
+    before = _files(path)
+    if len(before) < min_files:
+        return (len(before), len(before))
+    total = sum(os.path.getsize(f) for f in before)
+    n_out = max(1, -(-total // target_bytes))
+    tmp_root = os.path.join(os.path.dirname(os.path.abspath(path)), "_compact_tmp")
+    os.makedirs(tmp_root, exist_ok=True)
+    tag = uuid.uuid4().hex[:8]
+    staged = os.path.join(tmp_root, f"{tag}.compact")
+    df = spark.read.parquet(path).repartition(n_out)
+    if sort_within:
+        df = df.sortWithinPartitions(*sort_within)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staged)
+    trash = os.path.join(tmp_root, f"{tag}.old")
+    os.rename(path, trash)
+    os.rename(staged, path)
+    shutil.rmtree(trash, ignore_errors=True)
+    after = _files(path)
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    return (len(before), len(after))

@@ -153,3 +153,41 @@ def test_crash_between_appends_converges_on_replay(spark, tmp_path, monkeypatch)
     sig_ids = {r.doc_id for r in spark.read.parquet(sigs).select("doc_id").collect()}
     assert sig_ids == {1, 3}  # no duplicate signature rows either
     assert spark.read.parquet(sigs).count() == 2
+
+
+def test_compact_flat_sink_lossless_and_resets_file_tax(spark, tmp_path):
+    """Compacting the ingest corpus+signature sinks is lossless (same
+    rows, same dedup behavior afterwards) and collapses the
+    one-file-per-batch accumulation."""
+    import os
+
+    from options_data_pipeline_spark.sources.sink import compact_flat_sink
+
+    corpus = str(tmp_path / "corpus")
+    sigs = str(tmp_path / "sigs")
+    batches = [
+        [(1, BASE), (2, OTHER)],
+        [(11, THIRD)],
+        [(21, "novel doc number twenty one right here")],
+        [(31, "and a fourth completely distinct document")],
+    ]
+    for rows in batches:
+        dedup_ingest_batch(docs(spark, rows), corpus, sigs)
+    n_files = lambda p: sum(  # noqa: E731
+        f.endswith(".parquet") for _, _, fs in os.walk(p) for f in fs
+    )
+    assert n_files(corpus) >= 4
+    pre_ids = corpus_ids(spark, corpus)
+
+    b, a = compact_flat_sink(spark, corpus, min_files=2)
+    bs, as_ = compact_flat_sink(spark, sigs, min_files=2)
+    assert a < b and as_ < bs
+    assert corpus_ids(spark, corpus) == pre_ids  # lossless
+
+    # the loop keeps working against the compacted sinks: replay still
+    # appends nothing, novel docs still land, near-dups still drop
+    assert dedup_ingest_batch(docs(spark, batches[0]), corpus, sigs) == 0
+    n = dedup_ingest_batch(
+        docs(spark, [(41, BASE.upper()), (42, "fresh content again")]), corpus, sigs
+    )
+    assert n == 1 and 42 in corpus_ids(spark, corpus) and 41 not in corpus_ids(spark, corpus)

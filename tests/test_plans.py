@@ -452,3 +452,12 @@ def test_q17_probe_side_never_shuffles(spark, qs):
     assert len(re.findall(r"hashpartitioning\(l_partkey", plan)) == 1
     fact_schema = max(read_schemas(df), key=len)
     assert "l_extendedprice" in fact_schema and "l_shipdate" not in fact_schema
+
+
+def test_simhash_wide_pairs_no_cartesian(spark, qs):
+    """124-bit banding must pair via the (band, fragment) equi-join —
+    never a cross join — and the exact Hamming filter runs post-join."""
+    df = qs["simhash_wide_pairs"](spark, SF)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
