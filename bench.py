@@ -116,6 +116,16 @@ HEADLINE = [
     "pq_learned_quantize",
     "bpe_merge_token_count",
     "simhash_wide_pairs",
+    # continued-session additions: Q21/Q19/Q9 shapes + contrastive mining,
+    # cluster audit, CCNet perplexity terciles
+    "waiting_supplier",
+    "discounted_band_revenue",
+    "profit_by_nation_year",
+    "hard_negatives",
+    "cluster_prototypes",
+    "ccnet_buckets",
+    "retention_cohorts",
+    "max_drawdown",
 ]
 
 

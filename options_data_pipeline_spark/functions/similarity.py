@@ -900,3 +900,62 @@ def pq_kmeans_codebooks(
             new_books[r["j"]][r["cell"]] = [r[f"d{d}"] for d in range(sub)]
         books = new_books
     return books
+
+
+def hard_negative_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training data: for each query
+    vector, the top-k most-similar corpus vectors with a DIFFERENT label —
+    the negatives that sit closest to the decision boundary, which is
+    exactly what embedding-model training loops sample (in-batch negatives
+    miss them; random negatives are too easy).
+
+    Scale shape: identical to :func:`cosine_topk` — the query side is a
+    small sample by contract, so it broadcasts; the corpus is scanned
+    once with the label inequality applied per pair (no shuffle of the
+    corpus), and WindowGroupLimit prunes each query's candidates to k
+    before the final sort. Determinism: ties break toward the smaller
+    neighbor id, so the k-set is unique and hash-checkable."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_col(vec_col).alias("q_nrm"),
+        F.col(label_col).alias("q_label"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm_col(vec_col).alias("c_nrm"),
+        F.col(label_col).alias("c_label"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_label") != F.col("c_label"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot_col(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_nrm") * F.col("c_nrm"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -4182,6 +4182,479 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob_scores(load_table(spark, "documents", sf_dir))
 
 
+@register(
+    "waiting_supplier",
+    """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier, lineitem l1, orders, nation
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+  AND s_nationkey = n_nationkey
+  AND n_name = 'NATION_1'
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10""",
+)
+def q_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting; l_returnflag
+    stands in for the receipt>commit lateness the reduced schema lacks):
+    the hardest correlated-subquery workout left — a semi-join AND an
+    anti-join against the same fact, correlated on order.
+
+    The oracle states the textbook EXISTS / NOT EXISTS form, so the hash
+    check independently proves the Spark rewrite: BOTH subqueries
+    collapse into ONE order-grain aggregate — n_supp > 1 ⇔ the EXISTS
+    (another supplier in the order), n_fail_supp = 1 ⇔ the NOT EXISTS
+    (no OTHER failing supplier, since l1's own supplier always counts).
+    At 100 TB this replaces two extra fact self-shuffles with one: every
+    join in the plan hashes on the same orderkey, so the exchange is
+    reused across the aggregate and both probes (AQE coalesces), and the
+    nation-filtered supplier dim broadcasts. Top-10 is
+    TakeOrderedAndProject with a total tiebreak (s_name is unique)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(F.col("o_orderstatus") == "F")
+    supplier = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir).filter(F.col("n_name") == "NATION_1")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_fail_supp"),
+    )
+    supp_dim = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", "s_name")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(F.broadcast(supp_dim), li.l_suppkey == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_fail_supp") == 1))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
+@register(
+    "discounted_band_revenue",
+    """SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       AND l_quantity >= 1 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+       AND l_quantity >= 10 AND l_quantity <= 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+       AND l_quantity >= 20 AND l_quantity <= 40)""",
+)
+def q_discounted_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — the disjunctive cross-table predicate workout:
+    three (brand, size-band, quantity-band) OR-arms spanning BOTH join
+    sides. The scale point is what Catalyst derives from the OR: the
+    per-table implications — p_brand IN (b1,b2,b3) AND p_size BETWEEN 1
+    AND 30 onto the part scan, l_quantity BETWEEN 1 AND 40 onto the
+    lineitem scan — are pushed into the parquet readers (row-group
+    min/max pruning), while the exact disjunction stays a post-join
+    residual. The filtered part dim broadcasts, so the fact never
+    shuffles. Revenue sums in DECIMAL (exact, order-free), one final
+    cast to double."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    band = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 10)
+        & (F.col("l_quantity") >= 1)
+        & (F.col("l_quantity") <= 20)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 20)
+        & (F.col("l_quantity") >= 10)
+        & (F.col("l_quantity") <= 30)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 30)
+        & (F.col("l_quantity") >= 20)
+        & (F.col("l_quantity") <= 40)
+    )
+    return j.filter(band).agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "profit_by_nation_year",
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity
+                AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey AND p_name LIKE '%widget%'
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+GROUP BY n_name, year(o_orderdate)""",
+)
+def q_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by supplier nation and year).
+    The reduced schema has no partsupp, so supply cost is proxied as
+    0.6 × p_retailprice × l_quantity — the operator shape (LIKE-filtered
+    part dim gating the fact, two more broadcast dims, one fact-fact
+    orderkey join, two-key hash agg) is what's under test, per the
+    SURVEY §2 parity rule that semantics come from the reference's
+    *operators*, not its absent catalog. Dim-first join order: the
+    '%widget%' part filter semi-reduces lineitem (~1/12 of parts)
+    BEFORE the orderkey shuffle — same lever as volume_shipping's
+    measured 38 s → dim-first win. Profit is computed per-row in double
+    (identical expression text both engines), summed in DECIMAL."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).filter(F.col("p_name").like("%widget%"))
+    supplier = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_retailprice")),
+                li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              li.l_orderkey == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
+
+
+@register(
+    "hard_negatives",
+    """WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+q AS (SELECT * FROM v WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine
+  FROM v c CROSS JOIN q
+  WHERE q.label <> c.label
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= 5""",
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector,
+    the top-5 most-similar vectors with a DIFFERENT label — the
+    near-boundary negatives embedding-model trainers sample. Broadcast
+    query side, single corpus scan, WindowGroupLimit per query; see
+    functions/similarity.py::hard_negative_topk."""
+    from .functions.similarity import hard_negative_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return hard_negative_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+@register(
+    "cluster_prototypes",
+    """WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+),
+n AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs FROM v GROUP BY label),
+d AS (
+  SELECT label, i - 1 AS dim, CAST(round(e[i], 6) AS DECIMAL(20,6)) AS xq
+  FROM v, (SELECT unnest(generate_series(1, 64)) AS i)
+),
+sums AS (SELECT label, dim, SUM(xq) AS s FROM d GROUP BY label, dim),
+cent AS (
+  SELECT s.label,
+         list(CAST(s.s AS DOUBLE) / n.n_vecs ORDER BY s.dim) AS c
+  FROM sums s JOIN n ON s.label = n.label
+  GROUP BY s.label, n.n_vecs
+),
+scored AS (
+  SELECT v.vec_id, v.label,
+         list_dot_product(v.e, cent.c)
+           / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(cent.c, cent.c))) AS cos_c
+  FROM v JOIN cent ON v.label = cent.label
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY cos_c DESC, vec_id) AS rp,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY cos_c ASC, vec_id) AS ro
+  FROM scored
+)
+SELECT p.label,
+       n.n_vecs,
+       p.vec_id AS proto_id,
+       p.cos_c AS proto_cos,
+       o.vec_id AS outlier_id,
+       o.cos_c AS outlier_cos
+FROM ranked p
+JOIN ranked o ON p.label = o.label AND o.ro = 1
+JOIN n ON p.label = n.label
+WHERE p.rp = 1""",
+)
+def q_cluster_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster prototype/outlier audit — the data-curation query run
+    after any clustering step: per label, the most-central vector (the
+    exemplar you'd surface for labeling or dedup review) and the
+    least-central one (the mislabel/contamination candidate), by cosine
+    to the label centroid.
+
+    Float discipline (the interesting part): a centroid is a per-dim MEAN
+    over an unordered distributed sum, so components are snapped to the
+    6-dp grid and summed in DECIMAL — exact and order-free — then one
+    double division per dim; the cosine against it is the usual
+    sequential fold, bit-identical cross-engine. Shape at 100 TB: one
+    narrow posexplode (×64 rows, /64 width), a (label, dim)-grain
+    map-combinable sum, a 64-row-per-label gather, broadcast centroid
+    join back onto the corpus, and a struct-max agg — no window, no
+    driver-side math."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    n = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    dims = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
+    )
+    sums = dims.groupBy("label", "dim").agg(
+        F.sum(F.round(F.col("x"), 6).cast("decimal(20,6)")).alias("s")
+    )
+    cent = (
+        sums.join(n, "label")
+        .groupBy("label", "n_vecs")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "s"))),
+                lambda t: t["s"].cast("double") / F.col("n_vecs"),
+            ).alias("c")
+        )
+        .select("label", "c")
+    )
+    from .functions.similarity import dot_col, norm_col
+
+    scored = emb.join(F.broadcast(cent), "label").select(
+        "label",
+        "vec_id",
+        (
+            dot_col(F.col("embedding"), F.col("c"))
+            / (norm_col("embedding") * norm_col("c"))
+        ).alias("cos_c"),
+    )
+    proto = F.max(
+        F.struct(F.col("cos_c"), (-F.col("vec_id")).alias("neg"), F.col("vec_id").alias("vid"))
+    ).alias("p")
+    outlier = F.min(
+        F.struct(F.col("cos_c"), F.col("vec_id").alias("vid"))
+    ).alias("o")
+    return (
+        scored.groupBy("label")
+        .agg(proto, outlier)
+        .join(n, "label")
+        .select(
+            "label",
+            "n_vecs",
+            F.col("p.vid").alias("proto_id"),
+            F.col("p.cos_c").alias("proto_cos"),
+            F.col("o.vid").alias("outlier_id"),
+            F.col("o.cos_c").alias("outlier_cos"),
+        )
+    )
+
+
+@register(
+    "ccnet_buckets",
+    r"""WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+  FROM documents
+),
+counts AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok
+),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts),
+lm AS (
+  SELECT tok,
+         CAST(round(ln(cnt::DOUBLE / total::DOUBLE), 6) AS DECIMAL(20,6)) AS logp
+  FROM counts, tot
+),
+scores AS (
+  SELECT doc_id, CAST(sum(logp) AS DOUBLE) / count(*) AS avg_logprob
+  FROM toks JOIN lm USING (tok)
+  GROUP BY doc_id
+),
+bucketed AS (
+  SELECT d.lang, s.avg_logprob,
+         ntile(3) OVER (PARTITION BY d.lang
+                        ORDER BY s.avg_logprob DESC, s.doc_id) AS bucket
+  FROM scores s JOIN documents d USING (doc_id)
+)
+SELECT lang, CAST(bucket AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       max(avg_logprob) AS best_logprob,
+       min(avg_logprob) AS worst_logprob
+FROM bucketed GROUP BY lang, bucket""",
+)
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    doc under the corpus unigram LM, then split EACH LANGUAGE into
+    head/middle/tail terciles by score — the standard curation move that
+    keeps the best third, samples the middle, drops the tail, per
+    language so low-resource langs aren't crushed by the dominant one.
+
+    Composes `unigram_logprob` (DECIMAL-grid score, see
+    functions/text.py) with a per-lang ntile(3). The ntile sort is
+    per-language — partitions scale with langs × docs/lang, the same
+    bounded-sort shape as the indicator windows; tiebreak doc_id makes
+    tercile edges deterministic. Output is the bucket occupancy audit
+    (counts + score range per bucket)."""
+    from .functions.text import unigram_logprob_scores
+
+    docs = load_table(spark, "documents", sf_dir)
+    scores = unigram_logprob_scores(docs).select("doc_id", "avg_logprob")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logprob").desc(), F.col("doc_id")
+    )
+    return (
+        scores.join(docs.select("doc_id", "lang"), "doc_id")
+        .withColumn("bucket", F.ntile(3).over(w))
+        .groupBy("lang", F.col("bucket").cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("avg_logprob").alias("best_logprob"),
+            F.min("avg_logprob").alias("worst_logprob"),
+        )
+    )
+
+
+@register(
+    "retention_cohorts",
+    """WITH first_seen AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST(datediff('day', f.cohort_week, date_trunc('week', e.ts)) / 7 AS BIGINT) AS week_n
+  FROM events e JOIN first_seen f USING (user_id)
+)
+SELECT cohort_week, week_n,
+       CAST(count(*) AS BIGINT) AS n_active_users
+FROM activity GROUP BY cohort_week, week_n""",
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix — the canonical product-analytics rollup:
+    users bucketed by first-seen week, counted as active in each
+    subsequent week. Two user-grain passes that REUSE one partitioning:
+    the first-seen aggregate hashes on user_id, and the join back onto
+    the fact probes the same exchange (AQE reuses it); the
+    per-(user, cohort, week) distinct then partial-aggregates map-side
+    before the final count. Pure timestamp/integer arithmetic —
+    bit-exact cross-engine (both engines truncate weeks to Monday)."""
+    events = load_table(spark, "events", sf_dir)
+    first_seen = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    return (
+        events.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7
+            )
+            .cast("bigint")
+            .alias("week_n"),
+        )
+        .distinct()
+        .groupBy("cohort_week", "week_n")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
+
+
+@register(
+    "max_drawdown",
+    """WITH ticks AS (
+  SELECT event_type AS symbol, value AS price, ts, event_id
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL
+),
+dd AS (
+  SELECT symbol, ts, event_id,
+         price / max(price) OVER (PARTITION BY symbol ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) - 1 AS drawdown
+  FROM ticks
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY symbol
+                               ORDER BY drawdown, ts, event_id) AS rn
+  FROM dd
+)
+SELECT symbol, drawdown AS max_drawdown, ts AS trough_ts,
+       (SELECT CAST(count(*) AS BIGINT) FROM ticks t WHERE t.symbol = ranked.symbol) AS n_ticks
+FROM ranked WHERE rn = 1""",
+)
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per symbol — the risk statistic every
+    portfolio/strategy report carries: the worst peak-to-trough decline,
+    computed as min over time of price/running-peak − 1, with the trough
+    timestamp. One symbol-partitioned ordered window for the running
+    peak (same bounded-sort shape as the indicator family — partitions
+    scale with symbols, not total rows), then a struct-min AGGREGATE
+    picks the trough (no second window pass over the full stream: one
+    row per (symbol) reaches the final shuffle via map-side partial
+    min). All picks and single divisions — bit-exact cross-engine.
+    Reference analogue: the ATR family's risk-summary read queries
+    (atr_engine.py:244-257)."""
+    ticks = load_ticks(spark, sf_dir)
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = ticks.select(
+        "symbol",
+        "ts",
+        "event_id",
+        (F.col("price") / F.max("price").over(w) - 1).alias("drawdown"),
+    )
+    trough = F.min(F.struct("drawdown", "ts", "event_id")).alias("t")
+    return (
+        dd.groupBy("symbol")
+        .agg(trough, F.count(F.lit(1)).alias("n_ticks"))
+        .select(
+            "symbol",
+            F.col("t.drawdown").alias("max_drawdown"),
+            F.col("t.ts").alias("trough_ts"),
+            "n_ticks",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:

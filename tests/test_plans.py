@@ -461,3 +461,65 @@ def test_simhash_wide_pairs_no_cartesian(spark, qs):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_waiting_supplier_single_orderkey_exchange_family(spark, qs):
+    """Q21 rewrite: both correlated subqueries collapse into ONE
+    order-grain aggregate, so every hash exchange in the plan is on the
+    orderkey family — no extra fact self-shuffles — and the
+    nation-filtered supplier dim broadcasts."""
+    import re
+
+    df = qs["waiting_supplier"](spark, SF)
+    plan = physical_plan(df)
+    assert has_broadcast_join(df)
+    # all fact-side hash exchanges hash on an orderkey column
+    parts = re.findall(r"hashpartitioning\((\w+)", plan)
+    fact_keys = [p for p in parts if p.startswith(("l_", "o_"))]
+    assert fact_keys and all(k in ("l_orderkey", "o_orderkey") for k in fact_keys)
+    assert "CartesianProduct" not in plan
+
+
+def test_discounted_band_revenue_derives_pushdowns_from_or(spark, qs):
+    """Q19 shape: Catalyst must derive the per-table implications of the
+    three-arm OR and push them to BOTH scans; the part dim broadcasts so
+    the fact never shuffles for the join."""
+    df = qs["discounted_band_revenue"](spark, SF)
+    pf = pushed_filters(df)
+    assert "l_quantity" in pf  # derived quantity envelope on the fact scan
+    assert "p_brand" in pf or "p_size" in pf  # derived dim constraints
+    assert has_broadcast_join(df)
+    assert not has_sort_merge_join(df)
+
+
+def test_profit_by_nation_year_dims_broadcast_before_fact_join(spark, qs):
+    """Q9 shape: part/supplier/nation all broadcast (semi-reducing the
+    fact before the orderkey join); only orderkey + final-agg exchanges
+    remain."""
+    df = qs["profit_by_nation_year"](spark, SF)
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert not has_sort_merge_join(df)
+    pf = pushed_filters(df)
+    assert "p_name" in pf  # LIKE pushed as StringContains to the part scan
+
+
+def test_hard_negatives_broadcasts_query_side(spark, qs):
+    """Contrastive mining scans the corpus once with the query sample
+    broadcast; the label inequality is a per-pair residual, never a
+    shuffle key."""
+    df = qs["hard_negatives"](spark, SF)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert has_window_group_limit(df)  # top-k pruned per query
+
+
+def test_cluster_prototypes_no_window_no_collect_shape(spark, qs):
+    """Centroid build is (label, dim)-grain hash agg + a 64-row gather;
+    the scoring pass re-joins via broadcast and reduces with struct
+    min/max aggregates — no window over the corpus, no cartesian."""
+    df = qs["cluster_prototypes"](spark, SF)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan  # prototype/outlier picked by agg, not rank
+    assert "HashAggregate" in plan

@@ -415,3 +415,36 @@ def test_semdedup_keepers_have_no_near_dup_pair(spark):
         kept, threshold=0.35, cell_col="label"
     ).collect()
     assert survivors_pairs == []
+
+
+def test_hard_negatives_exclude_own_label(spark):
+    """Every mined negative has a different label than its query, ranks
+    are dense from 1, and ordering is cosine-desc with id tiebreak."""
+    from options_data_pipeline_spark.functions.similarity import hard_negative_topk
+
+    rows = [
+        (0, [1.0, 0.0], 7),   # query, label 7
+        (1, [1.0, 0.0], 7),   # same label — excluded even at cosine 1.0
+        (2, [1.0, 0.1], 3),   # hard negative (closest other-label)
+        (3, [0.0, 1.0], 3),
+        (4, [-1.0, 0.0], 5),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = sorted(
+        hard_negative_topk(df.filter("vec_id = 0"), df, k=3).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.neighbor_id for r in out] == [2, 3, 4]
+    assert 1 not in {r.neighbor_id for r in out}
+    assert [r.rank for r in out] == [1, 2, 3]
+    assert out[0].cosine > out[1].cosine > out[2].cosine
+
+
+def test_hard_negatives_k_caps_output(spark):
+    from options_data_pipeline_spark.functions.similarity import hard_negative_topk
+
+    rows = [(i, [1.0, float(i)], i % 2) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = hard_negative_topk(df.filter("vec_id = 0"), df, k=2).collect()
+    assert len(out) == 2
+    assert all(r.rank <= 2 for r in out)
