@@ -126,6 +126,7 @@ HEADLINE = [
     "ccnet_buckets",
     "retention_cohorts",
     "max_drawdown",
+    "dsir_weights",
 ]
 
 

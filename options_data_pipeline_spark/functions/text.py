@@ -728,3 +728,67 @@ def bpe_token_counts(
             F.sum("n_bpe").cast("bigint").alias("n_bpe_tokens"),
         )
     )
+
+
+def dsir_logweights(
+    docs: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every source
+    document by how much more likely its hashed-n-gram stream is under a
+    TARGET-domain distribution than under the source distribution —
+    log w(x) = Σ_tokens [log p_tgt(bucket) − log p_src(bucket)] — then a
+    pipeline resamples source docs ∝ exp(log w). Here features are
+    hashed unigram buckets (the paper's hashed n-grams with n=1),
+    add-1-smoothed over ``n_buckets``.
+
+    Scale shape: two bucket-grain counts (map-side combinable; the
+    bucket table is ``n_buckets`` rows, so both distributions BROADCAST
+    back onto the token stream), then one doc-grain re-agg — the same
+    token-instance-grain cost envelope as the unigram LM, with a
+    64-row model instead of a vocabulary.
+
+    Float discipline: bucket log-ratios are computed once per bucket
+    from integer counts (single division + ln each, deterministic),
+    snapped to the 6-dp grid, and summed per doc in DECIMAL — exact and
+    order-free. Hash = the cross-engine md5 32-bit prefix used by every
+    dedup op in this module."""
+    tok_h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '\\\\S+', 0)")
+        ).alias("tok"),
+    ).select("doc_id", (tok_h % n_buckets).alias("b"))
+    tgt_toks = target.select(
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '\\\\S+', 0)")
+        ).alias("tok")
+    ).select((tok_h % n_buckets).alias("b"))
+    src_counts = toks.groupBy("b").agg(F.count(F.lit(1)).alias("src_cnt"))
+    tgt_counts = tgt_toks.groupBy("b").agg(F.count(F.lit(1)).alias("tgt_cnt"))
+    totals = src_counts.agg(F.sum("src_cnt").alias("src_total")).crossJoin(
+        tgt_counts.agg(F.sum("tgt_cnt").alias("tgt_total"))
+    )
+    nb = float(n_buckets)
+    log_ratio = F.round(
+        F.log((F.coalesce(F.col("tgt_cnt"), F.lit(0)) + 1.0) / (F.col("tgt_total") + nb))
+        - F.log((F.col("src_cnt") + 1.0) / (F.col("src_total") + nb)),
+        6,
+    ).cast("decimal(20,6)")
+    model = (
+        src_counts.join(tgt_counts, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select("b", log_ratio.alias("lw"))
+    )
+    return (
+        toks.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum("lw").cast("double").alias("dsir_logweight"),
+        )
+    )

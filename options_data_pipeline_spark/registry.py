@@ -4666,6 +4666,50 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dsir_weights",
+    r"""WITH toks AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(unnest(regexp_extract_all(lower(text), '\S+'))), 1, 8)) AS BIGINT) % 64 AS b
+  FROM documents
+),
+tgt_toks AS (
+  SELECT CAST(concat('0x', substr(md5(unnest(regexp_extract_all(lower(text), '\S+'))), 1, 8)) AS BIGINT) % 64 AS b
+  FROM documents WHERE lang = 'en'
+),
+src_counts AS (SELECT b, CAST(count(*) AS BIGINT) AS src_cnt FROM toks GROUP BY b),
+tgt_counts AS (SELECT b, CAST(count(*) AS BIGINT) AS tgt_cnt FROM tgt_toks GROUP BY b),
+totals AS (
+  SELECT (SELECT CAST(sum(src_cnt) AS BIGINT) FROM src_counts) AS src_total,
+         (SELECT CAST(sum(tgt_cnt) AS BIGINT) FROM tgt_counts) AS tgt_total
+),
+model AS (
+  SELECT s.b,
+         CAST(round(ln((COALESCE(t.tgt_cnt, 0) + 1.0) / (tot.tgt_total + 64.0))
+                  - ln((s.src_cnt + 1.0) / (tot.src_total + 64.0)), 6)
+              AS DECIMAL(20,6)) AS lw
+  FROM src_counts s LEFT JOIN tgt_counts t USING (b) CROSS JOIN totals tot
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_toks,
+       CAST(sum(lw) AS DOUBLE) AS dsir_logweight
+FROM toks JOIN model USING (b)
+GROUP BY doc_id""",
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): hashed-unigram
+    log-likelihood ratio of every doc against a target domain (here the
+    English subset) — the model-based data-SELECTION arm next to the
+    quality-filter (`gopher_quality`) and perplexity (`unigram_logprob`,
+    `ccnet_buckets`) arms. A 64-row smoothed bucket model broadcasts
+    onto the token stream; see functions/text.py::dsir_logweights for
+    the float discipline."""
+    from .functions.text import dsir_logweights
+
+    docs = load_table(spark, "documents", sf_dir)
+    return dsir_logweights(docs, docs.filter(F.col("lang") == "en"))
+
+
 # ---------------------------------------------------------------------------
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:

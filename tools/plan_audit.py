@@ -1,0 +1,101 @@
+"""Whole-registry physical-plan audit — the scale-posture sweep.
+
+The per-query plan pins in tests/test_plans.py assert specific claims on
+~30 queries; this tool sweeps EVERY registry query's physical plan for
+the red flags that would sink a 100 TB run, so a new query can't slip in
+with a quietly quadratic or Python-row-at-a-time plan:
+
+ - CartesianProduct                      → hard fail (no allowlist)
+ - BatchEvalPython (row-at-a-time UDF)   → hard fail (pandas/Arrow only)
+ - BroadcastNestedLoopJoin               → fail unless allowlisted: the
+   legitimate uses are broadcast crossJoins of a BOUNDED side (a query
+   sample, a scalar total, a centroid table)
+ - SortMergeJoin                         → informational count (fact-fact
+   joins are expected; a DIM join falling to SMJ shows up in the pins)
+ - Exchange count                        → informational; flags growth
+
+Queries that EXECUTE at construction (iterative CC, k-means training,
+index builds) run their jobs at the audit SF — keep it small.
+
+Usage: python tools/plan_audit.py [sf_dir]   (default sf0.001)
+Prints one JSON line; exit 1 on any hard failure.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from options_data_pipeline_spark import registry  # noqa: E402
+from options_data_pipeline_spark.plans.explain import physical_plan  # noqa: E402
+from options_data_pipeline_spark.session import get_spark  # noqa: E402
+
+# Bounded-side broadcast crossJoins: query samples (ANN/mining), scalar
+# totals (LM normalizers), small model tables (centroids, band tables).
+BNLJ_OK = {
+    # broadcast query samples (ANN / mining / audit arms)
+    "cosine_topk",
+    "hard_negatives",
+    "ann_recall_report",
+    # broadcast scalar normalizers (1-row totals crossJoined in)
+    "unigram_logprob",
+    "ccnet_buckets",
+    "dsir_weights",
+    "tfidf_top_terms",
+    "temperature_mixture",
+    "dormant_high_balance",  # Q22 scalar avg-balance subquery
+    # bounded scaffold: symbols × day-window sequence
+    "gap_fill",
+}
+
+
+def audit_one(name: str, plan: str) -> dict:
+    return {
+        "cartesian": plan.count("CartesianProduct"),
+        "py_udf": plan.count("BatchEvalPython"),
+        "bnlj": plan.count("BroadcastNestedLoopJoin"),
+        "smj": plan.count("SortMergeJoin"),
+        "exchanges": plan.count("Exchange"),
+    }
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("plan-audit")
+    failures: list[str] = []
+    stats: dict[str, dict] = {}
+    for name, fn in registry.queries().items():
+        try:
+            plan = physical_plan(fn(spark, sf_dir))
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: plan build error: {e}")
+            continue
+        s = audit_one(name, plan)
+        stats[name] = s
+        if s["cartesian"]:
+            failures.append(f"{name}: CartesianProduct in plan")
+        if s["py_udf"]:
+            failures.append(f"{name}: row-at-a-time Python UDF (BatchEvalPython)")
+        if s["bnlj"] and name not in BNLJ_OK:
+            failures.append(f"{name}: unexpected BroadcastNestedLoopJoin")
+    summary = {
+        "queries": len(stats),
+        "hard_failures": failures,
+        "bnlj_allowlisted_hits": sorted(
+            n for n, s in stats.items() if s["bnlj"] and n in BNLJ_OK
+        ),
+        "max_exchanges": max(
+            ((s["exchanges"], n) for n, s in stats.items()), default=(0, "")
+        ),
+        "smj_total": sum(s["smj"] for s in stats.values()),
+    }
+    print(json.dumps(summary))
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
