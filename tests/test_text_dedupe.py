@@ -665,3 +665,33 @@ def test_bpe_trainer_hand_computed(spark):
     # canonical left-to-right application: aaa -> [aa, a]
     assert states2["aaa"] == "~aa~~a~"
     assert states2["aa"] == "~aa~"
+
+
+def test_dsir_weights_favor_target_domain(spark):
+    """DSIR's defining property: documents drawn from the target domain
+    score a higher log-likelihood ratio than off-domain documents, and
+    a doc sharing tokens with BOTH leans by overlap count."""
+    from options_data_pipeline_spark.functions.text import dsir_logweights
+
+    rows = [
+        (0, "alpha beta gamma alpha beta"),   # pure target-vocab
+        (1, "delta epsilon zeta delta zeta"), # pure off-domain vocab
+        (2, "alpha beta delta epsilon"),      # mixed
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.filter("doc_id = 0")
+    out = {r.doc_id: r for r in dsir_logweights(docs, target).collect()}
+    assert out[0].dsir_logweight > out[2].dsir_logweight > out[1].dsir_logweight
+    assert out[0].n_toks == 5
+
+
+def test_dsir_weights_uniform_when_target_is_corpus(spark):
+    """If target == source, every bucket's log ratio is ~0 (identical
+    smoothed distributions), so all docs score ~0 regardless of length."""
+    from options_data_pipeline_spark.functions.text import dsir_logweights
+
+    rows = [(0, "a b c d"), (1, "e f g h i j k l m n o p")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dsir_logweights(docs, docs).collect()
+    for r in out:
+        assert abs(r.dsir_logweight) < 1e-4
