@@ -127,6 +127,7 @@ HEADLINE = [
     "retention_cohorts",
     "max_drawdown",
     "dsir_weights",
+    "corpus_curation",
 ]
 
 

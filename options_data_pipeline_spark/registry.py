@@ -4710,6 +4710,112 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_logweights(docs, docs.filter(F.col("lang") == "en"))
 
 
+@register(
+    "corpus_curation",
+    rf"""WITH train AS (
+  SELECT doc_id, source, text FROM documents WHERE doc_id >= 25
+),
+quality AS (
+  SELECT * FROM train WHERE len(regexp_extract_all(lower(text), '\S+')) >= 25
+),
+uniq AS (
+  SELECT doc_id, source, text FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY md5(array_to_string(regexp_extract_all(lower(text), '\S+')[1:8], ' '))
+      ORDER BY length(text) DESC, doc_id) AS rn
+    FROM quality
+  ) WHERE rn = 1
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(regexp_extract_all(lower(text), '\S+')) - 3, 1) + 1),
+           i -> array_to_string(regexp_extract_all(lower(text), '\S+')[i:i+3], ' ')
+         ))) AS gram
+  FROM uniq
+),
+eval_grams AS (
+  SELECT DISTINCT
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(regexp_extract_all(lower(text), '\S+')) - 3, 1) + 1),
+           i -> array_to_string(regexp_extract_all(lower(text), '\S+')[i:i+3], ' ')
+         ))) AS gram
+  FROM documents WHERE doc_id < 25
+),
+contaminated AS (
+  SELECT DISTINCT g.doc_id FROM grams g JOIN eval_grams USING (gram)
+),
+clean AS (
+  SELECT u.doc_id, u.source FROM uniq u
+  LEFT JOIN contaminated c USING (doc_id) WHERE c.doc_id IS NULL
+),
+stages AS (
+  SELECT source, 0 AS stage FROM train
+  UNION ALL SELECT source, 1 FROM quality
+  UNION ALL SELECT source, 2 FROM uniq
+  UNION ALL SELECT source, 3 FROM clean
+)
+SELECT source,
+       CAST(sum(CASE WHEN stage = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_raw,
+       CAST(sum(CASE WHEN stage = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       CAST(sum(CASE WHEN stage = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       CAST(sum(CASE WHEN stage = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+FROM stages GROUP BY source""",
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation funnel — the composed pipeline a reference
+    user actually ships: length gate (≥25 tokens) → truncation-variant
+    dedup (docs sharing the same leading-8-token span collapse to the
+    LONGEST copy — the keep rule for prefix-extension duplicates, the
+    common re-crawl artifact exact-hash dedup misses) → benchmark
+    decontamination (drop docs sharing a 4-gram with the eval suite,
+    doc_id < 25), reported as per-source survivor counts at every
+    stage — the audit table a data lead reads before a training run.
+
+    Composition of verified primitives (`decontamination_hits`; the
+    leading-span fingerprint is the `fingerprint_col` discipline over a
+    bounded span); the funnel itself adds one stage-tagged union → ONE
+    source-grain aggregate, so the audit costs one shuffle on top of
+    the stages. Integer-only output — zero float-comparison surface.
+    At 100 TB each stage stays its own bounded shape (narrow map;
+    fingerprint-grain shuffle with WindowGroupLimit; broadcast eval
+    grams)."""
+    from .functions.text import decontamination_hits
+
+    docs = load_table(spark, "documents", sf_dir)
+    train = docs.filter(F.col("doc_id") >= 25).select("doc_id", "source", "text")
+    n_tok = F.size(F.expr("regexp_extract_all(lower(text), '\\\\S+', 0)"))
+    quality = train.filter(n_tok >= 25)
+    prefix_fp = F.md5(
+        F.array_join(
+            F.slice(F.expr("regexp_extract_all(lower(text), '\\\\S+', 0)"), 1, 8), " "
+        )
+    )
+    w = Window.partitionBy("f").orderBy(F.length("text").desc(), "doc_id")
+    uniq = (
+        quality.withColumn("f", prefix_fp)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "text")
+    )
+    hits = decontamination_hits(uniq, docs.filter(F.col("doc_id") < 25), n=4)
+    clean = uniq.join(hits, "doc_id", "left_anti")
+    stages = (
+        train.select("source", F.lit(0).alias("stage"))
+        .unionByName(quality.select("source", F.lit(1).alias("stage")))
+        .unionByName(uniq.select("source", F.lit(2).alias("stage")))
+        .unionByName(clean.select("source", F.lit(3).alias("stage")))
+    )
+    return stages.groupBy("source").agg(
+        *[
+            F.sum(F.when(F.col("stage") == k, 1).otherwise(0))
+            .cast("bigint")
+            .alias(name)
+            for k, name in enumerate(["n_raw", "n_quality", "n_unique", "n_clean"])
+        ]
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
