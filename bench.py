@@ -128,6 +128,8 @@ HEADLINE = [
     "max_drawdown",
     "dsir_weights",
     "corpus_curation",
+    "embedding_drift",
+    "macd_12_26_9",
 ]
 
 

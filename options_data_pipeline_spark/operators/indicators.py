@@ -205,3 +205,84 @@ def indicator_panel(candles: DataFrame, n: int = 20) -> DataFrame:
         F.when(full, F.round(mid - 2.0 * sd, 9)).alias("bb_lower"),
         F.when(full, F.round(mid + 2.0 * sd, 9)).alias("bb_upper"),
     )
+
+
+def _macd_series(values, fast: int = 12, slow: int = 26, sig: int = 9):
+    """Sequential MACD over one symbol's ordered closes: fast/slow EMAs
+    (each SMA-seeded as in :func:`_ema_series`), MACD = fast − slow once
+    both exist, signal = EMA(sig) of the MACD stream (SMA-seeded on its
+    first ``sig`` values), histogram = MACD − signal. Every step is the
+    same sub→mul→add sequence the oracle's recursive CTEs run —
+    IEEE-deterministic, compared unrounded."""
+    af, as_, ag = 2.0 / (fast + 1), 2.0 / (slow + 1), 2.0 / (sig + 1)
+    macd_out, sig_out = [], []
+    accf = accs = accm = 0.0
+    ef = es = sg = None
+    n_macd = 0
+    for i, x in enumerate(values):
+        x = float(x)
+        if ef is None:
+            accf += x
+            if i + 1 == fast:
+                ef = accf / fast
+        else:
+            ef = ef + (x - ef) * af
+        if es is None:
+            accs += x
+            if i + 1 == slow:
+                es = accs / slow
+        else:
+            es = es + (x - es) * as_
+        if ef is not None and es is not None:
+            m = ef - es
+            macd_out.append(m)
+            n_macd += 1
+            if sg is None:
+                accm += m
+                if n_macd == sig:
+                    sg = accm / sig
+                sig_out.append(sg)
+            else:
+                sg = sg + (m - sg) * ag
+                sig_out.append(sg)
+        else:
+            macd_out.append(None)
+            sig_out.append(None)
+    return macd_out, sig_out
+
+
+def macd(
+    candles: DataFrame, fast: int = 12, slow: int = 26, sig: int = 9
+) -> DataFrame:
+    """MACD(fast, slow, signal) per symbol — the composed recursive
+    indicator (two price EMAs + an EMA over their difference). One
+    pandas island computes the whole panel in a single per-symbol fold —
+    joining separate ema() frames would run three symbol-grain shuffles
+    and re-sort per branch for series that share one ordering. Same
+    island contract as :func:`_recursive_per_symbol`."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("window_start").reset_index(drop=True)
+        m, s = _macd_series(pdf["close"].tolist(), fast, slow, sig)
+        pdf["macd"] = pd.Series(m, dtype="float64")
+        pdf["macd_signal"] = pd.Series(s, dtype="float64")
+        pdf["macd_hist"] = pdf["macd"] - pdf["macd_signal"]
+        return pdf
+
+    out_schema = T.StructType(
+        [
+            T.StructField("symbol", T.StringType()),
+            T.StructField("window_start", T.TimestampType()),
+            T.StructField("close", T.DoubleType()),
+            T.StructField("macd", T.DoubleType()),
+            T.StructField("macd_signal", T.DoubleType()),
+            T.StructField("macd_hist", T.DoubleType()),
+        ]
+    )
+    return (
+        candles.select("symbol", "window_start", "close")
+        .groupBy("symbol")
+        .applyInPandas(compute, schema=out_schema)
+    )

@@ -3849,7 +3849,7 @@ def q_priority_order_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ema_12",
     "WITH RECURSIVE " + candles_cte(3600)
     + """,
-numbered AS (
+numbered AS MATERIALIZED (
   SELECT symbol, window_start, "close",
          row_number() OVER (PARTITION BY symbol ORDER BY window_start) AS rn
   FROM candles
@@ -3884,13 +3884,13 @@ def q_ema_12(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rsi_14",
     "WITH RECURSIVE " + candles_cte(3600)
     + """,
-numbered AS (
+numbered AS MATERIALIZED (
   SELECT symbol, window_start, "close",
          lag("close") OVER (PARTITION BY symbol ORDER BY window_start) AS prev_close,
          row_number() OVER (PARTITION BY symbol ORDER BY window_start) AS rn
   FROM candles
 ),
-deltas AS (
+deltas AS MATERIALIZED (
   SELECT symbol, rn,
          CASE WHEN "close" - prev_close > 0 THEN "close" - prev_close ELSE 0.0 END AS g,
          CASE WHEN "close" - prev_close < 0 THEN -("close" - prev_close) ELSE 0.0 END AS l
@@ -4814,6 +4814,151 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k, name in enumerate(["n_raw", "n_quality", "n_unique", "n_clean"])
         ]
     )
+
+
+@register(
+    "embedding_drift",
+    """WITH v AS (
+  SELECT vec_id, label, vec_id % 2 AS half, embedding::DOUBLE[] AS e FROM embeddings
+),
+n AS (
+  SELECT label, half, CAST(count(*) AS BIGINT) AS n_vecs
+  FROM v GROUP BY label, half
+),
+d AS (
+  SELECT label, half, i - 1 AS dim, CAST(round(e[i], 6) AS DECIMAL(20,6)) AS xq
+  FROM v, (SELECT unnest(generate_series(1, 64)) AS i)
+),
+sums AS (SELECT label, half, dim, SUM(xq) AS s FROM d GROUP BY label, half, dim),
+cent AS (
+  SELECT s.label, s.half,
+         list(CAST(s.s AS DOUBLE) / n.n_vecs ORDER BY s.dim) AS c
+  FROM sums s JOIN n ON s.label = n.label AND s.half = n.half
+  GROUP BY s.label, s.half, n.n_vecs
+)
+SELECT a.label,
+       (SELECT n_vecs FROM n WHERE n.label = a.label AND n.half = 0) AS n_ref,
+       (SELECT n_vecs FROM n WHERE n.label = a.label AND n.half = 1) AS n_cur,
+       list_dot_product(a.c, b.c)
+         / (sqrt(list_dot_product(a.c, a.c)) * sqrt(list_dot_product(b.c, b.c))) AS centroid_cosine
+FROM cent a JOIN cent b ON a.label = b.label AND a.half = 0 AND b.half = 1""",
+)
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution DRIFT monitor — the ML-ops check run when a
+    corpus is refreshed or an encoder is re-deployed: per cluster, the
+    cosine between the reference-slice centroid and the current-slice
+    centroid (split = vec_id parity as the time proxy; ~1.0 means the
+    cluster is stationary, a drop flags re-embedding or distribution
+    shift). Same DECIMAL-grid centroid discipline as
+    `cluster_prototypes`, grouped one level deeper (label × slice); the
+    drift join is centroid-grain — rows = clusters, trivially
+    broadcastable at any corpus size."""
+    emb = load_table(spark, "embeddings", sf_dir).withColumn(
+        "half", (F.col("vec_id") % 2).cast("int")
+    )
+    n = emb.groupBy("label", "half").agg(F.count(F.lit(1)).alias("n_vecs"))
+    dims = emb.select(
+        "label",
+        "half",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
+    )
+    sums = dims.groupBy("label", "half", "dim").agg(
+        F.sum(F.round(F.col("x"), 6).cast("decimal(20,6)")).alias("s")
+    )
+    cent = (
+        sums.join(n, ["label", "half"])
+        .groupBy("label", "half", "n_vecs")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "s"))),
+                lambda t: t["s"].cast("double") / F.col("n_vecs"),
+            ).alias("c")
+        )
+    )
+    from .functions.similarity import dot_col, norm_col
+
+    a = cent.filter(F.col("half") == 0).select(
+        "label", F.col("n_vecs").alias("n_ref"), F.col("c").alias("ca")
+    )
+    b = cent.filter(F.col("half") == 1).select(
+        "label", F.col("n_vecs").alias("n_cur"), F.col("c").alias("cb")
+    )
+    return a.join(b, "label").select(
+        "label",
+        "n_ref",
+        "n_cur",
+        (
+            dot_col(F.col("ca"), F.col("cb")) / (norm_col("ca") * norm_col("cb"))
+        ).alias("centroid_cosine"),
+    )
+
+
+@register(
+    "macd_12_26_9",
+    "WITH RECURSIVE " + candles_cte(3600)
+    + """,
+numbered AS MATERIALIZED (
+  SELECT symbol, window_start, "close",
+         row_number() OVER (PARTITION BY symbol ORDER BY window_start) AS rn
+  FROM candles
+),
+seed12 AS (
+  SELECT symbol, rn,
+         avg("close") OVER (PARTITION BY symbol ORDER BY rn
+                            ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS ema
+  FROM numbered QUALIFY rn = 12
+),
+rec12 AS (
+  SELECT symbol, rn, ema FROM seed12
+  UNION ALL
+  SELECT t.symbol, t.rn, r.ema + (t."close" - r.ema) * (2.0 / 13)
+  FROM rec12 r JOIN numbered t ON t.symbol = r.symbol AND t.rn = r.rn + 1
+),
+seed26 AS (
+  SELECT symbol, rn,
+         avg("close") OVER (PARTITION BY symbol ORDER BY rn
+                            ROWS BETWEEN 25 PRECEDING AND CURRENT ROW) AS ema
+  FROM numbered QUALIFY rn = 26
+),
+rec26 AS (
+  SELECT symbol, rn, ema FROM seed26
+  UNION ALL
+  SELECT t.symbol, t.rn, r.ema + (t."close" - r.ema) * (2.0 / 27)
+  FROM rec26 r JOIN numbered t ON t.symbol = r.symbol AND t.rn = r.rn + 1
+),
+macd AS MATERIALIZED (
+  SELECT a.symbol, a.rn, a.ema - b.ema AS m
+  FROM rec12 a JOIN rec26 b ON a.symbol = b.symbol AND a.rn = b.rn
+),
+seedsig AS (
+  SELECT symbol, rn,
+         avg(m) OVER (PARTITION BY symbol ORDER BY rn
+                      ROWS BETWEEN 8 PRECEDING AND CURRENT ROW) AS s
+  FROM macd QUALIFY rn = 34
+),
+recsig AS (
+  SELECT symbol, rn, s FROM seedsig
+  UNION ALL
+  SELECT t.symbol, t.rn, r.s + (t.m - r.s) * (2.0 / 10)
+  FROM recsig r JOIN macd t ON t.symbol = r.symbol AND t.rn = r.rn + 1
+)
+SELECT n.symbol, n.window_start, n."close",
+       macd.m AS macd, recsig.s AS macd_signal,
+       macd.m - recsig.s AS macd_hist
+FROM numbered n
+LEFT JOIN macd ON macd.symbol = n.symbol AND macd.rn = n.rn
+LEFT JOIN recsig ON recsig.symbol = n.symbol AND recsig.rn = n.rn""",
+)
+def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD(12, 26, 9) per symbol — the COMPOSED recursion (two price
+    EMAs + an EMA over their difference), closing out the recursive
+    indicator family next to `ema_12`/`rsi_14`. One pandas island runs
+    the whole panel in a single per-symbol fold; the oracle chains three
+    recursive CTEs (fast, slow, signal) whose steps mirror the fold
+    op-for-op, so the full trajectory hash-checks unrounded."""
+    from .operators.indicators import macd
+
+    return macd(ohlc_candles(load_ticks(spark, sf_dir), "1 hour"))
 
 
 # ---------------------------------------------------------------------------
