@@ -130,6 +130,7 @@ HEADLINE = [
     "corpus_curation",
     "embedding_drift",
     "macd_12_26_9",
+    "kcenter_coreset",
 ]
 
 

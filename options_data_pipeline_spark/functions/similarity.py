@@ -959,3 +959,56 @@ def hard_negative_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def kcenter_coreset(
+    vectors: DataFrame,
+    k: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center CORESET selection (farthest-point traversal,
+    Gonzalez 1985 — the 2-approximation): start from the lowest-id
+    vector, then repeatedly add the vector farthest (cosine distance)
+    from the chosen set — the classic diversity/coverage sample used to
+    pick a maximally-spread subset for labeling, eval, or curriculum
+    seeding (the opposite selection goal of SemDeDup's redundancy
+    pruning).
+
+    Scale shape: centers live on the driver BY DESIGN (k × dim floats —
+    the same contract as :func:`kmeans_centroids`); each of the k−1
+    rounds is ONE corpus scan with an unrolled `least(...)` chain over
+    the current centers and a struct-max partial aggregate (one row per
+    partition reaches the driver). No shuffle of the corpus, ever.
+
+    Determinism (hash-checkable): distance = 1 − cosine (picks and one
+    division — bit-exact), the `least` chain nests left in selection
+    order, argmax ties break toward the smaller id, chosen ids are
+    excluded from later rounds. Output: (rank, vec_id, sel_dist) —
+    sel_dist is the distance to the prior set at selection time (NULL
+    for the seed). The matching DuckDB oracle unrolls the identical
+    trajectory stage by stage."""
+    spark = vectors.sparkSession
+    v = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        norm_col(vec_col).alias("nrm"),
+    )
+    seed = v.orderBy("vid").limit(1).collect()[0]
+    chosen = [(int(seed.vid), list(seed.v), float(seed.nrm), None)]
+    for _ in range(k - 1):
+        dist = None
+        for cid, cv, cn, _d in chosen:
+            lit_vec = F.array(*[F.lit(float(x)) for x in cv])
+            d = 1 - dot_col(F.col("v"), lit_vec) / (F.col("nrm") * F.lit(cn))
+            dist = d if dist is None else F.least(dist, d)
+        cand = v.filter(~F.col("vid").isin([c[0] for c in chosen])).select(
+            "vid", "v", dist.alias("d")
+        )
+        far = cand.select(
+            F.max(F.struct(F.col("d"), (-F.col("vid")).alias("neg"), "vid", "v")).alias("m")
+        ).collect()[0].m
+        nrm = sum(float(x) * float(x) for x in far.v) ** 0.5
+        chosen.append((int(far.vid), list(far.v), nrm, float(far.d)))
+    rows = [(i, cid, d) for i, (cid, _v, _n, d) in enumerate(chosen)]
+    return spark.createDataFrame(rows, "rank long, vec_id long, sel_dist double")

@@ -4961,6 +4961,60 @@ def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return macd(ohlc_candles(load_ticks(spark, sf_dir), "1 hour"))
 
 
+def _kcenter_oracle(k: int = 6) -> str:
+    """Unrolled farthest-point-traversal trajectory (same pattern as the
+    k-means / BPE / PQ trainers' oracles): stage i keeps the running
+    min-distance to the chosen set (left-nested ``least``, matching the
+    Spark fold's chaining order), picks argmax with the id tiebreak, and
+    excludes chosen ids cumulatively."""
+    parts = [
+        """WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+c0 AS (SELECT vec_id, e, nrm FROM v ORDER BY vec_id LIMIT 1),
+m1 AS (
+  SELECT v.vec_id, v.e, v.nrm,
+         1 - list_dot_product(v.e, c0.e) / (v.nrm * c0.nrm) AS d
+  FROM v, c0 WHERE v.vec_id <> c0.vec_id
+)"""
+    ]
+    for i in range(1, k):
+        parts.append(
+            f""",
+c{i} AS (SELECT vec_id, e, nrm, d FROM m{i} ORDER BY d DESC, vec_id LIMIT 1)"""
+        )
+        if i < k - 1:
+            parts.append(
+                f""",
+m{i + 1} AS (
+  SELECT m{i}.vec_id, m{i}.e, m{i}.nrm,
+         least(m{i}.d, 1 - list_dot_product(m{i}.e, c{i}.e) / (m{i}.nrm * c{i}.nrm)) AS d
+  FROM m{i}, c{i} WHERE m{i}.vec_id <> c{i}.vec_id
+)"""
+            )
+    selects = [
+        'SELECT CAST(0 AS BIGINT) AS "rank", vec_id, CAST(NULL AS DOUBLE) AS sel_dist FROM c0'
+    ] + [
+        f'SELECT CAST({i} AS BIGINT), vec_id, d FROM c{i}' for i in range(1, k)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+@register("kcenter_coreset", _kcenter_oracle())
+def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (Gonzalez farthest-point traversal) over
+    the embeddings — the diversity-SAMPLING arm next to the
+    redundancy-PRUNING arms (SemDeDup, near-dup dedup): pick 6 maximally
+    spread vectors for labeling/eval seeding. k−1 corpus scans, no
+    corpus shuffle; trajectory hash-checked against the stage-unrolled
+    oracle. See functions/similarity.py::kcenter_coreset."""
+    from .functions.similarity import kcenter_coreset
+
+    return kcenter_coreset(load_table(spark, "embeddings", sf_dir), k=6)
+
+
 # ---------------------------------------------------------------------------
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
