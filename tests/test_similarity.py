@@ -448,3 +448,20 @@ def test_hard_negatives_k_caps_output(spark):
     out = hard_negative_topk(df.filter("vec_id = 0"), df, k=2).collect()
     assert len(out) == 2
     assert all(r.rank <= 2 for r in out)
+
+
+def test_kcenter_coreset_invariants(spark):
+    """Farthest-point traversal invariants: k distinct picks, the seed is
+    the lowest id, and the selection distance sequence is non-increasing
+    (each new center's min-dist can only shrink as the set grows)."""
+    from options_data_pipeline_spark.functions.similarity import kcenter_coreset
+
+    rows = [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(4)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sorted(kcenter_coreset(df, k=5).collect(), key=lambda r: r.rank)
+    ids = [r.vec_id for r in out]
+    assert len(set(ids)) == 5
+    assert ids[0] == 0  # lowest-id seed
+    dists = [r.sel_dist for r in out[1:]]
+    assert all(d is not None for d in dists)
+    assert all(a >= b - 1e-12 for a, b in zip(dists, dists[1:]))
