@@ -47,6 +47,10 @@ def create_views(spark: SparkSession, sf_dir: str) -> list[str]:
     docs.select(
         "doc_id", "source", *[c.alias(n) for n, c in sig_cols.items()]
     ).createOrReplaceTempView("doc_signals")
+    # composed recursive indicator panel (pandas island — see indicators.py)
+    from .operators.indicators import macd
+
+    macd(candles_1h).createOrReplaceTempView("macd_1h")
     names += ["ticks", "candles_5m", "candles_1h", "enriched_1h",
-              "indicators_1h", "doc_signals"]
+              "indicators_1h", "doc_signals", "macd_1h"]
     return names

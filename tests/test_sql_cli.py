@@ -23,6 +23,10 @@ def test_sql_views_queryable(spark):
            GROUP BY c.symbol"""
     ).collect()
     assert len(joined) == 5
+    m = spark.sql(
+        "SELECT count(*) AS n, count(macd_signal) AS with_sig FROM macd_1h"
+    ).collect()[0]
+    assert m.n > 0 and 0 < m.with_sig < m.n  # warmup NULLs then signal
 
 
 def test_sql_view_filter_pushdown(spark):
