@@ -44,6 +44,7 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_same: str | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query (brute force).
 
@@ -53,20 +54,33 @@ def cosine_topk(
     precomputed per vector BEFORE the pair join — one O(dim) fold per
     row instead of two extra folds per pair (3× fewer flops; same values,
     so oracle comparison stays bit-exact).
+
+    ``exclude_same``: name of a column present on BOTH sides; pairs whose
+    values MATCH are dropped (the hard-negative-mining constraint — see
+    :func:`hard_negative_topk`). Applied per pair, never a shuffle key.
     """
-    q = queries.select(
+    q_cols = [
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         norm_col(vec_col).alias("q_nrm"),
-    )
-    c = corpus.select(
+    ]
+    c_cols = [
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         norm_col(vec_col).alias("c_nrm"),
+    ]
+    if exclude_same is not None:
+        q_cols.append(F.col(exclude_same).alias("q_excl"))
+        c_cols.append(F.col(exclude_same).alias("c_excl"))
+    pair_filter = (
+        F.col("query_id") != F.col("neighbor_id")
+        if exclude_same is None
+        else F.col("q_excl") != F.col("c_excl")
     )
     scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        corpus.select(*c_cols)
+        .crossJoin(F.broadcast(queries.select(*q_cols)))
+        .filter(pair_filter)
         .select(
             "query_id",
             "neighbor_id",
@@ -921,43 +935,13 @@ def hard_negative_topk(
     once with the label inequality applied per pair (no shuffle of the
     corpus), and WindowGroupLimit prunes each query's candidates to k
     before the final sort. Determinism: ties break toward the smaller
-    neighbor id, so the k-set is unique and hash-checkable."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        norm_col(vec_col).alias("q_nrm"),
-        F.col(label_col).alias("q_label"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        norm_col(vec_col).alias("c_nrm"),
-        F.col(label_col).alias("c_label"),
-    )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("q_label") != F.col("c_label"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (
-                dot_col(F.col("q_vec"), F.col("c_vec"))
-                / (F.col("q_nrm") * F.col("c_nrm"))
-            ).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "cosine",
-            F.col("rank").cast("long").alias("rank"),
-        )
+    neighbor id, so the k-set is unique and hash-checkable.
+
+    Thin wrapper over :func:`cosine_topk` (one implementation owns the
+    norm-precompute / broadcast / tie-break discipline); the label
+    constraint is its ``exclude_same`` pair predicate."""
+    return cosine_topk(
+        queries, corpus, k=k, id_col=id_col, vec_col=vec_col, exclude_same=label_col
     )
 
 
@@ -994,7 +978,13 @@ def kcenter_coreset(
         F.col(vec_col).alias("v"),
         norm_col(vec_col).alias("nrm"),
     )
-    seed = v.orderBy("vid").limit(1).collect()[0]
+    seeds = v.orderBy("vid").limit(1).collect()
+    if not seeds:
+        raise ValueError("kcenter_coreset: empty corpus")
+    seed = seeds[0]
+    # every center's norm rides through from the Spark-side norm_col fold —
+    # recomputing it driver-side (pow vs sqrt) risks a 1-ulp platform split
+    # against the oracle's sqrt(list_dot_product)
     chosen = [(int(seed.vid), list(seed.v), float(seed.nrm), None)]
     for _ in range(k - 1):
         dist = None
@@ -1003,12 +993,17 @@ def kcenter_coreset(
             d = 1 - dot_col(F.col("v"), lit_vec) / (F.col("nrm") * F.lit(cn))
             dist = d if dist is None else F.least(dist, d)
         cand = v.filter(~F.col("vid").isin([c[0] for c in chosen])).select(
-            "vid", "v", dist.alias("d")
+            "vid", "v", "nrm", dist.alias("d")
         )
         far = cand.select(
-            F.max(F.struct(F.col("d"), (-F.col("vid")).alias("neg"), "vid", "v")).alias("m")
+            F.max(
+                F.struct(F.col("d"), (-F.col("vid")).alias("neg"), "vid", "v", "nrm")
+            ).alias("m")
         ).collect()[0].m
-        nrm = sum(float(x) * float(x) for x in far.v) ** 0.5
-        chosen.append((int(far.vid), list(far.v), nrm, float(far.d)))
+        if far is None:
+            raise ValueError(
+                f"kcenter_coreset: k={k} exceeds corpus size {len(chosen)}"
+            )
+        chosen.append((int(far.vid), list(far.v), float(far.nrm), float(far.d)))
     rows = [(i, cid, d) for i, (cid, _v, _n, d) in enumerate(chosen)]
     return spark.createDataFrame(rows, "rank long, vec_id long, sel_dist double")

@@ -9,6 +9,7 @@ Spark-native query surface a reference user gains by switching).
  - ``enriched_1h`` (TR + Wilder ATR)
  - ``indicators_1h`` (Donchian + SMA + Bollinger over the 1h candles)
  - ``doc_signals`` (per-document quality + language + PII signals)
+ - ``macd_1h`` (MACD(12,26,9) panel over the 1h candles)
 
 Catalyst treats temp views as inlined subplans — a filter on
 ``candles_5m`` still pushes down into the events parquet scan.

@@ -473,10 +473,18 @@ def test_waiting_supplier_single_orderkey_exchange_family(spark, qs):
     df = qs["waiting_supplier"](spark, SF)
     plan = physical_plan(df)
     assert has_broadcast_join(df)
-    # all fact-side hash exchanges hash on an orderkey column
-    parts = re.findall(r"hashpartitioning\((\w+)", plan)
-    fact_keys = [p for p in parts if p.startswith(("l_", "o_"))]
-    assert fact_keys and all(k in ("l_orderkey", "o_orderkey") for k in fact_keys)
+    # every key of every fact-side hash exchange is in the orderkey family
+    # (plus the pre-agg's supplier sub-key) — capture FULL key lists, not
+    # just the first column, so an extra fact shuffle on a foreign key
+    # can't hide behind an allowed leading column
+    key_lists = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    fact_lists = [kl for kl in key_lists if kl.lstrip().startswith(("l_", "o_"))]
+    assert fact_lists
+    for kl in fact_lists:
+        keys = [k.strip().split("#")[0] for k in kl.split(",") if k.strip()]
+        keys = [k for k in keys if not k.isdigit()]  # trailing partition count
+        assert keys[0] in ("l_orderkey", "o_orderkey")
+        assert all(k in ("l_orderkey", "o_orderkey", "l_suppkey") for k in keys)
     assert "CartesianProduct" not in plan
 
 
