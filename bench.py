@@ -131,6 +131,7 @@ HEADLINE = [
     "embedding_drift",
     "macd_12_26_9",
     "kcenter_coreset",
+    "media_features",
 ]
 
 

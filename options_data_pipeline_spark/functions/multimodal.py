@@ -408,3 +408,51 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         "kind",
         F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
     ).withColumn("offset_ms", F.col("frame_idx") * every_ms)
+
+
+def synthesize_bmp_media(
+    ids: DataFrame, id_col: str = "event_id", width: int = 4, height: int = 2
+) -> DataFrame:
+    """Deterministic in-query media synthesis: one 24-bit BMP per id,
+    pixels a fixed affine-mod-256 function of (id, x, y) — the
+    pattern that lets the decode path be ORACLE-CHECKED end-to-end: the
+    DuckDB twin computes the expected features straight from the pixel
+    formula, so a hash match proves encode → binary column → Arrow batch
+    → decode → feature math byte-for-byte, without the oracle ever
+    touching a codec. Same mapInPandas batch shape a real ingest uses
+    for opaque media blobs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf[id_col]:
+                m = int(mid)
+                payloads.append(
+                    make_bmp(
+                        width,
+                        height,
+                        lambda x, y, m=m: (
+                            (m * 13 + x * 7 + y * 31) % 256,
+                            (m * 17 + x * 11 + y * 5) % 256,
+                            (m * 7 + x * 3 + y * 13) % 256,
+                        ),
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "kind": "image",
+                    "payload": payloads,
+                    "meta": [
+                        {
+                            "format": "bmp",
+                            "width": width,
+                            "height": height,
+                            "duration_ms": 0,
+                        }
+                    ]
+                    * len(payloads),
+                }
+            )
+
+    return ids.mapInPandas(run, schema=MEDIA_SCHEMA)

@@ -5015,6 +5015,85 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcenter_coreset(load_table(spark, "embeddings", sf_dir), k=6)
 
 
+def _media_features_oracle(width: int = 4, height: int = 2) -> str:
+    """Expected features computed straight from the pixel FORMULA (no
+    codec in the oracle): byte sums are integers, every division is by a
+    constant — exact cross-engine. The header constants (file size, byte
+    sum of the zero-pixel image) come from one driver-side make_bmp call
+    at oracle-build time."""
+    from .functions.multimodal import make_bmp
+
+    blank = make_bmp(width, height, lambda x, y: (0, 0, 0))
+    c0, n_bytes = sum(blank), len(blank)
+    n = float(width * height) * 255.0
+    half, total = n / 2 * 3, n * 3
+    return f"""WITH ids AS (
+  SELECT event_id AS media_id FROM events WHERE event_id < 50
+),
+px AS (
+  SELECT media_id, x, y,
+         (media_id * 13 + x * 7 + y * 31) % 256 AS r,
+         (media_id * 17 + x * 11 + y * 5) % 256 AS g,
+         (media_id * 7 + x * 3 + y * 13) % 256 AS b
+  FROM ids,
+       (SELECT unnest(generate_series(0, {width - 1})) AS x),
+       (SELECT unnest(generate_series(0, {height - 1})) AS y)
+),
+agg AS (
+  SELECT media_id,
+         CAST(sum(r) AS BIGINT) AS sr, CAST(sum(g) AS BIGINT) AS sg,
+         CAST(sum(b) AS BIGINT) AS sb,
+         CAST(sum(CASE WHEN y < {height // 2} THEN r + g + b ELSE 0 END) AS BIGINT) AS lt,
+         CAST(sum(CASE WHEN y >= {height // 2} THEN r + g + b ELSE 0 END) AS BIGINT) AS lb
+  FROM px GROUP BY media_id
+)
+SELECT media_id,
+       CAST({n_bytes} AS BIGINT) AS n_bytes,
+       CAST(({c0} + sr + sg + sb) % 2147483648 AS BIGINT) AS checksum,
+       CAST({float(width)!r} AS DOUBLE) AS width,
+       CAST({float(height)!r} AS DOUBLE) AS height,
+       sr / {n!r} AS mean_r, sg / {n!r} AS mean_g, sb / {n!r} AS mean_b,
+       lt / {half!r} AS lum_top, lb / {half!r} AS lum_bot,
+       (lt + lb) / {total!r} AS lum
+FROM agg"""
+
+
+@register("media_features", _media_features_oracle())
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode as a FIRST-CLASS oracle-checked query: synthesize
+    a 24-bit BMP per event id (deterministic pixel formula), push the
+    binary column through the real mapInPandas decode path
+    (functions/multimodal.py::_decode_image — stdlib struct, no codec
+    libs), and unpack the 8-dim feature vector. The oracle recomputes
+    the features from the pixel formula alone, so a hash match proves
+    the encode → Arrow binary batch → decode → feature chain
+    byte-for-byte. At 100 TB this is the exact ingest shape for opaque
+    media blobs: payload stays binary, features are narrow doubles, the
+    decode is Arrow-batched and never row-at-a-time Python."""
+    from .functions.multimodal import synthesize_bmp_media, extract_features
+
+    ids = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("event_id") < 50)
+        .select("event_id")
+    )
+    feats = extract_features(synthesize_bmp_media(ids), decoder="image")
+    f = F.col("feature")
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "checksum",
+        f[0].alias("width"),
+        f[1].alias("height"),
+        f[2].alias("mean_r"),
+        f[3].alias("mean_g"),
+        f[4].alias("mean_b"),
+        f[5].alias("lum_top"),
+        f[6].alias("lum_bot"),
+        f[7].alias("lum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
