@@ -76,19 +76,26 @@ def dedup_ingest_batch(
     sig_path: str,
     threshold: float = 0.5,
     text_col: str = "text",
+    eval_docs: DataFrame | None = None,
+    decontaminate_n: int = 4,
 ) -> int:
     """Process one micro-batch of documents; returns docs appended.
 
     Steps (each deterministic, so failure-replay converges):
       1. id-grain replay guard: drop doc_ids already in the corpus
          (anti-join, pruned read — a replayed batch becomes empty here).
-      2. sign the remaining batch docs (the ONLY tokenization pass).
-      3. cross-batch near-dup: drop docs whose estimated Jaccard vs any
+      2. ingest-time DECONTAMINATION (when ``eval_docs`` is given): drop
+         batch docs sharing any ``decontaminate_n``-gram with the eval
+         suite — leakage is cheapest to stop at the door, before the doc
+         ever enters the corpus or the signature index; the eval gram
+         set is small by nature and broadcasts (`decontamination_hits`).
+      3. sign the remaining batch docs (the ONLY signature tokenization).
+      4. cross-batch near-dup: drop docs whose estimated Jaccard vs any
          STORED signature ≥ threshold.
-      4. within-batch near-dup: connected components over the survivors'
+      5. within-batch near-dup: connected components over the survivors'
          own candidate pairs, keep the min doc_id per component
          (`dedup_canonical` semantics).
-      5. append kept docs to the corpus and exactly their signature rows
+      6. append kept docs to the corpus and exactly their signature rows
          to the signature table (stage-and-promote appends).
     """
     spark = batch.sparkSession
@@ -103,6 +110,13 @@ def dedup_ingest_batch(
         if b.lo is not None:
             corpus_ids = corpus_ids.filter(F.col("doc_id").between(b.lo, b.hi))
         fresh = batch.join(corpus_ids, "doc_id", "left_anti")
+    if eval_docs is not None:
+        from ..functions.text import decontamination_hits
+
+        hits = decontamination_hits(
+            fresh, eval_docs, text_col=text_col, n=decontaminate_n
+        )
+        fresh = fresh.join(hits.select("doc_id"), "doc_id", "left_anti")
     fresh = fresh.cache()
     try:
         if not fresh.take(1):
@@ -179,15 +193,26 @@ def run_doc_ingest(
     threshold: float = 0.5,
     max_files_per_trigger: int = 8,
     schema: str = "doc_id long, text string, lang string, source string, n_chars long",
+    eval_path: str | None = None,
+    decontaminate_n: int = 4,
 ):
     """File-source stream over parquet document drops → foreachBatch
     incremental dedup ingest. Returns the started query; corpus lands in
     ``work_dir/corpus``, signatures in ``work_dir/signatures``, stream
     state in ``work_dir/_checkpoint``. The paced trigger bound follows the
     densify lesson (BASELINE §7): bounded micro-batches keep per-trigger
-    latency inside the write-timeout NFR."""
+    latency inside the write-timeout NFR.
+
+    ``eval_path``: parquet of benchmark/eval documents; when given, every
+    batch is decontaminated against it at the door (step 2 of
+    :func:`dedup_ingest_batch`). The eval frame is read once and cached —
+    its distinct-gram side broadcasts per batch."""
     corpus = os.path.join(work_dir, "corpus")
     sigs = os.path.join(work_dir, "signatures")
+    eval_docs = None
+    if eval_path is not None:
+        eval_docs = spark.read.parquet(eval_path).select("doc_id", "text").cache()
+        eval_docs.count()  # materialize once, before the stream starts
 
     stream = (
         spark.readStream.schema(schema)
@@ -196,7 +221,10 @@ def run_doc_ingest(
     )
 
     def _process(bdf: DataFrame, _bid: int) -> None:
-        dedup_ingest_batch(bdf, corpus, sigs, threshold)
+        dedup_ingest_batch(
+            bdf, corpus, sigs, threshold,
+            eval_docs=eval_docs, decontaminate_n=decontaminate_n,
+        )
 
     return (
         stream.writeStream.foreachBatch(_process)

@@ -191,3 +191,36 @@ def test_compact_flat_sink_lossless_and_resets_file_tax(spark, tmp_path):
         docs(spark, [(41, BASE.upper()), (42, "fresh content again")]), corpus, sigs
     )
     assert n == 1 and 42 in corpus_ids(spark, corpus) and 41 not in corpus_ids(spark, corpus)
+
+
+def test_ingest_time_decontamination_drops_eval_overlap(spark, tmp_path):
+    """A batch doc sharing a 4-gram with the eval suite never enters the
+    corpus OR the signature index; clean docs are unaffected; a replay
+    of the same batch still appends nothing."""
+    corpus = str(tmp_path / "corpus")
+    sigs = str(tmp_path / "sigs")
+    eval_docs = docs(spark, [(900, "quick brown fox jumps high")])
+
+    batch = docs(spark, [(1, BASE), (2, OTHER)])  # BASE shares the 4-gram
+    n = dedup_ingest_batch(batch, corpus, sigs, eval_docs=eval_docs)
+    assert n == 1 and corpus_ids(spark, corpus) == {2}
+    sig_ids = {r.doc_id for r in spark.read.parquet(sigs).select("doc_id").collect()}
+    assert sig_ids == {2}  # contaminated doc kept out of the index too
+
+    # replay converges: doc 2 hits the replay guard, doc 1 the decontam gate
+    n2 = dedup_ingest_batch(batch, corpus, sigs, eval_docs=eval_docs)
+    assert n2 == 0 and corpus_ids(spark, corpus) == {2}
+
+
+def test_streaming_ingest_with_eval_path(spark, tmp_path):
+    """End-to-end stream wiring: eval_path read once, every micro-batch
+    decontaminated at the door."""
+    src = str(tmp_path / "src")
+    work = str(tmp_path / "work")
+    eval_path = str(tmp_path / "eval")
+    docs(spark, [(900, "quick brown fox jumps high")]).write.parquet(eval_path)
+    docs(spark, [(1, BASE), (2, OTHER), (3, THIRD)]).coalesce(1).write.parquet(src)
+
+    q = run_doc_ingest(spark, src, work, eval_path=eval_path)
+    q.awaitTermination(120)
+    assert corpus_ids(spark, os.path.join(work, "corpus")) == {2, 3}
