@@ -132,6 +132,8 @@ HEADLINE = [
     "macd_12_26_9",
     "kcenter_coreset",
     "media_features",
+    "data_expectations",
+    "salted_join_enrichment",
 ]
 
 

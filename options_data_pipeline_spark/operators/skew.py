@@ -110,3 +110,29 @@ def salted_ohlc(
             "tick_count",
         )
     )
+
+
+def salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    buckets: int = 8,
+) -> DataFrame:
+    """Skew-safe equi-join via salt replication — the standing mitigation
+    for a JOIN whose build side is too big to broadcast while the probe
+    side's key distribution is hot (AQE's skew split handles sort-merge
+    skew at runtime; this is the explicit rewrite for when the plan must
+    be provably balanced, e.g. a hot index token owning 30% of ticks).
+
+    The build side replicates ×``buckets`` with an explicit salt column
+    (an `explode(sequence(...))` — rows, not a shuffle), the probe side
+    salts deterministically (:func:`with_salt`, replay-stable), and the
+    join key becomes (key, salt), spreading each hot key over ``buckets``
+    partitions. Build-side growth is the price: ×buckets rows — choose
+    buckets ≈ the hot key's partition-overload factor, not more.
+    Result is row-identical to the unsalted join (each probe row meets
+    exactly one replica of its build row)."""
+    rep = build.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    return with_salt(probe, buckets).join(rep, [key, "_salt"]).drop("_salt")

@@ -5094,6 +5094,130 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "data_expectations",
+    """SELECT 'orders_custkey_fk' AS check_name,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_custkey IS NULL) AS n_violations
+UNION ALL
+SELECT 'lineitem_orderkey_fk',
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IS NULL)
+UNION ALL
+SELECT 'orderkey_unique',
+       (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM
+        (SELECT count(*) AS c FROM orders GROUP BY o_orderkey HAVING count(*) > 1))
+UNION ALL
+SELECT 'quantity_in_range',
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        WHERE l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50)
+UNION ALL
+SELECT 'discount_in_range',
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        WHERE l_discount IS NULL OR l_discount < 0 OR l_discount > 0.5)
+UNION ALL
+SELECT 'events_value_nonnegative',
+       (SELECT CAST(count(*) AS BIGINT) FROM events
+        WHERE value IS NOT NULL AND value < 0)""",
+)
+def q_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt/Great-Expectations-style DATA QUALITY suite as one query: each
+    row is a named constraint with its violation count (0 = pass) —
+    referential integrity via anti-joins (the reference's
+    missing-symbol/orphan checks, SURVEY §2 J3, generalized), key
+    uniqueness via a group-HAVING, and range/null gates as pushable
+    filters. The audit table a pipeline gates a publish on.
+
+    Scale: each FK check is one anti-join (dim side broadcasts when
+    small); the unions are independent jobs Spark runs as one plan.
+    Integer-only output."""
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    events = load_table(spark, "events", sf_dir)
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+
+    fk_orders = orders.join(
+        F.broadcast(customer.select("c_custkey")),
+        orders.o_custkey == F.col("c_custkey"),
+        "left_anti",
+    )
+    fk_lineitem = li.join(
+        orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_anti"
+    )
+    dup_orderkeys = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).cast("bigint").alias("n_violations"))
+        .select(F.lit("orderkey_unique").alias("check_name"), "n_violations")
+    )
+    qty_bad = li.filter(
+        F.col("l_quantity").isNull()
+        | (F.col("l_quantity") < 1)
+        | (F.col("l_quantity") > 50)
+    )
+    disc_bad = li.filter(
+        F.col("l_discount").isNull()
+        | (F.col("l_discount") < 0)
+        | (F.col("l_discount") > 0.5)
+    )
+    val_bad = events.filter(F.col("value").isNotNull() & (F.col("value") < 0))
+    return (
+        one("orders_custkey_fk", fk_orders)
+        .unionByName(one("lineitem_orderkey_fk", fk_lineitem))
+        .unionByName(dup_orderkeys)
+        .unionByName(one("quantity_in_range", qty_bad))
+        .unionByName(one("discount_in_range", disc_bad))
+        .unionByName(one("events_value_nonnegative", val_bad))
+    )
+
+
+@register(
+    "salted_join_enrichment",
+    f"""WITH {TICKS_CTE.strip()},
+dim AS (
+  SELECT DISTINCT symbol, upper(substr(symbol, 1, 1)) AS segment FROM ticks
+)
+SELECT segment,
+       CAST(count(*) AS BIGINT) AS n_ticks,
+       CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS notional
+FROM ticks JOIN dim USING (symbol)
+GROUP BY segment""",
+)
+def q_salted_join_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe JOIN twin (the join-side analogue of `salted_ohlc`):
+    ticks enriched against a symbol dimension through the explicit
+    salt-replication rewrite (operators/skew.py::salted_join) — the
+    oracle states the PLAIN unsalted join, so the hash match proves the
+    rewrite row-identical. The pattern matters when the dim outgrows the
+    broadcast threshold while one hot key owns a partition-breaking
+    share of the fact; buckets=8 spreads each key over 8 partitions at
+    an ×8 dim-replication cost."""
+    from .operators.skew import salted_join
+
+    ticks = load_ticks(spark, sf_dir)
+    dim = (
+        ticks.select("symbol")
+        .distinct()
+        .withColumn("segment", F.upper(F.substring("symbol", 1, 1)))
+    )
+    return (
+        salted_join(ticks, dim, "symbol", buckets=8)
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.sum(F.col("price").cast("decimal(18,4)")).cast("double").alias("notional"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
