@@ -134,6 +134,7 @@ HEADLINE = [
     "media_features",
     "data_expectations",
     "salted_join_enrichment",
+    "scd2_intervals",
 ]
 
 

@@ -5218,6 +5218,63 @@ def q_salted_join_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scd2_intervals",
+    """WITH ordered AS (
+  SELECT user_id, event_type AS state, ts, event_id,
+         lag(event_type) OVER w AS prev_state
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+changes AS (
+  SELECT user_id, state, ts, event_id FROM ordered
+  WHERE prev_state IS NULL OR prev_state <> state
+)
+SELECT user_id, state,
+       ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+            AS BOOLEAN) AS is_current
+FROM changes""",
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 interval construction — the warehouse history-table
+    build: each user's event stream collapses to state-CHANGE rows, and
+    every change opens a validity interval [valid_from, valid_to) closed
+    by the next change (open-ended + is_current for the latest). Two
+    window passes over ONE user-grain partitioning (lag to detect
+    changes, lead to close intervals — the second window reuses the
+    first's sort exactly); pure picks and timestamp comparisons,
+    bit-exact cross-engine. The dimension-history twin of the
+    reconciliation/state-adoption family (SURVEY §2 J5)."""
+    events = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        events.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_state"),
+        )
+        .filter(F.col("prev_state").isNull() | (F.col("prev_state") != F.col("state")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w2)
+    return changes.select(
+        "user_id",
+        "state",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
