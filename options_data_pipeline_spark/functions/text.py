@@ -353,18 +353,30 @@ def gopher_cols(text_col: str = "text") -> dict[str, Column]:
     }
 
 
+def _word_ngrams_from_tokens(tokens_expr: str, n: int) -> str:
+    """SQL expr: distinct space-joined word n-grams over an ALREADY
+    TOKENIZED array expression — lets a multi-stage pipeline tokenize
+    once and derive grams from the array (regexp tokenization is the
+    dominant per-row cost, measured on corpus_curation)."""
+    return (
+        f"array_distinct(transform(sequence(1, greatest(size({tokens_expr}) - {n - 1}, 1)),"
+        f" i -> array_join(slice({tokens_expr}, i, {n}), ' ')))"
+    )
+
+
 def _word_ngrams_expr(text_col: str, n: int) -> str:
     """SQL expr: distinct space-joined word n-grams of the casefolded
     text (shared by decontamination and the dup-n-gram signals)."""
     toks = f"regexp_extract_all(lower({text_col}), '\\\\S+', 0)"
-    return (
-        f"array_distinct(transform(sequence(1, greatest(size({toks}) - {n - 1}, 1)),"
-        f" i -> array_join(slice({toks}, i, {n}), ' ')))"
-    )
+    return _word_ngrams_from_tokens(toks, n)
 
 
 def decontamination_hits(
-    train: DataFrame, eval_docs: DataFrame, text_col: str = "text", n: int = 8
+    train: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Benchmark DECONTAMINATION: for every training document, how many
     distinct word n-grams it shares with ANY evaluation document — the
@@ -376,9 +388,18 @@ def decontamination_hits(
     corpora), so its distinct-n-gram set BROADCASTS; the train side stays
     a narrow map + one broadcast semi-join + one groupBy at doc grain.
     100 TB of train text streams through without a shuffle of the grams
-    themselves."""
+    themselves.
+
+    ``tokens_col``: name of a precomputed token-array column on the
+    TRAIN side — a composed pipeline that already tokenized upstream
+    skips the second regexp pass (the dominant per-row cost)."""
+    train_grams = (
+        _word_ngrams_from_tokens(tokens_col, n)
+        if tokens_col is not None
+        else _word_ngrams_expr(text_col, n)
+    )
     tg = train.select(
-        "doc_id", F.explode(F.expr(_word_ngrams_expr(text_col, n))).alias("gram")
+        "doc_id", F.explode(F.expr(train_grams)).alias("gram")
     )
     eg = eval_docs.select(
         F.explode(F.expr(_word_ngrams_expr(text_col, n))).alias("gram")
