@@ -403,3 +403,87 @@ def test_2w_simhash_banding_equals_naive(spark_prop, sig_pairs):
             if h <= 3:
                 want.add((i, j, h))
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),   # key index
+            st.integers(min_value=0, max_value=999),  # value
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_salted_join_equals_plain_join(spark_prop, rows):
+    """The salt-replication rewrite is row-identical to the plain
+    equi-join for ANY fact/dim distribution, including hot keys."""
+    from pyspark.sql import functions as F
+
+    from options_data_pipeline_spark.operators.skew import salted_join
+
+    fact = spark_prop.createDataFrame(
+        [(i, f"k{k}", v) for i, (k, v) in enumerate(rows)],
+        "event_id long, key string, value long",
+    )
+    dim = spark_prop.createDataFrame(
+        [(f"k{k}", k * 10) for k in range(10)], "key string, attr long"
+    )
+    salted = salted_join(fact, dim, "key", buckets=4)
+    plain = fact.join(dim, "key")
+    assert sorted(map(tuple, salted.select("event_id", "key", "value", "attr").collect())) == \
+        sorted(map(tuple, plain.select("event_id", "key", "value", "attr").collect()))
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # user
+            st.integers(min_value=0, max_value=50),  # ts offset (seconds)
+            st.sampled_from(["a", "b", "c"]),        # state
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_scd2_intervals_partition_each_users_timeline(spark_prop, rows):
+    """For any event stream: per user, intervals are ordered and
+    non-overlapping (valid_to(i) == valid_from(i+1)), exactly one open
+    interval per user, and consecutive intervals never repeat a state."""
+    from datetime import datetime, timedelta
+
+    from options_data_pipeline_spark import registry  # noqa: F401  (pattern parity)
+    from pyspark.sql import functions as F, Window
+
+    base = datetime(2024, 1, 1)
+    events = spark_prop.createDataFrame(
+        [
+            (i, u, base + timedelta(seconds=s), st_)
+            for i, (u, s, st_) in enumerate(rows)
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        events.select(
+            "user_id", F.col("event_type").alias("state"), "ts", "event_id",
+            F.lag("event_type").over(w).alias("prev"),
+        )
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("state")))
+    )
+    out = changes.select(
+        "user_id", "state", F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    ).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    for _u, ivs in by_user.items():
+        ivs.sort(key=lambda r: r.valid_from)
+        opens = [r for r in ivs if r.valid_to is None]
+        assert len(opens) == 1 and opens[0] is ivs[-1]
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from  # contiguous, non-overlapping
+            assert a.state != b.state  # runs collapsed
