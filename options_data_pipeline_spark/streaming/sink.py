@@ -183,17 +183,17 @@ def _committed_segments(
     A committed manifest whose segment dir is missing is CORRUPTION
     (someone deleted committed data — e.g. GC racing an active writer)
     and raises rather than silently shrinking the sink."""
-    import json
-
     mdir = _manifest_dir(sink_path)
     if not os.path.isdir(mdir):
         return []
+    manifests = manifest_versions(sink_path)
+    superseded = _superseded_segments(manifests)
     out = []
-    for f in sorted(os.listdir(mdir)):
-        if not f.endswith(".json"):
+    for m in manifests:
+        if m["segment"] in superseded:
+            # replaced by a committed compaction — its rows live in the
+            # merged segment; the dir may even be gone (expire_snapshots)
             continue
-        with open(os.path.join(mdir, f)) as fh:
-            m = json.load(fh)
         if lo is not None and hi is not None:
             slo, shi = m.get("lo"), m.get("hi")
             if (
@@ -207,7 +207,7 @@ def _committed_segments(
         seg = os.path.join(sink_path, "segments", m["segment"])
         if not os.path.isdir(seg):
             raise FileNotFoundError(
-                f"manifest {f} commits segment {m['segment']} but the segment"
+                f"manifest commits segment {m['segment']} but the segment"
                 f" dir is missing — committed data was deleted out-of-band"
                 f" (was gc_uncommitted_segments run while a writer was"
                 f" active?)"
@@ -216,7 +216,24 @@ def _committed_segments(
     return out
 
 
-def _publish_manifest(sink_path: str, segment: str, n_rows: int, lo, hi) -> int:
+def _superseded_segments(
+    manifests: list[dict], at_version: int | None = None
+) -> set[str]:
+    """Segments replaced by a committed compaction manifest (its
+    ``replaces`` list), optionally only counting compactions with
+    version ≤ ``at_version`` — a historical read BEFORE a compaction
+    must still see the original segments."""
+    out: set[str] = set()
+    for m in manifests:
+        if at_version is not None and m.get("version", 0) > at_version:
+            continue
+        out.update(m.get("replaces") or [])
+    return out
+
+
+def _publish_manifest(
+    sink_path: str, segment: str, n_rows: int, lo, hi, replaces: list[str] | None = None
+) -> int:
     """The commit point: stage the manifest JSON then atomically rename it
     into _manifests/. On a real object store this maps to a single PUT of
     the manifest object — one atomic publish, no multi-file rename.
@@ -231,15 +248,17 @@ def _publish_manifest(sink_path: str, segment: str, n_rows: int, lo, hi) -> int:
     mdir = _manifest_dir(sink_path)
     os.makedirs(mdir, exist_ok=True)
     version = sum(
-        1 for f in os.listdir(mdir) if f.endswith(".json")
+        1
+        for f in os.listdir(mdir)
+        if f.endswith(".json") and not f.startswith("_")  # skip metadata
     ) if os.path.isdir(mdir) else 0
     tmp = os.path.join(mdir, f".{segment}.json.tmp")
+    doc = {"segment": segment, "rows": n_rows, "lo": lo, "hi": hi,
+           "version": version}
+    if replaces:
+        doc["replaces"] = list(replaces)
     with open(tmp, "w") as fh:
-        json.dump(
-            {"segment": segment, "rows": n_rows, "lo": lo, "hi": hi,
-             "version": version},
-            fh,
-        )
+        json.dump(doc, fh)
     os.rename(tmp, os.path.join(mdir, f"{segment}.json"))
     return version
 
@@ -320,7 +339,9 @@ def manifest_versions(sink_path: str) -> list[dict]:
         return []
     out = []
     for f in sorted(os.listdir(mdir)):
-        if f.endswith(".json"):
+        # underscore-prefixed JSONs are sink metadata (e.g. the
+        # expire_snapshots marker), not commit manifests
+        if f.endswith(".json") and not f.startswith("_"):
             with open(os.path.join(mdir, f)) as fh:
                 out.append(json.load(fh))
     out.sort(key=lambda m: m.get("version", -1))
@@ -338,14 +359,22 @@ def manifest_sink_read(spark, sink_path: str, at_version: int | None = None) -> 
     committed manifest predates version stamping (no silent partial
     snapshots)."""
     if at_version is not None:
+        expired_before = _expired_before(sink_path)
+        if expired_before is not None and at_version < expired_before:
+            raise ValueError(
+                f"snapshot {at_version} expired — expire_snapshots removed"
+                f" history before version {expired_before}"
+            )
+        manifests = manifest_versions(sink_path)
+        superseded = _superseded_segments(manifests, at_version=at_version)
         segments = []
-        for m in manifest_versions(sink_path):
+        for m in manifests:
             if "version" not in m:
                 raise ValueError(
                     f"manifest for segment {m.get('segment')} has no version"
                     " — sink predates time travel; full reads only"
                 )
-            if m["version"] <= at_version:
+            if m["version"] <= at_version and m["segment"] not in superseded:
                 seg = os.path.join(sink_path, "segments", m["segment"])
                 if not os.path.isdir(seg):
                     raise FileNotFoundError(
@@ -357,6 +386,87 @@ def manifest_sink_read(spark, sink_path: str, at_version: int | None = None) -> 
     if not segments:
         raise FileNotFoundError(f"no committed segments under {sink_path}")
     return spark.read.parquet(*segments)
+
+
+def _expired_before(sink_path: str) -> int | None:
+    """Version floor left by :func:`expire_snapshots` (None = full
+    history available)."""
+    import json
+
+    marker = os.path.join(_manifest_dir(sink_path), "_expired.json")
+    if not os.path.isfile(marker):
+        return None
+    with open(marker) as fh:
+        return json.load(fh)["before_version"]
+
+
+def manifest_compact(
+    spark, sink_path: str, prune_col: str | None = "window_start"
+) -> int:
+    """OPTIMIZE for the manifest sink: merge all LIVE segments into one
+    and commit it as a new version whose manifest ``replaces`` them —
+    the small-file compaction every streaming append sink needs (each
+    micro-batch is one segment; a day of 5-minute batches is ~288 dirs
+    every read re-lists). Current reads switch to the merged segment at
+    the commit instant; TIME TRAVEL to any pre-compaction version still
+    resolves the original segments (``replaces`` is version-gated), so
+    nothing is lost until :func:`expire_snapshots` retires it.
+
+    Shares the sink's SINGLE-WRITER contract (it IS a writer). Returns
+    the new version, or -1 when ≤1 live segment (nothing to merge).
+    Deployments size merged files to ~128 MB; the coalesce(1) here
+    follows the measured micro-batch file-tax lesson at test scale."""
+    live = _committed_segments(sink_path)
+    if len(live) <= 1:
+        return -1
+    df = spark.read.parquet(*live)
+    lo = hi = None
+    if prune_col is not None and prune_col in df.columns:
+        b = df.agg(F.min(prune_col).alias("lo"), F.max(prune_col).alias("hi")).collect()[0]
+        lo, hi = _bound_json(b.lo), _bound_json(b.hi)
+    n = df.count()
+    import uuid
+
+    seg_name = uuid.uuid4().hex[:12]
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sink_path, "segments", seg_name)
+    )
+    return _publish_manifest(
+        sink_path, seg_name, n, lo, hi,
+        replaces=[os.path.basename(s) for s in live],
+    )
+
+
+def expire_snapshots(sink_path: str, before_version: int) -> list[str]:
+    """VACUUM for the manifest sink: delete segment dirs that serve ONLY
+    snapshots older than ``before_version`` — i.e. segments a compaction
+    with version ≤ ``before_version`` superseded. Current reads and any
+    time travel ≥ ``before_version`` are untouched; older ``at_version``
+    reads raise a clear "snapshot expired" error (the marker survives in
+    ``_manifests/_expired.json``). Manifest JSONs are kept — the commit
+    history stays auditable, only the data bytes are reclaimed.
+
+    Shares the single-writer contract (like GC: don't race an active
+    writer's compaction)."""
+    import json
+
+    manifests = manifest_versions(sink_path)
+    retirable = _superseded_segments(manifests, at_version=before_version)
+    removed = []
+    for seg in sorted(retirable):
+        path = os.path.join(sink_path, "segments", seg)
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+            removed.append(seg)
+    if removed:  # only a real retirement narrows readable history
+        prev = _expired_before(sink_path) or 0
+        marker = os.path.join(_manifest_dir(sink_path), "_expired.json")
+        os.makedirs(_manifest_dir(sink_path), exist_ok=True)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"before_version": max(prev, before_version)}, fh)
+        os.rename(tmp, marker)
+    return removed
 
 
 def gc_uncommitted_segments(sink_path: str, grace_s: float = 600.0) -> list[str]:
@@ -378,7 +488,10 @@ def gc_uncommitted_segments(sink_path: str, grace_s: float = 600.0) -> list[str]
     seg_root = os.path.join(sink_path, "segments")
     if not os.path.isdir(seg_root):
         return []
-    committed = {os.path.basename(s) for s in _committed_segments(sink_path)}
+    # EVERY manifest-named segment is protected — including ones a
+    # compaction superseded (they still serve time travel until
+    # expire_snapshots retires them explicitly)
+    committed = {m["segment"] for m in manifest_versions(sink_path)}
     removed = []
     now = time.time()
     for d in sorted(os.listdir(seg_root)):

@@ -854,3 +854,62 @@ def test_manifest_time_travel_reads_historical_snapshots(spark, tmp_path):
     # version chain stays contiguous
     assert manifest_append_batch(batch([3]), sink, prune_col="id") == 0
     assert [m["version"] for m in manifest_versions(sink)] == [0, 1, 2]
+
+
+def test_manifest_compact_and_expire_snapshots(spark, tmpdir):
+    """OPTIMIZE + VACUUM lifecycle: compaction merges live segments into
+    one (current reads identical, pre-compaction time travel intact),
+    appends after compaction dedup correctly against the merged segment,
+    GC never touches superseded-but-unexpired segments, and
+    expire_snapshots reclaims exactly them while old at_version reads
+    fail with a clear 'expired' error."""
+    import os
+    import pytest as _pytest
+
+    from options_data_pipeline_spark.streaming.sink import (
+        expire_snapshots,
+        gc_uncommitted_segments,
+        manifest_append_batch,
+        manifest_compact,
+        manifest_sink_read,
+        manifest_versions,
+    )
+
+    sink = tmpdir + "/csink"
+
+    def batch(ids):
+        return spark.createDataFrame(
+            [(i, float(len(i))) for i in ids], "id string, v double"
+        ).withColumn("window_start", F.lit("2024-01-01 09:15:00").cast("timestamp"))
+
+    assert manifest_append_batch(batch(["a", "b"]), sink) == 2   # v0
+    assert manifest_append_batch(batch(["c"]), sink) == 1        # v1
+    seg_root = os.path.join(sink, "segments")
+    assert len(os.listdir(seg_root)) == 2
+
+    v = manifest_compact(spark, sink)                            # v2
+    assert v == 2
+    assert manifest_sink_read(spark, sink).count() == 3          # unchanged
+    assert manifest_sink_read(spark, sink, at_version=1).count() == 3
+    assert manifest_sink_read(spark, sink, at_version=0).count() == 2
+    # replay + new append still dedup against the MERGED segment
+    assert manifest_append_batch(batch(["a", "c", "d"]), sink) == 1  # v3
+    assert manifest_sink_read(spark, sink).count() == 4
+    # GC must not collect superseded segments (they serve time travel)
+    assert gc_uncommitted_segments(sink, grace_s=0.0) == []
+    assert len(os.listdir(seg_root)) == 4  # 2 originals + merged + delta
+
+    removed = expire_snapshots(sink, before_version=v)
+    assert len(removed) == 2  # exactly the two pre-compaction segments
+    assert manifest_sink_read(spark, sink).count() == 4
+    assert manifest_sink_read(spark, sink, at_version=v).count() == 3
+    with _pytest.raises(ValueError, match="expired"):
+        manifest_sink_read(spark, sink, at_version=1)
+    # history metadata stays auditable
+    assert [m["version"] for m in manifest_versions(sink)] == [0, 1, 2, 3]
+    # second compaction chains: merged+delta collapse again
+    v2 = manifest_compact(spark, sink)
+    assert v2 == 4
+    assert manifest_sink_read(spark, sink).count() == 4
+    assert expire_snapshots(sink, before_version=v2) != []
+    assert manifest_sink_read(spark, sink).count() == 4
