@@ -371,12 +371,26 @@ def _word_ngrams_expr(text_col: str, n: int) -> str:
     return _word_ngrams_from_tokens(toks, n)
 
 
+def eval_gram_set(
+    eval_docs: DataFrame, text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """The eval suite's distinct n-gram frame (column ``gram``) — build
+    it ONCE and pass to :func:`decontamination_hits` via ``eval_grams``
+    when decontaminating many batches against the same suite (a long
+    ingest stream re-tokenizing the eval side per micro-batch pays the
+    dominant regexp cost hundreds of times for a deterministic result)."""
+    return eval_docs.select(
+        F.explode(F.expr(_word_ngrams_expr(text_col, n))).alias("gram")
+    ).distinct()
+
+
 def decontamination_hits(
     train: DataFrame,
-    eval_docs: DataFrame,
+    eval_docs: DataFrame | None,
     text_col: str = "text",
     n: int = 8,
     tokens_col: str | None = None,
+    eval_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark DECONTAMINATION: for every training document, how many
     distinct word n-grams it shares with ANY evaluation document — the
@@ -401,9 +415,11 @@ def decontamination_hits(
     tg = train.select(
         "doc_id", F.explode(F.expr(train_grams)).alias("gram")
     )
-    eg = eval_docs.select(
-        F.explode(F.expr(_word_ngrams_expr(text_col, n))).alias("gram")
-    ).distinct()
+    eg = (
+        eval_grams
+        if eval_grams is not None
+        else eval_gram_set(eval_docs, text_col, n)
+    )
     return (
         tg.join(F.broadcast(eg), "gram")
         .groupBy("doc_id")

@@ -135,4 +135,11 @@ def salted_join(
     rep = build.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
     )
-    return with_salt(probe, buckets).join(rep, [key, "_salt"]).drop("_salt")
+    # a NULL salt source (e.g. a row with NULL event_id) must not drop the
+    # row — the inner equi-join never matches NULL; park such rows in
+    # bucket 0 (join-key NULLs drop on both the plain and salted side, so
+    # row-identity with the unsalted join holds)
+    salted = with_salt(probe, buckets).withColumn(
+        "_salt", F.coalesce(F.col("_salt"), F.lit(0))
+    )
+    return salted.join(rep, [key, "_salt"]).drop("_salt")

@@ -5269,8 +5269,7 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("prev_state").isNull() | (F.col("prev_state") != F.col("state")))
     )
-    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    nxt = F.lead("ts").over(w2)
+    nxt = F.lead("ts").over(w)  # same spec as the change-detect pass
     return changes.select(
         "user_id",
         "state",

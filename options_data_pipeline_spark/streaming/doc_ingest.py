@@ -78,6 +78,7 @@ def dedup_ingest_batch(
     text_col: str = "text",
     eval_docs: DataFrame | None = None,
     decontaminate_n: int = 4,
+    eval_grams: DataFrame | None = None,
 ) -> int:
     """Process one micro-batch of documents; returns docs appended.
 
@@ -110,11 +111,12 @@ def dedup_ingest_batch(
         if b.lo is not None:
             corpus_ids = corpus_ids.filter(F.col("doc_id").between(b.lo, b.hi))
         fresh = batch.join(corpus_ids, "doc_id", "left_anti")
-    if eval_docs is not None:
+    if eval_docs is not None or eval_grams is not None:
         from ..functions.text import decontamination_hits
 
         hits = decontamination_hits(
-            fresh, eval_docs, text_col=text_col, n=decontaminate_n
+            fresh, eval_docs, text_col=text_col, n=decontaminate_n,
+            eval_grams=eval_grams,
         )
         fresh = fresh.join(hits.select("doc_id"), "doc_id", "left_anti")
     fresh = fresh.cache()
@@ -205,14 +207,22 @@ def run_doc_ingest(
 
     ``eval_path``: parquet of benchmark/eval documents; when given, every
     batch is decontaminated against it at the door (step 2 of
-    :func:`dedup_ingest_batch`). The eval frame is read once and cached —
-    its distinct-gram side broadcasts per batch."""
+    :func:`dedup_ingest_batch`). The eval suite is tokenized exactly
+    once (`eval_gram_set`, cached); each batch pays only the broadcast
+    gram join."""
     corpus = os.path.join(work_dir, "corpus")
     sigs = os.path.join(work_dir, "signatures")
-    eval_docs = None
+    eval_grams = None
     if eval_path is not None:
-        eval_docs = spark.read.parquet(eval_path).select("doc_id", "text").cache()
-        eval_docs.count()  # materialize once, before the stream starts
+        from ..functions.text import eval_gram_set
+
+        # tokenize the eval suite ONCE — the per-batch cost is then only
+        # the broadcast join, not a repeated regexp + explode + distinct
+        eval_grams = eval_gram_set(
+            spark.read.parquet(eval_path).select("doc_id", "text"),
+            n=decontaminate_n,
+        ).cache()
+        eval_grams.count()  # materialize before the stream starts
 
     stream = (
         spark.readStream.schema(schema)
@@ -223,7 +233,7 @@ def run_doc_ingest(
     def _process(bdf: DataFrame, _bid: int) -> None:
         dedup_ingest_batch(
             bdf, corpus, sigs, threshold,
-            eval_docs=eval_docs, decontaminate_n=decontaminate_n,
+            eval_grams=eval_grams, decontaminate_n=decontaminate_n,
         )
 
     return (

@@ -168,7 +168,7 @@ def _bounds_comparable(a, b) -> bool:
 
 
 def _committed_segments(
-    sink_path: str, lo=None, hi=None
+    sink_path: str, lo=None, hi=None, prune_col: str | None = None
 ) -> list[str]:
     """Segment dirs named by committed manifests, optionally pruned to
     those whose recorded [lo, hi] range overlaps the given bounds.
@@ -199,6 +199,13 @@ def _committed_segments(
             if (
                 slo is not None
                 and shi is not None
+                # bounds from a DIFFERENT column must never range-prune:
+                # a compaction stamped with its own prune_col would
+                # otherwise be judged disjoint from an append's key range
+                # and silently escape the dedup anti-join. Manifests
+                # predating the prune_col field (None) are kept too.
+                and prune_col is not None
+                and m.get("prune_col") == prune_col
                 and _bounds_comparable(slo, lo)
                 and _bounds_comparable(shi, hi)
                 and (shi < lo or slo > hi)
@@ -232,7 +239,13 @@ def _superseded_segments(
 
 
 def _publish_manifest(
-    sink_path: str, segment: str, n_rows: int, lo, hi, replaces: list[str] | None = None
+    sink_path: str,
+    segment: str,
+    n_rows: int,
+    lo,
+    hi,
+    replaces: list[str] | None = None,
+    prune_col: str | None = None,
 ) -> int:
     """The commit point: stage the manifest JSON then atomically rename it
     into _manifests/. On a real object store this maps to a single PUT of
@@ -255,6 +268,8 @@ def _publish_manifest(
     tmp = os.path.join(mdir, f".{segment}.json.tmp")
     doc = {"segment": segment, "rows": n_rows, "lo": lo, "hi": hi,
            "version": version}
+    if prune_col is not None:
+        doc["prune_col"] = prune_col  # bounds only prune against this column
     if replaces:
         doc["replaces"] = list(replaces)
     with open(tmp, "w") as fh:
@@ -306,7 +321,7 @@ def manifest_append_batch(
         # the skip side, so the overlap test is self-consistent and
         # type-aware (native numbers for numerics, ISO strings otherwise)
         lo, hi = _bound_json(blo), _bound_json(bhi)
-    segments = _committed_segments(sink_path, lo, hi)
+    segments = _committed_segments(sink_path, lo, hi, prune_col=prune_col)
     delta = batch
     if segments:
         sink = spark.read.parquet(*segments)
@@ -324,7 +339,7 @@ def manifest_append_batch(
         delta.write.mode("overwrite").parquet(
             os.path.join(sink_path, "segments", seg_name)
         )
-        _publish_manifest(sink_path, seg_name, n, lo, hi)
+        _publish_manifest(sink_path, seg_name, n, lo, hi, prune_col=prune_col)
     delta.unpersist()
     return n
 
@@ -419,12 +434,21 @@ def manifest_compact(
     live = _committed_segments(sink_path)
     if len(live) <= 1:
         return -1
+    live_names = {os.path.basename(s) for s in live}
     df = spark.read.parquet(*live)
     lo = hi = None
     if prune_col is not None and prune_col in df.columns:
         b = df.agg(F.min(prune_col).alias("lo"), F.max(prune_col).alias("hi")).collect()[0]
         lo, hi = _bound_json(b.lo), _bound_json(b.hi)
-    n = df.count()
+    else:
+        prune_col = None  # column absent → stamp no bounds
+    # row count = sum of the live manifests' recorded counts (exact by
+    # construction — each append's dedup guarantees disjoint rows), so the
+    # data is scanned ONCE, by the merge write itself
+    n = sum(
+        m["rows"] for m in manifest_versions(sink_path)
+        if m["segment"] in live_names
+    )
     import uuid
 
     seg_name = uuid.uuid4().hex[:12]
@@ -433,7 +457,8 @@ def manifest_compact(
     )
     return _publish_manifest(
         sink_path, seg_name, n, lo, hi,
-        replaces=[os.path.basename(s) for s in live],
+        replaces=sorted(live_names),
+        prune_col=prune_col,
     )
 
 
@@ -452,20 +477,36 @@ def expire_snapshots(sink_path: str, before_version: int) -> list[str]:
 
     manifests = manifest_versions(sink_path)
     retirable = _superseded_segments(manifests, at_version=before_version)
+    if not retirable:
+        return []
+    # The readable floor is the highest compaction commit ≤ the requested
+    # cut — versions from there on reconstruct from surviving segments, so
+    # the marker must never exceed it (a raw caller value like 10 with the
+    # last compaction at v2 would falsely refuse perfectly readable
+    # snapshots 3..9).
+    floor = max(
+        m["version"]
+        for m in manifests
+        if m.get("replaces") and m["version"] <= before_version
+    )
+    # Marker FIRST, deletion second: a crash between the two leaves the
+    # marker in place and the re-run (same retirable set) finishes the
+    # deletes; the reverse order strands missing segments behind the
+    # corruption-signal FileNotFoundError with no marker to explain them.
+    prev = _expired_before(sink_path) or 0
+    if floor > prev:
+        marker = os.path.join(_manifest_dir(sink_path), "_expired.json")
+        os.makedirs(_manifest_dir(sink_path), exist_ok=True)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"before_version": floor}, fh)
+        os.rename(tmp, marker)
     removed = []
     for seg in sorted(retirable):
         path = os.path.join(sink_path, "segments", seg)
         if os.path.isdir(path):
             shutil.rmtree(path, ignore_errors=True)
             removed.append(seg)
-    if removed:  # only a real retirement narrows readable history
-        prev = _expired_before(sink_path) or 0
-        marker = os.path.join(_manifest_dir(sink_path), "_expired.json")
-        os.makedirs(_manifest_dir(sink_path), exist_ok=True)
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump({"before_version": max(prev, before_version)}, fh)
-        os.rename(tmp, marker)
     return removed
 
 

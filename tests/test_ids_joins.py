@@ -131,3 +131,20 @@ def test_session_hours_gate_special_sessions(spark):
     )
     kept = {r.event_id for r in session_hours_gate(ticks, cal).collect()}
     assert kept == {1, 4, 7}
+
+
+def test_salted_join_keeps_null_salt_source_rows(spark):
+    """A probe row whose salt-source column (event_id) is NULL must not
+    vanish from the salted join — it parks in bucket 0."""
+    from options_data_pipeline_spark.operators.skew import salted_join
+
+    probe = spark.createDataFrame(
+        [(None, "k1", 10), (7, "k1", 20), (8, "k2", 30)],
+        "event_id long, key string, value long",
+    )
+    dim = spark.createDataFrame([("k1", 1), ("k2", 2)], "key string, attr long")
+    out = salted_join(probe, dim, "key", buckets=4)
+    plain = probe.join(dim, "key")
+    assert sorted(map(tuple, out.select("key", "value", "attr").collect())) == \
+        sorted(map(tuple, plain.select("key", "value", "attr").collect()))
+    assert out.count() == 3

@@ -502,7 +502,7 @@ def test_manifest_sink_crash_between_write_and_commit(spark, tmpdir, monkeypatch
         [("a", 1.0), ("b", 2.0), ("c", 3.0)], "id string, v double"
     ).withColumn("window_start", F.lit("2024-01-01 09:15:00").cast("timestamp"))
 
-    def boom(sink_path, segment, n_rows, lo, hi):
+    def boom(sink_path, segment, n_rows, lo, hi, **kw):
         raise RuntimeError("crash before manifest publish")
 
     monkeypatch.setattr(sink_mod, "_publish_manifest", boom)
@@ -545,7 +545,8 @@ def test_manifest_segment_skipping_by_bounds(spark, tmpdir):
     assert sink_mod.manifest_append_batch(mk(["c", "d"], "2024-02-01 09:15:00"), sink) == 2
 
     jan = sink_mod._committed_segments(
-        sink, "2024-01-01 09:00:00", "2024-01-01 10:00:00"
+        sink, "2024-01-01 09:00:00", "2024-01-01 10:00:00",
+        prune_col="window_start",
     )
     both = sink_mod._committed_segments(sink)
     assert len(both) == 2 and len(jan) == 1
@@ -575,7 +576,7 @@ def test_manifest_numeric_bounds_prune_correctly(spark, tmpdir):
     # consulted (numeric overlap), so the append dedups to 0
     assert sink_mod.manifest_append_batch(mk(["a"], 900), sink, prune_col="seq") == 0
     # and a manifest bound stored as a JSON number round-trips as a number
-    segs = sink_mod._committed_segments(sink, 899, 901)
+    segs = sink_mod._committed_segments(sink, 899, 901, prune_col="seq")
     assert len(segs) == 1  # only the seq-900 segment overlaps [899, 901]
 
 
