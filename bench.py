@@ -1,7 +1,13 @@
 """Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints TWO JSON lines: first the full
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec},
+"sf": ...} map (also written to bench_full.json), then a compact FINAL
+line (same metric/value/unit/sf, the slowest queries, cross-round subset
+total) guaranteed to fit the driver's 2000-char stdout tail capture —
+round 4's full map on the final line overflowed it and produced
+BENCH_r04.json parsed:null.
 
 Each query is forced end-to-end with a noop-format write (full compute,
 no driver-side collect). BASELINE.md records the first-run numbers; later
@@ -138,6 +144,18 @@ HEADLINE = [
 ]
 
 
+# Common subsets with earlier rounds' baselines, so the final compact line
+# can carry cross-round ratios even though the full per-query map no longer
+# fits in the driver's 2000-char tail capture (BENCH_r04.json parsed:null).
+R1_SUBSET = [
+    "ohlc_5m", "ohlc_true_range", "atr_wilder", "gap_fill", "dedup_delta",
+    "value_percentiles", "tick_sessions", "props_json_stats",
+    "pricing_summary", "revenue_by_nation", "top_parts_per_brand",
+    "orders_cube", "doc_quality", "exact_dedup", "minhash_lsh", "simhash",
+    "cosine_topk", "cosine_topk_ivf", "embedding_near_dup",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -163,17 +181,47 @@ def main() -> None:
             best = dt if best is None or dt < best else best
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_suite_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+
+    # Full per-query map: its own (earlier) stdout line plus a file
+    # artifact.  The driver's BENCH capture keeps only the last ~2000
+    # chars of stdout, so the FINAL line must stay compact — round 4's
+    # full map on the final line produced parsed:null.
+    full = {
+        "metric": "headline_query_suite_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(full))
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try:
+        with open(out_path, "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError:
+        pass
+
+    # Compact FINAL line: summary + cross-round subset totals + the
+    # slowest queries, trimmed until the serialized line fits the tail
+    # window with headroom.
+    r1_total = round(sum(timings[q] for q in R1_SUBSET if q in timings), 3)
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)
     )
+    compact = {
+        "metric": "headline_query_suite_wall_time",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "r1_subset_total": r1_total,
+        "queries_file": out_path,
+        "queries": slowest,
+    }
+    while len(json.dumps(compact)) > 1600 and compact["queries"]:
+        compact["queries"].popitem()
+    compact["queries_shown"] = len(compact["queries"])
+    print(json.dumps(compact))
     spark.stop()
 
 

@@ -134,7 +134,15 @@ def ngram_jaccard_pairs(
     verified with an exact |A∩B| via array_intersect on the full sets.
     Result is provably identical to the naive join.
     """
-    sh = shingles(docs, text_col, k)
+    # Exchange-count attribution (the registry's heaviest plan): the
+    # shingle stream feeds SIX consumers (df table, full-set agg ×2,
+    # prefix side ×2 each joining the df table), so the multi-stage
+    # PPJoin shape is STRUCTURAL — df-count shuffle, prefix self-join,
+    # two verification joins, one doc-grain window. The accidental part
+    # was re-deriving the explode per consumer; this single doc_id-grain
+    # shuffle gives AQE a common stage to reuse (executed plan: 4
+    # ReusedExchange, result parity exact, ~5% faster at sf0.001).
+    sh = shingles(docs, text_col, k).repartition("doc_id")
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     arrs = sh.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("shingle")).alias("sset"),

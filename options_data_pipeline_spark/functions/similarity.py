@@ -72,11 +72,15 @@ def cosine_topk(
     if exclude_same is not None:
         q_cols.append(F.col(exclude_same).alias("q_excl"))
         c_cols.append(F.col(exclude_same).alias("c_excl"))
-    pair_filter = (
-        F.col("query_id") != F.col("neighbor_id")
-        if exclude_same is None
-        else F.col("q_excl") != F.col("c_excl")
-    )
+    # exclude_same AUGMENTS (never replaces) the self-pair filter: if the
+    # same vec_id ever appears on both sides with differing exclude-column
+    # values, the id-inequality still stops it returning itself at
+    # cosine 1.0. When queries ⊆ corpus with identical exclude values the
+    # extra predicate is redundant (the self-row shares its own label), so
+    # oracle results are unchanged.
+    pair_filter = F.col("query_id") != F.col("neighbor_id")
+    if exclude_same is not None:
+        pair_filter = pair_filter & (F.col("q_excl") != F.col("c_excl"))
     scored = (
         corpus.select(*c_cols)
         .crossJoin(F.broadcast(queries.select(*q_cols)))

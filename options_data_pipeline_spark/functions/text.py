@@ -378,9 +378,16 @@ def eval_gram_set(
     it ONCE and pass to :func:`decontamination_hits` via ``eval_grams``
     when decontaminating many batches against the same suite (a long
     ingest stream re-tokenizing the eval side per micro-batch pays the
-    dominant regexp cost hundreds of times for a deterministic result)."""
+    dominant regexp cost hundreds of times for a deterministic result).
+
+    The gram column carries ``n`` in its field metadata so downstream
+    consumers (``dedup_ingest_batch``) can assert the frame was built
+    with the n they decontaminate at — a silent mismatch (train 4-grams
+    vs eval 8-grams) almost never collides and under-decontaminates."""
     return eval_docs.select(
-        F.explode(F.expr(_word_ngrams_expr(text_col, n))).alias("gram")
+        F.explode(F.expr(_word_ngrams_expr(text_col, n))).alias(
+            "gram", metadata={"ngram_n": n}
+        )
     ).distinct()
 
 
@@ -407,6 +414,10 @@ def decontamination_hits(
     ``tokens_col``: name of a precomputed token-array column on the
     TRAIN side — a composed pipeline that already tokenized upstream
     skips the second regexp pass (the dominant per-row cost)."""
+    if eval_docs is None and eval_grams is None:
+        raise ValueError(
+            "decontamination_hits: provide eval_docs or eval_grams"
+        )
     train_grams = (
         _word_ngrams_from_tokens(tokens_col, n)
         if tokens_col is not None
@@ -683,7 +694,11 @@ def unigram_logprob_scores(docs: DataFrame, text_col: str = "text") -> DataFrame
 
 
 def bpe_learn_merges(
-    docs: DataFrame, n_merges: int = 12, text_col: str = "text"
+    docs: DataFrame,
+    n_merges: int = 12,
+    text_col: str = "text",
+    min_count: int = 1,
+    max_vocab: int = 2_000_000,
 ) -> tuple[list[tuple[str, str]], dict[str, str]]:
     """Train REAL BPE merges on the corpus (Sennrich et al. 2016) —
     closes the README roadmap item ("BPE with a real merges table").
@@ -708,6 +723,20 @@ def bpe_learn_merges(
     ``ORDER BY total DESC, x, y LIMIT 1``. Exhausted pair space → later
     rounds are no-ops (oracle: LEFT JOIN on an empty best).
 
+    Driver-side state is BOUNDED: the collected word-frequency table is
+    pruned distributed-side to the ``max_vocab`` most frequent words
+    (ties → lexicographically smallest, so the cut is deterministic)
+    with counts ≥ ``min_count`` BEFORE ``.collect()``. On a web-scale
+    corpus the raw distinct-"word" count is hundreds of millions — the
+    unbounded collect OOMs the driver — while the frequency mass that
+    decides merges concentrates in the head; pruning the sub-``min_count``
+    tail is standard practice (SentencePiece/HF trainers do the same) and
+    on Zipfian text leaves merge choices unchanged, since a pair must
+    out-count every head pair to win a round. Contract: results are exact
+    w.r.t. the PRUNED vocabulary; the defaults (min_count=1,
+    max_vocab=2e6) keep toy/synthetic corpora bit-identical to unpruned
+    training while capping driver memory at ~hundreds of MB.
+
     Returns (merges in application order, word → final state)."""
     from collections import Counter
 
@@ -716,9 +745,16 @@ def bpe_learn_merges(
             F.expr(f"regexp_extract_all(lower({text_col}), '\\\\S+', 0)")
         ).alias("w")
     )
+    word_counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    if min_count > 1:
+        word_counts = word_counts.filter(F.col("cnt") >= min_count)
+    # top-K prune renders as TakeOrderedAndProject: partial top-K on every
+    # partition, K rows to the driver — never the full distinct-word set.
     vocab = {
         r.w: r.cnt
-        for r in words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        for r in word_counts.orderBy(
+            F.desc("cnt"), F.asc("w")
+        ).limit(max_vocab).collect()
     }
     states = {w: "~" + "~~".join(w) + "~" for w in vocab}
     merges: list[tuple[str, str]] = []

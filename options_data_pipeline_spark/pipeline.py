@@ -112,6 +112,8 @@ def run_streaming(
     interval_seconds: int = 300,
     universe: DataFrame | None = None,
     densify_max_files: int | None = 32,
+    manifest_maintain_every: int | None = None,
+    atr_max_files: int | None = None,
 ):
     """The live twin: chained streaming stages (Spark disallows a stateful
     grouped-map after a streaming aggregation in one query, and the
@@ -183,13 +185,30 @@ def run_streaming(
     atr_schema = CANDLE_STREAM_SCHEMA + ", gap_filled boolean"
     if dense_path is not None:
         atr_schema += ", date date"
-    atr_stream = spark.readStream.schema(atr_schema).parquet(atr_src_path)
+    atr_reader = spark.readStream.schema(atr_schema)
+    if atr_max_files is not None:
+        # bound candle files per ATR trigger (same pacing rationale as
+        # densify_max_files; also lets tests drive multi-batch sink runs)
+        atr_reader = atr_reader.option("maxFilesPerTrigger", atr_max_files)
+    atr_stream = atr_reader.parquet(atr_src_path)
     if dense_path is not None:
         atr_stream = atr_stream.drop("date")
     enriched = with_row_id(streaming_atr(atr_stream))
 
-    def write(batch: DataFrame, batch_id: int) -> None:
-        idempotent_append_batch(batch, sink_path)
+    if manifest_maintain_every is not None:
+        # versioned manifest sink with in-loop OPTIMIZE/VACUUM: the
+        # maintenance pair runs inside foreachBatch every N batches, so
+        # it is serialized with appends (single-writer by construction)
+        # while the stream stays live — the composition a deployment
+        # actually runs (post-commit auto-compaction)
+        from .streaming.sink import manifest_foreach_batch_writer
+
+        write = manifest_foreach_batch_writer(
+            sink_path, maintain_every=manifest_maintain_every
+        )
+    else:
+        def write(batch: DataFrame, batch_id: int) -> None:
+            idempotent_append_batch(batch, sink_path)
 
     queries.append(
         enriched.writeStream.foreachBatch(write)

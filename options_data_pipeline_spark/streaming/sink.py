@@ -550,11 +550,28 @@ def gc_uncommitted_segments(sink_path: str, grace_s: float = 600.0) -> list[str]
     return removed
 
 
-def manifest_foreach_batch_writer(sink_path: str, id_col: str = "id"):
-    """foreachBatch hook for the manifest sink."""
+def manifest_foreach_batch_writer(
+    sink_path: str,
+    id_col: str = "id",
+    maintain_every: int | None = None,
+):
+    """foreachBatch hook for the manifest sink.
+
+    ``maintain_every``: run the maintenance pair (OPTIMIZE =
+    :func:`manifest_compact`, then VACUUM = :func:`expire_snapshots` of
+    everything the compaction superseded) after every N-th appended
+    batch, INSIDE the hook — foreachBatch serializes batches, so
+    maintenance can never race an append and the single-writer contract
+    holds by construction (the pattern of Delta's post-commit
+    auto-compaction). Readers are unaffected: current reads resolve the
+    merged segment, and only pre-compaction versions are expired."""
 
     def write(batch: DataFrame, batch_id: int) -> None:
         manifest_append_batch(batch, sink_path, id_col)
+        if maintain_every and batch_id % maintain_every == maintain_every - 1:
+            v = manifest_compact(batch.sparkSession, sink_path)
+            if v >= 0:  # -1 = ≤1 live segment, nothing merged
+                expire_snapshots(sink_path, before_version=v)
 
     return write
 

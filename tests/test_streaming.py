@@ -857,6 +857,145 @@ def test_manifest_time_travel_reads_historical_snapshots(spark, tmp_path):
     assert [m["version"] for m in manifest_versions(sink)] == [0, 1, 2]
 
 
+def test_maintenance_pair_composed_with_live_pipeline(spark, tmpdir):
+    """OPTIMIZE + VACUUM under a LIVE ingest loop: run the full 3-stage
+    streaming pipeline with the manifest sink compacting + expiring
+    every 2 batches (inside foreachBatch, so maintenance is serialized
+    with appends), and assert the sink's rows are byte-identical to a
+    maintenance-free manifest run, current + recent time-travel reads
+    resolve, and the pre-compaction segments were actually reclaimed."""
+    import os
+    import time as _time
+
+    from options_data_pipeline_spark.pipeline import run_streaming
+    from options_data_pipeline_spark.streaming.sink import (
+        manifest_sink_read,
+        manifest_versions,
+    )
+
+    base = datetime(2024, 1, 1, 9, 15)
+    replay = tmpdir + "/replay"
+    os.makedirs(replay)
+    eid = 0
+    for i in range(6):
+        rows = []
+        for w in range(10):
+            for s in ("A", "B"):
+                rows.append(
+                    (s, 100.0 + eid, base + timedelta(minutes=5 * (i * 10 + w)), eid, 1)
+                )
+                eid += 1
+        p = replay + f"/{i:03d}.parquet"
+        spark.createDataFrame(
+            rows, "symbol string, price double, ts timestamp, event_id long, user_id long"
+        ).coalesce(1).write.mode("overwrite").parquet(p + ".tmp")
+        part = next(f for f in os.listdir(p + ".tmp") if f.endswith(".parquet"))
+        os.rename(os.path.join(p + ".tmp", part), p)
+        os.utime(p, (_time.time() + i, _time.time() + i))
+
+    def run(sink, ckpt, maintain):
+        stream = (
+            spark.readStream.schema(
+                "symbol string, price double, ts timestamp, event_id long, user_id long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(replay)
+        )
+        queries = run_streaming(
+            stream,
+            candle_path=tmpdir + f"/candles{maintain}",
+            sink_path=sink,
+            checkpoint_path=ckpt,
+            watermark="1 second",
+            manifest_maintain_every=2 if maintain else 10**9,
+            atr_max_files=1,  # one candle file per sink batch → many appends
+        )
+        try:
+            for q in queries:
+                q.processAllAvailable()
+            # stage boundaries are file-source fed: a later stage may only
+            # see its upstream's last files on the next trigger
+            for _ in range(3):
+                for q in queries:
+                    q.processAllAvailable()
+        finally:
+            for q in queries:
+                q.stop()
+
+    run(tmpdir + "/sink_m", tmpdir + "/ckpt_m", maintain=True)
+    run(tmpdir + "/sink_p", tmpdir + "/ckpt_p", maintain=False)
+
+    got = manifest_sink_read(spark, tmpdir + "/sink_m")
+    want = manifest_sink_read(spark, tmpdir + "/sink_p")
+    assert sorted(got.columns) == sorted(want.columns)
+    # the deterministic grain: same candle ids exactly once (ATR values
+    # vary with candle-file tie order between runs — a property of the
+    # stateful recursion's arrival order, not of sink maintenance; the
+    # byte-identical check runs below on a deterministic payload)
+    g_ids = {r.id for r in got.select("id").collect()}
+    w_ids = {r.id for r in want.select("id").collect()}
+    assert g_ids == w_ids and len(g_ids) > 0
+    assert got.count() == len(g_ids)
+    # maintenance actually ran: version history shows a compaction commit
+    # (replaces non-empty) and expired segments are gone from disk
+    vers = manifest_versions(tmpdir + "/sink_m")
+    compactions = [m for m in vers if m.get("replaces")]
+    assert compactions, "no compaction committed during the live run"
+    seg_root = os.path.join(tmpdir + "/sink_m", "segments")
+    on_disk = set(os.listdir(seg_root))
+    replaced = {s for m in compactions for s in m["replaces"]}
+    last_compaction = compactions[-1]
+    expired = replaced - {last_compaction["segment"]}
+    assert expired - on_disk == expired, "expired segments still on disk"
+    # current read and time travel at the last compaction still resolve
+    assert manifest_sink_read(
+        spark, tmpdir + "/sink_m", at_version=last_compaction["version"]
+    ).count() <= len(g_ids)
+
+    # BYTE-IDENTICAL parity on a deterministic payload: replay the same
+    # files through a pass-through streaming query into the manifest
+    # sink, maintained vs not — maintenance interleaves with live
+    # appends (batch_id 1, 3, 5 compact+expire while the query runs)
+    # and must not change a single row
+    from options_data_pipeline_spark.streaming.sink import (
+        manifest_foreach_batch_writer,
+    )
+
+    def run_passthrough(sink, ckpt, maintain_every):
+        stream = (
+            spark.readStream.schema(
+                "symbol string, price double, ts timestamp, event_id long, user_id long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(replay)
+        )
+        q = (
+            stream.withColumn(
+                "id", F.concat_ws("_", "symbol", F.col("event_id").cast("string"))
+            )
+            .withColumnRenamed("ts", "window_start")  # default prune col
+            .writeStream.foreachBatch(
+                manifest_foreach_batch_writer(sink, maintain_every=maintain_every)
+            )
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_passthrough(tmpdir + "/pt_m", tmpdir + "/pt_ckpt_m", 2)
+    run_passthrough(tmpdir + "/pt_p", tmpdir + "/pt_ckpt_p", None)
+    pm = manifest_sink_read(spark, tmpdir + "/pt_m")
+    pp = manifest_sink_read(spark, tmpdir + "/pt_p")
+    cols = sorted(pm.columns)
+    left = sorted(map(tuple, pm.select(*cols).collect()))
+    right = sorted(map(tuple, pp.select(*cols).collect()))
+    assert left == right and len(left) == 120  # 6 files × 20 rows
+    assert [m for m in manifest_versions(tmpdir + "/pt_m") if m.get("replaces")]
+
+
 def test_manifest_compact_and_expire_snapshots(spark, tmpdir):
     """OPTIMIZE + VACUUM lifecycle: compaction merges live segments into
     one (current reads identical, pre-compaction time travel intact),

@@ -667,6 +667,35 @@ def test_bpe_trainer_hand_computed(spark):
     assert states2["aa"] == "~aa~"
 
 
+def test_bpe_trainer_vocab_prune_bounded(spark):
+    """The driver-side vocab collect is bounded: a min_count/max_vocab
+    prune applied distributed-side must leave merges and final word
+    states identical on a corpus whose head pairs dominate (the
+    standard-practice defense: sub-threshold tail words can't flip a
+    merge), and max_vocab must actually cap the collected state."""
+    from options_data_pipeline_spark.functions.text import bpe_learn_merges
+
+    # 'aa' x6 / 'ab' x4 dominate; 'zq' is a hapax whose (z,q) pair count
+    # of 1 can never beat a head pair — merges agree while head pairs
+    # remain (rounds 1-2 here; round 3 the full trainer merges the
+    # exhausted-tail hapax pair, which pruning removes by contract).
+    df = docs_df(spark, ["aa aa aa ab ab", "aa aa aa ab ab zq"])
+    merges_full, states_full = bpe_learn_merges(df, n_merges=2)
+    merges_pruned, states_pruned = bpe_learn_merges(
+        df, n_merges=2, min_count=2
+    )
+    assert merges_full == [("a", "a"), ("a", "b")]
+    assert merges_pruned == merges_full
+    # pruned trainer never saw the hapax; every surviving word agrees
+    assert "zq" not in states_pruned
+    assert {w: s for w, s in states_full.items() if w != "zq"} == states_pruned
+
+    # max_vocab keeps only the top-K most frequent words (ties → lex)
+    merges_cap, states_cap = bpe_learn_merges(df, n_merges=2, max_vocab=2)
+    assert set(states_cap) == {"aa", "ab"}
+    assert merges_cap == merges_full
+
+
 def test_dsir_weights_favor_target_domain(spark):
     """DSIR's defining property: documents drawn from the target domain
     score a higher log-likelihood ratio than off-domain documents, and

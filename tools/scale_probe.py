@@ -189,6 +189,31 @@ def main() -> None:
     names = sys.argv[2:] or ["minhash_lsh", "embedding_near_dup", "gap_fill"]
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+    # Honesty guard: the documents axis decorrelates via Caesar rotation
+    # (26 letter × 10 digit rotations → 130 unique combos). At factor ≥
+    # 130 replicas REPEAT transforms, so each document gains exact
+    # duplicates and near-dup probes measure a saturated-duplicate corpus
+    # instead of "more data" — the ×300 minhash artifact that cost a
+    # misleading 622 s BASELINE row in round 4. Refuse unless explicitly
+    # overridden.
+    if factor >= 130:
+        doc_probes = {"minhash", "simhash", "dedup", "ngram", "dup_ngram",
+                      "span", "decontam", "winnow", "doc", "corpus"}
+        risky = [n for n in names if any(k in n for k in doc_probes)]
+        if risky and not os.environ.get("SPARK_GRAFT_PROBE_FORCE"):
+            print(
+                json.dumps({
+                    "error": "factor >= 130 exceeds the documents axis's "
+                    "Caesar decorrelation range (130 unique rotations); "
+                    "replicas would be exact duplicates and these probes "
+                    "would measure duplicate saturation, not scale",
+                    "risky_queries": risky,
+                    "override": "set SPARK_GRAFT_PROBE_FORCE=1",
+                }),
+                file=sys.stderr,
+            )
+            sys.exit(2)
+
     spark = get_spark("scale-probe")
     out = tempfile.mkdtemp(prefix=f"scale_probe_x{factor}_")
     try:

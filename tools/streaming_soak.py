@@ -147,6 +147,11 @@ def main() -> None:
             .parquet(replay)
         )
         t0 = time.perf_counter()
+        # SPARK_GRAFT_SOAK_MAINTAIN=<N>: write the final stage through
+        # the versioned manifest sink with OPTIMIZE/VACUUM every N
+        # batches (in-loop, serialized with appends) — exercises the
+        # maintenance pair under live ingest instead of in isolation
+        maintain = os.environ.get("SPARK_GRAFT_SOAK_MAINTAIN")
         queries = run_streaming(
             tick_stream,
             candle_path=os.path.join(work, "candles"),
@@ -154,6 +159,7 @@ def main() -> None:
             checkpoint_path=os.path.join(work, "ckpt"),
             dense_path=os.path.join(work, "dense"),
             watermark="1 second",
+            manifest_maintain_every=int(maintain) if maintain else None,
         )
         # drain in dependency order; downstream sources are files, so each
         # processAllAvailable sees everything its upstream already wrote
@@ -176,7 +182,21 @@ def main() -> None:
         max_batch = max(
             (s.get("max_s", 0.0) for s in stats.values() if s.get("n")), default=0.0
         )
-        out_rows = spark.read.parquet(os.path.join(work, "sink")).count()
+        if maintain:
+            from options_data_pipeline_spark.streaming.sink import (
+                manifest_sink_read,
+                manifest_versions,
+            )
+
+            sink_df = manifest_sink_read(spark, os.path.join(work, "sink"))
+            out_rows = sink_df.count()
+            n_compactions = len(
+                [m for m in manifest_versions(os.path.join(work, "sink"))
+                 if m.get("replaces")]
+            )
+        else:
+            out_rows = spark.read.parquet(os.path.join(work, "sink")).count()
+            n_compactions = 0
         print(
             json.dumps(
                 {
@@ -189,6 +209,8 @@ def main() -> None:
                     "ohlc_state_rows_mid_last": [mid, last],
                     "nfr_write_timeout_s": NFR_WRITE_TIMEOUT_S,
                     "max_batch_s": max_batch,
+                    "maintain_every": int(maintain) if maintain else None,
+                    "n_compactions": n_compactions,
                     "pass": max_batch < NFR_WRITE_TIMEOUT_S,
                 }
             )
