@@ -141,6 +141,13 @@ HEADLINE = [
     "data_expectations",
     "salted_join_enrichment",
     "scd2_intervals",
+    # round-5 additions (lsh_incremental_recall excluded: its exact
+    # ground-truth arm is the declared verify-only audit, like
+    # ngram_jaccard)
+    "stochastic_14",
+    "obv",
+    "token_entropy",
+    "cooccurrence_pmi",
 ]
 
 

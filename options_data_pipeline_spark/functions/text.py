@@ -675,8 +675,15 @@ def unigram_logprob_scores(docs: DataFrame, text_col: str = "text") -> DataFrame
         .cast("decimal(20,6)")
         .alias("logp"),
     )
+    # The score join is token-instances → vocab. Spark's size estimate
+    # for the post-agg lm table routinely lands under the auto-broadcast
+    # threshold while the REAL vocab is millions of rows — measured at
+    # ×100: auto-broadcast 42-60 s vs 12.9 s shuffled (×300 tipped over
+    # the threshold on its own, which is why it ran FASTER than ×100).
+    # shuffle_hash pins the strategy that survives vocab growth: hash on
+    # token, no sort, no driver-side broadcast build.
     return (
-        toks.join(lm, "tok")
+        toks.join(lm.hint("shuffle_hash"), "tok")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_toks"),
@@ -864,4 +871,108 @@ def dsir_logweights(
             F.count(F.lit(1)).alias("n_toks"),
             F.sum("lw").cast("double").alias("dsir_logweight"),
         )
+    )
+
+
+def token_entropy_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc lexical diversity: Shannon entropy of the document's own
+    token distribution (H = −Σ p·ln p) plus the type/token ratio — the
+    repetitiveness filter complementing `gopher_cols`' duplicate-line
+    ratios (a doc that loops a 5-word phrase has high length but low
+    entropy; boilerplate/SEO spam screens out on exactly this axis).
+
+    Shape at 100 TB: one (doc, token)-grain count (map-side combinable),
+    one doc-grain window for the total, one doc-grain agg — no joins, no
+    vocabulary table, strictly narrower than the unigram-LM pass.
+
+    Float discipline: each term p·ln p snaps to the 6-dp grid and sums
+    in DECIMAL (order-independent, same convention as
+    `unigram_logprob_scores`); the type/token ratio is one int/int
+    division, bit-exact unrounded."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '\\\\S+', 0)")
+        ).alias("tok"),
+    )
+    tc = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    n = F.sum("cnt").over(Window.partitionBy("doc_id"))
+    p = F.col("cnt").cast("double") / F.col("n").cast("double")
+    term = F.round(p * F.log(p), 6).cast("decimal(20,6)")
+    return (
+        tc.withColumn("n", n)
+        .withColumn("term", term)
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_toks"),
+            F.count(F.lit(1)).alias("n_types"),
+            (-F.sum("term")).cast("double").alias("entropy"),
+            (
+                F.count(F.lit(1)).cast("double")
+                / F.max("n").cast("double")
+            ).alias("ttr"),
+        )
+    )
+
+
+def cooccurrence_pmi_top(
+    docs: DataFrame, text_col: str = "text", k: int = 50
+) -> DataFrame:
+    """Top-k adjacent-bigram collocations with their pointwise-mutual-
+    information RATIO — the corpus-analysis staple (Church & Hanks 1990)
+    for phrase mining / tokenizer-merge candidates: ratio =
+    p(x,y) / (p(x)·p(y)) ≫ 1 marks a collocation, ≈ 1 independence.
+
+    Shape at 100 TB: bigram and unigram counts are two map-side-
+    combinable token-grain aggs; the top-k cut (by pair count, ties
+    lexicographic) happens BEFORE any join, so the unigram table joins
+    against a BROADCAST k-row pair list — the vocabulary never joins
+    itself, and the full pair table never leaves its aggregation.
+
+    Float discipline: the ratio is evaluated in a FIXED operation order —
+    (c_xy/n_big) / ((c_x/n_uni)·(c_y/n_uni)) — every operand an exact
+    int, every op a single IEEE division/multiply, mirrored
+    parenthesis-for-parenthesis by the oracle: bit-exact unrounded
+    (the log is left to the consumer; emitting the ratio keeps the
+    cross-engine comparison exact)."""
+    arr = docs.select(
+        F.expr(f"regexp_extract_all(lower({text_col}), '\\\\S+', 0)").alias("a")
+    )
+    uni = arr.select(F.explode("a").alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    pairs = (
+        arr.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(a) - 1, 0)),"
+                    " i -> struct(a[i-1] AS x, a[i] AS y))"
+                )
+            ).alias("p")
+        )
+        .select("p.x", "p.y")
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    top = pairs.orderBy(F.desc("c_xy"), F.asc("x"), F.asc("y")).limit(k)
+    n_uni = uni.agg(F.sum("c").cast("bigint").alias("n_uni"))
+    n_big = pairs.agg(F.sum("c_xy").cast("bigint").alias("n_big"))
+    cx = uni.select(F.col("tok").alias("x"), F.col("c").alias("c_x"))
+    cy = uni.select(F.col("tok").alias("y"), F.col("c").alias("c_y"))
+    joined = (
+        cx.join(F.broadcast(top), "x")
+        .join(cy.hint("shuffle_hash"), "y")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_big))
+    )
+    ratio = (
+        F.col("c_xy").cast("double") / F.col("n_big").cast("double")
+    ) / (
+        (F.col("c_x").cast("double") / F.col("n_uni").cast("double"))
+        * (F.col("c_y").cast("double") / F.col("n_uni").cast("double"))
+    )
+    return joined.select(
+        "x", "y", "c_xy", "c_x", "c_y", ratio.alias("pmi_ratio")
     )

@@ -80,6 +80,65 @@ def bollinger_bands(candles: DataFrame, n: int = 20, k: float = 2.0) -> DataFram
     )
 
 
+def stochastic_oscillator(candles: DataFrame, n: int = 14) -> DataFrame:
+    """Stochastic oscillator: %K = 100·(close − min_low_n)/(max_high_n −
+    min_low_n) over the last n candles per symbol, and %D = the 3-period
+    average of %K. Flat-range windows (max = min) pin %K to 50.
+
+    Float discipline: %K is picks + one subtraction + one division —
+    bit-exact cross-engine, compared unrounded. %D is built from three
+    EXPLICIT lag terms ((k + lag k + lag² k)/3) instead of a windowed
+    avg, fixing the addition order so it too compares bit-exact (a
+    3-row frame's internal accumulation order would not). Same single
+    symbol-grain window pass as the Donchian/Bollinger siblings."""
+    w = Window.partitionBy("symbol").orderBy("window_start").rowsBetween(
+        -(n - 1), 0
+    )
+    ws = Window.partitionBy("symbol").orderBy("window_start")
+    full = F.count(F.lit(1)).over(w) >= n
+    lo = F.min("low").over(w)
+    hi = F.max("high").over(w)
+    k_raw = F.when(hi - lo > 0, 100.0 * (F.col("close") - lo) / (hi - lo)).otherwise(
+        F.lit(50.0)
+    )
+    out = candles.select(
+        "symbol",
+        "window_start",
+        "close",
+        F.when(full, k_raw).alias("pct_k"),
+    )
+    k1, k2 = F.lag("pct_k", 1).over(ws), F.lag("pct_k", 2).over(ws)
+    return out.withColumn(
+        "pct_d", (F.col("pct_k") + k1 + k2) / 3.0  # NULL until 3 full %Ks
+    )
+
+
+def obv(candles: DataFrame) -> DataFrame:
+    """On-balance volume over candle tick counts: cumulative Σ of
+    sign(close − prev_close)·volume per symbol (volume = tick_count —
+    the synthetic feed carries no size field, matching the reference's
+    tick-count volume proxy). The first candle contributes 0 (no prior
+    close). Pure BIGINT arithmetic under an unbounded-preceding running
+    sum — exact in every engine, no float hazard at all. One symbol-grain
+    window pass (the shared enrichment partitioning)."""
+    ws = Window.partitionBy("symbol").orderBy("window_start")
+    wc = ws.rowsBetween(Window.unboundedPreceding, 0)
+    prev = F.lag("close").over(ws)
+    signed = (
+        F.when(prev.isNull(), F.lit(0))
+        .when(F.col("close") > prev, F.col("tick_count"))
+        .when(F.col("close") < prev, -F.col("tick_count"))
+        .otherwise(F.lit(0))
+    )
+    return candles.select(
+        "symbol",
+        "window_start",
+        "close",
+        F.col("tick_count").cast("long").alias("volume"),
+        F.sum(signed).over(wc).cast("long").alias("obv"),
+    )
+
+
 def _ema_series(values, n: int):
     """Sequential EMA recursion over one symbol's ordered closes: SMA(n)
     seed, then e_t = e + (x − e)·α with α = 2/(n+1). Pure Python floats,

@@ -5432,6 +5432,139 @@ def q_lsh_incremental_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stochastic_14",
+    "WITH " + candles_cte(3600)
+    + """,
+s AS (
+  SELECT symbol, window_start, "close",
+         CASE WHEN count(*) OVER w >= 14 THEN
+           CASE WHEN max(high) OVER w - min(low) OVER w > 0
+                THEN 100.0 * ("close" - min(low) OVER w)
+                     / (max(high) OVER w - min(low) OVER w)
+                ELSE 50.0 END
+         END AS pct_k
+  FROM candles
+  WINDOW w AS (PARTITION BY symbol ORDER BY window_start
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, window_start, "close", pct_k,
+       (pct_k + lag(pct_k) OVER ws + lag(pct_k, 2) OVER ws) / 3.0 AS pct_d
+FROM s
+WINDOW ws AS (PARTITION BY symbol ORDER BY window_start)""",
+)
+def q_stochastic_14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic oscillator (%K 14, %D 3) over 1-hour candles — the
+    momentum sibling of Donchian (same rolling-extremes window). %K is
+    picks + one division (bit-exact); %D fixes its 3-term addition order
+    via explicit lags so it compares unrounded too."""
+    from .operators.indicators import stochastic_oscillator
+
+    return stochastic_oscillator(
+        ohlc_candles(load_ticks(spark, sf_dir), "1 hour"), n=14
+    )
+
+
+@register(
+    "obv",
+    "WITH " + candles_cte(3600)
+    + """,
+d AS (
+  SELECT symbol, window_start, "close", tick_count,
+         lag("close") OVER (PARTITION BY symbol ORDER BY window_start)
+           AS prev_close
+  FROM candles
+)
+SELECT symbol, window_start, "close",
+       CAST(tick_count AS BIGINT) AS volume,
+       CAST(SUM(CASE WHEN prev_close IS NULL THEN 0
+                     WHEN "close" > prev_close THEN tick_count
+                     WHEN "close" < prev_close THEN -tick_count
+                     ELSE 0 END)
+            OVER (PARTITION BY symbol ORDER BY window_start
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS obv
+FROM d""",
+)
+def q_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-balance volume per symbol over 1-hour candles (volume =
+    tick_count, the feed's only size signal): running signed-volume sum,
+    pure BIGINT — exact cross-engine. One symbol-grain window pass."""
+    from .operators.indicators import obv
+
+    return obv(ohlc_candles(load_ticks(spark, sf_dir), "1 hour"))
+
+
+@register(
+    "token_entropy",
+    r"""WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+  FROM documents
+),
+tc AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+tot AS (
+  SELECT doc_id, tok, cnt, SUM(cnt) OVER (PARTITION BY doc_id) AS n
+  FROM tc
+)
+SELECT doc_id,
+       CAST(max(n) AS BIGINT) AS n_toks,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(-SUM(CAST(round((cnt::DOUBLE / n::DOUBLE)
+                            * ln(cnt::DOUBLE / n::DOUBLE), 6)
+                      AS DECIMAL(20,6))) AS DOUBLE) AS entropy,
+       count(*)::DOUBLE / max(n)::DOUBLE AS ttr
+FROM tot GROUP BY doc_id""",
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token-distribution Shannon entropy + type/token ratio —
+    the repetitiveness/lexical-diversity filter (boilerplate and SEO spam
+    screen out on low entropy at high length). One (doc, token)-grain
+    count + one doc-grain window/agg; no joins, no vocab table. 6-dp-grid
+    DECIMAL sum for the entropy terms; the ratio is exact."""
+    from .functions.text import token_entropy_scores
+
+    return token_entropy_scores(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "cooccurrence_pmi",
+    r"""WITH arrs AS (
+  SELECT regexp_extract_all(lower(text), '\S+') AS a FROM documents
+),
+uni AS (
+  SELECT unnest(a) AS tok FROM arrs
+),
+uc AS (SELECT tok, count(*) AS c FROM uni GROUP BY 1),
+big AS (
+  SELECT unnest(list_transform(generate_series(1, greatest(len(a) - 1, 0)),
+                               i -> {'x': a[i], 'y': a[i + 1]})) AS p
+  FROM arrs
+),
+pairs AS (SELECT p.x AS x, p.y AS y, count(*) AS c_xy FROM big GROUP BY 1, 2),
+topk AS (
+  SELECT x, y, c_xy FROM pairs ORDER BY c_xy DESC, x, y LIMIT 50
+),
+n1 AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uc),
+n2 AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_big FROM pairs)
+SELECT t.x, t.y, t.c_xy, cx.c AS c_x, cy.c AS c_y,
+       (t.c_xy::DOUBLE / n2.n_big::DOUBLE)
+       / ((cx.c::DOUBLE / n1.n_uni::DOUBLE)
+          * (cy.c::DOUBLE / n1.n_uni::DOUBLE)) AS pmi_ratio
+FROM topk t
+JOIN uc cx ON cx.tok = t.x
+JOIN uc cy ON cy.tok = t.y
+CROSS JOIN n1 CROSS JOIN n2""",
+)
+def q_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-bigram collocations with PMI ratio (Church & Hanks
+    1990) — phrase mining / tokenizer-merge candidates. The top-k cut (by
+    pair count, ties lex) happens BEFORE any join, so the unigram table
+    joins a broadcast 50-row list; the ratio's fixed operation order
+    makes it bit-exact cross-engine."""
+    from .functions.text import cooccurrence_pmi_top
+
+    return cooccurrence_pmi_top(load_table(spark, "documents", sf_dir), k=50)
+
+
 # ---------------------------------------------------------------------------
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:

@@ -50,6 +50,13 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    # SPARK_GRAFT_CONF="k=v;k2=v2": ad-hoc conf overrides for probe/bench
+    # experiments (e.g. flipping autoBroadcastJoinThreshold to attribute a
+    # join-strategy pivot) without editing tool code
+    for kv in os.environ.get("SPARK_GRAFT_CONF", "").split(";"):
+        if "=" in kv:
+            k, _, v = kv.partition("=")
+            builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -160,3 +160,52 @@ def test_donchian_and_sma_warmup_and_values(spark):
     assert all(r.sma_20 is None for r in sm[:19])
     want = sum(7.0 + (i % 3) for i in range(20)) / 20
     assert sm[19].sma_20 == _pytest.approx(want, abs=1e-9)
+
+
+def test_stochastic_and_obv_hand_computed(spark):
+    """Stochastic: NULL %K through warmup, then picks/division against
+    the rolling extremes; %D appears after 3 full %Ks and equals their
+    mean. OBV: signed running tick_count sum, first candle contributes
+    0, exact integers."""
+    from datetime import datetime, timedelta
+
+    import pytest as _pytest
+
+    from options_data_pipeline_spark.operators.indicators import (
+        obv,
+        stochastic_oscillator,
+    )
+
+    base = datetime(2024, 1, 1, 9, 0)
+    rows = [
+        ("A", base + timedelta(hours=i), 10.0, 10.0 + i, 5.0, 7.0 + (i % 3), 2 + i)
+        for i in range(18)
+    ]
+    candles = spark.createDataFrame(
+        rows,
+        "symbol string, window_start timestamp, open double, high double,"
+        " low double, close double, tick_count long",
+    )
+    st = sorted(
+        stochastic_oscillator(candles, 14).collect(), key=lambda r: r.window_start
+    )
+    assert all(r.pct_k is None for r in st[:13])  # warmup
+    # row 13 (14th candle): hi = max(10..23) = 23, lo = 5, close = 7+13%3=8
+    assert st[13].pct_k == _pytest.approx(100.0 * (8.0 - 5.0) / (23.0 - 5.0))
+    assert st[13].pct_d is None and st[14].pct_d is None  # needs 3 full %Ks
+    want_d = (st[15].pct_k + st[14].pct_k + st[13].pct_k) / 3.0
+    assert st[15].pct_d == _pytest.approx(want_d, abs=1e-12)
+
+    ob = sorted(obv(candles).collect(), key=lambda r: r.window_start)
+    # closes cycle 7,8,9,7,8,9..: up, up, down(-), up, up, down...
+    assert ob[0].obv == 0  # no prev close
+    assert ob[1].obv == ob[1].volume  # 8 > 7: +vol
+    assert ob[2].obv == ob[1].obv + ob[2].volume  # 9 > 8
+    assert ob[3].obv == ob[2].obv - ob[3].volume  # 7 < 9
+    running = 0
+    prev_close = None
+    for r in ob:
+        if prev_close is not None:
+            running += r.volume if r.close > prev_close else (-r.volume if r.close < prev_close else 0)
+        prev_close = r.close
+        assert r.obv == running

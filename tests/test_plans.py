@@ -531,3 +531,35 @@ def test_cluster_prototypes_no_window_no_collect_shape(spark, qs):
     assert "CartesianProduct" not in plan
     assert "Window" not in plan  # prototype/outlier picked by agg, not rank
     assert "HashAggregate" in plan
+
+
+def test_token_entropy_joinless_doc_grain(spark, qs):
+    """Entropy is (doc, token)-count + doc-grain window/agg — strictly
+    narrower than the unigram LM pass: NO join of any kind (a vocab
+    table creeping in would add one), no cartesian."""
+    df = qs["token_entropy"](spark, SF)
+    plan = physical_plan(df)
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cooccurrence_pmi_topk_cut_before_join(spark, qs):
+    """The 50-row pair list must be cut by a top-k heap BEFORE joining
+    the unigram table, and then ride as the broadcast side — the pair
+    table and the vocabulary must never sort-merge against each other."""
+    df = qs["cooccurrence_pmi"](spark, SF)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert has_broadcast_join(df)
+    assert not has_sort_merge_join(df)
+
+
+def test_new_indicators_single_symbol_window_pass(spark, qs):
+    """stochastic_14 / obv are window enrichments over the shared
+    symbol-grain partitioning: no joins, exchanges bounded by the candle
+    build + one symbol-grain window family."""
+    for name in ("stochastic_14", "obv"):
+        df = qs[name](spark, SF)
+        plan = physical_plan(df)
+        assert "Join" not in plan, name
+        assert plan.count("Window") >= 1, name

@@ -724,3 +724,35 @@ def test_dsir_weights_uniform_when_target_is_corpus(spark):
     out = dsir_logweights(docs, docs).collect()
     for r in out:
         assert abs(r.dsir_logweight) < 1e-4
+
+
+def test_token_entropy_hand_computed(spark):
+    """'a a b': H = −(2/3·ln(2/3) + 1/3·ln(1/3)) with 6-dp-grid terms
+    = 0.636514; ttr = 2/3. A one-token doc has zero entropy, ttr 1."""
+    from options_data_pipeline_spark.functions.text import token_entropy_scores
+
+    df = docs_df(spark, ["a A b", "z"])
+    out = {r.doc_id: r for r in token_entropy_scores(df).collect()}
+    assert (out[0].n_toks, out[0].n_types) == (3, 2)
+    assert abs(out[0].entropy - 0.636514) < 1e-9
+    assert abs(out[0].ttr - 2.0 / 3.0) < 1e-12
+    assert (out[1].n_toks, out[1].n_types) == (1, 1)
+    assert out[1].entropy == 0.0 and out[1].ttr == 1.0
+
+
+def test_cooccurrence_pmi_hand_computed(spark):
+    """'a b a b': unigrams a:2 b:2 (n=4), bigrams (a,b):2 (b,a):1 (n=3).
+    ratio(a,b) = (2/3)/((2/4)·(2/4)) = 8/3; ratio(b,a) = 4/3. Collocation
+    direction shows up as the higher ratio."""
+    from options_data_pipeline_spark.functions.text import cooccurrence_pmi_top
+
+    df = docs_df(spark, ["a b a b"])
+    rows = {(r.x, r.y): r for r in cooccurrence_pmi_top(df, k=10).collect()}
+    assert set(rows) == {("a", "b"), ("b", "a")}
+    ab, ba = rows[("a", "b")], rows[("b", "a")]
+    assert (ab.c_xy, ab.c_x, ab.c_y) == (2, 2, 2)
+    assert abs(ab.pmi_ratio - 8.0 / 3.0) < 1e-12
+    assert abs(ba.pmi_ratio - 4.0 / 3.0) < 1e-12
+    # top-k cut is by pair count before the join
+    top1 = cooccurrence_pmi_top(df, k=1).collect()
+    assert [(r.x, r.y) for r in top1] == [("a", "b")]
