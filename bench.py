@@ -148,6 +148,9 @@ HEADLINE = [
     "obv",
     "token_entropy",
     "cooccurrence_pmi",
+    "keltner_channels",
+    "heikin_ashi",
+    "zipf_slope",
 ]
 
 

@@ -345,3 +345,129 @@ def macd(
         .groupBy("symbol")
         .applyInPandas(compute, schema=out_schema)
     )
+
+
+def keltner_channels(
+    candles: DataFrame, n_ema: int = 20, n_atr: int = 10, mult: float = 2.0
+) -> DataFrame:
+    """Keltner channels: EMA(n_ema) of the TYPICAL price ((h+l+c)/3) ±
+    mult × Wilder ATR(n_atr) — the volatility envelope that uses true
+    range where Bollinger uses σ. Two sequential recursions (EMA +
+    Wilder ATR) over the SAME symbol-ordered pass, composed in ONE
+    pandas fold (the macd shared-fold pattern: one shuffle, one island,
+    both state variables carried together).
+
+    Float discipline: typical = ((h + l) + c)/3 fixed order; each
+    recursion step is the op-for-op EMA/ATR sequence the recursive-CTE
+    oracle mirrors; bands are mid ± mult·atr single ops — the whole
+    trajectory compares bit-exact UNROUNDED (ema_12 / atr_wilder
+    precedent). Bands are NULL until BOTH recursions are seeded."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("window_start").reset_index(drop=True)
+        h, l, c = pdf["high"].tolist(), pdf["low"].tolist(), pdf["close"].tolist()
+        alpha = 2.0 / (n_ema + 1)
+        ema_out, atr_out = [], []
+        e_acc, e_prev = 0.0, None
+        a_acc, a_prev = 0.0, None
+        prev_close = None
+        for i in range(len(c)):
+            typ = ((h[i] + l[i]) + c[i]) / 3.0
+            if e_prev is None:
+                e_acc += typ
+                e_prev_val = None
+                if i + 1 == n_ema:
+                    e_prev = e_acc / n_ema
+                    e_prev_val = e_prev
+            else:
+                e_prev = e_prev + (typ - e_prev) * alpha
+                e_prev_val = e_prev
+            ema_out.append(e_prev_val)
+            tr = (
+                h[i] - l[i]
+                if prev_close is None
+                else max(h[i] - l[i], abs(h[i] - prev_close), abs(l[i] - prev_close))
+            )
+            prev_close = c[i]
+            if a_prev is None:
+                a_acc += tr
+                a_prev_val = None
+                if i + 1 == n_atr:
+                    a_prev = a_acc / n_atr
+                    a_prev_val = a_prev
+            else:
+                a_prev = (a_prev * (n_atr - 1) + tr) / n_atr
+                a_prev_val = a_prev
+            atr_out.append(a_prev_val)
+        pdf["kc_mid"] = pd.Series(ema_out, dtype="float64")
+        atr_s = pd.Series(atr_out, dtype="float64")
+        pdf["kc_upper"] = pdf["kc_mid"] + mult * atr_s
+        pdf["kc_lower"] = pdf["kc_mid"] - mult * atr_s
+        return pdf[["symbol", "window_start", "close", "kc_mid", "kc_upper", "kc_lower"]]
+
+    out_schema = T.StructType(
+        [
+            T.StructField("symbol", T.StringType()),
+            T.StructField("window_start", T.TimestampType()),
+            T.StructField("close", T.DoubleType()),
+            T.StructField("kc_mid", T.DoubleType()),
+            T.StructField("kc_upper", T.DoubleType()),
+            T.StructField("kc_lower", T.DoubleType()),
+        ]
+    )
+    return (
+        candles.select("symbol", "window_start", "high", "low", "close")
+        .groupBy("symbol")
+        .applyInPandas(compute, schema=out_schema)
+    )
+
+
+def heikin_ashi(candles: DataFrame) -> DataFrame:
+    """Heikin-Ashi candles: ha_close = (o+h+l+c)/4 (row-local), ha_open
+    recursion (prev_ha_open + prev_ha_close)/2 seeded at (o₁+c₁)/2,
+    ha_high/ha_low = extremes over {h, ha_open, ha_close} / {l, …} —
+    the smoothing transform charting pipelines apply before trend rules.
+    One-variable recursion in the shared pandas-island shape; every step
+    is add/divide in fixed order, bit-exact vs the recursive-CTE twin."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("window_start").reset_index(drop=True)
+        o, h = pdf["open"].tolist(), pdf["high"].tolist()
+        l, c = pdf["low"].tolist(), pdf["close"].tolist()
+        ha_open, ha_close = [], []
+        for i in range(len(c)):
+            hc = (((o[i] + h[i]) + l[i]) + c[i]) / 4.0
+            ho = (
+                (o[i] + c[i]) / 2.0
+                if i == 0
+                else (ha_open[i - 1] + ha_close[i - 1]) / 2.0
+            )
+            ha_open.append(ho)
+            ha_close.append(hc)
+        pdf["ha_open"] = pd.Series(ha_open, dtype="float64")
+        pdf["ha_close"] = pd.Series(ha_close, dtype="float64")
+        pdf["ha_high"] = pdf[["high", "ha_open", "ha_close"]].max(axis=1)
+        pdf["ha_low"] = pdf[["low", "ha_open", "ha_close"]].min(axis=1)
+        return pdf[
+            ["symbol", "window_start", "ha_open", "ha_high", "ha_low", "ha_close"]
+        ]
+
+    out_schema = T.StructType(
+        [
+            T.StructField("symbol", T.StringType()),
+            T.StructField("window_start", T.TimestampType()),
+            T.StructField("ha_open", T.DoubleType()),
+            T.StructField("ha_high", T.DoubleType()),
+            T.StructField("ha_low", T.DoubleType()),
+            T.StructField("ha_close", T.DoubleType()),
+        ]
+    )
+    return (
+        candles.select("symbol", "window_start", "open", "high", "low", "close")
+        .groupBy("symbol")
+        .applyInPandas(compute, schema=out_schema)
+    )

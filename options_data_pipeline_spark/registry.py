@@ -5565,6 +5565,174 @@ def q_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cooccurrence_pmi_top(load_table(spark, "documents", sf_dir), k=50)
 
 
+@register(
+    "keltner_channels",
+    f"""WITH RECURSIVE {candles_cte(3600)},
+{TR_CTE},
+numbered AS MATERIALIZED (
+  SELECT symbol, window_start, "close", tr,
+         ((high + low) + "close") / 3.0 AS typ,
+         row_number() OVER (PARTITION BY symbol ORDER BY window_start) AS rn
+  FROM tr_done
+),
+seed_e AS (
+  SELECT symbol, rn,
+         avg(typ) OVER (PARTITION BY symbol ORDER BY rn
+                        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS ema
+  FROM numbered QUALIFY rn = 20
+),
+rec_e AS (
+  SELECT symbol, rn, ema FROM seed_e
+  UNION ALL
+  SELECT t.symbol, t.rn, r.ema + (t.typ - r.ema) * (2.0 / 21)
+  FROM rec_e r JOIN numbered t ON t.symbol = r.symbol AND t.rn = r.rn + 1
+),
+seed_a AS (
+  SELECT symbol, rn,
+         avg(tr) OVER (PARTITION BY symbol ORDER BY rn
+                       ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS atr
+  FROM numbered QUALIFY rn = 10
+),
+rec_a AS (
+  SELECT symbol, rn, atr FROM seed_a
+  UNION ALL
+  SELECT t.symbol, t.rn, (r.atr * 9 + t.tr) / 10
+  FROM rec_a r JOIN numbered t ON t.symbol = r.symbol AND t.rn = r.rn + 1
+)
+SELECT n.symbol, n.window_start, n."close",
+       rec_e.ema AS kc_mid,
+       rec_e.ema + 2.0 * rec_a.atr AS kc_upper,
+       rec_e.ema - 2.0 * rec_a.atr AS kc_lower
+FROM numbered n
+LEFT JOIN rec_e ON rec_e.symbol = n.symbol AND rec_e.rn = n.rn
+LEFT JOIN rec_a ON rec_a.symbol = n.symbol AND rec_a.rn = n.rn""",
+)
+def q_keltner_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keltner channels (EMA20 of typical price ± 2×ATR10) — the
+    true-range volatility envelope, composing the EMA and Wilder-ATR
+    recursions in ONE pandas fold (macd shared-fold pattern: one symbol
+    shuffle, both state variables in one island). Bit-exact unrounded vs
+    the double recursive-CTE oracle; bands NULL until both seeds."""
+    from .operators.indicators import keltner_channels
+
+    return keltner_channels(
+        ohlc_candles(load_ticks(spark, sf_dir), "1 hour"), n_ema=20, n_atr=10
+    )
+
+
+@register(
+    "heikin_ashi",
+    f"""WITH RECURSIVE {candles_cte(3600)},
+numbered AS MATERIALIZED (
+  SELECT symbol, window_start, "open", high, low, "close",
+         ((("open" + high) + low) + "close") / 4.0 AS ha_close,
+         row_number() OVER (PARTITION BY symbol ORDER BY window_start) AS rn
+  FROM candles
+),
+rec AS (
+  SELECT symbol, rn, ("open" + "close") / 2.0 AS ha_open, ha_close
+  FROM numbered WHERE rn = 1
+  UNION ALL
+  SELECT t.symbol, t.rn, (r.ha_open + r.ha_close) / 2.0, t.ha_close
+  FROM rec r JOIN numbered t ON t.symbol = r.symbol AND t.rn = r.rn + 1
+)
+SELECT n.symbol, n.window_start, rec.ha_open,
+       greatest(n.high, rec.ha_open, n.ha_close) AS ha_high,
+       least(n.low, rec.ha_open, n.ha_close) AS ha_low,
+       n.ha_close
+FROM numbered n JOIN rec ON rec.symbol = n.symbol AND rec.rn = n.rn""",
+)
+def q_heikin_ashi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heikin-Ashi smoothed candles — ha_close row-local ((o+h+l+c)/4),
+    ha_open the one-variable recursion ((prev_open+prev_close)/2),
+    extremes over {h, ha_open, ha_close}. Recursive-CTE twin, bit-exact
+    unrounded (adds/divides in fixed order, greatest/least are picks)."""
+    from .operators.indicators import heikin_ashi
+
+    return heikin_ashi(ohlc_candles(load_ticks(spark, sf_dir), "1 hour"))
+
+
+@register(
+    "zipf_slope",
+    r"""WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents
+),
+uc AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+topk AS (
+  SELECT cnt,
+         row_number() OVER (ORDER BY cnt DESC, tok) AS rnk
+  FROM uc ORDER BY cnt DESC, tok LIMIT 100
+),
+terms AS (
+  SELECT CAST(round(ln(rnk::DOUBLE), 6) AS DECIMAL(20,6)) AS tx,
+         CAST(round(ln(cnt::DOUBLE), 6) AS DECIMAL(20,6)) AS ty,
+         CAST(round(ln(rnk::DOUBLE) * ln(cnt::DOUBLE), 6) AS DECIMAL(20,6)) AS txy,
+         CAST(round(ln(rnk::DOUBLE) * ln(rnk::DOUBLE), 6) AS DECIMAL(20,6)) AS tx2
+  FROM topk
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(tx) AS DOUBLE) AS sx, CAST(sum(ty) AS DOUBLE) AS sy,
+         CAST(sum(txy) AS DOUBLE) AS sxy, CAST(sum(tx2) AS DOUBLE) AS sx2
+  FROM terms
+)
+SELECT k AS n_ranks,
+       (k * sxy - sx * sy) / (k * sx2 - sx * sx) AS zipf_slope,
+       (sy - ((k * sxy - sx * sy) / (k * sx2 - sx * sx)) * sx) / k
+         AS zipf_intercept
+FROM s""",
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health check: least-squares slope of log-frequency vs
+    log-rank over the top-100 tokens — natural text tracks Zipf's law
+    (slope ≈ −1); a corpus drifting toward templated/duplicated content
+    flattens or steepens the line, so pipelines alert on the slope.
+
+    Scale shape: token count (map-side combinable) → TakeOrdered top-100
+    → 100-row regression; only the count shuffles. Float discipline:
+    per-rank regression terms snap to the 6-dp grid and sum in DECIMAL;
+    the slope/intercept are then fixed-order arithmetic on those exact
+    sums — bit-exact cross-engine."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    uc = (
+        docs.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '\\\\S+', 0)")
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    topk = uc.orderBy(F.desc("cnt"), F.asc("tok")).limit(100)
+    rnk = F.row_number().over(W.orderBy(F.desc("cnt"), F.asc("tok")))
+    x = F.log(rnk.cast("double"))
+    y = F.log(F.col("cnt").cast("double"))
+    terms = topk.select(
+        F.round(x, 6).cast("decimal(20,6)").alias("tx"),
+        F.round(y, 6).cast("decimal(20,6)").alias("ty"),
+        F.round(x * y, 6).cast("decimal(20,6)").alias("txy"),
+        F.round(x * x, 6).cast("decimal(20,6)").alias("tx2"),
+    )
+    s = terms.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("tx").cast("double").alias("sx"),
+        F.sum("ty").cast("double").alias("sy"),
+        F.sum("txy").cast("double").alias("sxy"),
+        F.sum("tx2").cast("double").alias("sx2"),
+    )
+    k = F.col("k").cast("double")
+    slope = (k * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        k * F.col("sx2") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("k").alias("n_ranks"),
+        slope.alias("zipf_slope"),
+        ((F.col("sy") - slope * F.col("sx")) / k).alias("zipf_intercept"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:

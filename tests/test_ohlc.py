@@ -209,3 +209,59 @@ def test_stochastic_and_obv_hand_computed(spark):
             running += r.volume if r.close > prev_close else (-r.volume if r.close < prev_close else 0)
         prev_close = r.close
         assert r.obv == running
+
+
+def test_keltner_and_heikin_ashi_hand_computed(spark):
+    """Keltner: bands NULL until both recursions seed (max(20,10) rows);
+    then upper−mid == mid−lower == 2×ATR and mid equals the EMA of the
+    typical price (checked against an in-test pure-Python fold).
+    Heikin-Ashi: first two rows hand-computed."""
+    from datetime import datetime, timedelta
+
+    import pytest as _pytest
+
+    from options_data_pipeline_spark.operators.indicators import (
+        heikin_ashi,
+        keltner_channels,
+    )
+
+    base = datetime(2024, 1, 1, 9, 0)
+    rows = [
+        ("A", base + timedelta(hours=i), 9.0 + (i % 4), 10.0 + i, 5.0, 7.0 + (i % 3), 1)
+        for i in range(25)
+    ]
+    candles = spark.createDataFrame(
+        rows,
+        "symbol string, window_start timestamp, open double, high double,"
+        " low double, close double, tick_count long",
+    )
+    kc = sorted(keltner_channels(candles).collect(), key=lambda r: r.window_start)
+    assert all(r.kc_mid is None for r in kc[:19])  # EMA20 seeds last
+    assert kc[19].kc_mid is not None and kc[19].kc_upper is not None
+    # mirror fold in pure python
+    h = [10.0 + i for i in range(25)]
+    l = [5.0] * 25
+    c = [7.0 + (i % 3) for i in range(25)]
+    typ = [((h[i] + l[i]) + c[i]) / 3.0 for i in range(25)]
+    e = sum(typ[:20]) / 20
+    tr = [h[0] - l[0]] + [
+        max(h[i] - l[i], abs(h[i] - c[i - 1]), abs(l[i] - c[i - 1]))
+        for i in range(1, 25)
+    ]
+    a = sum(tr[:10]) / 10
+    for i in range(10, 20):
+        a = (a * 9 + tr[i]) / 10
+    assert kc[19].kc_mid == _pytest.approx(e, abs=1e-12)
+    assert kc[19].kc_upper == _pytest.approx(e + 2.0 * a, abs=1e-12)
+    assert kc[19].kc_lower == _pytest.approx(e - 2.0 * a, abs=1e-12)
+
+    ha = sorted(heikin_ashi(candles).collect(), key=lambda r: r.window_start)
+    o0, h0, l0, c0 = 9.0, 10.0, 5.0, 7.0
+    hc0 = (((o0 + h0) + l0) + c0) / 4.0
+    ho0 = (o0 + c0) / 2.0
+    assert ha[0].ha_close == _pytest.approx(hc0, abs=0)
+    assert ha[0].ha_open == _pytest.approx(ho0, abs=0)
+    assert ha[0].ha_high == max(h0, ho0, hc0)
+    o1, h1, l1, c1 = 10.0, 11.0, 5.0, 8.0
+    assert ha[1].ha_open == _pytest.approx((ho0 + hc0) / 2.0, abs=0)
+    assert ha[1].ha_close == _pytest.approx((((o1 + h1) + l1) + c1) / 4.0, abs=0)

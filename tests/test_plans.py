@@ -563,3 +563,27 @@ def test_new_indicators_single_symbol_window_pass(spark, qs):
         plan = physical_plan(df)
         assert "Join" not in plan, name
         assert plan.count("Window") >= 1, name
+
+
+def test_recursive_indicator_islands_single_symbol_shuffle(spark, qs):
+    """keltner_channels / heikin_ashi are the justified pandas-island
+    class (sequential recursions): exactly one FlatMapGroupsInPandas
+    over the symbol grain, no joins, no extra exchanges beyond the
+    candle build + the group shuffle."""
+    for name in ("keltner_channels", "heikin_ashi"):
+        df = qs[name](spark, SF)
+        plan = physical_plan(df)
+        assert "FlatMapGroupsInPandas" in plan, name
+        assert "Join" not in plan, name
+        # candle agg + symbol-group shuffle (+ load_table's file spread)
+        assert count_exchanges(df) <= 3, name
+
+
+def test_zipf_slope_topk_heap_then_tiny_regression(spark, qs):
+    """The rank cut must be a TakeOrderedAndProject over the token
+    counts (never a full sort of the vocabulary); the regression runs on
+    the 100-row remainder — no joins."""
+    df = qs["zipf_slope"](spark, SF)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan

@@ -756,3 +756,35 @@ def test_cooccurrence_pmi_hand_computed(spark):
     # top-k cut is by pair count before the join
     top1 = cooccurrence_pmi_top(df, k=1).collect()
     assert [(r.x, r.y) for r in top1] == [("a", "b")]
+
+
+def test_zipf_slope_tracks_power_law(spark):
+    """A corpus whose token frequencies follow cnt = 64/rank must fit
+    slope ≈ −1 (grid rounding keeps it within 1e-3); a uniform corpus
+    fits slope 0."""
+    import math
+
+    from options_data_pipeline_spark import registry
+
+    def corpus(freqs):
+        words = [f"w{i:02d}" for i in range(len(freqs))]
+        text = " ".join(" ".join([w] * f) for w, f in zip(words, freqs))
+        return [text]
+
+    import tempfile, os
+    qs = registry.queries()
+
+    def run(freqs):
+        with tempfile.TemporaryDirectory() as d:
+            spark.createDataFrame(
+                [(0, corpus(freqs)[0], "en", "s", 1)],
+                "doc_id long, text string, lang string, source string, n_chars long",
+            ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+            return qs["zipf_slope"](spark, d).collect()[0]
+
+    zipf = run([64 // r for r in range(1, 9)])  # 64,32,21,16,12,10,9,8
+    # exact power law on the dyadic subset; integer flooring bends it a bit
+    assert -1.15 < zipf.zipf_slope < -0.85
+    flat = run([7] * 8)
+    assert abs(flat.zipf_slope) < 1e-5  # 6-dp term grid leaves ~1e-6 residue
+    assert flat.n_ranks == 8
