@@ -151,6 +151,7 @@ HEADLINE = [
     "keltner_channels",
     "heikin_ashi",
     "zipf_slope",
+    "adx_14",
 ]
 
 

@@ -471,3 +471,89 @@ def heikin_ashi(candles: DataFrame) -> DataFrame:
         .groupBy("symbol")
         .applyInPandas(compute, schema=out_schema)
     )
+
+
+def adx(candles: DataFrame, n: int = 14) -> DataFrame:
+    """ADX (Wilder's average directional index): ±DM from candle-to-
+    candle extremes, three Wilder-smoothed averages advancing in
+    LOCKSTEP (+DM, −DM, TR — one recursion carrying three state
+    variables), ±DI = 100·DM/ATR, DX = 100·|DI⁺−DI⁻|/(DI⁺+DI⁻), and ADX
+    as a SECOND Wilder smoothing over DX (seeded at rn = 2n−1).
+
+    Same justified pandas-island class as ATR/EMA (sequential recursions
+    with no closed window form), one symbol-grain shuffle. Every step is
+    the op-for-op sequence of the oracle's two chained recursive CTEs —
+    bit-exact unrounded. Zero guards: ATR=0 ⇒ DI=0; DI⁺+DI⁻=0 ⇒ DX=0
+    (flat-market candles stay defined instead of NaN)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("window_start").reset_index(drop=True)
+        h, l, c = pdf["high"].tolist(), pdf["low"].tolist(), pdf["close"].tolist()
+        m = len(c)
+        dmp, dmm, tr = [0.0], [0.0], [h[0] - l[0]] if m else []
+        for i in range(1, m):
+            up, dn = h[i] - h[i - 1], l[i - 1] - l[i]
+            dmp.append(up if (up > dn and up > 0) else 0.0)
+            dmm.append(dn if (dn > up and dn > 0) else 0.0)
+            tr.append(max(h[i] - l[i], abs(h[i] - c[i - 1]), abs(l[i] - c[i - 1])))
+        di_p, di_m, dx, adx_out = [], [], [], []
+        sp = sm = sa = None
+        acc_p = acc_m = acc_a = 0.0
+        adx_prev, acc_dx, n_dx = None, 0.0, 0
+        for i in range(m):
+            if sp is None:
+                acc_p += dmp[i]
+                acc_m += dmm[i]
+                acc_a += tr[i]
+                if i + 1 == n:
+                    sp, sm, sa = acc_p / n, acc_m / n, acc_a / n
+            else:
+                sp = (sp * (n - 1) + dmp[i]) / n
+                sm = (sm * (n - 1) + dmm[i]) / n
+                sa = (sa * (n - 1) + tr[i]) / n
+            if sp is None:
+                di_p.append(None)
+                di_m.append(None)
+                dx.append(None)
+                adx_out.append(None)
+                continue
+            p = 100.0 * sp / sa if sa > 0 else 0.0
+            q = 100.0 * sm / sa if sa > 0 else 0.0
+            d = 100.0 * abs(p - q) / (p + q) if (p + q) > 0 else 0.0
+            di_p.append(p)
+            di_m.append(q)
+            dx.append(d)
+            if adx_prev is None:
+                acc_dx += d
+                n_dx += 1
+                if n_dx == n:  # rn = 2n−1
+                    adx_prev = acc_dx / n
+                    adx_out.append(adx_prev)
+                else:
+                    adx_out.append(None)
+            else:
+                adx_prev = (adx_prev * (n - 1) + d) / n
+                adx_out.append(adx_prev)
+        for name, series in (
+            ("di_plus", di_p), ("di_minus", di_m), ("dx", dx), ("adx", adx_out)
+        ):
+            pdf[name] = pd.Series(series, dtype="float64")
+        return pdf[["symbol", "window_start", "di_plus", "di_minus", "dx", "adx"]]
+
+    out_schema = T.StructType(
+        [
+            T.StructField("symbol", T.StringType()),
+            T.StructField("window_start", T.TimestampType()),
+            T.StructField("di_plus", T.DoubleType()),
+            T.StructField("di_minus", T.DoubleType()),
+            T.StructField("dx", T.DoubleType()),
+            T.StructField("adx", T.DoubleType()),
+        ]
+    )
+    return (
+        candles.select("symbol", "window_start", "high", "low", "close")
+        .groupBy("symbol")
+        .applyInPandas(compute, schema=out_schema)
+    )

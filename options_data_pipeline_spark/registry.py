@@ -5733,6 +5733,86 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "adx_14",
+    f"""WITH RECURSIVE {candles_cte(3600)},
+lagged AS (
+  SELECT symbol, window_start, high, low, "close",
+         lag(high) OVER w AS ph, lag(low) OVER w AS pl,
+         lag("close") OVER w AS pc,
+         row_number() OVER w AS rn
+  FROM candles WINDOW w AS (PARTITION BY symbol ORDER BY window_start)
+),
+numbered AS MATERIALIZED (
+  SELECT symbol, window_start, rn,
+         CASE WHEN ph IS NULL THEN 0.0
+              WHEN (high - ph) > (pl - low) AND (high - ph) > 0
+                THEN high - ph ELSE 0.0 END AS dmp,
+         CASE WHEN ph IS NULL THEN 0.0
+              WHEN (pl - low) > (high - ph) AND (pl - low) > 0
+                THEN pl - low ELSE 0.0 END AS dmm,
+         CASE WHEN pc IS NULL THEN high - low
+              ELSE greatest(high - low, abs(high - pc), abs(low - pc))
+         END AS tr
+  FROM lagged
+),
+seed1 AS (
+  SELECT symbol, rn, avg(dmp) OVER wv AS sp, avg(dmm) OVER wv AS sm,
+         avg(tr) OVER wv AS sa
+  FROM numbered
+  WINDOW wv AS (PARTITION BY symbol ORDER BY rn
+                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+  QUALIFY rn = 14
+),
+rec1 AS (
+  SELECT symbol, rn, sp, sm, sa FROM seed1
+  UNION ALL
+  SELECT t.symbol, t.rn, (r.sp * 13 + t.dmp) / 14,
+         (r.sm * 13 + t.dmm) / 14, (r.sa * 13 + t.tr) / 14
+  FROM rec1 r JOIN numbered t ON t.symbol = r.symbol AND t.rn = r.rn + 1
+),
+dxs AS MATERIALIZED (
+  SELECT symbol, rn, di_plus, di_minus,
+         CASE WHEN di_plus + di_minus > 0
+              THEN 100.0 * abs(di_plus - di_minus) / (di_plus + di_minus)
+              ELSE 0.0 END AS dx
+  FROM (
+    SELECT symbol, rn,
+           CASE WHEN sa > 0 THEN 100.0 * sp / sa ELSE 0.0 END AS di_plus,
+           CASE WHEN sa > 0 THEN 100.0 * sm / sa ELSE 0.0 END AS di_minus
+    FROM rec1
+  )
+),
+seed2 AS (
+  SELECT symbol, rn,
+         avg(dx) OVER (PARTITION BY symbol ORDER BY rn
+                       ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS adx
+  FROM dxs QUALIFY rn = 27
+),
+rec2 AS (
+  SELECT symbol, rn, adx FROM seed2
+  UNION ALL
+  SELECT t.symbol, t.rn, (r.adx * 13 + t.dx) / 14
+  FROM rec2 r JOIN dxs t ON t.symbol = r.symbol AND t.rn = r.rn + 1
+)
+SELECT b.symbol, b.window_start, d.di_plus, d.di_minus, d.dx, rec2.adx
+FROM numbered b
+LEFT JOIN dxs d ON d.symbol = b.symbol AND d.rn = b.rn
+LEFT JOIN rec2 ON rec2.symbol = b.symbol AND rec2.rn = b.rn""",
+)
+def q_adx_14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADX(14) — the trend-strength composite: ±DM picks, THREE Wilder
+    smoothings advancing in lockstep (one recursion, three state
+    variables), ±DI/DX ratios, then a SECOND Wilder smoothing over DX
+    seeded at rn=2n−1. The deepest recursion chain in the indicator
+    family; oracle = two chained recursive CTEs over a MATERIALIZED DX
+    table (inlining would re-run the first recursion per ADX step).
+    Bit-exact unrounded; ATR=0 ⇒ DI=0, DI-sum=0 ⇒ DX=0 guards."""
+    from .operators.indicators import adx
+
+    return adx(ohlc_candles(load_ticks(spark, sf_dir), "1 hour"), n=14)
+
+
 # ---------------------------------------------------------------------------
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:

@@ -265,3 +265,43 @@ def test_keltner_and_heikin_ashi_hand_computed(spark):
     o1, h1, l1, c1 = 10.0, 11.0, 5.0, 8.0
     assert ha[1].ha_open == _pytest.approx((ho0 + hc0) / 2.0, abs=0)
     assert ha[1].ha_close == _pytest.approx((((o1 + h1) + l1) + c1) / 4.0, abs=0)
+
+
+def test_adx_direction_and_flat_guards(spark):
+    """ADX: a steadily-rising symbol has DI+ > DI− once defined and a
+    high ADX after its warmup; a perfectly flat symbol hits the zero
+    guards (DI = DX = 0, ADX = 0 — defined, not NaN). Warmups: DI/DX
+    NULL before rn=14, ADX NULL before rn=27."""
+    from datetime import datetime, timedelta
+
+    from options_data_pipeline_spark.operators.indicators import adx
+
+    base = datetime(2024, 1, 1, 9, 0)
+    rows = [
+        ("UP", base + timedelta(hours=i), 10.0 + i, 11.0 + i, 9.0 + i, 10.5 + i, 1)
+        for i in range(30)
+    ] + [
+        ("FLAT", base + timedelta(hours=i), 10.0, 11.0, 9.0, 10.0, 1)
+        for i in range(30)
+    ]
+    candles = spark.createDataFrame(
+        rows,
+        "symbol string, window_start timestamp, open double, high double,"
+        " low double, close double, tick_count long",
+    )
+    out = {
+        (r.symbol, i): r
+        for sym in ("UP", "FLAT")
+        for i, r in enumerate(
+            sorted(
+                [r for r in adx(candles).collect() if r.symbol == sym],
+                key=lambda r: r.window_start,
+            )
+        )
+    }
+    assert out[("UP", 12)].di_plus is None and out[("UP", 13)].di_plus is not None
+    assert out[("UP", 25)].adx is None and out[("UP", 26)].adx is not None
+    assert out[("UP", 29)].di_plus > out[("UP", 29)].di_minus
+    assert out[("UP", 29)].adx > 50.0  # pure trend
+    f = out[("FLAT", 29)]
+    assert (f.di_plus, f.di_minus, f.dx, f.adx) == (0.0, 0.0, 0.0, 0.0)

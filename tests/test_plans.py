@@ -570,7 +570,7 @@ def test_recursive_indicator_islands_single_symbol_shuffle(spark, qs):
     class (sequential recursions): exactly one FlatMapGroupsInPandas
     over the symbol grain, no joins, no extra exchanges beyond the
     candle build + the group shuffle."""
-    for name in ("keltner_channels", "heikin_ashi"):
+    for name in ("keltner_channels", "heikin_ashi", "adx_14"):
         df = qs[name](spark, SF)
         plan = physical_plan(df)
         assert "FlatMapGroupsInPandas" in plan, name
