@@ -152,6 +152,8 @@ HEADLINE = [
     "heikin_ashi",
     "zipf_slope",
     "adx_14",
+    "ivf_cell_balance",
+    "mrl_truncation_audit",
 ]
 
 

@@ -5813,6 +5813,116 @@ def q_adx_14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adx(ohlc_candles(load_ticks(spark, sf_dir), "1 hour"), n=14)
 
 
+def _ivf_cell_balance_oracle(k: int = 8, dim: int = 64) -> str:
+    from .functions.similarity import fixed_centroids
+
+    cents = fixed_centroids(k, dim)
+    scores = ",\n      ".join(
+        f"{sum(x * x for x in c)!r} - 2.0*list_dot_product(v, ["
+        + ", ".join(repr(x) for x in c)
+        + "])"
+        for c in cents
+    )
+    return f"""WITH v AS (
+  SELECT embedding::DOUBLE[] AS v FROM embeddings
+),
+cells AS (
+  SELECT list_position([{scores}], list_min([{scores}])) - 1 AS cell
+  FROM v
+),
+c AS (SELECT cell, count(*) AS n_vecs FROM cells GROUP BY 1)
+SELECT CAST(cell AS BIGINT) AS cell, CAST(n_vecs AS BIGINT) AS n_vecs,
+       n_vecs::DOUBLE / (SELECT count(*) FROM cells)::DOUBLE AS share
+FROM c"""
+
+
+@register("ivf_cell_balance", _ivf_cell_balance_oracle())
+def q_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-health audit: per-cell vector counts and occupancy
+    share under the fixed-centroid assignment — the balance check an
+    operator runs before trusting nprobe cost estimates (a hot cell
+    means the skew-join problem moved into the index; rebalance =
+    retrain, `ivf_kmeans_multiprobe`'s Lloyd's path). One assignment
+    map + one cell-grain agg; share is a single exact division."""
+    from .functions.similarity import centroid_argmin, fixed_centroids
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cells = emb.select(
+        centroid_argmin("embedding", fixed_centroids(8, 64)).alias("cell")
+    )
+    total = cells.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        cells.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("cell").cast("bigint").alias("cell"),
+            F.col("n_vecs").cast("bigint").alias("n_vecs"),
+            (F.col("n_vecs").cast("double") / F.col("total").cast("double")).alias(
+                "share"
+            ),
+        )
+    )
+
+
+def _mrl_oracle() -> str:
+    arms = []
+    for k in (8, 16, 32):
+        arms.append(
+            f"""SELECT CAST({k} AS BIGINT) AS prefix_dim,
+         sqrt(list_dot_product(e[1:{k}], e[1:{k}]))
+           / sqrt(list_dot_product(e, e)) AS ratio
+  FROM v WHERE sqrt(list_dot_product(e, e)) > 0"""
+        )
+    union = "\n  UNION ALL\n  ".join(arms)
+    return f"""WITH v AS (SELECT embedding::DOUBLE[] AS e FROM embeddings),
+r AS (
+  {union}
+)
+SELECT prefix_dim, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CAST(round(ratio, 9) AS DECIMAL(20,9))) AS DOUBLE)
+         / count(*)::DOUBLE AS avg_norm_ratio,
+       min(ratio) AS min_ratio, max(ratio) AS max_ratio
+FROM r GROUP BY prefix_dim"""
+
+
+@register("mrl_truncation_audit", _mrl_oracle())
+def q_mrl_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation audit: how much vector norm (≈ energy
+    ≈ retrieval signal) survives keeping only the first 8/16/32 of 64
+    dims — the measurement behind choosing a cheaper ANN prefix index
+    (MRL embeddings concentrate energy in the prefix; random vectors
+    spread it ∝ √(k/d), so this audit also DETECTS whether embeddings
+    are matryoshka-trained at all). Per-row ratio = two sequential-fold
+    norms + one division (bit-exact); the corpus average snaps to the
+    9-dp grid per the multi-row-sum rule; min/max are picks."""
+    import functools
+
+    from .functions.similarity import norm_col
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    full = norm_col("embedding")
+    arms = []
+    for k in (8, 16, 32):
+        pre = norm_col(F.slice(F.col("embedding").cast("array<double>"), 1, k))
+        arms.append(
+            emb.filter(full > 0).select(
+                F.lit(k).cast("bigint").alias("prefix_dim"),
+                (pre / full).alias("ratio"),
+            )
+        )
+    r = functools.reduce(DataFrame.unionByName, arms)
+    return r.groupBy("prefix_dim").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        (
+            F.sum(F.round(F.col("ratio"), 9).cast("decimal(20,9)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_norm_ratio"),
+        F.min("ratio").alias("min_ratio"),
+        F.max("ratio").alias("max_ratio"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:

@@ -587,3 +587,17 @@ def test_zipf_slope_topk_heap_then_tiny_regression(spark, qs):
     plan = physical_plan(df)
     assert "TakeOrderedAndProject" in plan
     assert "Join" not in plan
+
+
+def test_embedding_audit_queries_shapes(spark, qs):
+    """ivf_cell_balance: one assignment map + cell agg + a broadcast
+    1-row total — no sort-merge join. mrl_truncation_audit: union of
+    narrow norm maps + one agg — no join at all."""
+    df = qs["ivf_cell_balance"](spark, SF)
+    assert not has_sort_merge_join(df)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    df2 = qs["mrl_truncation_audit"](spark, SF)
+    p2 = physical_plan(df2)
+    assert "Join" not in p2
+    assert "Union" in p2

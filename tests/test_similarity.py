@@ -465,3 +465,39 @@ def test_kcenter_coreset_invariants(spark):
     dists = [r.sel_dist for r in out[1:]]
     assert all(d is not None for d in dists)
     assert all(a >= b - 1e-12 for a, b in zip(dists, dists[1:]))
+
+
+def test_mrl_truncation_ratio_hand_computed(spark):
+    """A vector concentrated in dim 0 keeps ratio 1.0 at every prefix; a
+    uniform all-ones vector keeps exactly sqrt(k/64)."""
+    import math
+
+    from options_data_pipeline_spark import registry
+
+    import os, tempfile
+    qs = registry.queries()
+    with tempfile.TemporaryDirectory() as d:
+        rows = [
+            (0, [1.0] + [0.0] * 63, 0),
+            (1, [1.0] * 64, 0),
+        ]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+        out = {r.prefix_dim: r for r in qs["mrl_truncation_audit"](spark, d).collect()}
+    for k in (8, 16, 32):
+        assert out[k].n_vecs == 2
+        assert out[k].max_ratio == 1.0  # the concentrated vector
+        assert out[k].min_ratio == __import__("pytest").approx(
+            math.sqrt(k / 64.0), abs=1e-12
+        )
+
+
+def test_ivf_cell_balance_shares_sum_to_one(spark):
+    from options_data_pipeline_spark import registry
+
+    qs = registry.queries()
+    rows = qs["ivf_cell_balance"](spark, "/root/testdata/sf0.001").collect()
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-12
+    n = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").count()
+    assert sum(r.n_vecs for r in rows) == n  # every vector lands in a cell
