@@ -154,6 +154,7 @@ HEADLINE = [
     "adx_14",
     "ivf_cell_balance",
     "mrl_truncation_audit",
+    "asof_nearest_close",
 ]
 
 

@@ -71,3 +71,81 @@ def asof_join(
         *[F.col(f"_row.{c}").alias(c) for c in left_cols],
         *[F.col(f"{prefix}{c}") for c in value_cols],
     )
+
+
+def asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    by: str = "symbol",
+    left_ts: str = "ts",
+    right_ts: str = "window_start",
+    value_cols: tuple[str, ...] = ("close",),
+    tolerance_s: float = 5400.0,
+    prefix: str = "nearest_",
+) -> DataFrame:
+    """merge_asof(direction='nearest'): for each left row, the right row
+    minimizing |right_ts − left_ts| within ``tolerance_s`` seconds, ties
+    broken toward the EARLIER right row. Left rows with no right row in
+    tolerance get NULLs.
+
+    Same one-shuffle union construction as :func:`asof_join`, but with
+    BOTH direction windows computed over the single unioned frame (same
+    symbol partitioning, ascending + descending sorts — Spark shuffles
+    once and sorts twice); the nearest pick is then a row-local
+    comparison, no join back. Output: left columns + ``{prefix}ts`` +
+    ``{prefix}{value_col}`` columns."""
+    left_cols = left.columns
+    vcols = tuple(value_cols) + (right_ts,)
+    l = left.select(
+        F.col(by),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"_v_{c}")
+            for c in vcols
+        ],
+        F.struct(*left_cols).alias("_row"),
+    )
+    r = right.select(
+        F.col(by),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),  # right before left at equal ts (inclusive)
+        *[F.col(c).alias(f"_v_{c}") for c in vcols],
+        F.lit(None).cast(l.schema["_row"].dataType).alias("_row"),
+    )
+    wb = (
+        Window.partitionBy(by)
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(by)
+        .orderBy(F.desc("_t"), F.asc("_side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    u = l.unionByName(r).select(
+        "*",
+        *[
+            F.last(f"_v_{c}", ignorenulls=True).over(wb).alias(f"_b_{c}")
+            for c in vcols
+        ],
+        *[
+            F.last(f"_v_{c}", ignorenulls=True).over(wf).alias(f"_f_{c}")
+            for c in vcols
+        ],
+    ).filter(F.col("_side") == 1)
+    t = F.col("_t").cast("double")
+    bdiff = t - F.col(f"_b_{right_ts}").cast("double")
+    fdiff = F.col(f"_f_{right_ts}").cast("double") - t
+    valid_b = F.col(f"_b_{right_ts}").isNotNull() & (bdiff <= tolerance_s)
+    valid_f = F.col(f"_f_{right_ts}").isNotNull() & (fdiff <= tolerance_s)
+    use_b = valid_b & (~valid_f | (bdiff <= fdiff))  # tie → earlier (backward)
+    picks = [
+        F.when(use_b, F.col(f"_b_{c}"))
+        .when(valid_f, F.col(f"_f_{c}"))
+        .alias(f"{prefix}{'ts' if c == right_ts else c}")
+        for c in vcols
+    ]
+    return u.select(
+        *[F.col(f"_row.{c}").alias(c) for c in left_cols], *picks
+    )

@@ -5923,6 +5923,48 @@ def q_mrl_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "asof_nearest_close",
+    "WITH " + candles_cte(3600)
+    + """,
+sample AS (
+  SELECT event_id, symbol, ts, price FROM ticks WHERE event_id % 20 = 0
+),
+cand AS (
+  SELECT s.event_id, c.window_start, c."close",
+         row_number() OVER (
+           PARTITION BY s.event_id
+           ORDER BY abs(epoch(c.window_start - s.ts)), c.window_start
+         ) AS rn
+  FROM sample s JOIN candles c ON c.symbol = s.symbol
+  WHERE abs(epoch(c.window_start - s.ts)) <= 5400.0
+)
+SELECT s.event_id, s.symbol, s.ts, s.price,
+       c.window_start AS nearest_ts, c."close" AS nearest_close
+FROM sample s LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+  ON c.event_id = s.event_id""",
+)
+def q_asof_nearest_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, direction='nearest' with tolerance (pandas
+    merge_asof's third mode, which Spark lacks natively): each sampled
+    tick takes the candle minimizing |candle_start − tick_ts| within 90
+    minutes, ties toward the earlier candle. One shuffle, TWO direction
+    windows over the same unioned frame (asc + desc sorts share the
+    symbol partitioning), then a row-local nearest pick — no join back
+    (operators/asof.py::asof_nearest). The oracle is the brute
+    candidates + row_number form."""
+    from .operators.asof import asof_nearest
+
+    ticks = load_ticks(spark, sf_dir)
+    candles = ohlc_candles(ticks, "3600 seconds")
+    sample = ticks.filter(F.col("event_id") % 20 == 0).select(
+        "event_id", "symbol", "ts", "price"
+    )
+    return asof_nearest(
+        sample, candles, value_cols=("close",), tolerance_s=5400.0
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:

@@ -77,3 +77,48 @@ def test_asof_matches_naive_inequality_join(spark):
         .collect()
     }
     assert got == naive
+
+
+def test_asof_nearest_direction_tolerance_and_ties(spark):
+    """nearest picks the closer side, ties go to the EARLIER right row,
+    and rows with nothing inside the tolerance get NULLs."""
+    from datetime import datetime
+
+    from options_data_pipeline_spark.operators.asof import asof_nearest
+
+    t = lambda m: datetime(2024, 1, 1, 10, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [
+            (1, "A", t(10), 1.0),   # right at 10:00 (d=600) and 10:15 (d=300) → forward
+            (2, "A", t(2), 2.0),    # right at 10:00 (d=120) closer than 10:15 → backward
+            (3, "A", t(55), 3.0),   # nearest is 10:15 at d=2400 > tol → NULL
+            (4, "B", t(30), 4.0),   # no right rows for B at all → NULL
+        ],
+        "event_id long, symbol string, ts timestamp, price double",
+    )
+    right = spark.createDataFrame(
+        [("A", t(0), 100.0), ("A", t(15), 115.0)],
+        "symbol string, window_start timestamp, close double",
+    )
+    out = {
+        r.event_id: r
+        for r in asof_nearest(
+            left, right, value_cols=("close",), tolerance_s=600.0
+        ).collect()
+    }
+    assert out[1].nearest_close == 115.0 and out[1].nearest_ts == t(15)
+    assert out[2].nearest_close == 100.0
+    assert out[3].nearest_close is None and out[3].nearest_ts is None
+    assert out[4].nearest_close is None
+
+    # exact tie: left at 10:10 with rights at 10:05 / 10:15 → earlier wins
+    tie = spark.createDataFrame(
+        [(9, "A", t(10), 1.0)],
+        "event_id long, symbol string, ts timestamp, price double",
+    )
+    right2 = spark.createDataFrame(
+        [("A", t(5), 105.0), ("A", t(15), 115.0)],
+        "symbol string, window_start timestamp, close double",
+    )
+    got = asof_nearest(tie, right2, value_cols=("close",), tolerance_s=600.0).collect()[0]
+    assert got.nearest_close == 105.0  # backward on tie

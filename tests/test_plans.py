@@ -601,3 +601,14 @@ def test_embedding_audit_queries_shapes(spark, qs):
     p2 = physical_plan(df2)
     assert "Join" not in p2
     assert "Union" in p2
+
+
+def test_asof_nearest_single_shuffle_no_join(spark, qs):
+    """The nearest as-of must stay the union-window construction: no
+    join operator anywhere (a join back to combine directions would add
+    an avoidable shuffle), both direction sorts under one symbol
+    partitioning."""
+    df = qs["asof_nearest_close"](spark, SF)
+    plan = physical_plan(df)
+    assert "Join" not in plan
+    assert "Union" in plan
