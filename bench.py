@@ -155,6 +155,7 @@ HEADLINE = [
     "ivf_cell_balance",
     "mrl_truncation_audit",
     "asof_nearest_close",
+    "filter_agreement",
 ]
 
 

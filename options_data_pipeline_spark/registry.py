@@ -5965,6 +5965,82 @@ def q_asof_nearest_close(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "filter_agreement",
+    r"""WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+         CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+         CAST(len(regexp_extract_all(lower(text),
+              '\b(the|a|of|and|to|in|is|it)\b')) AS BIGINT) AS n_stop
+  FROM documents
+),
+s AS (
+  SELECT doc_id, toks, n_tokens, n_stop,
+         n_punct::DOUBLE / greatest(n_chars, 1)::DOUBLE AS punct_ratio,
+         n_digit::DOUBLE / greatest(n_chars, 1)::DOUBLE AS digit_ratio,
+         n_stop::DOUBLE / greatest(n_tokens, 1)::DOUBLE AS stop_ratio
+  FROM t
+),
+q AS (
+  SELECT doc_id,
+         0.4 * least(stop_ratio * 4, 1.0)
+           + 0.3 * least(n_tokens::DOUBLE / 100, 1.0)
+           + 0.3 * (1.0 - least(punct_ratio * 10 + digit_ratio * 5, 1.0))
+           AS score,
+         (len(toks) >= 50 AND len(toks) <= 100000
+          AND list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                / greatest(len(toks), 1)::DOUBLE >= 3.0
+          AND list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                / greatest(len(toks), 1)::DOUBLE <= 10.0
+          AND len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+                / greatest(len(toks), 1)::DOUBLE >= 0.8
+          AND n_stop >= 2) AS keep
+  FROM s
+)
+SELECT CAST(least(floor(round(score, 9) * 10), 9) AS BIGINT) AS score_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(keep::INT) AS BIGINT) AS n_gopher_keep,
+       sum(keep::INT)::DOUBLE / count(*)::DOUBLE AS gopher_keep_rate
+FROM q GROUP BY 1""",
+)
+def q_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-calibration audit: the heuristic quality score's fixed
+    [0,1] buckets cross-tabulated against the Gopher rule set's
+    keep/drop — the agreement curve a pipeline reads before swapping or
+    thresholding a filter (a well-calibrated score shows keep-rate
+    rising monotonically with the bucket; the disagreement cells are
+    exactly the docs worth manual review). Fixed-width buckets, NOT
+    ntile: a narrow map + one bucket-grain agg — no global sort, no
+    join; a decile version would globally sort 100 TB for an audit.
+    Score snaps to the 9-dp grid before bucketing so the bucket edge is
+    deterministic cross-engine; the rest is exact ints."""
+    from .functions.text import gopher_cols, quality_cols
+
+    docs = load_table(spark, "documents", sf_dir)
+    q = quality_cols("text")
+    g = gopher_cols("text")
+    keep = g["gopher_keep"].cast("int")
+    bucket = (
+        F.least(F.floor(F.round(q["quality_score"], 9) * 10), F.lit(9))
+        .cast("bigint")
+        .alias("score_bucket")
+    )
+    return (
+        docs.select(bucket, keep.alias("keep"))
+        .groupBy("score_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("keep").cast("bigint").alias("n_gopher_keep"),
+            (
+                F.sum("keep").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("gopher_keep_rate"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:

@@ -612,3 +612,13 @@ def test_asof_nearest_single_shuffle_no_join(spark, qs):
     plan = physical_plan(df)
     assert "Join" not in plan
     assert "Union" in plan
+
+
+def test_filter_agreement_no_sort_no_join(spark, qs):
+    """The calibration cross-tab must stay fixed-width buckets: a narrow
+    map + one bucket agg — no global Sort (an ntile decile version would
+    sort the corpus), no join."""
+    df = qs["filter_agreement"](spark, SF)
+    plan = physical_plan(df)
+    assert "Join" not in plan
+    assert "Window" not in plan  # no ntile/rank
