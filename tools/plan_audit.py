@@ -47,6 +47,8 @@ BNLJ_OK = {
     "tfidf_top_terms",
     "temperature_mixture",
     "dormant_high_balance",  # Q22 scalar avg-balance subquery
+    "cooccurrence_pmi",  # 1-row n_uni/n_big totals + the 50-row top-k list
+    "ivf_cell_balance",  # 1-row corpus-total crossJoined onto 8 cell rows
     # bounded scaffold: symbols × day-window sequence
     "gap_fill",
 }
