@@ -156,6 +156,8 @@ HEADLINE = [
     "mrl_truncation_audit",
     "asof_nearest_close",
     "filter_agreement",
+    "event_type_pivot",
+    "ohlc_unpivot",
 ]
 
 

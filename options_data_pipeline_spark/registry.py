@@ -6041,6 +6041,72 @@ def q_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "event_type_pivot",
+    """SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hour_of_day,
+       CAST(sum((event_type = 'click')::INT) AS BIGINT) AS n_click,
+       CAST(sum((event_type = 'error')::INT) AS BIGINT) AS n_error,
+       CAST(sum((event_type = 'purchase')::INT) AS BIGINT) AS n_purchase,
+       CAST(sum((event_type = 'signup')::INT) AS BIGINT) AS n_signup,
+       CAST(sum((event_type = 'view')::INT) AS BIGINT) AS n_view
+FROM events
+WHERE ts IS NOT NULL AND event_type IS NOT NULL
+GROUP BY 1""",
+)
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT surface: hour-of-day × event-type count matrix via the
+    native ``groupBy().pivot(values=[...]).count()`` operator — the
+    EXPLICIT values list matters at scale (without it Spark runs an
+    extra distinct job over 100 TB just to learn the column set, and
+    the output schema becomes data-dependent). Pivot compiles to the
+    same single hash-agg as the oracle's CASE sums — one shuffle at the
+    group grain, counts exact."""
+    events = load_table(spark, "events", sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        events.groupBy(F.hour("ts").cast("bigint").alias("hour_of_day"))
+        .pivot("event_type", kinds)
+        .count()
+    )
+    return wide.select(
+        "hour_of_day",
+        *[
+            F.coalesce(F.col(k), F.lit(0)).cast("bigint").alias(f"n_{k}")
+            for k in kinds
+        ],
+    )
+
+
+@register(
+    "ohlc_unpivot",
+    "WITH " + candles_cte(3600)
+    + """
+SELECT symbol, window_start, 'open' AS field, "open" AS value FROM candles
+UNION ALL
+SELECT symbol, window_start, 'high', high FROM candles
+UNION ALL
+SELECT symbol, window_start, 'low', low FROM candles
+UNION ALL
+SELECT symbol, window_start, 'close', "close" FROM candles""",
+)
+def q_ohlc_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt surface: the 1-hour candle matrix longified to
+    (symbol, window_start, field, value) with the native
+    ``DataFrame.unpivot`` — the wide→long reshape feeding generic
+    per-metric pipelines (alerting, z-scoring, storage in an EAV sink).
+    Unpivot is a zero-shuffle Expand over the candle agg's output (rows
+    ×4 map-side, no exchange beyond the candle build)."""
+    candles = ohlc_candles(load_ticks(spark, sf_dir), "1 hour")
+    return candles.unpivot(
+        ["symbol", "window_start"],
+        ["open", "high", "low", "close"],
+        "field",
+        "value",
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:

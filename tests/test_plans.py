@@ -622,3 +622,18 @@ def test_filter_agreement_no_sort_no_join(spark, qs):
     plan = physical_plan(df)
     assert "Join" not in plan
     assert "Window" not in plan  # no ntile/rank
+
+
+def test_pivot_single_hash_agg_unpivot_no_shuffle(spark, qs):
+    """pivot with an explicit values list must compile to one hash agg
+    (no extra distinct job, no join); unpivot must be a map-side Expand
+    over the candle agg — no exchange beyond the candle build."""
+    df = qs["event_type_pivot"](spark, SF)
+    plan = physical_plan(df)
+    assert "HashAggregate" in plan and "Join" not in plan
+    # load_table's small-file spread + the one group-grain agg shuffle
+    assert count_exchanges(df) <= 2
+    df2 = qs["ohlc_unpivot"](spark, SF)
+    p2 = physical_plan(df2)
+    assert "Expand" in p2 and "Join" not in p2
+    assert count_exchanges(df2) <= 1

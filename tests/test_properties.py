@@ -487,3 +487,88 @@ def test_scd2_intervals_partition_each_users_timeline(spark_prop, rows):
         for a, b in zip(ivs, ivs[1:]):
             assert a.valid_to == b.valid_from  # contiguous, non-overlapping
             assert a.state != b.state  # runs collapsed
+
+
+asof_case = st.tuples(
+    st.lists(  # left: (ts_seconds, )
+        st.integers(min_value=0, max_value=3600), min_size=1, max_size=12
+    ),
+    st.lists(  # right: (ts_seconds, value)
+        st.tuples(
+            st.integers(min_value=0, max_value=3600),
+            st.floats(min_value=1, max_value=100, allow_nan=False),
+        ),
+        min_size=0,
+        max_size=12,
+    ),
+    st.integers(min_value=0, max_value=1200),  # tolerance seconds
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(asof_case)
+def test_asof_nearest_equals_brute_force(spark_prop, case):
+    """asof_nearest ≡ per-row brute minimization of |right − left| within
+    tolerance, ties to the earlier right timestamp — for ANY input."""
+    from datetime import datetime, timedelta
+
+    from options_data_pipeline_spark.operators.asof import asof_nearest
+
+    lefts, rights, tol = case
+    base = datetime(2024, 1, 1)
+    left = spark_prop.createDataFrame(
+        [(i, "A", base + timedelta(seconds=s), 0.0) for i, s in enumerate(lefts)],
+        "event_id long, symbol string, ts timestamp, price double",
+    )
+    # unique right timestamps (duplicate window_starts don't occur in
+    # candle frames, the operator's contract input)
+    rmap = {}
+    for s, v in rights:
+        rmap.setdefault(s, v)
+    right = spark_prop.createDataFrame(
+        [("A", base + timedelta(seconds=s), v) for s, v in rmap.items()],
+        "symbol string, window_start timestamp, close double",
+    ) if rmap else spark_prop.createDataFrame(
+        [], "symbol string, window_start timestamp, close double"
+    )
+    got = {
+        r.event_id: (r.nearest_ts, r.nearest_close)
+        for r in asof_nearest(
+            left, right, value_cols=("close",), tolerance_s=float(tol)
+        ).collect()
+    }
+    for i, s in enumerate(lefts):
+        cands = [
+            (abs(rs - s), rs, v) for rs, v in rmap.items() if abs(rs - s) <= tol
+        ]
+        if not cands:
+            assert got[i] == (None, None), (i, s, tol)
+        else:
+            _, rs, v = min(cands)  # min diff, then earlier ts
+            assert got[i] == (base + timedelta(seconds=rs), v), (i, s, tol)
+
+
+@settings(max_examples=25, deadline=None)
+@given(words)
+def test_token_entropy_bounds(spark_prop, toks):
+    """0 ≤ H ≤ ln(n_types) (+grid slack) for any document; H ≈ ln(n) for
+    an all-distinct document; ttr = n_types/n_toks exactly."""
+    import math
+
+    from options_data_pipeline_spark.functions.text import token_entropy_scores
+
+    text = " ".join(toks)
+    df = spark_prop.createDataFrame([(0, text)], "doc_id long, text string")
+    rows = token_entropy_scores(df).collect()
+    if not toks:
+        assert rows == []
+        return
+    r = rows[0]
+    n_types = len(set(toks))
+    assert r.n_toks == len(toks) and r.n_types == n_types
+    assert -1e-6 <= r.entropy <= math.log(max(n_types, 1)) + 1e-4
+    assert r.ttr == __import__("pytest").approx(n_types / len(toks), abs=1e-12)
+    if n_types == len(toks):  # uniform distribution → maximal entropy
+        assert r.entropy == __import__("pytest").approx(
+            math.log(n_types), abs=1e-4
+        )
