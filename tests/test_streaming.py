@@ -1053,3 +1053,96 @@ def test_manifest_compact_and_expire_snapshots(spark, tmpdir):
     assert manifest_sink_read(spark, sink).count() == 4
     assert expire_snapshots(sink, before_version=v2) != []
     assert manifest_sink_read(spark, sink).count() == 4
+
+
+def test_streaming_drawdown_matches_batch(spark, tmpdir):
+    """Drained streaming drawdown state equals the batch max_drawdown
+    query bit-for-bit (same op sequence, strict-< first-trough
+    tie-break), including across MULTIPLE triggers carrying the peak
+    between batches."""
+    import os
+    import time as _time
+
+    from options_data_pipeline_spark.streaming.drawdown_state import (
+        streaming_max_drawdown,
+    )
+
+    base = datetime(2024, 1, 1, 9, 15)
+    prices = {
+        # peak early, trough later, partial recovery; B monotone up (dd at first tick)
+        "A": [100.0, 120.0, 90.0, 95.0, 80.0, 110.0],
+        "B": [50.0, 55.0, 60.0, 66.0],
+    }
+    rows, eid = [], 0
+    for i in range(6):
+        for s, ps in prices.items():
+            if i < len(ps):
+                rows.append((s, ps[i], base + timedelta(minutes=i), eid))
+                eid += 1
+    schema = "symbol string, price double, ts timestamp, event_id long"
+    src = spark.createDataFrame(rows, schema)
+
+    # two replay slices → the running peak must survive the trigger gap
+    replay = tmpdir + "/ddreplay"
+    os.makedirs(replay)
+    for k, frac in enumerate([rows[: len(rows) // 2], rows[len(rows) // 2:]]):
+        p = replay + f"/{k:03d}.parquet"
+        spark.createDataFrame(frac, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p + ".tmp")
+        part = next(f for f in os.listdir(p + ".tmp") if f.endswith(".parquet"))
+        os.rename(os.path.join(p + ".tmp", part), p)
+        os.utime(p, (_time.time() + k, _time.time() + k))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    q = (
+        streaming_max_drawdown(stream)
+        .writeStream.format("memory")
+        .queryName("dd_stream")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # last emitted row per symbol = the drained summary
+    got = {
+        r.symbol: r
+        for r in spark.sql(
+            "SELECT * FROM dd_stream"
+        ).collect()
+        if r.n_ticks == len(prices[r.symbol])
+    }
+
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("symbol")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    batch = {
+        r.symbol: r
+        for r in src.select(
+            "symbol",
+            "ts",
+            "event_id",
+            (F.col("price") / F.max("price").over(w) - 1).alias("drawdown"),
+        )
+        .groupBy("symbol")
+        .agg(F.min(F.struct("drawdown", "ts", "event_id")).alias("t"))
+        .select("symbol", "t.drawdown", "t.ts", "t.event_id")
+        .collect()
+    }
+    assert set(got) == {"A", "B"}
+    for s in got:
+        assert got[s].max_drawdown == batch[s].drawdown  # bit-exact
+        assert got[s].trough_ts == batch[s].ts
+        assert got[s].trough_event_id == batch[s].event_id
+    assert got["A"].max_drawdown == pytest.approx(80.0 / 120.0 - 1)
+    assert got["B"].max_drawdown == 0.0  # first tick: dd = 0 at its own peak
