@@ -158,6 +158,9 @@ HEADLINE = [
     "filter_agreement",
     "event_type_pivot",
     "ohlc_unpivot",
+    "close_rank_analytics",
+    # eager CC at construction, like dedup_clusters — timer spans it
+    "vector_curation",
 ]
 
 

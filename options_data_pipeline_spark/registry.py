@@ -6107,6 +6107,148 @@ def q_ohlc_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "close_rank_analytics",
+    "WITH " + candles_cte(3600)
+    + """
+SELECT symbol, window_start, "close",
+       percent_rank() OVER w AS close_pct_rank,
+       cume_dist() OVER w AS close_cume_dist,
+       CAST(ntile(4) OVER w AS BIGINT) AS close_quartile
+FROM candles
+WINDOW w AS (PARTITION BY symbol ORDER BY "close", window_start)""",
+)
+def q_close_rank_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-analytics surface over 1-hour candles: percent_rank /
+    cume_dist / ntile(4) of the close within each symbol — the
+    normalized-position features a signal pipeline derives ("is today's
+    close in the top decile of this symbol's history?"). One
+    symbol-grain window pass (the shared enrichment partitioning);
+    percent_rank = (rank−1)/(n−1) and cume_dist = peers/n are single
+    exact divisions of ints, ntile is integer arithmetic — all bit-exact
+    cross-engine. window_start tiebreak makes rank order total."""
+    candles = ohlc_candles(load_ticks(spark, sf_dir), "1 hour")
+    w = Window.partitionBy("symbol").orderBy("close", "window_start")
+    return candles.select(
+        "symbol",
+        "window_start",
+        "close",
+        F.percent_rank().over(w).alias("close_pct_rank"),
+        F.cume_dist().over(w).alias("close_cume_dist"),
+        F.ntile(4).over(w).cast("bigint").alias("close_quartile"),
+    )
+
+
+def _vector_curation_oracle(cap: int = 30) -> str:
+    from .functions.similarity import fixed_centroids
+
+    cents = fixed_centroids(8, 64)
+    scores = ",\n      ".join(
+        f"{sum(x * x for x in c)!r} - 2.0*list_dot_product(e, ["
+        + ", ".join(repr(x) for x in c)
+        + "])"
+        for c in cents
+    )
+    return f"""WITH RECURSIVE v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.e, b.e)
+          / (sqrt(list_dot_product(a.e, a.e))
+             * sqrt(list_dot_product(b.e, b.e))) >= 0.35
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(vid, l) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.l FROM edges e JOIN reach r ON r.vid = e.dst
+),
+clusters AS (SELECT vid, min(l) AS clabel FROM reach GROUP BY vid),
+dropped AS (SELECT vid FROM clusters WHERE vid <> clabel),
+survivors AS (
+  SELECT vec_id, e FROM v WHERE vec_id NOT IN (SELECT vid FROM dropped)
+),
+cells AS (
+  SELECT vec_id,
+         list_position([{scores}], list_min([{scores}])) - 1 AS cell
+  FROM survivors
+),
+capped AS (
+  SELECT vec_id FROM (
+    SELECT vec_id,
+           row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+    FROM cells) WHERE rn <= {cap}
+)
+SELECT CAST(0 AS BIGINT) AS stage_no, 'raw' AS stage,
+       CAST(count(*) AS BIGINT) AS n_vecs FROM embeddings
+UNION ALL
+SELECT 1, 'near_dup_pruned', CAST(count(*) AS BIGINT) FROM survivors
+UNION ALL
+SELECT 2, 'cell_capped', CAST(count(*) AS BIGINT) FROM capped"""
+
+
+@register("vector_curation", _vector_curation_oracle())
+def q_vector_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VECTOR-side curation funnel (the `corpus_curation` twin for
+    embeddings): raw corpus → cosine near-dup pruning (cell-confined
+    pairs at 0.35 → connected components → keep the min vec_id per
+    cluster) → per-IVF-cell cap (at most 30 survivors per cell, smallest
+    ids — the diversity re-balancing every embedding-dataset release
+    runs). One row per stage with the surviving count — the audit trail
+    of what each stage removed.
+
+    Scale shape: the pair stage is the declared cell-confined quadratic
+    (`embedding_near_dup`), CC is the iterative min-label loop
+    (checkpointed lineage), the cap is one WindowGroupLimit per cell —
+    no global sorts, no all-pairs joins."""
+    from .functions.dedupe import connected_components
+    from .functions.similarity import (
+        centroid_argmin,
+        cosine_near_dup_pairs,
+        fixed_centroids,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    pairs = cosine_near_dup_pairs(emb, threshold=0.35, cell_col="label")
+    labels = connected_components(
+        pairs.select(
+            F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+        )
+    )
+    dropped = labels.filter(F.col("doc_id") != F.col("label")).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    survivors = emb.join(dropped, "vec_id", "left_anti")
+    cells = survivors.select(
+        "vec_id", centroid_argmin("embedding", fixed_centroids(8, 64)).alias("cell")
+    )
+    w = Window.partitionBy("cell").orderBy("vec_id")
+    capped = cells.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 30
+    )
+    def _stage(df: DataFrame, no: int, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_vecs")).select(
+            F.lit(no).cast("bigint").alias("stage_no"),
+            F.lit(name).alias("stage"),
+            "n_vecs",
+        )
+
+    spark_counts = [
+        _stage(emb, 0, "raw"),
+        _stage(survivors, 1, "near_dup_pruned"),
+        _stage(capped, 2, "cell_capped"),
+    ]
+    import functools
+
+    return functools.reduce(DataFrame.unionByName, spark_counts)
+
+
 # ---------------------------------------------------------------------------
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:

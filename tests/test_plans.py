@@ -637,3 +637,12 @@ def test_pivot_single_hash_agg_unpivot_no_shuffle(spark, qs):
     p2 = physical_plan(df2)
     assert "Expand" in p2 and "Join" not in p2
     assert count_exchanges(df2) <= 1
+
+
+def test_close_rank_analytics_one_window_family(spark, qs):
+    """percent_rank/cume_dist/ntile must share ONE symbol-grain window
+    pass — no joins, no second sort family."""
+    df = qs["close_rank_analytics"](spark, SF)
+    plan = physical_plan(df)
+    assert "Join" not in plan
+    assert count_exchanges(df) <= 2  # candle agg + the window partitioning
