@@ -161,6 +161,7 @@ HEADLINE = [
     "close_rank_analytics",
     # eager CC at construction, like dedup_clusters — timer spans it
     "vector_curation",
+    "session_symbol_setops",
 ]
 
 

@@ -6249,6 +6249,54 @@ def q_vector_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return functools.reduce(DataFrame.unionByName, spark_counts)
 
 
+@register(
+    "session_symbol_setops",
+    f"""WITH {TICKS_CTE},
+am AS (SELECT DISTINCT symbol FROM ticks WHERE extract(hour FROM ts) < 12),
+pm AS (SELECT DISTINCT symbol FROM ticks WHERE extract(hour FROM ts) >= 12)
+SELECT CAST(0 AS BIGINT) AS op_no, 'both_sessions' AS op,
+       CAST((SELECT count(*) FROM (SELECT symbol FROM am INTERSECT SELECT symbol FROM pm)) AS BIGINT) AS n_symbols
+UNION ALL
+SELECT 1, 'morning_only',
+       CAST((SELECT count(*) FROM (SELECT symbol FROM am EXCEPT SELECT symbol FROM pm)) AS BIGINT)
+UNION ALL
+SELECT 2, 'afternoon_only',
+       CAST((SELECT count(*) FROM (SELECT symbol FROM pm EXCEPT SELECT symbol FROM am)) AS BIGINT)
+UNION ALL
+SELECT 3, 'either_session',
+       CAST((SELECT count(*) FROM (SELECT symbol FROM am UNION SELECT symbol FROM pm)) AS BIGINT)""",
+)
+def q_session_symbol_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation surface (SURVEY §2.6): which symbols traded in both
+    the morning and afternoon sessions, only one, or either — via the
+    native ``intersect`` / ``exceptAll``-family / ``union`` DataFrame
+    set operators over distinct symbol sets (each compiles to the same
+    semi/anti-join shapes the O4 anti-join family pins). Audit output:
+    one row per set op with its cardinality."""
+    ticks = load_ticks(spark, sf_dir)
+    am = ticks.filter(F.hour("ts") < 12).select("symbol").distinct()
+    pm = ticks.filter(F.hour("ts") >= 12).select("symbol").distinct()
+
+    def _n(df: DataFrame, no: int, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_symbols")).select(
+            F.lit(no).cast("bigint").alias("op_no"),
+            F.lit(name).alias("op"),
+            "n_symbols",
+        )
+
+    import functools
+
+    return functools.reduce(
+        DataFrame.unionByName,
+        [
+            _n(am.intersect(pm), 0, "both_sessions"),
+            _n(am.subtract(pm), 1, "morning_only"),
+            _n(pm.subtract(am), 2, "afternoon_only"),
+            _n(am.union(pm).distinct(), 3, "either_session"),
+        ],
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
