@@ -162,6 +162,7 @@ HEADLINE = [
     # eager CC at construction, like dedup_clusters — timer spans it
     "vector_curation",
     "session_symbol_setops",
+    "item_cooccurrence",
 ]
 
 

@@ -6297,6 +6297,83 @@ def q_session_symbol_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "item_cooccurrence",
+    """WITH baskets AS (
+  SELECT DISTINCT user_id, event_type AS item
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b,
+         CAST(count(*) AS BIGINT) AS n_users
+  FROM baskets a JOIN baskets b
+    ON a.user_id = b.user_id AND a.item < b.item
+  GROUP BY 1, 2
+),
+items AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS n FROM baskets GROUP BY 1
+)
+SELECT p.item_a, p.item_b, p.n_users,
+       ia.n AS n_users_a, ib.n AS n_users_b,
+       p.n_users::DOUBLE / (ia.n + ib.n - p.n_users)::DOUBLE
+         AS user_jaccard
+FROM pairs p
+JOIN items ia ON ia.item = p.item_a
+JOIN items ib ON ib.item = p.item_b""",
+)
+def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-occurrence ("users who touched X also touched Y") —
+    the collaborative-filtering building block: per unordered item pair,
+    how many users touched both, plus the user-set Jaccard that
+    recommenders rank by. The basket self-join is keyed on USER — its
+    blowup is Σ basket_size², bounded by per-user catalog breadth (the
+    classic recsys bound; skew = power users, the salting family's
+    territory), never items². Distinct-ify first so repeat events don't
+    multiply. Counts exact; Jaccard one int division."""
+    events = load_table(spark, "events", sf_dir)
+    baskets = (
+        events.filter(
+            F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+        )
+        .select("user_id", F.col("event_type").alias("item"))
+        .distinct()
+    )
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    items = baskets.groupBy(F.col("item")).agg(F.count(F.lit(1)).alias("n"))
+    ia = items.select(F.col("item").alias("item_a"), F.col("n").alias("n_users_a"))
+    ib = items.select(F.col("item").alias("item_b"), F.col("n").alias("n_users_b"))
+    return (
+        pairs.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_users",
+            "n_users_a",
+            "n_users_b",
+            (
+                F.col("n_users").cast("double")
+                / (
+                    F.col("n_users_a") + F.col("n_users_b") - F.col("n_users")
+                ).cast("double")
+            ).alias("user_jaccard"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
