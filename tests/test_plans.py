@@ -646,3 +646,12 @@ def test_close_rank_analytics_one_window_family(spark, qs):
     plan = physical_plan(df)
     assert "Join" not in plan
     assert count_exchanges(df) <= 2  # candle agg + the window partitioning
+
+
+def test_item_cooccurrence_broadcasts_item_dims(spark, qs):
+    """The per-item count table (|catalog| rows) must broadcast onto the
+    pair table; only the user-keyed basket self-join may shuffle."""
+    df = qs["item_cooccurrence"](spark, SF)
+    assert has_broadcast_join(df)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan

@@ -112,14 +112,20 @@ def main() -> int:
     import json
     import os
 
-    # Subset runs merge into the existing report instead of clobbering the
-    # last full run's entries.
+    # CORRECTNESS_local.json is a COMMITTED round artifact holding the
+    # last FULL sf0.01 sweep. Subset runs at the same sf merge into it;
+    # subset runs at a DIFFERENT sf (per-query validation during
+    # development) must not touch it — a cross-sf subset used to clobber
+    # the committed 100+-row report down to the few names it checked.
     if only and os.path.exists("CORRECTNESS_local.json"):
         try:
             with open("CORRECTNESS_local.json") as f:
                 prior = json.load(f)
             if prior.get("sf_dir") == sf_dir:
                 results = {**prior.get("results", {}), **results}
+            else:
+                spark.stop()
+                return 1 if failures else 0
         except (json.JSONDecodeError, OSError):
             pass
     with open("CORRECTNESS_local.json", "w") as f:
