@@ -163,6 +163,8 @@ HEADLINE = [
     "vector_curation",
     "session_symbol_setops",
     "item_cooccurrence",
+    "user_path_transitions",
+    "rfm_segments",
 ]
 
 

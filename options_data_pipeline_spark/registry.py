@@ -6374,6 +6374,135 @@ def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "user_path_transitions",
+    """WITH ordered AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL
+),
+trans AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ordered WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+),
+outdeg AS (
+  SELECT from_type, CAST(sum(n) AS BIGINT) AS n_out FROM trans GROUP BY 1
+)
+SELECT t.from_type, t.to_type, t.n,
+       t.n::DOUBLE / o.n_out::DOUBLE AS p_transition
+FROM trans t JOIN outdeg o USING (from_type)""",
+)
+def q_user_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey Markov transitions: per (from_event, to_event) pair,
+    how often users move between them and the conditional probability
+    P(to|from) — the first-order path model product analytics builds
+    funnels and next-step predictions from. One user-grain window (lead
+    over the shared user partitioning — same sort family as SCD2 /
+    retention), one pair-grain agg, and the out-degree normalizer
+    broadcasts (|event types| rows). Counts exact; P one division."""
+    events = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        events.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    outdeg = trans.groupBy("from_type").agg(
+        F.sum("n").cast("bigint").alias("n_out")
+    )
+    return (
+        trans.join(F.broadcast(outdeg), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            (F.col("n").cast("double") / F.col("n_out").cast("double")).alias(
+                "p_transition"
+            ),
+        )
+    )
+
+
+@register(
+    "rfm_segments",
+    """WITH maxd AS (SELECT max(o_orderdate) AS d0 FROM orders),
+cust AS (
+  SELECT o_custkey,
+         CAST(datediff('day', max(o_orderdate), (SELECT d0 FROM maxd))
+              AS BIGINT) AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT o_custkey, recency_days, frequency, monetary,
+         CAST(ntile(3) OVER (ORDER BY recency_days, o_custkey) AS BIGINT) AS r_score,
+         CAST(ntile(3) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT) AS f_score,
+         CAST(ntile(3) OVER (ORDER BY monetary DESC, o_custkey) AS BIGINT) AS m_score
+  FROM cust
+)
+SELECT r_score, f_score, m_score,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CAST(round(monetary, 2) AS DECIMAL(20,2))) AS DOUBLE)
+         AS segment_revenue
+FROM scored GROUP BY 1, 2, 3""",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the warehouse-marketing classic: per customer,
+    recency (days since last order vs the corpus max date), frequency
+    (order count) and monetary (DECIMAL-exact spend), each scored into
+    terciles (ntile, doc_id tiebreaks → deterministic cuts), then one
+    row per (r,f,m) cell with its population and revenue. The ntile
+    sorts run over the CUSTOMER grain (a dimension, ~1.5k rows per
+    sf0.01 — fine to sort even at 100 TB fact scale since customers ≪
+    orders); the fact table is touched once by the per-customer agg.
+    Monetary sums ride DECIMAL end-to-end (exact, order-independent)."""
+    orders = load_table(spark, "orders", sf_dir)
+    maxd = orders.agg(F.max("o_orderdate").alias("d0"))
+    cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("mon_dec"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "o_custkey",
+            F.datediff("d0", "last_order").cast("bigint").alias("recency_days"),
+            F.col("frequency").cast("bigint").alias("frequency"),
+            F.col("mon_dec").cast("double").alias("monetary"),
+        )
+    )
+    r = F.ntile(3).over(Window.orderBy("recency_days", "o_custkey"))
+    f_ = F.ntile(3).over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
+    m = F.ntile(3).over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
+    scored = cust.select(
+        "monetary",
+        r.cast("bigint").alias("r_score"),
+        f_.cast("bigint").alias("f_score"),
+        m.cast("bigint").alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.round(F.col("monetary"), 2).cast("decimal(20,2)"))
+        .cast("double")
+        .alias("segment_revenue"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
