@@ -165,6 +165,7 @@ HEADLINE = [
     "item_cooccurrence",
     "user_path_transitions",
     "rfm_segments",
+    "weighted_sample",
 ]
 
 

@@ -6503,6 +6503,68 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "weighted_sample",
+    """WITH w AS (
+  SELECT doc_id, source,
+         CAST(greatest(n_chars, 1) AS DOUBLE) AS wt,
+         (CAST(concat('0x', substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) + 1)::DOUBLE / 4294967296.0 AS u
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, source, wt,
+         round(power(u, 1.0 / wt), 6) AS sample_key
+  FROM w
+)
+SELECT doc_id, source, CAST(wt AS BIGINT) AS weight, sample_key
+FROM keyed
+ORDER BY sample_key DESC, doc_id
+LIMIT 50""",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministic (Efraimidis
+    & Spirakis 2006, the A-ES one-pass scheme every data-mixing pipeline
+    uses): each doc draws u from its salted md5 hash (reproducible — no
+    rand()), gets key = u^(1/weight) with weight = doc length, and the
+    global top-k by key IS a weighted sample without replacement. One
+    narrow map + a TakeOrderedAndProject heap — no shuffle of the corpus
+    and re-runs pick the identical sample (the property that makes
+    training mixes reproducible). Keys snap to the 6-dp grid (libm pow's
+    last-ulp varies cross-engine) with doc_id tiebreaks, so the cut is
+    deterministic."""
+    docs = load_table(spark, "documents", sf_dir)
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            + 1
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    wt = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        wt.alias("wt"),
+        F.round(F.pow(u, 1.0 / wt), 6).alias("sample_key"),
+    )
+    return (
+        keyed.select(
+            "doc_id", "source", F.col("wt").cast("bigint").alias("weight"), "sample_key"
+        )
+        .orderBy(F.desc("sample_key"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:

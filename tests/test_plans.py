@@ -655,3 +655,14 @@ def test_item_cooccurrence_broadcasts_item_dims(spark, qs):
     assert has_broadcast_join(df)
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_heap_no_shuffle(spark, qs):
+    """A-ES sampling must stay a narrow map + TakeOrderedAndProject —
+    a global Sort or any shuffle of the corpus defeats the one-pass
+    design."""
+    df = qs["weighted_sample"](spark, SF)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+    assert count_exchanges(df) <= 1  # load_table's small-file spread only
