@@ -49,6 +49,7 @@ BNLJ_OK = {
     "dormant_high_balance",  # Q22 scalar avg-balance subquery
     "cooccurrence_pmi",  # 1-row n_uni/n_big totals + the 50-row top-k list
     "ivf_cell_balance",  # 1-row corpus-total crossJoined onto 8 cell rows
+    "rfm_segments",  # 1-row max-orderdate crossJoined onto the customer dim
     # bounded scaffold: symbols × day-window sequence
     "gap_fill",
 }
