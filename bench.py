@@ -166,6 +166,7 @@ HEADLINE = [
     "user_path_transitions",
     "rfm_segments",
     "weighted_sample",
+    "symbol_return_correlation",
 ]
 
 

@@ -6565,6 +6565,107 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "symbol_return_correlation",
+    "WITH " + candles_cte(3600)
+    + """,
+rets AS (
+  SELECT symbol, window_start,
+         "close" / lag("close") OVER (PARTITION BY symbol
+                                      ORDER BY window_start) - 1 AS ret
+  FROM candles
+),
+r AS (SELECT * FROM rets WHERE ret IS NOT NULL),
+pairs AS (
+  SELECT a.symbol AS sym_a, b.symbol AS sym_b,
+         CAST(round(a.ret, 12) AS DECIMAL(28,12)) AS tx,
+         CAST(round(b.ret, 12) AS DECIMAL(28,12)) AS ty,
+         CAST(round(a.ret * b.ret, 12) AS DECIMAL(28,12)) AS txy,
+         CAST(round(a.ret * a.ret, 12) AS DECIMAL(28,12)) AS tx2,
+         CAST(round(b.ret * b.ret, 12) AS DECIMAL(28,12)) AS ty2
+  FROM r a JOIN r b
+    ON a.window_start = b.window_start AND a.symbol < b.symbol
+),
+s AS (
+  SELECT sym_a, sym_b, CAST(count(*) AS BIGINT) AS n_windows,
+         CAST(sum(tx) AS DOUBLE) AS sx, CAST(sum(ty) AS DOUBLE) AS sy,
+         CAST(sum(txy) AS DOUBLE) AS sxy,
+         CAST(sum(tx2) AS DOUBLE) AS sx2, CAST(sum(ty2) AS DOUBLE) AS sy2
+  FROM pairs GROUP BY 1, 2
+)
+SELECT sym_a, sym_b, n_windows,
+       CASE WHEN (n_windows * sx2 - sx * sx) * (n_windows * sy2 - sy * sy) > 0
+            THEN round((n_windows * sxy - sx * sy)
+                 / sqrt((n_windows * sx2 - sx * sx)
+                        * (n_windows * sy2 - sy * sy)), 9)
+       END AS return_corr
+FROM s""",
+)
+def q_symbol_return_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise return-correlation matrix over 1-hour candles — the
+    portfolio-construction staple (diversification/hedging decisions
+    hang on this table). Per-symbol simple returns (close/prev − 1,
+    picks + one division, exact), aligned pairwise by window_start; the
+    correlation is assembled from 12-dp-grid DECIMAL sums (returns are
+    ~1e-3 so products need the finer grid than the usual 9-dp) in fixed
+    operation order — bit-exact cross-engine. Zero-variance legs emit
+    NULL, not NaN.
+
+    Scale shape: the pair join is keyed on TIME (window_start), so its
+    width is |symbols active per window|² per window — the cross-
+    sectional bound (portfolios track hundreds of names, not millions);
+    the sums then collapse at (sym_a, sym_b) grain map-side."""
+    candles = ohlc_candles(load_ticks(spark, sf_dir), "1 hour")
+    ws = Window.partitionBy("symbol").orderBy("window_start")
+    rets = candles.select(
+        "symbol",
+        "window_start",
+        (F.col("close") / F.lag("close").over(ws) - 1).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    a = rets.alias("a")
+    b = rets.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.window_start") == F.col("b.window_start"))
+        & (F.col("a.symbol") < F.col("b.symbol")),
+    ).select(
+        F.col("a.symbol").alias("sym_a"),
+        F.col("b.symbol").alias("sym_b"),
+        F.round(F.col("a.ret"), 12).cast("decimal(28,12)").alias("tx"),
+        F.round(F.col("b.ret"), 12).cast("decimal(28,12)").alias("ty"),
+        F.round(F.col("a.ret") * F.col("b.ret"), 12)
+        .cast("decimal(28,12)")
+        .alias("txy"),
+        F.round(F.col("a.ret") * F.col("a.ret"), 12)
+        .cast("decimal(28,12)")
+        .alias("tx2"),
+        F.round(F.col("b.ret") * F.col("b.ret"), 12)
+        .cast("decimal(28,12)")
+        .alias("ty2"),
+    )
+    s = pairs.groupBy("sym_a", "sym_b").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("tx").cast("double").alias("sx"),
+        F.sum("ty").cast("double").alias("sy"),
+        F.sum("txy").cast("double").alias("sxy"),
+        F.sum("tx2").cast("double").alias("sx2"),
+        F.sum("ty2").cast("double").alias("sy2"),
+    )
+    n = F.col("n_windows").cast("double")
+    varx = n * F.col("sx2") - F.col("sx") * F.col("sx")
+    vary = n * F.col("sy2") - F.col("sy") * F.col("sy")
+    # the DECIMAL sums are exact, but their decimal→double edge
+    # conversions differ by 1 ulp across engines — snap the bounded
+    # [-1,1] statistic to the 9-dp grid (bollinger/sma convention)
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(varx * vary)
+    return s.select(
+        "sym_a",
+        "sym_b",
+        "n_windows",
+        F.when(varx * vary > 0, F.round(corr, 9)).alias("return_corr"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:

@@ -666,3 +666,13 @@ def test_weighted_sample_heap_no_shuffle(spark, qs):
     assert "TakeOrderedAndProject" in plan
     assert "Join" not in plan
     assert count_exchanges(df) <= 1  # load_table's small-file spread only
+
+
+def test_return_correlation_no_cartesian(spark, qs):
+    """The pair stage must stay a window_start equi-join (cross-
+    sectional confinement) — never a cartesian/BNLJ over the candle
+    set."""
+    df = qs["symbol_return_correlation"](spark, SF)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
