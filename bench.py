@@ -167,6 +167,8 @@ HEADLINE = [
     "rfm_segments",
     "weighted_sample",
     "symbol_return_correlation",
+    "event_rate_anomaly",
+    "monthly_revenue_growth",
 ]
 
 

@@ -6666,6 +6666,114 @@ def q_symbol_return_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "event_rate_anomaly",
+    """WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_start,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, hour_start, n_events,
+         CASE WHEN count(*) OVER w >= 24
+              THEN round(avg(n_events) OVER w, 9) END AS trailing_mean,
+         CASE WHEN count(*) OVER w >= 24
+              THEN round(stddev_pop(n_events) OVER w, 9) END AS trailing_std
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour_start
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hour_start, n_events, trailing_mean, trailing_std,
+       CASE WHEN trailing_std > 0
+            THEN (n_events - trailing_mean) / trailing_std END AS z_score,
+       CAST(CASE WHEN trailing_std > 0
+                 AND abs((n_events - trailing_mean) / trailing_std) >= 3.0
+            THEN 1 ELSE 0 END AS BOOLEAN) AS is_anomaly
+FROM scored""",
+)
+def q_event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops-monitoring anomaly detection: hourly event counts per type
+    z-scored against the TRAILING 24 hours (frame excludes the current
+    hour — the value under test must not contaminate its own baseline),
+    flagging |z| ≥ 3 — the alerting query every pipeline health
+    dashboard runs. One (type, hour) agg + one type-grain window; counts
+    exact, mean/σ on the 9-dp grid (windowed accumulation order), the z
+    a single division of gridded operands. Warmup (< 24 trailing hours)
+    emits NULL baseline, never a false alert."""
+    events = load_table(spark, "events", sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(-24, -1)
+    )
+    full = F.count(F.lit(1)).over(w) >= 24
+    mean = F.when(full, F.round(F.avg("n_events").over(w), 9))
+    std = F.when(full, F.round(F.stddev_pop("n_events").over(w), 9))
+    scored = hourly.select(
+        "event_type",
+        "hour_start",
+        "n_events",
+        mean.alias("trailing_mean"),
+        std.alias("trailing_std"),
+    )
+    z = (F.col("n_events") - F.col("trailing_mean")) / F.col("trailing_std")
+    return scored.select(
+        "*",
+        F.when(F.col("trailing_std") > 0, z).alias("z_score"),
+        F.coalesce(
+            (F.col("trailing_std") > 0) & (F.abs(z) >= 3.0), F.lit(False)
+        ).alias("is_anomaly"),  # warmup NULL baseline → False, not NULL
+    )
+
+
+@register(
+    "monthly_revenue_growth",
+    """WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS month_start,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT month_start, revenue, n_orders,
+       lag(revenue) OVER (ORDER BY month_start) AS prev_revenue,
+       CASE WHEN lag(revenue) OVER (ORDER BY month_start) > 0
+            THEN (revenue - lag(revenue) OVER (ORDER BY month_start))
+                 / lag(revenue) OVER (ORDER BY month_start) END AS mom_growth
+FROM m""",
+)
+def q_monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse seasonality report: monthly revenue (DECIMAL-exact
+    sums) with month-over-month growth — the first chart on every
+    revenue dashboard. The month grain collapses the fact table
+    map-side to ~|months| rows, so the ordered lag window is a
+    dimension-scale sort; growth = subtraction + division of exact-sum
+    doubles in fixed order, bit-exact cross-engine."""
+    orders = load_table(spark, "orders", sf_dir)
+    m = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month_start")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("month_start")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month_start",
+        "revenue",
+        "n_orders",
+        prev.alias("prev_revenue"),
+        F.when(prev > 0, (F.col("revenue") - prev) / prev).alias("mom_growth"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
