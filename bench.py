@@ -221,6 +221,10 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    # record any env conf override so a number taken with a lingering
+    # probe knob can never masquerade as a clean run (ADVICE session.py)
+    if os.environ.get("SPARK_GRAFT_CONF"):
+        full["conf_overrides"] = os.environ["SPARK_GRAFT_CONF"]
     print(json.dumps(full))
     out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try:

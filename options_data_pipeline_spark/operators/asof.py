@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 
 def asof_join(
@@ -39,21 +40,32 @@ def asof_join(
     prior right row get NULLs (left-outer as-of).
 
     Output: all left columns + ``{prefix}{value_col}`` columns.
+
+    The right row travels as ONE struct so the pick is atomic: a NULL in
+    one value column of the matched right row stays NULL rather than
+    being back-filled from a farther row (per-column
+    ``last(ignorenulls)`` would mix columns across right rows).
     """
     left_cols = left.columns
-    l = left.select(
-        F.col(by),
-        F.col(left_ts).alias("_t"),
-        F.lit(1).alias("_side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_v_{c}") for c in value_cols],
-        F.struct(*left_cols).alias("_row"),
+    v_type = StructType(
+        [StructField(c, right.schema[c].dataType) for c in value_cols]
+    )
+    row_type = StructType(
+        [StructField(c, left.schema[c].dataType) for c in left_cols]
     )
     r = right.select(
         F.col(by),
         F.col(right_ts).alias("_t"),
         F.lit(0).alias("_side"),  # right sorts before left at equal ts → inclusive
-        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
-        F.lit(None).cast(l.schema["_row"].dataType).alias("_row"),
+        F.struct(*[F.col(c) for c in value_cols]).alias("_v"),
+        F.lit(None).cast(row_type).alias("_row"),
+    )
+    l = left.select(
+        F.col(by),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(v_type).alias("_v"),
+        F.struct(*left_cols).alias("_row"),
     )
     w = (
         Window.partitionBy(by)
@@ -61,15 +73,11 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = l.unionByName(r).select(
-        "*",
-        *[
-            F.last(f"_v_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
-            for c in value_cols
-        ],
+        "*", F.last("_v", ignorenulls=True).over(w).alias("_picked")
     )
     return filled.filter(F.col("_side") == 1).select(
         *[F.col(f"_row.{c}").alias(c) for c in left_cols],
-        *[F.col(f"{prefix}{c}") for c in value_cols],
+        *[F.col(f"_picked.{c}").alias(f"{prefix}{c}") for c in value_cols],
     )
 
 
@@ -96,22 +104,25 @@ def asof_nearest(
     ``{prefix}{value_col}`` columns."""
     left_cols = left.columns
     vcols = tuple(value_cols) + (right_ts,)
+    v_type = StructType(
+        [StructField(c, right.schema[c].dataType) for c in vcols]
+    )
+    row_type = StructType(
+        [StructField(c, left.schema[c].dataType) for c in left_cols]
+    )
     l = left.select(
         F.col(by),
         F.col(left_ts).alias("_t"),
         F.lit(1).alias("_side"),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"_v_{c}")
-            for c in vcols
-        ],
+        F.lit(None).cast(v_type).alias("_v"),
         F.struct(*left_cols).alias("_row"),
     )
     r = right.select(
         F.col(by),
         F.col(right_ts).alias("_t"),
         F.lit(0).alias("_side"),  # right before left at equal ts (inclusive)
-        *[F.col(c).alias(f"_v_{c}") for c in vcols],
-        F.lit(None).cast(l.schema["_row"].dataType).alias("_row"),
+        F.struct(*[F.col(c) for c in vcols]).alias("_v"),
+        F.lit(None).cast(row_type).alias("_row"),
     )
     wb = (
         Window.partitionBy(by)
@@ -123,26 +134,24 @@ def asof_nearest(
         .orderBy(F.desc("_t"), F.asc("_side"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # the right row travels as ONE struct so the nearest pick is atomic —
+    # a NULL value column in the nearest right row stays NULL instead of
+    # being filled from a farther row while nearest_ts points at the near
+    # one (per-column last(ignorenulls) mixed columns across right rows)
     u = l.unionByName(r).select(
         "*",
-        *[
-            F.last(f"_v_{c}", ignorenulls=True).over(wb).alias(f"_b_{c}")
-            for c in vcols
-        ],
-        *[
-            F.last(f"_v_{c}", ignorenulls=True).over(wf).alias(f"_f_{c}")
-            for c in vcols
-        ],
+        F.last("_v", ignorenulls=True).over(wb).alias("_b"),
+        F.last("_v", ignorenulls=True).over(wf).alias("_f"),
     ).filter(F.col("_side") == 1)
     t = F.col("_t").cast("double")
-    bdiff = t - F.col(f"_b_{right_ts}").cast("double")
-    fdiff = F.col(f"_f_{right_ts}").cast("double") - t
-    valid_b = F.col(f"_b_{right_ts}").isNotNull() & (bdiff <= tolerance_s)
-    valid_f = F.col(f"_f_{right_ts}").isNotNull() & (fdiff <= tolerance_s)
+    bdiff = t - F.col(f"_b.{right_ts}").cast("double")
+    fdiff = F.col(f"_f.{right_ts}").cast("double") - t
+    valid_b = F.col(f"_b.{right_ts}").isNotNull() & (bdiff <= tolerance_s)
+    valid_f = F.col(f"_f.{right_ts}").isNotNull() & (fdiff <= tolerance_s)
     use_b = valid_b & (~valid_f | (bdiff <= fdiff))  # tie → earlier (backward)
     picks = [
-        F.when(use_b, F.col(f"_b_{c}"))
-        .when(valid_f, F.col(f"_f_{c}"))
+        F.when(use_b, F.col(f"_b.{c}"))
+        .when(valid_f, F.col(f"_f.{c}"))
         .alias(f"{prefix}{'ts' if c == right_ts else c}")
         for c in vcols
     ]

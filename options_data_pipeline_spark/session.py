@@ -53,10 +53,22 @@ def get_spark(
     # SPARK_GRAFT_CONF="k=v;k2=v2": ad-hoc conf overrides for probe/bench
     # experiments (e.g. flipping autoBroadcastJoinThreshold to attribute a
     # join-strategy pivot) without editing tool code
+    env_overrides: dict[str, str] = {}
     for kv in os.environ.get("SPARK_GRAFT_CONF", "").split(";"):
         if "=" in kv:
             k, _, v = kv.partition("=")
             builder = builder.config(k.strip(), v.strip())
+            env_overrides[k.strip()] = v.strip()
+    if env_overrides:
+        # env overrides beat explicit per-run extra_conf — make every such
+        # run say so loudly, so a lingering probe knob can never skew a
+        # committed BASELINE/BENCH artifact silently
+        import sys
+
+        print(
+            f"[session] SPARK_GRAFT_CONF active, overriding: {env_overrides}",
+            file=sys.stderr,
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

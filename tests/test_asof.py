@@ -122,3 +122,30 @@ def test_asof_nearest_direction_tolerance_and_ties(spark):
     )
     got = asof_nearest(tie, right2, value_cols=("close",), tolerance_s=600.0).collect()[0]
     assert got.nearest_close == 105.0  # backward on tie
+
+def test_asof_null_value_column_stays_null(spark):
+    """A NULL value column in the MATCHED right row must come through as
+    NULL — not be back-filled from a farther right row (the right row is
+    picked atomically as a struct). Covers asof_join and asof_nearest."""
+    from datetime import datetime
+
+    from options_data_pipeline_spark.operators.asof import asof_join, asof_nearest
+
+    t = lambda m: datetime(2024, 1, 1, 10, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, "A", t(12))], "event_id long, symbol string, ts timestamp"
+    )
+    # latest/nearest right row (10:10) has close=NULL, volume=7;
+    # the farther row (10:00) has close=99 — 99 must NOT leak in.
+    right = spark.createDataFrame(
+        [("A", t(0), 99.0, 3), ("A", t(10), None, 7)],
+        "symbol string, window_start timestamp, close double, volume long",
+    )
+    j = asof_join(left, right, value_cols=("close", "volume")).collect()[0]
+    assert j.asof_close is None and j.asof_volume == 7
+
+    n = asof_nearest(
+        left, right, value_cols=("close", "volume"), tolerance_s=600.0
+    ).collect()[0]
+    assert n.nearest_ts == t(10)
+    assert n.nearest_close is None and n.nearest_volume == 7

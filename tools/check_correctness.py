@@ -127,7 +127,15 @@ def main() -> int:
                 spark.stop()
                 return 1 if failures else 0
         except (json.JSONDecodeError, OSError):
-            pass
+            # fail CLOSED: if the committed artifact can't be read we can't
+            # prove this subset ran at the same sf, so never overwrite the
+            # full report with a few rows — skip the write entirely
+            print(
+                "CORRECTNESS_local.json unreadable; subset run NOT merged "
+                "(fix or regenerate with a full sweep)"
+            )
+            spark.stop()
+            return 1 if failures else 0
     with open("CORRECTNESS_local.json", "w") as f:
         json.dump({"sf_dir": sf_dir, "results": results}, f, indent=1)
     spark.stop()
