@@ -25,7 +25,7 @@ from .operators.ohlc import ohlc_candles
 from .operators.truerange import with_true_range
 from .operators.atr import with_wilder_atr, atr_summary, ATR_PERIOD
 from .operators.gapfill import gap_fill
-from .operators.ids import with_row_id, dedup_delta
+from .operators.ids import with_row_id, dedup_delta, parse_row_id
 from .operators.filters import in_session
 from .operators.joins import missing_symbols, reconcile_states, calendar_gate
 from .operators.queries import value_percentiles, buffer_stats, validate_ohlc
@@ -6771,6 +6771,66 @@ def q_monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         prev.alias("prev_revenue"),
         F.when(prev > 0, (F.col("revenue") - prev) / prev).alias("mom_growth"),
+    )
+
+
+#: malformed-id grid mirroring the reference's test_id_generator cases:
+#: too few parts, empty string, empty ticker, calendar-impossible date
+#: (month 13, day 00), impossible time (hour 25, minute 61)
+_BAD_IDS = (
+    "NIFTY",
+    "NIFTY_2026",
+    "",
+    "_20260221_0915",
+    "NIFTY_20261301_0915",
+    "NIFTY_00000000_0000",
+    "NIFTY_20260221_2561",
+    "NIFTY_20260221_0961",
+    "BANK_NIFTY_20260221_0915",  # valid: ticker itself contains '_'
+)
+
+_BAD_IDS_SQL = ", ".join(f"('{x}')" for x in _BAD_IDS)
+
+
+@register(
+    "parse_row_ids",
+    f"""WITH {candles_cte(300)},
+ids AS (
+  SELECT concat(symbol, '_', strftime(window_start, '%Y%m%d_%H%M')) AS id
+  FROM candles
+  UNION ALL
+  SELECT id FROM (VALUES {_BAD_IDS_SQL}) v(id)
+),
+p AS (
+  SELECT id,
+         regexp_extract(id, '^(.+)_(\\d{{8}})_(\\d{{4}})$', 1) AS sym,
+         try_strptime(concat(regexp_extract(id, '^(.+)_(\\d{{8}})_(\\d{{4}})$', 2), ' ',
+                             regexp_extract(id, '^(.+)_(\\d{{8}})_(\\d{{4}})$', 3)),
+                      '%Y%m%d %H%M') AS ts
+  FROM ids
+)
+SELECT id,
+       CASE WHEN ts IS NOT NULL THEN sym END AS parsed_symbol,
+       ts AS parsed_window_start,
+       ts IS NOT NULL AS is_valid
+FROM p""",
+)
+def q_parse_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-id REVERSE parse (reference utils/id_generator.py:33-49 —
+    the op its own test_id_generator suite exercises): every generated
+    id round-trips back to (symbol, window_start); a malformed-id grid
+    (reference's invalid cases) parses to NULLs instead of raising.
+    Pure Column work — regexp + try_to_timestamp, no shuffle at all on
+    top of the candle agg."""
+    candles = ohlc_candles(load_ticks(spark, sf_dir), "300 seconds")
+    ids = with_row_id(candles).select("id")
+    bad = spark.createDataFrame([(x,) for x in _BAD_IDS], "id string")
+    out = parse_row_id(ids.unionByName(bad))
+    return out.select(
+        "id",
+        "parsed_symbol",
+        "parsed_window_start",
+        F.col("parsed_window_start").isNotNull().alias("is_valid"),
     )
 
 

@@ -148,3 +148,42 @@ def test_salted_join_keeps_null_salt_source_rows(spark):
     assert sorted(map(tuple, out.select("key", "value", "attr").collect())) == \
         sorted(map(tuple, plain.select("key", "value", "attr").collect()))
     assert out.count() == 3
+
+def test_parse_row_id_roundtrip_and_invalid(spark):
+    """Reverse parse (reference id_generator.py:33-49): valid ids —
+    including tickers containing '_' — round-trip to (symbol, ts);
+    malformed ids parse to NULL/NULL (the reference's OWN
+    test_invalid_id_returns_none expected None, its impl raised — we
+    implement the intended contract)."""
+    from options_data_pipeline_spark.operators.ids import parse_row_id
+
+    rows = [
+        ("NIFTY_20260221_0915", "NIFTY", datetime(2026, 2, 21, 9, 15)),
+        ("BANK_NIFTY_20240229_1530", "BANK_NIFTY", datetime(2024, 2, 29, 15, 30)),
+        ("BADID", None, None),               # reference's invalid case
+        ("NIFTY_2026", None, None),           # too few parts
+        ("", None, None),
+        ("_20260221_0915", None, None),       # empty ticker
+        ("NIFTY_20261301_0915", None, None),  # month 13
+        ("NIFTY_20260221_0961", None, None),  # minute 61
+    ]
+    df = spark.createDataFrame([(r[0],) for r in rows], "id string")
+    got = {r.id: r for r in parse_row_id(df).collect()}
+    for rid, sym, ts in rows:
+        assert got[rid].parsed_symbol == sym, rid
+        assert got[rid].parsed_window_start == ts, rid
+
+
+def test_parse_row_id_inverts_generation(spark):
+    """parse ∘ generate == identity at minute grain for every candle."""
+    from options_data_pipeline_spark.operators.ids import parse_row_id
+
+    candles = spark.createDataFrame(
+        [("NIFTY", datetime(2024, 1, 15, 9, 15)),
+         ("BANK_NIFTY", datetime(2024, 1, 15, 10, 0))],
+        "symbol string, window_start timestamp",
+    )
+    out = parse_row_id(with_row_id(candles)).collect()
+    for r in out:
+        assert r.parsed_symbol == r.symbol
+        assert r.parsed_window_start == r.window_start
