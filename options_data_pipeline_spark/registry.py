@@ -5389,7 +5389,18 @@ def q_lsh_incremental_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the exact arm is the declared verify-only audit (PPJoin
     prefix filter, run on a SAMPLE at 100 TB exactly like the brute arm
     of ann_recall); the probe arm is the production-path bucket join.
-    One left join at pair grain + one decile-grain agg on top."""
+    One left join at pair grain + one decile-grain agg on top.
+
+    Exchange attribution (the registry's plan-audit maximum): 19 shuffle
+    exchanges pre-AQE — the PPJoin truth arm re-derives its shingle
+    stream per consumer (df table, full-set aggs, two prefix sides →
+    ~12, see ngram_jaccard_pairs), plus probe-arm signature agg, bucket
+    join, recall join and final agg. At RUNTIME AQE collapses identical
+    subtrees: the executed plan materializes 12 distinct shuffle stages
+    with 4 ReusedExchange (pinned in test_plans). Round-5's "50
+    exchanges" headline was the audit double-counting formatted-explain
+    text (tree line + detail header per node); plan_audit now counts
+    node headers."""
     from .functions.dedupe import (
         build_lsh_index,
         incremental_lsh_candidates,

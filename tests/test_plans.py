@@ -676,3 +676,18 @@ def test_return_correlation_no_cartesian(spark, qs):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_incremental_recall_runtime_exchange_reuse(spark, qs):
+    """The registry's exchange-count maximum: 19 shuffle exchanges
+    pre-AQE because the PPJoin truth arm re-derives its shingle stream
+    per consumer. The pin asserts AQE collapses the identical subtrees
+    at runtime (ReusedExchange ≥ 4 measured; ≥ 2 pinned for slack) and
+    the pre-AQE count doesn't silently grow past its attributed bound."""
+    from options_data_pipeline_spark.plans.explain import count_exchanges
+
+    df = qs["lsh_incremental_recall"](spark, SF)
+    assert count_exchanges(df) <= 21  # attributed: 19 (see registry docstring)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") >= 2

@@ -215,14 +215,25 @@ def test_tws_atr_idle_timer_emits_heartbeat():
     assert hb.iloc[0].close == 1.5  # last known close travels in the marker
 
 
-def test_tws_streaming_end_to_end_needs_protobuf(spark, tmpdir):
-    """Full transformWithStateInPandas run — auto-skips where
-    google.protobuf is unavailable (this container)."""
-    pytest.importorskip("google.protobuf")
+def test_tws_streaming_end_to_end_or_documented_gate(spark, tmpdir):
+    """Full transformWithStateInPandas run where google.protobuf exists
+    (state-v2's Python↔JVM protocol needs it). Where it does NOT (this
+    container, installs off-limits), the test still RUNS and asserts the
+    documented environment gate: the query fails as a StreamingQuery
+    error, not silently — so the suite has no permanent skip and a
+    future protobuf-equipped environment upgrades this to the e2e
+    parity check automatically."""
     from options_data_pipeline_spark.streaming.atr_tws import (
         ROCKSDB_PROVIDER,
         streaming_atr_tws,
     )
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
 
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
@@ -233,6 +244,12 @@ def test_tws_streaming_end_to_end_needs_protobuf(spark, tmpdir):
             for i in range(16)
         ]
         src = spark.createDataFrame(rows, CANDLE_SCHEMA)
+        if not has_protobuf:
+            from pyspark.errors.exceptions.captured import StreamingQueryException
+
+            with pytest.raises(StreamingQueryException):
+                run_stream(spark, src, tmpdir, streaming_atr_tws, CANDLE_SCHEMA)
+            return
         got = run_stream(spark, src, tmpdir, streaming_atr_tws, CANDLE_SCHEMA).collect()
         batch = with_wilder_atr(with_true_range(src).drop("prev_close")).collect()
         gm = {(r.symbol, r.window_start): r for r in got}
@@ -244,6 +261,76 @@ def test_tws_streaming_end_to_end_needs_protobuf(spark, tmpdir):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_tws_processor_state_survives_instance_restart(spark):
+    """Trigger-recovery contract WITHOUT the protobuf transport: a FRESH
+    WilderATRProcessor instance re-init'd over the same persisted state
+    (what the state store provides across restarts) must continue the
+    recursion exactly where the first instance stopped — split-run
+    results equal the single-run batch recursion."""
+    import pandas as pd
+
+    from options_data_pipeline_spark.streaming.atr_tws import WilderATRProcessor
+
+    class _Store:
+        """Shared state backing two handle/processor generations."""
+
+        def __init__(self):
+            self.values = {}
+
+        def handle(self):
+            store = self
+
+            class _State:
+                def __init__(self, name):
+                    self.name = name
+
+                def exists(self):
+                    return self.name in store.values
+
+                def get(self):
+                    return store.values[self.name]
+
+                def update(self, v):
+                    store.values[self.name] = v
+
+            class _Handle:
+                def getValueState(self, name, schema):
+                    return _State(name)
+
+            return _Handle()
+
+    base = datetime(2024, 1, 1, 9, 15)
+    rows = [
+        ("A", base + timedelta(minutes=5 * i), 10.0 + i, 12.0 + i, 9.0 + i, 11.0 + i, 3)
+        for i in range(16)
+    ]
+    src = spark.createDataFrame(rows, CANDLE_SCHEMA)
+    batch = {r.window_start: r for r in with_wilder_atr(with_true_range(src).drop("prev_close")).collect()}
+
+    pdf = pd.DataFrame(
+        [dict(symbol=s, window_start=w, open=o, high=h, low=lo, close=c, tick_count=t)
+         for s, w, o, h, lo, c, t in rows]
+    )
+    store = _Store()
+    proc1 = WilderATRProcessor()
+    proc1.init(store.handle())
+    out1 = list(proc1.handleInputRows(("A",), iter([pdf.iloc[:9]]), None))
+    proc1.close()
+    # "restart": a brand-new processor over the SAME persisted state
+    proc2 = WilderATRProcessor()
+    proc2.init(store.handle())
+    out2 = list(proc2.handleInputRows(("A",), iter([pdf.iloc[9:]]), None))
+    got = pd.concat(out1 + out2, ignore_index=True)
+    assert len(got) == 16
+    for row in got.itertuples(index=False):
+        b = batch[row.window_start.to_pydatetime()]
+        assert row.tr == pytest.approx(b.tr)
+        if b.atr is None:
+            assert pd.isna(row.atr) or row.atr is None
+        else:
+            assert row.atr == pytest.approx(b.atr)
 
 
 def test_streaming_atr_state_survives_restart(spark, tmpdir):
@@ -1146,3 +1233,61 @@ def test_streaming_drawdown_matches_batch(spark, tmpdir):
         assert got[s].trough_event_id == batch[s].event_id
     assert got["A"].max_drawdown == pytest.approx(80.0 / 120.0 - 1)
     assert got["B"].max_drawdown == 0.0  # first tick: dd = 0 at its own peak
+
+
+def test_manifest_compact_crash_between_stage_and_publish(spark, tmpdir, monkeypatch):
+    """Kill-and-restart INSIDE a compaction: the merged segment is fully
+    written but its superseding manifest never publishes. Invariants: the
+    sink reads byte-identical before/after the crash AND after the
+    restarted compaction; time travel to every pre-compaction version
+    still resolves; the stranded merge segment is GC-able debris."""
+    import os
+
+    from options_data_pipeline_spark.streaming import sink as sink_mod
+
+    sink = tmpdir + "/msink"
+
+    def mk(ids, ts):
+        return spark.createDataFrame(
+            [(i, float(len(i))) for i in ids], "id string, v double"
+        ).withColumn("window_start", F.lit(ts).cast("timestamp"))
+
+    assert sink_mod.manifest_append_batch(mk(["a", "b"], "2024-01-01 09:15:00"), sink) == 2
+    assert sink_mod.manifest_append_batch(mk(["c"], "2024-01-02 09:15:00"), sink) == 1
+    assert sink_mod.manifest_append_batch(mk(["d", "e"], "2024-01-03 09:15:00"), sink) == 2
+    before = sorted(
+        map(tuple, sink_mod.manifest_sink_read(spark, sink).collect())
+    )
+    n_segments_before = len(os.listdir(os.path.join(sink, "segments")))
+
+    def boom(sink_path, segment, n_rows, lo, hi, **kw):
+        raise RuntimeError("killed between compaction stage and publish")
+
+    monkeypatch.setattr(sink_mod, "_publish_manifest", boom)
+    with pytest.raises(RuntimeError):
+        sink_mod.manifest_compact(spark, sink)
+    # merged segment staged on disk, but NO manifest names it → readers
+    # resolve the original segments, byte-identical
+    assert len(os.listdir(os.path.join(sink, "segments"))) == n_segments_before + 1
+    assert sorted(map(tuple, sink_mod.manifest_sink_read(spark, sink).collect())) == before
+    for v in range(3):
+        assert sink_mod.manifest_sink_read(spark, sink, at_version=v).count() > 0
+
+    monkeypatch.undo()
+    # restart: compaction re-runs from scratch and commits
+    v_new = sink_mod.manifest_compact(spark, sink)
+    assert v_new == 3
+    assert sorted(map(tuple, sink_mod.manifest_sink_read(spark, sink).collect())) == before
+    # pre-compaction snapshots still resolve their original segments
+    assert sink_mod.manifest_sink_read(spark, sink, at_version=0).count() == 2
+    assert sink_mod.manifest_sink_read(spark, sink, at_version=2).count() == 5
+    # the crashed attempt's stranded segment is uncommitted debris
+    removed = sink_mod.gc_uncommitted_segments(sink, grace_s=0)
+    assert len(removed) == 1
+    assert sorted(map(tuple, sink_mod.manifest_sink_read(spark, sink).collect())) == before
+    # VACUUM retires the superseded originals; current read unaffected,
+    # expired time travel refuses with the marker's clear error
+    sink_mod.expire_snapshots(sink, before_version=v_new)
+    assert sorted(map(tuple, sink_mod.manifest_sink_read(spark, sink).collect())) == before
+    with pytest.raises(Exception, match="expired|snapshot"):
+        sink_mod.manifest_sink_read(spark, sink, at_version=0).count()

@@ -6,6 +6,13 @@ and an order-insensitive value hash. Reports per-query PASS/FAIL with the
 first differing rows on failure.
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
+       python tools/check_correctness.py --sf01-subset
+
+The ``--sf01-subset`` mode runs the SCALE-SENSITIVE queries (samplers,
+sketches, LSH thresholds, k-means seeds, quantizers — anything whose
+semantics could drift with data volume while staying green at the gate's
+sf0.01) against sf0.1 and writes a separate CORRECTNESS_sf01.json
+artifact (never touches the committed sf0.01 report).
 """
 
 from __future__ import annotations
@@ -16,6 +23,40 @@ import sys
 
 import duckdb
 import pandas as pd
+
+#: queries whose values depend on data-volume-sensitive machinery:
+#: hash thresholds and band occupancy (LSH/simhash/winnowing), seeded
+#: k-means/PQ codebooks, reservoir/temperature/stratified samplers,
+#: distribution-shape statistics (zipf, entropy, drift), and the
+#: recall audits that compose them. A volume-driven semantic drift
+#: (band saturation, seed collision, quantile shift) shows up here
+#: first; the plain correctness gate runs only at sf0.01.
+SF01_SUBSET = [
+    "minhash_jaccard_estimate",
+    "minhash_lsh",
+    "rp_lsh_near_dup",
+    "simhash_near_pairs",
+    "winnow_fingerprints",
+    "winnow_overlap",
+    "dedup_canonical",
+    "ivf_kmeans_topk",
+    "ivf_fixed_topk",
+    "ivf_multiprobe_topk",
+    "ivf_cell_balance",
+    "pq_quantize",
+    "pq_adc_topk",
+    "ann_recall_report",
+    "semdedup_prune",
+    "kcenter_coreset",
+    "weighted_sample",
+    "stratified_sample",
+    "budget_sample",
+    "dsir_weights",
+    "temperature_mixture",
+    "zipf_slope",
+    "lang_id",
+    "embedding_drift",
+]
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -46,8 +87,13 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    sf01_mode = "--sf01-subset" in sys.argv[1:]
+    if sf01_mode:
+        sf_dir = "/root/testdata/sf0.1"
+        only = set(SF01_SUBSET)
+    else:
+        sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+        only = set(sys.argv[2:])
 
     sys.path.insert(0, ".")
     import __spark_entry__ as entry_mod
@@ -111,6 +157,14 @@ def main() -> int:
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     import json
     import os
+
+    if sf01_mode:
+        # separate artifact: the sf0.1 drift sweep never collides with
+        # the committed sf0.01 report
+        with open("CORRECTNESS_sf01.json", "w") as f:
+            json.dump({"sf_dir": sf_dir, "results": results}, f, indent=1)
+        spark.stop()
+        return 1 if failures else 0
 
     # CORRECTNESS_local.json is a COMMITTED round artifact holding the
     # last FULL sf0.01 sweep. Subset runs at the same sf merge into it;

@@ -55,13 +55,26 @@ BNLJ_OK = {
 }
 
 
+def _nodes(plan: str, node: str) -> int:
+    """Count REAL plan nodes by their formatted-explain detail header
+    ``(N) NodeName`` — a plain substring count doubles every node (tree
+    line + detail header), which inflated round-5's "max 50 exchanges"
+    headline to ~2× the true node count."""
+    import re
+
+    return len(re.findall(rf"^\(\d+\) {node}\b", plan, re.MULTILINE))
+
+
 def audit_one(name: str, plan: str) -> dict:
     return {
         "cartesian": plan.count("CartesianProduct"),
         "py_udf": plan.count("BatchEvalPython"),
         "bnlj": plan.count("BroadcastNestedLoopJoin"),
-        "smj": plan.count("SortMergeJoin"),
-        "exchanges": plan.count("Exchange"),
+        "smj": _nodes(plan, "SortMergeJoin"),
+        # shuffle exchanges only; broadcasts tracked separately (they are
+        # dim-sized by construction, not a scale concern)
+        "exchanges": _nodes(plan, "Exchange"),
+        "broadcast_exchanges": _nodes(plan, "BroadcastExchange"),
     }
 
 
@@ -94,6 +107,10 @@ def main() -> int:
             ((s["exchanges"], n) for n, s in stats.items()), default=(0, "")
         ),
         "smj_total": sum(s["smj"] for s in stats.values()),
+        # per-query SMJ attribution: every non-zero entry must be a
+        # fact-fact join (both sides at data grain); a dim join appearing
+        # here means a broadcast was missed — see BASELINE.md SMJ table
+        "smj_queries": {n: s["smj"] for n, s in sorted(stats.items()) if s["smj"]},
     }
     print(json.dumps(summary))
     spark.stop()
