@@ -4,12 +4,14 @@ Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata structs. The Spark-side plumbing — schema, batch iteration via
 ``mapInPandas`` (Arrow-batched), partition sizing — is real and tested.
 Codecs: uncompressed 24-bit BMP (``struct``), 8-bit PNG (``zlib`` IDAT
-inflate + per-scanline unfilter, all five spec filters), and 16-bit PCM
-WAV (``wave``) are decoded for real with the stdlib — genuine bytes→
+inflate + per-scanline unfilter, all five spec filters), baseline JPEG
+(stdlib Huffman decode + float IDCT, :mod:`.jpeg`), and 16-bit PCM WAV
+(``wave``) are decoded for real with the stdlib — genuine bytes→
 pixels/samples→features paths exercised end-to-end in tests via the
-``make_bmp`` / ``make_png`` / ``make_wav`` fixture builders below. JPEG,
-MP3, and video codecs need external libraries absent from this container
-and stay behind clearly-marked ``NotImplementedError`` stubs.
+``make_bmp`` / ``make_png`` / ``make_jpeg`` / ``make_wav`` fixture
+builders. MP3 and video codecs need external libraries absent from this
+container and stay behind clearly-marked ``NotImplementedError`` stubs;
+progressive/arithmetic JPEG likewise (see jpeg.py scope note).
 
 Scale notes: binary payloads dominate row size, so the loaders should set
 ``spark.sql.files.maxPartitionBytes`` low enough that an Arrow batch of
@@ -275,15 +277,19 @@ def make_png(width: int, height: int, pixel_fn, filter_type: int = 4) -> bytes:
 
 
 def _decode_image(payload: bytes) -> list[float]:
-    """Real image decode: uncompressed 24-bit BMP (struct) or 8-bit PNG
-    (zlib inflate + scanline unfilter) → pixels → the shared 8-dim feature
-    vector of :func:`_finish_image_features`. JPEG needs an external codec
-    and stays NotImplementedError."""
+    """Real image decode: uncompressed 24-bit BMP (struct), 8-bit PNG
+    (zlib inflate + scanline unfilter), or baseline JPEG (stdlib Huffman
+    + IDCT, :mod:`.jpeg`) → pixels → the shared 8-dim feature vector of
+    :func:`_finish_image_features` — the same picture in any of the three
+    encodings yields (approximately, for the lossy one) the same
+    features. Progressive JPEG/Adam7/palette stay NotImplementedError."""
     if payload[:8] == PNG_SIG:
         return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _decode_jpeg(payload)
     if payload[:2] != b"BM":
         raise NotImplementedError(
-            "only BMP and PNG are decodable without external codecs"
+            "only BMP, PNG and baseline JPEG are decodable without external codecs"
         )
     width, height, _planes, bpp, compression = struct.unpack_from("<iiHHI", payload, 18)
     if bpp != 24 or compression != 0:
@@ -300,6 +306,31 @@ def _decode_image(payload: bytes) -> list[float]:
         row_lum = 0
         for x in range(width):
             b, g, r = payload[base + 3 * x : base + 3 * x + 3]
+            sums[0] += r
+            sums[1] += g
+            sums[2] += b
+            row_lum += r + g + b
+        if y < height // 2:
+            lum_top += row_lum
+        else:
+            lum_bot += row_lum
+    return _finish_image_features(width, height, sums, lum_top, lum_bot)
+
+
+def _decode_jpeg(payload: bytes) -> list[float]:
+    """Baseline JPEG → pixels (stdlib codec in :mod:`.jpeg`) → the shared
+    8-dim image features."""
+    from .jpeg import decode_jpeg_pixels
+
+    width, height, px = decode_jpeg_pixels(payload)
+    sums = [0, 0, 0]
+    lum_top = lum_bot = 0.0
+    for y in range(height):
+        row_lum = 0
+        base = y * width * 3
+        for x in range(width):
+            o = base + x * 3
+            r, g, b = px[o], px[o + 1], px[o + 2]
             sums[0] += r
             sums[1] += g
             sums[2] += b
@@ -345,7 +376,7 @@ def _decode_audio(payload: bytes) -> list[float]:
 
 DECODERS = {
     "fake": _fake_decode,  # deterministic test decoder
-    "image": _decode_image,  # real: 24-bit BMP + 8-bit PNG; JPEG → NotImplementedError (needs PIL)
+    "image": _decode_image,  # real: 24-bit BMP + 8-bit PNG + baseline JPEG (all stdlib)
     "audio": _decode_audio,  # real: 16-bit PCM WAV; MP3/AAC → NotImplementedError (needs ffmpeg/librosa)
     "video": _unavailable,  # STUB: ffmpeg frame sample → per-frame image path
 }

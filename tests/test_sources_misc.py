@@ -84,10 +84,10 @@ def test_multimodal_feature_extract(spark):
 
 
 def test_multimodal_compressed_codec_is_stubbed(spark):
-    """Formats with no stdlib codec (JPEG bytes here) still raise: only
-    BMP/PNG/WAV have real decoders in this container."""
+    """Formats with no stdlib codec (GIF bytes here) still raise: only
+    BMP/PNG/JPEG have real image decoders in this container."""
     media = spark.createDataFrame(
-        [(1, "image", bytearray(b"\xff\xd8\xff\xe0JFIF"), ("jpeg", 1, 1, None))],
+        [(1, "image", bytearray(b"GIF89a\x01\x00\x01\x00"), ("gif", 1, 1, None))],
         MEDIA_SCHEMA,
     )
     with pytest.raises(Exception, match="NotImplementedError|BMP|codec"):
@@ -411,3 +411,76 @@ def test_incremental_rollup_refreshes_only_changed_partitions(spark, tmp_path):
     # the late candle actually landed
     feb27 = [r for r in got.collect() if str(r["day"]) == "2024-02-27"]
     assert feb27 and feb27[0]["tick_count"] == 7
+
+
+def test_multimodal_jpeg_decode_end_to_end(spark):
+    """Baseline JPEG (the formerly-largest codec stub) through the real
+    mapInPandas path: the same picture as BMP and as JPEG must produce
+    feature vectors that agree within JPEG's lossy tolerance, and exact
+    structural fields (width/height) must match exactly."""
+    from options_data_pipeline_spark.functions.jpeg import make_jpeg
+    from options_data_pipeline_spark.functions.multimodal import make_bmp
+
+    px = lambda x, y: (200, 60, 30) if y < 2 else (20, 90, 180)
+    jpg = make_jpeg(8, 4, px, quality=95)
+    bmp = make_bmp(8, 4, px)
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(jpg), ("jpeg", 8, 4, None)),
+            (2, "image", bytearray(bmp), ("bmp", 8, 4, None)),
+        ],
+        MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r.feature for r in extract_features(media, decoder="image").collect()}
+    assert out[1][0] == 8.0 and out[1][1] == 4.0  # exact dims
+    for a, b in zip(out[1], out[2]):
+        assert a == pytest.approx(b, abs=0.04)  # lossy tolerance
+
+
+def test_jpeg_roundtrip_pixels_and_variants():
+    """Codec-level invariants without Spark: solid colors round-trip to
+    within DC-quantization error; grayscale and non-multiple-of-8 sizes
+    work; restart-less baseline decode matches the encoder's pixels on a
+    smooth gradient; out-of-scope variants raise NotImplementedError."""
+    from options_data_pipeline_spark.functions.jpeg import (
+        decode_jpeg_pixels,
+        make_jpeg,
+    )
+
+    w, h, px = decode_jpeg_pixels(make_jpeg(16, 8, lambda x, y: (200, 100, 50)))
+    assert (w, h) == (16, 8)
+    for i in range(0, len(px), 3):
+        assert abs(px[i] - 200) <= 6 and abs(px[i + 1] - 100) <= 6 and abs(px[i + 2] - 50) <= 6
+
+    # smooth gradient at high quality: small per-channel error everywhere
+    grad = lambda x, y: (x * 10, y * 15, (x + y) * 7)
+    w, h, px = decode_jpeg_pixels(make_jpeg(24, 16, grad, quality=95))
+    worst = max(
+        abs(px[(y * 24 + x) * 3 + c] - grad(x, y)[c])
+        for y in range(16)
+        for x in range(24)
+        for c in range(3)
+    )
+    assert worst <= 20
+
+    # grayscale single-component path
+    w, h, px = decode_jpeg_pixels(
+        make_jpeg(8, 8, lambda x, y: (x * 30,) * 3, grayscale=True)
+    )
+    assert (w, h) == (8, 8) and px[0] == px[1] == px[2]
+
+    # edge-replicated non-multiple-of-8 dimensions
+    w, h, px = decode_jpeg_pixels(make_jpeg(13, 5, lambda x, y: (10 * x, 40, 200)))
+    assert (w, h) == (13, 5) and len(px) == 13 * 5 * 3
+
+    # declared scope bounds fail loudly, not wrongly
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg_pixels(b"\x89PNG\r\n\x1a\n")
+    # progressive SOF2 marker in an otherwise plausible stream
+    bad = bytearray(make_jpeg(8, 8, lambda x, y: (1, 2, 3)))
+    sof = bad.find(b"\xff\xc0")
+    bad[sof + 1] = 0xC2
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg_pixels(bytes(bad))
