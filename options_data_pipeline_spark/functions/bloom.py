@@ -1,0 +1,106 @@
+"""Deterministic Bloom-filter prefilter — the BFF/Dolma-style cheap
+membership gate in front of an exact dedup join.
+
+At 100 TB the exact id/fingerprint anti-join is correct but touches the
+corpus index for EVERY incoming row; a Bloom filter built over the
+corpus keys lets the ingest path drop the definitely-new majority
+without the join (no false negatives by construction — a miss is proof
+of absence), sending only the might-contain minority to the exact
+check. The filter itself is tiny (bits ∝ corpus keys) and broadcasts.
+
+Spark-first and engine-portable: hash positions derive from md5
+substrings (``conv(substr(md5(key:i),1,15),16,10)``) — the same
+cross-engine trick the shingle hashes use — so a DuckDB oracle can
+rebuild the identical filter and verify both the bit array and every
+membership verdict hash-exactly. The filter aggregates as N 64-bit
+words via per-word ``bit_or``; 62 usable bits per word keeps every
+shift/test inside non-negative BIGINT range in both engines.
+
+Sizing: false-positive rate ≈ (1 − e^(−k·n/m))^k with m = 62·n_words
+bits, k hashes. The defaults (n_words=16, k=4 → m=992) are test-scale;
+a deployment sizes n_words ∝ corpus keys (the build is the same single
+aggregation at any size; at billions of keys use partitioned blooms —
+one filter per key-range bucket — so each stays broadcastable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BITS_PER_WORD = 62  # stay clear of BIGINT sign bit in BOTH engines
+
+
+def _positions(key: F.Column, k: int, m_bits: int) -> list[F.Column]:
+    """k deterministic bit positions in [0, m_bits) for a key."""
+    return [
+        F.conv(
+            F.substring(F.md5(F.concat(key, F.lit(f":{i}"))), 1, 15), 16, 10
+        ).cast("long")
+        % m_bits
+        for i in range(k)
+    ]
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str = "fingerprint",
+    n_words: int = 16,
+    k: int = 4,
+) -> DataFrame:
+    """ONE-row Bloom filter over ``keys[key_col]``: columns w0..w{n-1}
+    (bit words), plus n_words/k so probes self-describe. The build is a
+    single map + one all-to-one aggregation (each mapper emits k set
+    bits; partial bit_or combines map-side)."""
+    m_bits = n_words * BITS_PER_WORD
+    pos = keys.select(
+        F.explode(F.array(*_positions(F.col(key_col), k, m_bits))).alias("p")
+    )
+    bit = pos.select(
+        (F.col("p") / BITS_PER_WORD).cast("int").alias("w"),
+        # call_function: the SQL shiftleft takes a COLUMN bit count (the
+        # Python wrapper's numBits is int-only)
+        F.call_function(
+            "shiftleft",
+            F.lit(1).cast("long"),
+            (F.col("p") % BITS_PER_WORD).cast("int"),
+        ).alias("b"),
+    )
+    aggs = [
+        F.coalesce(F.bit_or(F.when(F.col("w") == w, F.col("b"))), F.lit(0).cast("long")).alias(f"w{w}")
+        for w in range(n_words)
+    ]
+    return bit.agg(
+        *aggs, F.lit(n_words).alias("n_words"), F.lit(k).alias("k")
+    )
+
+
+def bloom_might_contain(
+    df: DataFrame,
+    bloom: DataFrame,
+    key_col: str = "fingerprint",
+    n_words: int = 16,
+    k: int = 4,
+    out_col: str = "might_contain",
+) -> DataFrame:
+    """Attach the membership verdict: True = key MIGHT be in the built
+    set (send to the exact check), False = key is DEFINITELY absent
+    (skip the join entirely — zero false negatives). The 1-row filter
+    broadcasts; the probe is pure Column arithmetic, no shuffle."""
+    m_bits = n_words * BITS_PER_WORD
+    probed = df.crossJoin(F.broadcast(bloom))
+    cond = None
+    for p in _positions(F.col(key_col), k, m_bits):
+        w = (p / BITS_PER_WORD).cast("int")
+        b = (p % BITS_PER_WORD).cast("int")
+        # word lookup without arrays: chained CASE over the n_words cols
+        expr = None
+        for i in range(n_words):
+            expr = (
+                F.when(w == i, F.col(f"w{i}"))
+                if expr is None
+                else expr.when(w == i, F.col(f"w{i}"))
+            )
+        hit = (F.call_function("shiftright", expr, b) % 2) == 1
+        cond = hit if cond is None else (cond & hit)
+    return probed.select(*df.columns, cond.alias(out_col))

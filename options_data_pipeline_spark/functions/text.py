@@ -976,3 +976,80 @@ def cooccurrence_pmi_top(
     return joined.select(
         "x", "y", "c_xy", "c_x", "c_y", ratio.alias("pmi_ratio")
     )
+
+
+def repetition_char_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = (2, 3),
+    dup_n: int = 5,
+) -> DataFrame:
+    """Gopher repetition filters in their published CHAR-FRACTION form
+    (Rae et al. 2021 §A1.1): per doc, the fraction of normalized-text
+    characters covered by the most frequent word n-gram (n ∈ ``top_ns``;
+    "covered" = len(gram)·occurrences, the standard over-count on
+    overlaps) and by duplicated n-grams (n = ``dup_n``, count > 1).
+    Downstream: Gopher drops docs with top-2-gram fraction > 0.20,
+    top-3 > 0.18, dup-n > 0.15-ish — the knobs ride this output.
+
+    Scale shape — the LONG-DOC-SAFE twin of ``dup_ngram_cols``: that one
+    computes per-row array expressions (fast at tweet length, but a 1 MB
+    doc materializes its whole gram list per row in executor memory);
+    this one EXPLODES to gram grain and aggregates, so memory per task is
+    bounded by the Arrow batch regardless of document length, at the cost
+    of one (doc, n, gram)-grain shuffle + one doc-grain window. Pick by
+    corpus: short docs → array ops, web-scale long docs → this."""
+    from pyspark.sql import Window
+
+    ns = sorted(set(top_ns) | {dup_n})
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), "\\s+", " ")
+    base = docs.select(
+        "doc_id", norm.alias("t"), F.length(norm).alias("n_chars_norm")
+    )
+
+    def grams(n: int) -> str:
+        toks = "regexp_extract_all(t, '\\\\S+', 0)"
+        return (
+            f"transform(sequence(1, greatest(size({toks}) - {n - 1}, 1)),"
+            f" i -> array_join(slice({toks}, i, {n}), ' '))"
+        )
+
+    stacked = None
+    for n in ns:
+        part = base.select(
+            "doc_id", F.lit(n).alias("n"), F.explode(F.expr(grams(n))).alias("gram")
+        )
+        stacked = part if stacked is None else stacked.unionByName(part)
+    counts = stacked.groupBy("doc_id", "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("doc_id", "n").orderBy(F.col("cnt").desc(), F.col("gram").asc())
+    ranked = counts.withColumn("rn", F.row_number().over(w))
+    per = ranked.groupBy("doc_id", "n").agg(
+        F.max(F.when(F.col("rn") == 1, F.length("gram") * F.col("cnt"))).alias("top_chars"),
+        F.coalesce(
+            F.sum(F.when(F.col("cnt") > 1, F.length("gram") * F.col("cnt"))),
+            F.lit(0),
+        ).alias("dup_chars"),
+    )
+    agg_cols = []
+    for n in top_ns:
+        agg_cols.append(
+            F.max(F.when(F.col("n") == n, F.col("top_chars"))).alias(f"_top{n}")
+        )
+    agg_cols.append(
+        F.max(F.when(F.col("n") == dup_n, F.col("dup_chars"))).alias("_dup")
+    )
+    wide = per.groupBy("doc_id").agg(*agg_cols)
+    out = wide.join(base.select("doc_id", "n_chars_norm"), "doc_id")
+    sel = [F.col("doc_id")]
+    for n in top_ns:
+        sel.append(
+            (F.col(f"_top{n}").cast("double") / F.col("n_chars_norm").cast("double"))
+            .alias(f"top_{n}gram_char_frac")
+        )
+    sel.append(
+        (F.col("_dup").cast("double") / F.col("n_chars_norm").cast("double"))
+        .alias(f"dup_{dup_n}gram_char_frac")
+    )
+    return out.select(*sel)

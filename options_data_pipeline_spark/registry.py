@@ -6845,6 +6845,199 @@ def q_parse_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "min_cost_supplier",
+    """WITH asia_li AS MATERIALIZED (
+  SELECT l_partkey, l_suppkey, l_extendedprice / l_quantity AS unit_price
+  FROM lineitem, supplier, nation, region
+  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+    AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+),
+winners AS (
+  SELECT a.l_partkey, min(a.l_suppkey) AS best_suppkey,
+         min(a.unit_price) AS min_unit_price
+  FROM asia_li a
+  WHERE a.unit_price = (SELECT min(b.unit_price) FROM asia_li b
+                        WHERE b.l_partkey = a.l_partkey)
+  GROUP BY a.l_partkey
+)
+SELECT w.l_partkey AS p_partkey, p.p_brand, w.min_unit_price,
+       w.best_suppkey AS s_suppkey, s.s_name
+FROM winners w
+JOIN part p ON p.p_partkey = w.l_partkey
+JOIN supplier s ON s.s_suppkey = w.best_suppkey""",
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier per part within a region;
+    unit price from lineitem stands in for ps_supplycost — the reduced
+    schema has no partsupp): the classic CORRELATED SCALAR SUBQUERY
+    `price = (SELECT min(price) ... WHERE same part)`.
+
+    The oracle states the textbook correlated form; Spark decorrelates
+    by hand the way Catalyst would: one part-grain min aggregate, joined
+    back on (part, price) equality — the min of a per-row double
+    division is a PICKED value, so the equality matches bit-exactly in
+    both engines. At scale: dims broadcast, ONE fact shuffle at part
+    grain feeds both the aggregate and the join-back (AQE reuses the
+    exchange), ties inside a part resolve to min s_suppkey (exact, no
+    nondeterminism)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    part = load_table(spark, "part", sf_dir)
+    asia_sup = (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name")
+    )
+    li_a = li.join(F.broadcast(asia_sup), li.l_suppkey == asia_sup.s_suppkey).select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    mins = li_a.groupBy("l_partkey").agg(F.min("unit_price").alias("min_unit_price"))
+    winners = (
+        li_a.join(mins, "l_partkey")
+        .filter(F.col("unit_price") == F.col("min_unit_price"))
+        .groupBy("l_partkey", "min_unit_price")
+        .agg(F.min("l_suppkey").alias("s_suppkey"))
+    )
+    return (
+        winners.join(F.broadcast(part), winners.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            "s_suppkey",
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_brand",
+            "min_unit_price",
+            "s_suppkey",
+            "s_name",
+        )
+    )
+
+
+
+@register(
+    "repetition_char_stats",
+    r"""WITH t AS MATERIALIZED (
+  SELECT doc_id,
+         regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+  FROM documents
+),
+tok AS MATERIALIZED (
+  SELECT doc_id, length(t) AS n_chars_norm,
+         regexp_extract_all(t, '\S+') AS toks
+  FROM t
+),
+g AS (
+  SELECT doc_id, n,
+         unnest(list_transform(range(1, greatest(len(toks) - (n - 1), 1) + 1),
+                               i -> array_to_string(toks[i:i+n-1], ' '))) AS gram
+  FROM tok, (VALUES (2), (3), (5)) v(n)
+),
+c AS (SELECT doc_id, n, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id, n
+                                   ORDER BY cnt DESC, gram) AS rn FROM c),
+p AS (
+  SELECT doc_id, n,
+         max(CASE WHEN rn = 1 THEN length(gram) * cnt END) AS top_chars,
+         coalesce(sum(CASE WHEN cnt > 1 THEN length(gram) * cnt END), 0) AS dup_chars
+  FROM r GROUP BY 1, 2
+)
+SELECT p.doc_id,
+       max(CASE WHEN n = 2 THEN top_chars END)::DOUBLE / any_value(n_chars_norm) AS top_2gram_char_frac,
+       max(CASE WHEN n = 3 THEN top_chars END)::DOUBLE / any_value(n_chars_norm) AS top_3gram_char_frac,
+       max(CASE WHEN n = 5 THEN dup_chars END)::DOUBLE / any_value(n_chars_norm) AS dup_5gram_char_frac
+FROM p JOIN tok USING (doc_id)
+GROUP BY p.doc_id""",
+)
+def q_repetition_char_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters in their published char-fraction form
+    (top-2/3-gram coverage, duplicated-5-gram coverage) — the
+    LONG-DOC-SAFE shape: explode to gram grain + aggregate, memory per
+    task bounded by the Arrow batch regardless of document length
+    (the array-expression twin dup_ngram_stats materializes a 1 MB
+    doc's whole gram list per row). One (doc,n,gram) shuffle + one
+    doc-grain window; fractions are single-op double divisions of
+    integer char counts — bit-exact cross-engine."""
+    from .functions.text import repetition_char_stats
+
+    return repetition_char_stats(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "bloom_prefilter_stats",
+    r"""WITH d AS MATERIALIZED (
+  SELECT doc_id,
+         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents
+),
+corpus AS MATERIALIZED (SELECT fp FROM d WHERE doc_id % 10 < 9),
+batch AS (SELECT doc_id, fp FROM d WHERE doc_id % 10 = 9),
+pos AS (
+  SELECT CAST(concat('0x', substr(md5(fp || ':' || i), 1, 15)) AS BIGINT) % 992 AS p
+  FROM corpus, range(4) t(i)
+),
+words AS MATERIALIZED (
+  SELECT CAST(p // 62 AS INT) AS w,
+         bit_or(1::BIGINT << CAST(p % 62 AS INT)) AS bits
+  FROM pos GROUP BY 1
+),
+probe AS (
+  SELECT b.doc_id, b.fp,
+         CAST(concat('0x', substr(md5(b.fp || ':' || i), 1, 15)) AS BIGINT) % 992 AS p
+  FROM batch b, range(4) t(i)
+),
+verdict AS (
+  SELECT doc_id, fp,
+         bool_and(coalesce((bits >> CAST(p % 62 AS INT)) % 2, 0) = 1) AS might_contain
+  FROM probe LEFT JOIN words ON words.w = CAST(p // 62 AS INT)
+  GROUP BY 1, 2
+)
+SELECT v.might_contain, (c.fp IS NOT NULL) AS actually_in,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM verdict v LEFT JOIN (SELECT DISTINCT fp FROM corpus) c USING (fp)
+GROUP BY 1, 2""",
+)
+def q_bloom_prefilter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFF/Dolma-style Bloom prefilter audit: build the deterministic
+    md5 Bloom filter over the corpus slice's content fingerprints, probe
+    the batch slice, and cross-tab the verdict against exact membership.
+    The (False, True) cell — a false NEGATIVE — is structurally empty
+    (its absence from the row set is part of the hash check); the
+    (True, False) cell is the measured false-positive tax that decides
+    filter sizing. The oracle REBUILDS the identical filter in SQL
+    (same md5 positions, same 62-bit words), so the bit array and every
+    verdict are verified, not just the counts' plausibility.
+
+    Scale shape: build = one map + one all-to-one bit_or agg (tiny);
+    probe = broadcast 1-row filter + pure Column arithmetic, NO join for
+    the definitely-new majority — the exact join only ever sees the
+    might-contain rows."""
+    from .functions.bloom import bloom_build, bloom_might_contain
+
+    docs = load_table(spark, "documents", sf_dir)
+    fp = F.md5(F.regexp_replace(F.trim(F.lower(F.col("text"))), "\\s+", " "))
+    d = docs.select("doc_id", fp.alias("fp"))
+    corpus = d.filter(F.col("doc_id") % 10 < 9).select("fp")
+    batch = d.filter(F.col("doc_id") % 10 == 9)
+    bloom = bloom_build(corpus, "fp")
+    probed = bloom_might_contain(batch, bloom, "fp")
+    exact = corpus.distinct().withColumn("actually_in", F.lit(True))
+    return (
+        probed.join(exact, "fp", "left")
+        .select(
+            "might_contain",
+            F.coalesce(F.col("actually_in"), F.lit(False)).alias("actually_in"),
+        )
+        .groupBy("might_contain", "actually_in")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:

@@ -691,3 +691,51 @@ def test_lsh_incremental_recall_runtime_exchange_reuse(spark, qs):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ReusedExchange") >= 2
+
+
+def test_min_cost_supplier_broadcasts_dims_and_reuses_fact_exchange(spark, qs):
+    """Q2 shape: all dims broadcast (never SMJ a dim), and AQE dedupes
+    the part-grain fact exchange that feeds both the min aggregate and
+    the join-back (the decorrelated correlated-subquery plan)."""
+    df = qs["min_cost_supplier"](spark, SF)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert has_broadcast_join(df)
+    df.collect()
+    rplan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in rplan
+
+
+def test_repetition_char_stats_bounded_shuffles_no_python(spark, qs):
+    """Long-doc-safe repetition stats: explode+aggregate shape — pure
+    JVM expressions (no Python UDF), no cartesian, and the shuffle count
+    stays at the (doc,n,gram) agg + doc-grain window + final join."""
+    from options_data_pipeline_spark.plans.explain import count_exchanges
+
+    df = qs["repetition_char_stats"](spark, SF)
+    plan = physical_plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert count_exchanges(df) <= 8
+
+
+def test_bloom_probe_is_joinless_for_the_verdict(spark, qs):
+    """The Bloom prefilter's value claim, pinned: the membership verdict
+    itself requires NO shuffle join — the 1-row filter arrives by
+    broadcast (nested-loop on one row) and the verdict is pure Column
+    arithmetic; the only equi-join in the plan is the exact-membership
+    AUDIT the query adds on top."""
+    from options_data_pipeline_spark.functions.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+    from options_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", SF)
+    d = docs.selectExpr("doc_id", "md5(text) AS fingerprint")
+    bloom = bloom_build(d.select("fingerprint"))
+    probed = bloom_might_contain(d, bloom)
+    plan = physical_plan(probed)
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row filter
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BatchEvalPython" not in plan

@@ -1291,3 +1291,76 @@ def test_manifest_compact_crash_between_stage_and_publish(spark, tmpdir, monkeyp
     assert sorted(map(tuple, sink_mod.manifest_sink_read(spark, sink).collect())) == before
     with pytest.raises(Exception, match="expired|snapshot"):
         sink_mod.manifest_sink_read(spark, sink, at_version=0).count()
+
+
+def test_streaming_sessions_watermark_finalization_and_batch_parity(spark, tmpdir):
+    """Streaming session_window (the W7 silence detector as a stateful
+    operator): a session emits ONLY once the watermark passes its close;
+    open sessions stay in state across micro-batches; finalized sessions
+    match the batch tick_sessions semantics exactly."""
+    import os
+
+    from options_data_pipeline_spark.streaming.session_stream import (
+        streaming_sessions,
+    )
+
+    base = datetime(2024, 1, 1, 9, 0)
+    src, ckpt = tmpdir + "/src", tmpdir + "/ckpt"
+    os.makedirs(src)
+    name = "sessions_wm"
+
+    def write_batch(fname, rows):
+        spark.createDataFrame(rows, TICK_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmpdir + "/" + fname)
+        # move the part file into the watched dir (file source sees new files)
+        import glob
+        import shutil as sh
+
+        part = glob.glob(tmpdir + f"/{fname}/part-*.parquet")[0]
+        sh.copy(part, src + f"/{fname}.parquet")
+
+    stream = spark.readStream.schema(TICK_SCHEMA).parquet(src)
+    out = streaming_sessions(stream, gap="10 minutes", watermark_delay="5 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        # batch 1: one burst of 3 ticks — session stays OPEN (watermark
+        # hasn't passed its close), nothing emits
+        write_batch("b1", [
+            ("A", 100.0, base, 1),
+            ("A", 101.0, base + timedelta(minutes=1), 2),
+            ("A", 102.0, base + timedelta(minutes=2), 3),
+        ])
+        q.processAllAvailable()
+        assert spark.sql(f"SELECT * FROM {name}").count() == 0
+
+        # batch 2: ticks two hours later — watermark (max ts − 5 min)
+        # sweeps past session 1's close → it finalizes; session 2 is open
+        write_batch("b2", [
+            ("A", 110.0, base + timedelta(minutes=120), 4),
+            ("A", 111.0, base + timedelta(minutes=121), 5),
+        ])
+        q.processAllAvailable()
+        got = spark.sql(f"SELECT * FROM {name}").collect()
+        assert len(got) == 1
+        s1 = got[0]
+        assert s1.symbol == "A" and s1.n_ticks == 3
+        assert s1.session_start == base
+        assert s1.session_end == base + timedelta(minutes=12)  # last tick + gap
+
+        # batch 3: far future tick closes session 2
+        write_batch("b3", [("A", 120.0, base + timedelta(minutes=300), 6)])
+        q.processAllAvailable()
+        rows = {r.session_start: r for r in spark.sql(f"SELECT * FROM {name}").collect()}
+        assert len(rows) == 2
+        s2 = rows[base + timedelta(minutes=120)]
+        assert s2.n_ticks == 2
+        assert s2.session_end == base + timedelta(minutes=131)
+    finally:
+        q.stop()

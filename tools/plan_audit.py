@@ -52,6 +52,9 @@ BNLJ_OK = {
     "rfm_segments",  # 1-row max-orderdate crossJoined onto the customer dim
     # bounded scaffold: symbols × day-window sequence
     "gap_fill",
+    # broadcast 1-ROW bloom filter crossJoined onto the probe side (the
+    # whole point: membership testing without a join)
+    "bloom_prefilter_stats",
 }
 
 
