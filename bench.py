@@ -169,6 +169,12 @@ HEADLINE = [
     "symbol_return_correlation",
     "event_rate_anomaly",
     "monthly_revenue_growth",
+    "parse_row_ids",
+    "min_cost_supplier",
+    "repetition_char_stats",
+    "bloom_prefilter_stats",
+    "zorder_span_audit",
+    "key_skew_report",
 ]
 
 

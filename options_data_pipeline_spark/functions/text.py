@@ -997,10 +997,10 @@ def repetition_char_stats(
     doc materializes its whole gram list per row in executor memory);
     this one EXPLODES to gram grain and aggregates, so memory per task is
     bounded by the Arrow batch regardless of document length, at the cost
-    of one (doc, n, gram)-grain shuffle + one doc-grain window. Pick by
-    corpus: short docs → array ops, web-scale long docs → this."""
-    from pyspark.sql import Window
-
+    of one (doc, n, gram)-grain shuffle + one doc-grain agg (the
+    top-gram pick is a partial-aggregable struct-min, NOT a window —
+    measured 2.0× at ×100). Pick by corpus: short docs → array ops,
+    web-scale long docs → this."""
     ns = sorted(set(top_ns) | {dup_n})
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), "\\s+", " ")
     base = docs.select(
@@ -1023,14 +1023,23 @@ def repetition_char_stats(
     counts = stacked.groupBy("doc_id", "n", "gram").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    w = Window.partitionBy("doc_id", "n").orderBy(F.col("cnt").desc(), F.col("gram").asc())
-    ranked = counts.withColumn("rn", F.row_number().over(w))
-    per = ranked.groupBy("doc_id", "n").agg(
-        F.max(F.when(F.col("rn") == 1, F.length("gram") * F.col("cnt"))).alias("top_chars"),
+    # top-gram pick as a PARTIAL-AGGREGABLE struct-min — min((-cnt, gram))
+    # is (max cnt, tie → lexicographically smallest gram) — instead of a
+    # row_number window: drops a whole repartition+sort stage and lets
+    # map-side combine collapse the gram grain before the shuffle
+    # (measured ×100: 129 s window → see BASELINE §9)
+    top = F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("gram").alias("g")))
+    per = counts.groupBy("doc_id", "n").agg(
+        top.alias("_top"),
         F.coalesce(
             F.sum(F.when(F.col("cnt") > 1, F.length("gram") * F.col("cnt"))),
             F.lit(0),
         ).alias("dup_chars"),
+    ).select(
+        "doc_id",
+        "n",
+        (F.length("_top.g") * -F.col("_top.nc")).alias("top_chars"),
+        "dup_chars",
     )
     agg_cols = []
     for n in top_ns:

@@ -7038,6 +7038,126 @@ def q_bloom_prefilter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder_oracle() -> str:
+    from .functions.zorder import zvalue_sql
+
+    zsql = zvalue_sql(["p16", "s16"], bits=16)
+    return f"""WITH mm AS MATERIALIZED (
+  SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+         min(l_suppkey) AS smin, max(l_suppkey) AS smax
+  FROM lineitem
+),
+scaled AS (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, pmin, pmax, smin, smax,
+         ((l_partkey - pmin) * 65535) // (pmax - pmin) AS p16,
+         ((l_suppkey - smin) * 65535) // (smax - smin) AS s16
+  FROM lineitem, mm
+),
+z AS (
+  SELECT *, {zsql} AS zval FROM scaled
+),
+b AS (
+  SELECT *, CAST(zval >> 28 AS INT) AS bucket FROM z
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+       (max(l_partkey) - min(l_partkey))::DOUBLE
+         / (any_value(pmax) - any_value(pmin))::DOUBLE AS partkey_span_frac,
+       (max(l_suppkey) - min(l_suppkey))::DOUBLE
+         / (any_value(smax) - any_value(smin))::DOUBLE AS suppkey_span_frac
+FROM b GROUP BY bucket"""
+
+
+@register("zorder_span_audit", _zorder_oracle())
+def q_zorder_span_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER BY, audited: Morton-interleave (l_partkey,
+    l_suppkey) — both min/max-scaled to 16 bits by exact integer
+    arithmetic — bucket rows by the z-value's TOP 4 BITS (= the 16
+    level-2 quadtree cells), and report each bucket's span of BOTH key
+    domains. Z-clustered buckets span ≤ 1/4 of EACH dimension (exactly,
+    by quadtree construction), which is what parquet row-group min/max
+    skipping consumes; a lexicographic sort gives 1/buckets on the
+    leading key and ~1.0 on the rest. The z-value is a pure shift/or
+    Column tree (codegen'd, no UDF) and the oracle evaluates the
+    IDENTICAL arithmetic, so the geometry is hash-verified.
+
+    Scale shape: equal-width Morton bins need NO global sort (the first
+    cut used a single-partition ntile — ×100 probe 181 s; top-bits
+    binning is pure arithmetic + one 16-group agg). The production
+    write is repartitionByRange(zval) + sortWithinPartitions — also
+    parallel; this audit measures the identical geometry."""
+    from .functions.zorder import zvalue_col
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    mm = li.agg(
+        F.min("l_partkey").alias("pmin"),
+        F.max("l_partkey").alias("pmax"),
+        F.min("l_suppkey").alias("smin"),
+        F.max("l_suppkey").alias("smax"),
+    )
+    scaled = li.crossJoin(F.broadcast(mm)).select(
+        "*",
+        F.expr("((l_partkey - pmin) * 65535) div (pmax - pmin)").alias("p16"),
+        F.expr("((l_suppkey - smin) * 65535) div (smax - smin)").alias("s16"),
+    )
+    z = scaled.withColumn("zval", zvalue_col(["p16", "s16"], bits=16))
+    b = z.withColumn("bucket", F.shiftright("zval", 28).cast("int"))
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (
+            (F.max("l_partkey") - F.min("l_partkey")).cast("double")
+            / (F.any_value("pmax") - F.any_value("pmin")).cast("double")
+        ).alias("partkey_span_frac"),
+        (
+            (F.max("l_suppkey") - F.min("l_suppkey")).cast("double")
+            / (F.any_value("smax") - F.any_value("smin")).cast("double")
+        ).alias("suppkey_span_frac"),
+    )
+
+
+@register(
+    "key_skew_report",
+    """WITH c AS (
+  SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(cnt) AS BIGINT) AS total_rows,
+       CAST(max(cnt) AS BIGINT) AS max_cnt,
+       quantile_cont(cnt, 0.99) AS p99_cnt,
+       max(cnt)::DOUBLE * count(*)::DOUBLE / sum(cnt)::DOUBLE AS skew_ratio,
+       max(cnt)::DOUBLE / sum(cnt)::DOUBLE AS top_share
+FROM c""",
+)
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew diagnostic — the measurement that decides whether a
+    key needs salting (operators/skew.py) or AQE's skew-join split will
+    cope: per-key count distribution collapsed to one row of knobs
+    (skew_ratio = hottest key vs average; top_share = hottest key's
+    fraction of ALL rows — the number that bounds a shuffle partition's
+    share at 1000 executors). Two aggregations, both map-side
+    combinable; the key-grain intermediate is the same size a join
+    shuffle would materialize anyway. skew_ratio/top_share are divisions
+    of exact integer aggregates — bit-exact; p99 is the same exact
+    interpolated percentile as value_percentiles."""
+    events = load_table(spark, "events", sf_dir)
+    c = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    return c.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("total_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.percentile("cnt", F.lit(0.99)).alias("p99_cnt"),
+        (
+            F.max("cnt").cast("double")
+            * F.count(F.lit(1)).cast("double")
+            / F.sum("cnt").cast("double")
+        ).alias("skew_ratio"),
+        (F.max("cnt").cast("double") / F.sum("cnt").cast("double")).alias(
+            "top_share"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:

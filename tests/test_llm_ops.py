@@ -277,3 +277,45 @@ def test_budget_sample_is_per_source(spark):
     out = budget_sample(spark.createDataFrame(rows), token_budget=600, score=F.col("score"))
     by_src = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
     assert by_src == {"s0": 2, "s1": 2}  # 500+500 crosses 600 at doc 2 each
+
+
+def test_zorder_clusters_both_dimensions(spark):
+    """The z-order claim, measured: bucket a 32×32 grid of (x, y) keys
+    16 ways by Morton value vs lexicographic (x, y) sort. Z-buckets must
+    span ≤ ~1/2 of EACH dimension (theory: 1/√16 = 1/4 + boundary
+    slack); the lexicographic sort's buckets span the FULL y domain.
+    Also pins bit-interleave exactness: zvalue(1,1) with 2 cols = 3."""
+    from pyspark.sql import Window
+
+    from options_data_pipeline_spark.functions.zorder import zorder_buckets, zvalue_col
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(32) for y in range(32)], "x int, y int"
+    )
+    zb = zorder_buckets(grid, ["x", "y"], n_buckets=16, bits=5)
+    spans = (
+        zb.groupBy("bucket")
+        .agg(
+            (F.max("x") - F.min("x")).alias("xs"),
+            (F.max("y") - F.min("y")).alias("ys"),
+        )
+        .collect()
+    )
+    assert all(r.xs <= 16 and r.ys <= 16 for r in spans), spans
+    lex = grid.withColumn(
+        "bucket", F.ntile(16).over(Window.orderBy("x", "y"))
+    )
+    lex_spans = (
+        lex.groupBy("bucket")
+        .agg((F.max("y") - F.min("y")).alias("ys"))
+        .collect()
+    )
+    assert all(r.ys == 31 for r in lex_spans)  # lexicographic: full y span
+
+    one = spark.range(1).select(F.lit(1).alias("a"), F.lit(1).alias("b"))
+    assert one.select(zvalue_col(["a", "b"], bits=2).alias("z")).collect()[0].z == 3
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        zvalue_col(["a", "b", "c"], bits=32)  # 96 bits > 62-bit budget

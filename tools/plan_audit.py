@@ -55,6 +55,8 @@ BNLJ_OK = {
     # broadcast 1-ROW bloom filter crossJoined onto the probe side (the
     # whole point: membership testing without a join)
     "bloom_prefilter_stats",
+    # broadcast 1-row min/max normalizer for the 16-bit key scaling
+    "zorder_span_audit",
 }
 
 
