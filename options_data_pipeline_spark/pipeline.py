@@ -114,6 +114,9 @@ def run_streaming(
     densify_max_files: int | None = 32,
     manifest_maintain_every: int | None = None,
     atr_max_files: int | None = None,
+    sessions_path: str | None = None,
+    session_gap: str = "2 hours",
+    session_watermark: str = "30 minutes",
 ):
     """The live twin: chained streaming stages (Spark disallows a stateful
     grouped-map after a streaming aggregation in one query, and the
@@ -125,6 +128,9 @@ def run_streaming(
         micro-batch boundaries (reference W4 at its native streaming
         position, gapfill_stream.py).
     Stage 2: candle stream → stateful Wilder ATR → id → idempotent sink.
+    Stage 3 (optional, ``sessions_path``): tick stream → watermarked
+        session_window silence detector → session sink (the W7
+        heartbeat as a parallel stateful branch).
 
     Returns the started queries. Restart recovery = the per-stage
     checkpointLocations (reference CheckpointManager, §2.8); every stage
@@ -216,4 +222,23 @@ def run_streaming(
         .option("checkpointLocation", checkpoint_path + "/enriched")
         .start()
     )
+
+    if sessions_path is not None:
+        # silence detector (reference ws_client.py:228-244 heartbeat) as
+        # a parallel stateful branch off the SAME tick stream: finalized
+        # gap-sessions append to their own sink — each emitted row is a
+        # "symbol went silent after N ticks" record with the lateness
+        # bound made explicit by the watermark (session_stream.py)
+        from .streaming.session_stream import streaming_sessions
+
+        queries.append(
+            streaming_sessions(
+                tick_stream, gap=session_gap, watermark_delay=session_watermark
+            )
+            .writeStream.format("parquet")
+            .option("path", sessions_path)
+            .option("checkpointLocation", checkpoint_path + "/sessions")
+            .outputMode("append")
+            .start()
+        )
     return tuple(queries)

@@ -1364,3 +1364,54 @@ def test_streaming_sessions_watermark_finalization_and_batch_parity(spark, tmpdi
         assert s2.session_end == base + timedelta(minutes=131)
     finally:
         q.stop()
+
+
+def test_run_streaming_sessions_stage(spark, tmpdir):
+    """Pipeline stage 3: run_streaming(sessions_path=...) runs the
+    silence detector as a parallel branch off the tick stream —
+    finalized gap-sessions land in their own sink while candles/ATR
+    flow unchanged."""
+    import os
+
+    from options_data_pipeline_spark.pipeline import run_streaming
+
+    base = datetime(2024, 1, 1, 9, 15)
+    src = tmpdir + "/ticks"
+    os.makedirs(src)
+    rows = [
+        ("A", 100.0, base, 1, 1),
+        ("A", 101.0, base + timedelta(minutes=2), 2, 1),
+        # 3-hour silence → session 1 (2 ticks) closes once the watermark
+        # (max ts − 1 min) passes its end (last tick + 10 min gap)
+        ("A", 105.0, base + timedelta(minutes=180), 3, 1),
+    ]
+    spark.createDataFrame(
+        rows, "symbol string, price double, ts timestamp, event_id long, user_id long"
+    ).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "symbol string, price double, ts timestamp, event_id long, user_id long"
+    ).parquet(src)
+    queries = run_streaming(
+        stream,
+        candle_path=tmpdir + "/candles",
+        sink_path=tmpdir + "/sink",
+        checkpoint_path=tmpdir + "/ckpt",
+        watermark="1 second",
+        sessions_path=tmpdir + "/sessions",
+        session_gap="10 minutes",
+        session_watermark="1 minute",
+    )
+    try:
+        for q in queries:
+            q.processAllAvailable()
+    finally:
+        for q in queries:
+            q.stop()
+    sessions = spark.read.parquet(tmpdir + "/sessions").collect()
+    assert len(sessions) == 1  # the open session must NOT be emitted
+    s = sessions[0]
+    assert s.symbol == "A" and s.n_ticks == 2
+    assert s.session_start == base
+    assert s.session_end == base + timedelta(minutes=12)
+    # the main sink still produced enriched candles
+    assert spark.read.parquet(tmpdir + "/sink").count() > 0
