@@ -56,6 +56,9 @@ SF01_SUBSET = [
     "zipf_slope",
     "lang_id",
     "embedding_drift",
+    # round 6: Bloom saturation is exactly a data-volume effect — the
+    # fill ratio (and thus every verdict) shifts with corpus size
+    "bloom_prefilter_stats",
 ]
 
 
