@@ -175,6 +175,7 @@ HEADLINE = [
     "bloom_prefilter_stats",
     "zorder_span_audit",
     "key_skew_report",
+    "quality_linear_score",
 ]
 
 

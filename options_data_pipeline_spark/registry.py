@@ -7158,6 +7158,63 @@ def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "quality_linear_score",
+    r"""WITH f AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '\S+')) AS n_tokens,
+         length(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS n_chars,
+         len(list_distinct(regexp_extract_all(lower(text), '\S+'))) AS n_distinct
+  FROM documents
+),
+z AS (
+  SELECT doc_id, n_tokens, n_chars, n_distinct,
+         (((-1.5 + 0.012 * CAST(n_tokens AS DOUBLE))
+           + -0.0015 * CAST(n_chars AS DOUBLE))
+          + 2.0 * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))) AS zv
+  FROM f
+)
+SELECT doc_id, zv AS z,
+       zv / (1.0 + abs(zv)) AS score,
+       zv / (1.0 + abs(zv)) > 0.2 AS keep
+FROM z""",
+)
+def q_quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier INFERENCE as pure Column arithmetic —
+    the fastText/logreg-style scorer every curation pipeline runs over
+    100 TB, with the model's weights broadcast as literals (a learned
+    model swaps in real weights; the execution shape is identical: one
+    narrow map, zero shuffles, whole-stage-codegen'd).
+
+    Float discipline: the usual sigmoid needs exp() — libm-dependent,
+    NOT bit-stable across engines — so the squash is the rational
+    z/(1+|z|) (same monotone S-shape, range (−1,1)): every term is a
+    single IEEE op in a FIXED parenthesized order, so Spark and DuckDB
+    produce bit-identical doubles and the hash check is exact, no
+    rounding grid needed."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = "regexp_extract_all(lower(text), '\\\\S+', 0)"
+    f = docs.select(
+        "doc_id",
+        F.expr(f"size({toks})").cast("long").alias("n_tokens"),
+        F.length(
+            F.regexp_replace(F.trim(F.lower(F.col("text"))), "\\s+", " ")
+        ).cast("long").alias("n_chars"),
+        F.expr(f"size(array_distinct({toks}))").cast("long").alias("n_distinct"),
+    )
+    zv = (
+        (
+            (F.lit(-1.5) + F.lit(0.012) * F.col("n_tokens").cast("double"))
+            + F.lit(-0.0015) * F.col("n_chars").cast("double")
+        )
+        + F.lit(2.0)
+        * (F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double"))
+    )
+    z = f.select("doc_id", zv.alias("z"))
+    score = F.col("z") / (F.lit(1.0) + F.abs(F.col("z")))
+    return z.select("doc_id", "z", score.alias("score"), (score > 0.2).alias("keep"))
+
+
 # ---------------------------------------------------------------------------
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:

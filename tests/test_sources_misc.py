@@ -484,3 +484,30 @@ def test_jpeg_roundtrip_pixels_and_variants():
     bad[sof + 1] = 0xC2
     with _pytest.raises(NotImplementedError):
         decode_jpeg_pixels(bytes(bad))
+
+
+def test_sink_schema_evolution_merge_read(spark, tmpdir):
+    """Schema evolution on the partitioned sink: a later month's append
+    carries a NEW column (the real-world 'feed added a field' case).
+    mergeSchema reads see the union schema with NULLs for pre-evolution
+    rows; plain reads of a single old partition stay narrow (no
+    accidental full-schema inference cost)."""
+    from options_data_pipeline_spark.sources.sink import write_market_data
+
+    old = spark.createDataFrame(
+        [("A", datetime(2024, 1, 15, 9, 15), 1.0)],
+        "symbol string, window_start timestamp, close double",
+    )
+    new = spark.createDataFrame(
+        [("A", datetime(2024, 2, 15, 9, 15), 2.0, 42)],
+        "symbol string, window_start timestamp, close double, oi long",
+    )
+    path = tmpdir + "/sink"
+    write_market_data(old, path)
+    write_market_data(new, path, mode="append")
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    rows = {r.symbol + str(r.month): r for r in merged.collect()}
+    assert rows["A1"].oi is None and rows["A2"].oi == 42
+    # pruned single-partition read keeps the old narrow schema
+    narrow = spark.read.parquet(path + "/year=2024/month=1")
+    assert "oi" not in narrow.columns

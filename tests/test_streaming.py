@@ -1415,3 +1415,50 @@ def test_run_streaming_sessions_stage(spark, tmpdir):
     assert s.session_end == base + timedelta(minutes=12)
     # the main sink still produced enriched candles
     assert spark.read.parquet(tmpdir + "/sink").count() > 0
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmpdir):
+    """Stream-stream event-time interval join: every tick enriched with
+    its OWN window's candle, continuously. Results must equal the batch
+    inner join; the range predicate + both watermarks are what let
+    Spark bound the join state (it rejects the plan without them)."""
+    import os
+
+    from options_data_pipeline_spark.streaming.join_stream import ticks_with_candles
+
+    base = datetime(2024, 1, 1, 9, 15)
+    tick_rows = [
+        ("A", 100.5, base + timedelta(seconds=30), 1),
+        ("A", 101.0, base + timedelta(seconds=290), 2),
+        ("A", 102.0, base + timedelta(seconds=301), 3),   # next window
+        ("B", 50.0, base + timedelta(seconds=10), 4),
+    ]
+    candle_rows = [
+        ("A", base, 100.0, 101.5, 99.5, 101.0, 2),
+        ("A", base + timedelta(seconds=300), 102.0, 102.5, 101.5, 102.0, 1),
+        ("B", base, 50.0, 50.5, 49.5, 50.0, 1),
+        ("C", base, 1.0, 1.0, 1.0, 1.0, 1),              # no ticks → no output
+    ]
+    tsrc, csrc = tmpdir + "/ticks", tmpdir + "/candles"
+    spark.createDataFrame(tick_rows, TICK_SCHEMA).write.parquet(tsrc)
+    spark.createDataFrame(candle_rows, CANDLE_SCHEMA).write.parquet(csrc)
+    ticks = spark.readStream.schema(TICK_SCHEMA).parquet(tsrc)
+    candles = spark.readStream.schema(CANDLE_SCHEMA).parquet(csrc)
+    out = ticks_with_candles(ticks, candles)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .option("checkpointLocation", tmpdir + "/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.event_id: r for r in spark.sql("SELECT * FROM ssj").collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1].w_high == 101.5 and got[1].window_start == base
+    assert got[2].window_start == base            # second 30s before boundary
+    assert got[3].window_start == base + timedelta(seconds=300)
+    assert got[4].w_close == 50.0
