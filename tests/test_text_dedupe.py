@@ -818,3 +818,38 @@ def test_bloom_filter_no_false_negatives_and_measurable_fp(spark):
     tiny = bloom_build(keys, n_words=1, k=4)
     got = bloom_might_contain(keys, tiny, n_words=1, k=4).collect()
     assert all(r.might_contain for r in got)
+
+
+def test_partitioned_bloom_matches_single_and_scales_capacity(spark):
+    """The partitioned-bloom rung: membership contract holds (all
+    members True), capacity actually scales (16 buckets hold 16× the
+    keys at the same per-row width with a far lower FP rate than one
+    saturated filter), and an empty bucket is definite absence."""
+    from options_data_pipeline_spark.functions.bloom import (
+        bloom_build,
+        bloom_build_partitioned,
+        bloom_might_contain,
+        bloom_might_contain_partitioned,
+    )
+
+    keys = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(1600)], "fingerprint string"
+    )
+    absent = spark.createDataFrame(
+        [(f"nope-{i}",) for i in range(300)], "fingerprint string"
+    )
+    part = bloom_build_partitioned(keys, n_partitions=16)
+    assert part.count() == 16
+    got = bloom_might_contain_partitioned(keys, part).collect()
+    assert all(r.might_contain for r in got)  # zero false negatives
+    fp_part = sum(
+        r.might_contain
+        for r in bloom_might_contain_partitioned(absent, part).collect()
+    )
+    # one 992-bit filter with 1600 keys is saturated (fp → ~1); the
+    # 16-bucket table keeps ~100 keys/row → fp ≈ 2%
+    single = bloom_build(keys)
+    fp_single = sum(
+        r.might_contain for r in bloom_might_contain(absent, single).collect()
+    )
+    assert fp_part <= 30 and fp_single >= 250, (fp_part, fp_single)
