@@ -176,6 +176,7 @@ HEADLINE = [
     "zorder_span_audit",
     "key_skew_report",
     "quality_linear_score",
+    "image_phash_near_dup",
 ]
 
 

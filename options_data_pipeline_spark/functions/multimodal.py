@@ -487,3 +487,168 @@ def synthesize_bmp_media(
             )
 
     return ids.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+# --- perceptual hashing: image near-dup over decoded pixels ----------------
+
+
+def ahash_bands(payload: bytes) -> tuple[int, int, int, int]:
+    """64-bit average hash (aHash) of a decodable image, returned as four
+    16-bit band integers (banding = the simhash/LSH pigeonhole move: any
+    two hashes within Hamming distance 3 share at least one identical
+    band, so candidate pairs come from band-equality joins, never an
+    all-pairs scan).
+
+    Grid luminance uses INTEGER arithmetic end-to-end (lum = r+g+b per
+    cell; bit set iff 64·cell_sum > total_sum) so the bits are exactly
+    reproducible by an oracle that knows the pixel formula — no float
+    mean to drift. Images whose dimensions are multiples of 8 use exact
+    block sums; other sizes use the same rule over floor-divided blocks."""
+    from .jpeg import decode_jpeg_pixels
+
+    if payload[:2] == b"\xff\xd8":
+        w, h, px = decode_jpeg_pixels(payload)
+    elif payload[:2] == b"BM":
+        w, h, px = _bmp_pixels(payload)
+    else:
+        raise NotImplementedError("ahash: BMP or baseline JPEG input")
+    cw, ch = max(w // 8, 1), max(h // 8, 1)
+    sums = [0] * 64
+    for cy in range(8):
+        for cx in range(8):
+            s = 0
+            for y in range(cy * ch, min((cy + 1) * ch, h)):
+                base = y * w * 3
+                for x in range(cx * cw, min((cx + 1) * cw, w)):
+                    o = base + x * 3
+                    s += px[o] + px[o + 1] + px[o + 2]
+            sums[cy * 8 + cx] = s
+    total = sum(sums)
+    bits = [1 if 64 * s > total else 0 for s in sums]
+    bands = []
+    for b in range(4):
+        v = 0
+        for i in range(16):
+            v |= bits[b * 16 + i] << i
+        bands.append(v)
+    return tuple(bands)
+
+
+def _bmp_pixels(payload: bytes) -> tuple[int, int, list[int]]:
+    """24-bit uncompressed BMP → (w, h, flat RGB, y=0 top)."""
+    width, height, _planes, bpp, compression = struct.unpack_from("<iiHHI", payload, 18)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only 24-bit uncompressed BMP supported")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    bottom_up = height > 0
+    height = abs(height)
+    row_size = (width * 3 + 3) & ~3
+    out = [0] * (width * height * 3)
+    for row in range(height):
+        y = (height - 1 - row) if bottom_up else row
+        base = offset + row * row_size
+        for x in range(width):
+            b, g, r = payload[base + 3 * x : base + 3 * x + 3]
+            o = (y * width + x) * 3
+            out[o], out[o + 1], out[o + 2] = r, g, b
+    return width, height, out
+
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """mapInPandas: payload → 4×16-bit aHash bands (media_id, b0..b3).
+    The payload dies inside the iterator; downstream joins touch only
+    the 4 small ints per image."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b0, b1, b2, b3 = ahash_bands(bytes(payload or b""))
+                rows.append(
+                    {"media_id": int(mid), "b0": b0, "b1": b1, "b2": b2, "b3": b3}
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        run, schema="media_id long, b0 int, b1 int, b2 int, b3 int"
+    )
+
+
+def phash_near_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Image near-dup pairs from banded aHashes: candidates via the
+    band-equality bucket join (pigeonhole-EXACT for max_hamming ≤ 3 with
+    4 bands — no recall loss vs brute force), verified with the exact
+    Hamming distance (bit_count of xors). Same shape as simhash_near_pairs:
+    never an all-pairs scan."""
+    if max_hamming > 3:
+        raise ValueError(
+            "4-band pigeonhole guarantees recall only for max_hamming <= 3"
+        )
+    stacked = hashes.selectExpr(
+        "media_id", "b0", "b1", "b2", "b3",
+        "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) as (band, bucket)",
+    )
+    a, b = stacked.alias("a"), stacked.alias("b")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.media_id") < F.col("b.media_id"))
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            *[F.col(f"a.b{i}").alias(f"a{i}") for i in range(4)],
+            *[F.col(f"b.b{i}").alias(f"bb{i}") for i in range(4)],
+        )
+        .distinct()
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"bb{i}"))) for i in range(4)
+    )
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def synthesize_phash_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Near-dup IMAGE corpus, deterministically: each id's 8×8 BMP shows
+    its GROUP'S md5-derived black/white pattern (group = id // 4) with
+    ONE diagonal cell inverted per group member (cell (j, j), j = id % 4)
+    — so same-group images sit at aHash Hamming distance exactly 2 and
+    cross-group pairs at ~32. The pixel formula is pure integer md5
+    arithmetic, so a SQL oracle can recompute every hash bit without any
+    codec — the encode → BMP bytes → decode → hash path is what's under
+    test."""
+    import hashlib
+
+    def bit(g: int, x: int, y: int) -> int:
+        return int(hashlib.md5(f"{g}:{x}:{y}".encode()).hexdigest()[0], 16) % 2
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf[id_col]:
+                m = int(mid)
+                g, j = m // 4, m % 4
+
+                def px(x, y, g=g, j=j):
+                    b = bit(g, x, y)
+                    if x == j and y == j:
+                        b = 1 - b
+                    v = 255 * b
+                    return (v, v, v)
+
+                payloads.append(make_bmp(8, 8, px))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "kind": "image",
+                    "payload": payloads,
+                    "meta": [
+                        {"format": "bmp", "width": 8, "height": 8, "duration_ms": 0}
+                    ]
+                    * len(payloads),
+                }
+            )
+
+    return ids.mapInPandas(run, schema=MEDIA_SCHEMA)

@@ -7215,6 +7215,59 @@ def q_quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return z.select("doc_id", "z", score.alias("score"), (score > 0.2).alias("keep"))
 
 
+@register(
+    "image_phash_near_dup",
+    """WITH ids AS (SELECT i AS media_id FROM range(32) t(i)),
+cells AS (
+  SELECT media_id, j AS cell, j % 8 AS x, j // 8 AS y
+  FROM ids, range(64) c(j)
+),
+bits AS (
+  SELECT media_id, cell,
+         CASE WHEN x = media_id % 4 AND y = media_id % 4 THEN
+           1 - (CAST(concat('0x', substr(md5(concat(media_id // 4, ':', x, ':', y)), 1, 1)) AS INT) % 2)
+         ELSE
+           CAST(concat('0x', substr(md5(concat(media_id // 4, ':', x, ':', y)), 1, 1)) AS INT) % 2
+         END AS bit
+  FROM cells
+),
+bands AS (
+  SELECT media_id,
+         CAST(sum(CASE WHEN cell // 16 = 0 THEN bit << (cell % 16) END) AS INT) AS b0,
+         CAST(sum(CASE WHEN cell // 16 = 1 THEN bit << (cell % 16) END) AS INT) AS b1,
+         CAST(sum(CASE WHEN cell // 16 = 2 THEN bit << (cell % 16) END) AS INT) AS b2,
+         CAST(sum(CASE WHEN cell // 16 = 3 THEN bit << (cell % 16) END) AS INT) AS b3
+  FROM bits GROUP BY media_id
+),
+pairs AS (
+  SELECT a.media_id AS id_a, b.media_id AS id_b,
+         CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+            + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS BIGINT) AS hamming
+  FROM bands a JOIN bands b ON a.media_id < b.media_id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""",
+)
+def q_image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-dup via perceptual hashing — the multimodal member of
+    the dedup family: synthesize 32 BMPs (8 groups × 4 members, one
+    inverted diagonal cell apart), run the REAL bytes→pixels→aHash path
+    in mapInPandas, then find near pairs with the banded bucket join
+    (pigeonhole-exact for Hamming ≤ 3, verified by bit_count(xor)).
+
+    The oracle recomputes every hash bit straight from the md5 pixel
+    formula and brute-forces all 496 pairs — a hash match therefore
+    proves (a) the BMP encode/decode round-trip, (b) the integer aHash
+    grid, (c) that banded candidate generation has 100% recall at this
+    radius (a missed band pair would drop a row). Scale shape: after
+    the mapInPandas hash, everything is 4 small ints per image —
+    band-equality shuffle, never O(n²) image comparisons."""
+    from .functions.multimodal import image_ahash, phash_near_pairs, synthesize_phash_media
+
+    ids = spark.range(32).select(F.col("id").alias("media_id"))
+    media = synthesize_phash_media(ids)
+    return phash_near_pairs(image_ahash(media), max_hamming=3)
+
+
 # ---------------------------------------------------------------------------
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:

@@ -511,3 +511,31 @@ def test_sink_schema_evolution_merge_read(spark, tmpdir):
     # pruned single-partition read keeps the old narrow schema
     narrow = spark.read.parquet(path + "/year=2024/month=1")
     assert "oi" not in narrow.columns
+
+
+def test_ahash_stable_across_codecs_and_perturbation():
+    """aHash invariants without Spark: the same picture as BMP and as
+    high-quality JPEG hashes to (near-)identical bits; inverting one
+    grid cell moves exactly one bit; different patterns are far."""
+    from options_data_pipeline_spark.functions.jpeg import make_jpeg
+    from options_data_pipeline_spark.functions.multimodal import ahash_bands, make_bmp
+
+    def px(x, y):
+        return (255, 255, 255) if (x + y) % 3 == 0 else (0, 0, 0)
+
+    bmp = ahash_bands(make_bmp(16, 16, px))
+    jpg = ahash_bands(make_jpeg(16, 16, px, quality=95))
+    ham_codec = sum(bin(a ^ b).count("1") for a, b in zip(bmp, jpg))
+    assert ham_codec <= 3  # lossy codec may wobble threshold-adjacent cells
+
+    def px_flip(x, y):
+        if (x // 2, y // 2) == (3, 3):  # invert one 2x2 grid cell
+            r = px(x, y)
+            return (255 - r[0],) * 3
+        return px(x, y)
+
+    flipped = ahash_bands(make_bmp(16, 16, px_flip))
+    assert sum(bin(a ^ b).count("1") for a, b in zip(bmp, flipped)) <= 2
+
+    other = ahash_bands(make_bmp(16, 16, lambda x, y: ((x * 37) % 256,) * 3))
+    assert sum(bin(a ^ b).count("1") for a, b in zip(bmp, other)) > 10
