@@ -177,6 +177,7 @@ HEADLINE = [
     "key_skew_report",
     "quality_linear_score",
     "image_phash_near_dup",
+    "audio_fp_near_dup",
 ]
 
 

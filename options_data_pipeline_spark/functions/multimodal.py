@@ -652,3 +652,109 @@ def synthesize_phash_media(ids: DataFrame, id_col: str = "media_id") -> DataFram
             )
 
     return ids.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+# --- audio fingerprinting: loudness-profile near-dup -----------------------
+
+
+def audio_fingerprint_bands(payload: bytes, n_slices: int = 64) -> tuple[int, int, int, int]:
+    """64-bit loudness-profile fingerprint of a PCM WAV, as four 16-bit
+    bands (same banding contract as :func:`ahash_bands`, so
+    :func:`phash_near_pairs` pairs audio too): split the mono samples
+    into 64 equal time slices; bit s = slice s is louder than the track
+    average (64·Σ|slice| > Σ|all| — integer-exact, oracle-reproducible).
+    Robust to what near-dup audio shares (the energy envelope) and
+    indifferent to what it doesn't (phase, codec dither)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("audio fingerprint: PCM WAV input only")
+    with wave.open(io.BytesIO(payload)) as w:
+        nch, sw, nf = w.getnchannels(), w.getsampwidth(), w.getnframes()
+        if sw != 2:
+            raise NotImplementedError("only 16-bit PCM WAV supported")
+        data = w.readframes(nf)
+    samples = array.array("h")
+    samples.frombytes(data)
+    mono = samples[::nch]
+    n = len(mono)
+    per = max(n // n_slices, 1)
+    sums = [0] * n_slices
+    for s in range(n_slices):
+        lo = s * per
+        hi = min((s + 1) * per, n) if s < n_slices - 1 else n
+        sums[s] = sum(abs(v) for v in mono[lo:hi])
+    total = sum(sums)
+    bits = [1 if n_slices * v > total else 0 for v in sums]
+    bands = []
+    for b in range(4):
+        v = 0
+        for i in range(16):
+            v |= bits[b * 16 + i] << i
+        bands.append(v)
+    return tuple(bands)
+
+
+def audio_fingerprints(media: DataFrame) -> DataFrame:
+    """mapInPandas: WAV payload → (media_id, b0..b3); payload dropped in
+    the iterator, downstream is 4 small ints per clip."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b0, b1, b2, b3 = audio_fingerprint_bands(bytes(payload or b""))
+                rows.append(
+                    {"media_id": int(mid), "b0": b0, "b1": b1, "b2": b2, "b3": b3}
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        run, schema="media_id long, b0 int, b1 int, b2 int, b3 int"
+    )
+
+
+def synthesize_audio_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Near-dup AUDIO corpus, deterministically: each id's clip is a
+    64-slice square wave whose per-slice loudness (loud/quiet) follows
+    its GROUP'S md5 pattern (group = id // 4) with ONE slice's level
+    inverted per member (slice = id % 4) — same-group fingerprints sit
+    at Hamming 2, cross-group ~32. Integer amplitudes only (no sin());
+    the oracle recomputes every bit from the md5 formula alone."""
+    import hashlib
+
+    def loud(g: int, s: int) -> int:
+        return int(hashlib.md5(f"a{g}:{s}".encode()).hexdigest()[0], 16) % 2
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf[id_col]:
+                m = int(mid)
+                g, j = m // 4, m % 4
+                samples = array.array("h")
+                for s in range(64):
+                    bitv = loud(g, s)
+                    if s == j:
+                        bitv = 1 - bitv
+                    amp = 20000 if bitv else 500
+                    for i in range(64):  # 64 samples/slice square wave
+                        samples.append(amp if (i // 4) % 2 == 0 else -amp)
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(samples.tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "kind": "audio",
+                    "payload": payloads,
+                    "meta": [
+                        {"format": "wav", "width": 0, "height": 0, "duration_ms": 512}
+                    ]
+                    * len(payloads),
+                }
+            )
+
+    return ids.mapInPandas(run, schema=MEDIA_SCHEMA)

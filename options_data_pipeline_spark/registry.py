@@ -7268,6 +7268,56 @@ def q_image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_near_pairs(image_ahash(media), max_hamming=3)
 
 
+@register(
+    "audio_fp_near_dup",
+    """WITH ids AS (SELECT i AS media_id FROM range(32) t(i)),
+slices AS (SELECT media_id, s FROM ids, range(64) c(s)),
+bits AS (
+  SELECT media_id, s,
+         CASE WHEN s = media_id % 4 THEN
+           1 - (CAST(concat('0x', substr(md5(concat('a', media_id // 4, ':', s)), 1, 1)) AS INT) % 2)
+         ELSE
+           CAST(concat('0x', substr(md5(concat('a', media_id // 4, ':', s)), 1, 1)) AS INT) % 2
+         END AS bit
+  FROM slices
+),
+bands AS (
+  SELECT media_id,
+         CAST(sum(CASE WHEN s // 16 = 0 THEN bit << (s % 16) END) AS INT) AS b0,
+         CAST(sum(CASE WHEN s // 16 = 1 THEN bit << (s % 16) END) AS INT) AS b1,
+         CAST(sum(CASE WHEN s // 16 = 2 THEN bit << (s % 16) END) AS INT) AS b2,
+         CAST(sum(CASE WHEN s // 16 = 3 THEN bit << (s % 16) END) AS INT) AS b3
+  FROM bits GROUP BY media_id
+),
+pairs AS (
+  SELECT a.media_id AS id_a, b.media_id AS id_b,
+         CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+            + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS BIGINT) AS hamming
+  FROM bands a JOIN bands b ON a.media_id < b.media_id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""",
+)
+def q_audio_fp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO near-dup — the third modality in the dedup family (text
+    LSH, image aHash, now loudness-profile fingerprints): synthesize 32
+    square-wave WAVs (8 groups × 4, one inverted loudness slice apart),
+    run the REAL bytes→samples→fingerprint path in mapInPandas, and
+    pair with the SAME banded bucket join the image path uses
+    (phash_near_pairs — the banding contract is modality-agnostic).
+    The oracle recomputes every bit from the md5 loudness formula and
+    brute-forces all pairs: WAV encode/decode round-trip + integer
+    slice-energy threshold + exact banded recall, all hash-verified."""
+    from .functions.multimodal import (
+        audio_fingerprints,
+        phash_near_pairs,
+        synthesize_audio_media,
+    )
+
+    ids = spark.range(32).select(F.col("id").alias("media_id"))
+    media = synthesize_audio_media(ids)
+    return phash_near_pairs(audio_fingerprints(media), max_hamming=3)
+
+
 # ---------------------------------------------------------------------------
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
