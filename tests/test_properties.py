@@ -572,3 +572,88 @@ def test_token_entropy_bounds(spark_prop, toks):
         assert r.entropy == __import__("pytest").approx(
             math.log(n_types), abs=1e-4
         )
+
+
+# --- round-6 operators ------------------------------------------------------
+
+row_id_symbols = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd"), whitelist_characters="_-"),
+    min_size=1,
+    max_size=12,
+).filter(lambda s: s.strip("_") != "" and not s.startswith("_"))
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    row_id_symbols,
+    st.datetimes(
+        min_value=datetime(1971, 1, 1), max_value=datetime(2199, 12, 31)
+    ),
+)
+def test_parse_row_id_inverts_generation_for_any_symbol(spark_prop, sym, ts):
+    """parse ∘ generate == identity at minute grain for ARBITRARY
+    symbols (including ones containing '_') and timestamps."""
+    from options_data_pipeline_spark.operators.ids import parse_row_id, with_row_id
+
+    ts = ts.replace(second=0, microsecond=0)
+    df = spark_prop.createDataFrame(
+        [(sym, ts)], "symbol string, window_start timestamp"
+    )
+    got = parse_row_id(with_row_id(df)).collect()[0]
+    assert got.parsed_symbol == sym
+    assert got.parsed_window_start == ts
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.text(min_size=1, max_size=20), min_size=1, max_size=60, unique=True)
+)
+def test_bloom_never_false_negative_for_any_keys(spark_prop, keys):
+    """Membership contract over ARBITRARY key sets (unicode included):
+    every inserted key probes True."""
+    from options_data_pipeline_spark.functions.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    df = spark_prop.createDataFrame([(k,) for k in keys], "fingerprint string")
+    bloom = bloom_build(df)
+    got = bloom_might_contain(df, bloom).collect()
+    assert all(r.might_contain for r in got)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=255),
+            st.integers(min_value=0, max_value=255),
+        ),
+        min_size=2,
+        max_size=30,
+        unique=True,
+    )
+)
+def test_zvalue_is_injective_and_locality_bounded(spark_prop, pts):
+    """Morton value properties for ANY point set in [0,256)²: distinct
+    points get distinct z-values (injective ⇒ sort is total), and two
+    points in the same 2^k-aligned cell differ in z only below bit
+    2·k·... — checked via the quadtree-prefix property: same top bits ⇔
+    same aligned cell."""
+    from options_data_pipeline_spark.functions.zorder import zvalue_col
+
+    df = spark_prop.createDataFrame(pts, "x int, y int")
+    rows = df.select("x", "y", zvalue_col(["x", "y"], bits=8).alias("z")).collect()
+    zs = {}
+    for r in rows:
+        assert r.z not in zs, "z-value collision for distinct points"
+        zs[r.z] = (r.x, r.y)
+        # quadtree prefix: top 2·j bits of z == interleave of top j bits
+        # of (x, y) — i.e. z >> (16 - 2*j) identifies the 2^(8-j)-cell
+        for j in (1, 2, 4):
+            cell_from_z = r.z >> (16 - 2 * j)
+            expect = 0
+            for i in range(j):
+                expect |= ((r.x >> (8 - j + i)) & 1) << (2 * i)
+                expect |= ((r.y >> (8 - j + i)) & 1) << (2 * i + 1)
+            assert cell_from_z == expect
