@@ -178,6 +178,7 @@ HEADLINE = [
     "quality_linear_score",
     "image_phash_near_dup",
     "audio_fp_near_dup",
+    "item_pagerank",
 ]
 
 

@@ -7318,6 +7318,98 @@ def q_audio_fp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_near_pairs(audio_fingerprints(media), max_hamming=3)
 
 
+def _pagerank_oracle(iters: int = 3) -> str:
+    head = """WITH baskets AS MATERIALIZED (
+  SELECT DISTINCT user_id, event_type AS item
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+halfpairs AS MATERIALIZED (
+  SELECT a.item AS src, b.item AS dst
+  FROM baskets a JOIN baskets b
+    ON a.user_id = b.user_id AND a.item < b.item
+  GROUP BY 1, 2
+),
+edges AS MATERIALIZED (
+  SELECT src, dst FROM halfpairs
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM halfpairs
+),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT src AS node FROM edges
+),
+nn AS MATERIALIZED (SELECT count(*) AS n_nodes FROM nodes),
+deg AS MATERIALIZED (
+  SELECT src, count(*) AS out_deg FROM edges GROUP BY 1
+),
+r0 AS MATERIALIZED (
+  SELECT node, CAST(round(1.0 / n_nodes, 12) AS DECIMAL(32,12)) AS rank
+  FROM nodes, nn
+)"""
+    body = ""
+    prev = "r0"
+    for i in range(1, iters + 1):
+        body += f""",
+c{i} AS MATERIALIZED (
+  SELECT e.dst AS node,
+         CAST(round(CAST(r.rank AS DOUBLE) / d.out_deg, 12) AS DECIMAL(32,12)) AS contrib
+  FROM edges e JOIN {prev} r ON r.node = e.src JOIN deg d ON d.src = e.src
+),
+r{i} AS MATERIALIZED (
+  SELECT n.node,
+         CAST(round((1.0 - 0.85) / nn.n_nodes
+                    + 0.85 * coalesce(CAST(s.in_sum AS DOUBLE), 0.0), 12)
+              AS DECIMAL(32,12)) AS rank
+  FROM nodes n
+  LEFT JOIN (SELECT node, sum(contrib) AS in_sum FROM c{i} GROUP BY 1) s
+    ON s.node = n.node, nn
+)"""
+        prev = f"r{i}"
+    return head + body + f"""
+SELECT node, CAST(rank AS DOUBLE) AS rank FROM {prev}"""
+
+
+@register("item_pagerank", _pagerank_oracle(3))
+def q_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the item co-occurrence graph — the OTHER classic
+    iterative-join workload next to connected components: 3 power
+    iterations, damping 0.85, on the symmetric edge list the
+    collaborative-filtering block produces. Each iteration = one
+    edge⋈rank join + one dst-grain exact-DECIMAL aggregate; the oracle
+    is the fully unrolled trajectory, hash-exact thanks to the 12-dp
+    grid recipe (single-op double division/damping, order-free decimal
+    sums — see functions/graph.py).
+
+    Scale shape: the edge table is the fact; ranks stay node-grain.
+    Here the graph is dimension-sized so everything broadcasts; at
+    web scale the same plan co-partitions edges by src and reuses that
+    partitioning every round (+ the CC round checkpointer for lineage)."""
+    from .functions.graph import pagerank
+
+    events = load_table(spark, "events", sf_dir)
+    baskets = (
+        events.filter(
+            F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+        )
+        .select("user_id", F.col("event_type").alias("item"))
+        .distinct()
+    )
+    a, b = baskets.alias("a"), baskets.alias("b")
+    half = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .select(F.col("a.item").alias("src"), F.col("b.item").alias("dst"))
+        .distinct()
+    )
+    edges = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank(edges, iters=3, damping=0.85)
+
+
 # ---------------------------------------------------------------------------
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:

@@ -319,3 +319,21 @@ def test_zorder_clusters_both_dimensions(spark):
 
     with _pytest.raises(ValueError):
         zvalue_col(["a", "b", "c"], bits=32)  # 96 bits > 62-bit budget
+
+
+def test_pagerank_invariants(spark):
+    """PageRank sanity on a known asymmetric graph: ranks sum to ~1 on a
+    strongly-connected graph, the node every other node points at ranks
+    highest, and symmetric positions tie exactly (grid determinism)."""
+    from options_data_pipeline_spark.functions.graph import pagerank
+
+    # star into 'hub': a->hub, b->hub, c->hub, hub->a,b,c (connected)
+    edges = spark.createDataFrame(
+        [("a", "hub"), ("b", "hub"), ("c", "hub"),
+         ("hub", "a"), ("hub", "b"), ("hub", "c")],
+        "src string, dst string",
+    )
+    ranks = {r.node: r.rank for r in pagerank(edges, iters=5).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    assert ranks["hub"] > ranks["a"]
+    assert ranks["a"] == ranks["b"] == ranks["c"]  # exact tie on the grid

@@ -57,6 +57,8 @@ BNLJ_OK = {
     "bloom_prefilter_stats",
     # broadcast 1-row min/max normalizer for the 16-bit key scaling
     "zorder_span_audit",
+    # broadcast 1-row node-count normalizer in the PageRank base term
+    "item_pagerank",
 }
 
 
