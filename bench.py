@@ -179,6 +179,7 @@ HEADLINE = [
     "image_phash_near_dup",
     "audio_fp_near_dup",
     "item_pagerank",
+    "video_frame_near_dup",
 ]
 
 

@@ -758,3 +758,98 @@ def synthesize_audio_media(ids: DataFrame, id_col: str = "media_id") -> DataFram
             )
 
     return ids.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+# --- video: per-frame hashing over pre-extracted frames --------------------
+
+FRAME_SCHEMA = "video_id long, frame_idx int, payload binary"
+
+
+def synthesize_video_frames(
+    ids: DataFrame, id_col: str = "video_id", n_frames: int = 6
+) -> DataFrame:
+    """Near-dup VIDEO corpus as pre-extracted frames (what a production
+    pipeline hands Spark after the ffmpeg sampling step — the decode
+    stub boundary stays honest; everything downstream of extraction is
+    real): video id's frames show its GROUP'S per-frame md5 pattern
+    (group = id // 4) except frame (id % 4), which is replaced with an
+    id-specific pattern — so same-group videos share exactly
+    n_frames − 2 aligned frames pairwise and cross-group videos share
+    none."""
+    import hashlib
+
+    def bit(tag: str, f: int, x: int, y: int) -> int:
+        return int(hashlib.md5(f"{tag}:{f}:{x}:{y}".encode()).hexdigest()[0], 16) % 2
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vids, idxs, payloads = [], [], []
+            for vid in pdf[id_col]:
+                m = int(vid)
+                g, j = m // 4, m % 4
+                for f in range(n_frames):
+                    tag = f"w{m}" if f == j else f"v{g}"
+
+                    def px(x, y, tag=tag, f=f):
+                        v = 255 * bit(tag, f, x, y)
+                        return (v, v, v)
+
+                    vids.append(m)
+                    idxs.append(f)
+                    payloads.append(make_bmp(8, 8, px))
+            yield pd.DataFrame(
+                {"video_id": pd.Series(vids, dtype="int64"),
+                 "frame_idx": pd.Series(idxs, dtype="int32"),
+                 "payload": payloads}
+            )
+
+    return ids.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def video_frame_hashes(frames: DataFrame) -> DataFrame:
+    """(video_id, frame_idx, b0..b3): the aHash of every frame — after
+    this, a video is just a tiny set of ints and all similarity work is
+    joins (the payload never leaves the iterator)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for vid, f, payload in zip(
+                pdf["video_id"], pdf["frame_idx"], pdf["payload"]
+            ):
+                b0, b1, b2, b3 = ahash_bands(bytes(payload or b""))
+                rows.append(
+                    {"video_id": int(vid), "frame_idx": int(f),
+                     "b0": b0, "b1": b1, "b2": b2, "b3": b3}
+                )
+            yield pd.DataFrame(rows)
+
+    return frames.mapInPandas(
+        run, schema="video_id long, frame_idx int, b0 int, b1 int, b2 int, b3 int"
+    )
+
+
+def video_near_dup(
+    hashes: DataFrame, n_frames: int, min_match_frac: float = 0.5
+) -> DataFrame:
+    """Video pairs sharing ≥ ``min_match_frac`` of ALIGNED identical
+    frame hashes. The join keys on (frame_idx, full hash) — candidate
+    volume is bounded by hash collisions at the same frame position,
+    never |videos|²; shared-frame counting is one aggregate on top."""
+    h = hashes.select("video_id", "frame_idx", "b0", "b1", "b2", "b3")
+    a, b = h.alias("a"), h.alias("b")
+    matched = (
+        a.join(b, ["frame_idx", "b0", "b1", "b2", "b3"])
+        .filter(F.col("a.video_id") < F.col("b.video_id"))
+        .groupBy(
+            F.col("a.video_id").alias("id_a"),
+            F.col("b.video_id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_matching_frames"))
+    )
+    frac = F.col("n_matching_frames").cast("double") / F.lit(float(n_frames))
+    return (
+        matched.withColumn("match_frac", frac)
+        .filter(F.col("match_frac") >= min_match_frac)
+        .select("id_a", "id_b", "n_matching_frames", "match_frac")
+    )

@@ -7410,6 +7410,65 @@ def q_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iters=3, damping=0.85)
 
 
+@register(
+    "video_frame_near_dup",
+    """WITH ids AS (SELECT i AS video_id FROM range(16) t(i)),
+frames AS (SELECT video_id, f FROM ids, range(6) q(f)),
+cells AS (
+  SELECT video_id, f, j AS cell, j % 8 AS x, j // 8 AS y
+  FROM frames, range(64) c(j)
+),
+bits AS (
+  SELECT video_id, f, cell,
+         CAST(concat('0x', substr(md5(concat(
+           CASE WHEN f = video_id % 4 THEN concat('w', video_id)
+                ELSE concat('v', video_id // 4) END,
+           ':', f, ':', x, ':', y)), 1, 1)) AS INT) % 2 AS bit
+  FROM cells
+),
+bands AS (
+  SELECT video_id, f AS frame_idx,
+         CAST(sum(CASE WHEN cell // 16 = 0 THEN bit << (cell % 16) END) AS INT) AS b0,
+         CAST(sum(CASE WHEN cell // 16 = 1 THEN bit << (cell % 16) END) AS INT) AS b1,
+         CAST(sum(CASE WHEN cell // 16 = 2 THEN bit << (cell % 16) END) AS INT) AS b2,
+         CAST(sum(CASE WHEN cell // 16 = 3 THEN bit << (cell % 16) END) AS INT) AS b3
+  FROM bits GROUP BY 1, 2
+),
+matched AS (
+  SELECT a.video_id AS id_a, b.video_id AS id_b,
+         CAST(count(*) AS BIGINT) AS n_matching_frames
+  FROM bands a
+  JOIN bands b ON a.frame_idx = b.frame_idx
+              AND a.b0 = b.b0 AND a.b1 = b.b1 AND a.b2 = b.b2 AND a.b3 = b.b3
+              AND a.video_id < b.video_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_matching_frames,
+       n_matching_frames::DOUBLE / 6.0 AS match_frac
+FROM matched
+WHERE n_matching_frames::DOUBLE / 6.0 >= 0.5""",
+)
+def q_video_frame_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO near-dup over PRE-EXTRACTED frames — the plumbing a real
+    pipeline runs after the (stubbed, documented) ffmpeg sampling step:
+    per-frame aHash through the real BMP decode path, then pairs by
+    counting ALIGNED identical frame hashes (join keyed on
+    (frame_idx, hash) — bounded by positional collisions, never
+    |videos|²). 16 videos, 4 groups × 4 members one replaced frame
+    apart → same-group pairs share 4/6 frames, cross-group share 0;
+    the oracle recomputes every frame hash from the md5 pixel formula
+    and replays the same join."""
+    from .functions.multimodal import (
+        synthesize_video_frames,
+        video_frame_hashes,
+        video_near_dup,
+    )
+
+    ids = spark.range(16).select(F.col("id").alias("video_id"))
+    frames = synthesize_video_frames(ids, n_frames=6)
+    return video_near_dup(video_frame_hashes(frames), n_frames=6, min_match_frac=0.5)
+
+
 # ---------------------------------------------------------------------------
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
