@@ -32,6 +32,8 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    materialize: bool = True,
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """Ranks after ``iters`` power iterations on a DIRECTED edge list
     (feed both directions for an undirected graph). Nodes = every id
@@ -40,15 +42,32 @@ def pagerank(
     this registry feeds; document if used on asymmetric ones).
 
     Output: (node, rank) with rank a 12-dp-grid double, summing to ≤ 1.
+
+    ``broadcast_ranks``: hint the node-grain side of every per-round
+    join as broadcast — right whenever nodes ≪ edges (dimension-sized
+    graphs like the item graph: localCheckpointed inputs carry no
+    stats, so Spark falls to SortMergeJoin without the hint). Leave
+    False for web-scale graphs where ranks must shuffle-join.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if materialize:
+        # the edge subtree feeds EVERY iteration's join plus nodes/deg —
+        # unrolled lazily it re-derives per consumer (measured: the
+        # 3-iteration registry query planned 105 exchanges / 9 SMJs;
+        # materialized: the edge build runs once and each round starts
+        # from a flat scan). Same eager-at-construction contract as the
+        # CC loop's round checkpointer.
+        e = e.localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    n_df = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    if materialize:
+        nodes = nodes.localCheckpoint()
+        deg = deg.localCheckpoint()
+    n_df = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
     # rank0 = round(1/N, 12): one double division + half-away round —
     # engine-identical
     ranks = nodes.crossJoin(F.broadcast(n_df)).select(
@@ -59,9 +78,14 @@ def pagerank(
         .alias("rank"),
     )
     for _ in range(iters):
+        rank_side = ranks.select(F.col("node").alias("src"), "rank")
+        deg_side = deg
+        if broadcast_ranks:
+            rank_side = F.broadcast(rank_side)
+            deg_side = F.broadcast(deg_side)
         contribs = (
-            e.join(ranks.select(F.col("node").alias("src"), "rank"), "src")
-            .join(deg, "src")
+            e.join(rank_side, "src")
+            .join(deg_side, "src")
             .select(
                 F.col("dst").alias("node"),
                 F.round(
@@ -76,7 +100,7 @@ def pagerank(
         )
         ranks = (
             ranks.select("node", "n_nodes")
-            .join(in_sums, "node", "left")
+            .join(F.broadcast(in_sums) if broadcast_ranks else in_sums, "node", "left")
             .select(
                 "node",
                 "n_nodes",

@@ -7407,7 +7407,7 @@ def q_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = half.unionByName(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    return pagerank(edges, iters=3, damping=0.85)
+    return pagerank(edges, iters=3, damping=0.85, broadcast_ranks=True)
 
 
 @register(

@@ -739,3 +739,17 @@ def test_bloom_probe_is_joinless_for_the_verdict(spark, qs):
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row filter
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_item_pagerank_materialized_and_broadcast(spark, qs):
+    """Iterative-plan hygiene, pinned: pagerank materializes the edge
+    build once (lazy unrolling planned 105 exchanges / 9 SMJs) and
+    broadcasts the node-grain sides (dimension-sized graph) — the final
+    plan is a short chain of broadcast joins, no SortMergeJoin."""
+    from options_data_pipeline_spark.plans.explain import count_exchanges
+
+    df = qs["item_pagerank"](spark, SF)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert count_exchanges(df) <= 10
