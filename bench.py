@@ -180,6 +180,7 @@ HEADLINE = [
     "audio_fp_near_dup",
     "item_pagerank",
     "video_frame_near_dup",
+    "hll_distinct_sketch",
 ]
 
 

@@ -7469,6 +7469,119 @@ def q_video_frame_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_near_dup(video_frame_hashes(frames), n_frames=6, min_match_frac=0.5)
 
 
+@register(
+    "hll_distinct_sketch",
+    """WITH e AS (
+  SELECT event_type AS symbol, user_id FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+),
+k AS (
+  SELECT DISTINCT symbol, user_id,
+         CAST(concat('0x', substr(md5(concat(symbol, '|', user_id)), 1, 15)) AS BIGINT) AS h
+  FROM e
+),
+rho AS (
+  SELECT symbol, h % 64 AS bucket,
+         CASE WHEN h // 64 = 0 THEN 55
+              ELSE 55 - length(bin(h // 64)) END AS rho
+  FROM k
+),
+regs AS (
+  SELECT symbol, bucket, max(rho) AS reg FROM rho GROUP BY 1, 2
+),
+scaffold AS (
+  SELECT s.symbol, b.b AS bucket
+  FROM (SELECT DISTINCT symbol FROM regs) s, range(64) b(b)
+),
+full_regs AS (
+  SELECT sc.symbol, sc.bucket, coalesce(r.reg, 0) AS reg
+  FROM scaffold sc LEFT JOIN regs r
+    ON r.symbol = sc.symbol AND r.bucket = sc.bucket
+),
+est AS (
+  SELECT symbol,
+         0.709 * 64.0 * 64.0 / sum(1.0 / CAST(1::BIGINT << reg AS DOUBLE)) AS hll_estimate
+  FROM full_regs GROUP BY symbol
+),
+exact AS (
+  SELECT symbol, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM e GROUP BY symbol
+)
+SELECT e.symbol, x.n_exact, e.hll_estimate,
+       e.hll_estimate / x.n_exact AS est_ratio
+FROM est e JOIN exact x ON x.symbol = e.symbol""",
+)
+def q_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch, DETERMINISTIC and ORACLE-EXACT
+    — the counterpoint to approx_sketch_stats (Spark's built-in HLL++ is
+    rows-only because its hash isn't portable): md5-derived 60-bit
+    hashes → 64 registers per symbol (bucket = low 6 bits, rho = 55 −
+    bit_length of the top 54, via the conv-to-binary-string trick — no
+    libm log2), estimate = α·m²/Σ2^(−reg) with 2^(−reg) computed as
+    1/(1<<reg) — every term an exact dyadic double, so the order-free
+    sum and the final two ops are bit-identical in DuckDB. Raw HLL (no
+    small-range correction — that needs ln(); documented) lands within
+    ~1.3× of exact at m=64 on the events cardinalities, and the
+    est_ratio column IS the audit.
+
+    Scale shape: one DISTINCT at (symbol,user) grain (same shuffle any
+    exact count pays once), then registers collapse to 64 rows/symbol —
+    the mergeable-sketch property (max per register) is what a 1000-
+    executor rollup combines, never raw ids."""
+    events = (
+        load_table(spark, "events", sf_dir)
+        .select(F.col("event_type").alias("symbol"), "user_id")
+        .filter(F.col("symbol").isNotNull() & F.col("user_id").isNotNull())
+    )
+    k = (
+        events.select("symbol", "user_id")
+        .distinct()
+        .select(
+            "symbol",
+            "user_id",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.col("symbol"), F.col("user_id"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long").alias("h"),
+        )
+    )
+    w = (F.col("h") / 64).cast("long")
+    rho = F.when(w == 0, F.lit(55)).otherwise(
+        F.lit(55) - F.length(F.conv(w.cast("string"), 10, 2))
+    )
+    regs = (
+        k.select("symbol", (F.col("h") % 64).alias("bucket"), rho.alias("rho"))
+        .groupBy("symbol", "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    scaffold = (
+        regs.select("symbol")
+        .distinct()
+        .crossJoin(spark.range(64).select(F.col("id").cast("long").alias("bucket")))
+    )
+    full_regs = scaffold.join(regs, ["symbol", "bucket"], "left").select(
+        "symbol", F.coalesce(F.col("reg"), F.lit(0)).alias("reg")
+    )
+    term = F.lit(1.0) / F.call_function(
+        "shiftleft", F.lit(1).cast("long"), F.col("reg").cast("int")
+    ).cast("double")
+    est = full_regs.groupBy("symbol").agg(
+        (F.lit(0.709) * F.lit(64.0) * F.lit(64.0) / F.sum(term)).alias("hll_estimate")
+    )
+    exact = events.groupBy("symbol").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return est.join(exact, "symbol").select(
+        "symbol",
+        "n_exact",
+        "hll_estimate",
+        (F.col("hll_estimate") / F.col("n_exact")).alias("est_ratio"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
