@@ -337,3 +337,35 @@ def test_pagerank_invariants(spark):
     assert abs(sum(ranks.values()) - 1.0) < 1e-9
     assert ranks["hub"] > ranks["a"]
     assert ranks["a"] == ranks["b"] == ranks["c"]  # exact tie on the grid
+
+
+def test_hll_registers_merge_exactly(spark):
+    """The property that makes HLL a 1000-executor sketch: registers of
+    two disjoint data slices combine by per-register MAX into exactly
+    the registers (hence exactly the estimate) of the union."""
+    from pyspark.sql import functions as F
+
+    def registers(df):
+        h = F.conv(F.substring(F.md5(F.col("k")), 1, 15), 16, 10).cast("long")
+        w = (h / 64).cast("long")
+        rho = F.when(w == 0, F.lit(55)).otherwise(
+            F.lit(55) - F.length(F.conv(w.cast("string"), 10, 2))
+        )
+        return (
+            df.select(h.alias("h"), rho.alias("rho"))
+            .select((F.col("h") % 64).alias("bucket"), "rho")
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("reg"))
+        )
+
+    a = spark.createDataFrame([(f"u{i}",) for i in range(0, 300)], "k string")
+    b = spark.createDataFrame([(f"u{i}",) for i in range(300, 700)], "k string")
+    u = a.unionByName(b)
+    merged = (
+        registers(a)
+        .unionByName(registers(b))
+        .groupBy("bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+    direct = {r.bucket: r.reg for r in registers(u).collect()}
+    assert {r.bucket: r.reg for r in merged.collect()} == direct
