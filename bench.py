@@ -181,6 +181,14 @@ HEADLINE = [
     "item_pagerank",
     "video_frame_near_dup",
     "hll_distinct_sketch",
+    # round-6 cont.: remaining TPC-H shapes + sketch/graph additions
+    "order_priority_check",
+    "shipmode_priority",
+    "important_part_value",
+    "supplier_part_variety",
+    "excess_shipper",
+    "cms_heavy_hitters",
+    "part_triangle_counts",
 ]
 
 

@@ -115,3 +115,112 @@ def pagerank(
             )
         )
     return ranks.select("node", F.col("rank").cast("double").alias("rank"))
+
+
+def triangle_counts(
+    edges: DataFrame,
+    u: str = "u",
+    v: str = "v",
+    materialize: bool = True,
+    broadcast_degrees: bool = True,
+) -> DataFrame:
+    """Exact per-node triangle counts on an UNDIRECTED edge list (one row
+    per unordered pair, any orientation; duplicates/self-loops dropped).
+
+    Spark-first node-iterator with DEGREE ORIENTATION — the standard
+    distributed-triangle trick (cf. Suri & Vassilvitskii, "Counting
+    Triangles and the Curse of the Last Reducer", WWW'11): orient every
+    edge from its lower-(degree, id) endpoint to the higher one, build
+    wedges only from each node's ORIENTED out-neighbors, and close them
+    against the oriented edge list. Out-degrees under this orientation
+    are O(sqrt(|E|))-bounded, so the wedge join is Σ outdeg² — the
+    skewed hub that would explode a naive shared-neighbor join
+    (outdeg = graph degree, wedges = deg²) instead contributes almost
+    nothing because hubs sort LAST and receive edges rather than emit
+    them. Both the wedge build (self-join on src) and the closing probe
+    (join on the (v, w) pair) are plain shuffle hash/SMJ equi-joins —
+    no windows, no driver state; per-node counts are one explode + one
+    count. 100 TB posture: 2 shuffles of the oriented edge table at
+    src grain + 1 at pair grain, all map-side combinable afterwards.
+
+    Returns (node, n_triangles) for every node of the graph, 0 included.
+    """
+    e_raw = (
+        edges.select(F.col(u).alias("a"), F.col(v).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    if materialize:
+        # the canonical edge table feeds THREE consumers (degrees + both
+        # orientation joins) and the oriented table three more — unrolled
+        # lazily each consumer re-derives the upstream build (measured on
+        # the co-purchase registry query: 69 exchanges / 9 SMJs; with the
+        # two materialization points: the build runs once and the
+        # downstream plan is flat). Same eager-at-construction contract
+        # as pagerank/the CC round checkpointer.
+        e_raw = e_raw.localCheckpoint()
+    # degree per node (undirected)
+    deg = (
+        e_raw.select(F.col("a").alias("node"))
+        .unionAll(e_raw.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # the 0-count scaffold reads the node set off the same degree agg
+    # (ReusedExchange, not a second distinct over edges)
+    nodes = deg.select("node")
+    # node-grain (≪ edges for any graph with average degree > 2);
+    # checkpointed inputs carry no stats, so Spark would fall to SMJ
+    # without the hint — same lesson as pagerank's broadcast_ranks.
+    # Disable for web-scale node sets that must shuffle-join.
+    if broadcast_degrees:
+        deg = F.broadcast(deg)
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    # orient low-(deg,id) -> high-(deg,id); node ids give the total tiebreak
+    lt = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        e_raw.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lt, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(lt, F.col("b")).otherwise(F.col("a")).alias("dst"),
+            F.when(lt, F.col("deg_a")).otherwise(F.col("deg_b")).alias("deg_src"),
+            F.when(lt, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_dst"),
+        )
+    )
+    if materialize:
+        oriented = oriented.localCheckpoint()
+    # wedge endpoints ordered by the SAME (deg, id) total order so each
+    # wedge is generated once and matches the oriented closing edge
+    w1 = oriented.select(
+        F.col("src"), F.col("dst").alias("x"), F.col("deg_dst").alias("deg_x")
+    )
+    w2 = oriented.select(
+        F.col("src"), F.col("dst").alias("y"), F.col("deg_dst").alias("deg_y")
+    )
+    wedges = w1.join(w2, "src").filter(
+        (F.col("deg_x") < F.col("deg_y"))
+        | ((F.col("deg_x") == F.col("deg_y")) & (F.col("x") < F.col("y")))
+    )
+    closed = wedges.join(
+        oriented.select(F.col("src").alias("x"), F.col("dst").alias("y")),
+        ["x", "y"],
+    )
+    per_node = (
+        closed.select(F.explode(F.array("src", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        nodes.join(per_node, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+        )
+    )

@@ -7583,6 +7583,389 @@ def q_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-6 (cont.): remaining TPC-H shapes on the reduced schema
+# (Q4/Q11/Q12/Q16/Q20), Count-Min sketch, triangle counting
+# ---------------------------------------------------------------------------
+
+@register(
+    "order_priority_check",
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority""",
+)
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking; l_returnflag='R' stands
+    in for the commit<receipt lateness the reduced schema lacks): a
+    quarter-filtered priority histogram gated by an EXISTS against the
+    fact. The EXISTS is a LEFT SEMI join on orderkey — Spark's semi join
+    stops at the first match, no distinct-ify of the fact needed; the
+    date range prunes the orders scan (row-group min/max) and the flag
+    filter cuts the lineitem read to two columns. At 100 TB this is one
+    orderkey shuffle of two pre-filtered scans, then a 5-row agg."""
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    late = (
+        load_table(spark, "lineitem", sf_dir)
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "shipmode_priority",
+    """SELECT l_linestatus AS ship_mode,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus""",
+)
+def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping mode vs order priority; l_linestatus
+    stands in for l_shipmode): year-filtered fact⋈orders join, then a
+    conditional pivot agg — the canonical CASE-WHEN-inside-SUM rollup.
+    Scale: both scans prune to the join key + one payload column each,
+    the join shuffles on orderkey (fact-fact — orders is NOT broadcast
+    at 100 TB), and the pivot agg is map-side combinable down to
+    |linestatus| rows. No Expand: conditional sums, not countDistinct."""
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_linestatus").alias("ship_mode"))
+        .agg(
+            F.sum(F.when(high, F.lit(1)).otherwise(F.lit(0))).alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(high, F.lit(0)).otherwise(F.lit(1))).alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+@register(
+    "important_part_value",
+    """WITH val AS (
+  SELECT l_partkey AS partkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS v
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_1'
+  GROUP BY l_partkey
+),
+tot AS (SELECT SUM(v) AS total, count(*) AS cnt FROM val)
+SELECT partkey, CAST(v AS DOUBLE) AS part_value
+FROM val, tot
+WHERE CAST(v AS DOUBLE) * cnt > CAST(total AS DOUBLE) * 2""",
+)
+def q_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock; lineitem value through one
+    nation's suppliers stands in for partsupp supplycost·availqty):
+    per-part value vs a global-aggregate threshold — the scalar-subquery
+    HAVING. Threshold is SCALE-FREE (v > 2× the mean part value, stated
+    as v·cnt > total·2) so the query stays non-degenerate at any SF —
+    the spec's fraction/SF knob without a per-SF literal. Value sums in
+    exact DECIMAL; the boundary compare is one double multiply per side
+    of bit-identical operands, so the hash check holds. Scale: the
+    nation-filtered supplier dim broadcasts, ONE fact shuffle at partkey
+    grain, and the 1-row total broadcasts back over the part-grain
+    aggregate (BNLJ on a 1-row side — allowlisted)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir).filter(
+        F.col("n_name") == "NATION_1"
+    )
+    supp = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey")
+    val = (
+        li.join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("v")
+        )
+    )
+    tot = val.agg(F.sum("v").alias("total"), F.count(F.lit(1)).alias("cnt"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("v").cast("double") * F.col("cnt")
+            > F.col("total").cast("double") * F.lit(2)
+        )
+        .select("partkey", F.col("v").cast("double").alias("part_value"))
+    )
+
+
+@register(
+    "supplier_part_variety",
+    """SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size""",
+)
+def q_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship; negative-balance
+    suppliers stand in for the complaint-comment NOT IN, lineitem is the
+    part↔supplier bridge the missing partsupp table provided): distinct
+    supplier variety per (brand, type, size) after excluding a
+    supplier blocklist. The NOT IN compiles to a LEFT ANTI against the
+    broadcast blocklist (no NULL hazard: s_suppkey is a key); the
+    filtered part dim broadcasts onto the fact; the countDistinct is
+    stated as distinct-at-compound-grain THEN count — map-side
+    combinable twice, no Expand doubling of fact rows (the same
+    rewrite waiting_supplier measured 39.8→31.9 s at ×100)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    bad = (
+        load_table(spark, "supplier", sf_dir)
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count(F.lit(1)).alias("supplier_cnt"))
+    )
+
+
+@register(
+    "excess_shipper",
+    """WITH pp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+sq AS (
+  SELECT l_suppkey, l_partkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+  FROM lineitem JOIN pp ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey, l_partkey
+),
+pt AS (SELECT l_partkey, SUM(qty) AS total FROM sq GROUP BY l_partkey)
+SELECT DISTINCT s_suppkey, s_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_2'
+  AND s_suppkey IN (SELECT l_suppkey FROM sq JOIN pt USING (l_partkey)
+                    WHERE sq.qty * 2 > pt.total)""",
+)
+def q_excess_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion; "shipped more than
+    half a part's year volume" stands in for the availqty>half-shipped
+    predicate partsupp provided): the nested-IN chain — name-filtered
+    parts → per-(supplier, part) year quantity → per-part total →
+    dominance filter → supplier semi-join, then the nation gate.
+    Decorrelated into two aggregates over ONE scan of the filtered
+    fact: sq at (supplier, part) grain, pt re-aggregated from sq (never
+    a second fact pass), dominance via qty·2 > total in exact DECIMAL.
+    Scale: the part prefilter broadcasts, sq is the only fact shuffle,
+    pt and the final semi-join are part/supplier-grain (tiny), and the
+    nation dim broadcasts."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    pp = (
+        load_table(spark, "part", sf_dir)
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    supplier = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir).filter(
+        F.col("n_name") == "NATION_2"
+    )
+    sq = (
+        li.join(F.broadcast(pp), li.l_partkey == pp.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+    )
+    pt = sq.groupBy("l_partkey").agg(F.sum("qty").alias("total"))
+    excess = (
+        sq.join(pt, "l_partkey")
+        .filter(F.col("qty") * F.lit(2) > F.col("total"))
+        .select("l_suppkey")
+    )
+    return (
+        supplier.join(
+            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+        )
+        .join(excess, supplier.s_suppkey == excess.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+@register(
+    "cms_heavy_hitters",
+    """WITH ev AS (
+  SELECT user_id FROM events WHERE user_id IS NOT NULL
+),
+exact AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact FROM ev GROUP BY user_id
+),
+hashed AS (
+  SELECT e.user_id, e.n_exact, d.d,
+         CAST(concat('0x', substr(md5(concat(CAST(d.d AS VARCHAR), '|', e.user_id)), 1, 15)) AS BIGINT) % 64 AS bucket
+  FROM exact e, (SELECT unnest(generate_series(0, 3)) AS d) d
+),
+counters AS (
+  SELECT d, bucket, CAST(SUM(n_exact) AS BIGINT) AS c
+  FROM hashed GROUP BY d, bucket
+),
+est AS (
+  SELECT h.user_id, MIN(c.c) AS cms_estimate
+  FROM hashed h JOIN counters c ON c.d = h.d AND c.bucket = h.bucket
+  GROUP BY h.user_id
+)
+SELECT e.user_id, e.n_exact, est.cms_estimate,
+       est.cms_estimate - e.n_exact AS overestimate
+FROM exact e JOIN est USING (user_id)""",
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan '05) over event
+    frequencies — the mergeable point-query/heavy-hitter sketch: depth
+    4 × width 64 counters, h_d(x) = md5(d|x) mod 64 (15 hex chars → 60
+    bits, bit-identical cross-engine), estimate = min over rows of the
+    hit counter — always ≥ exact, overestimate = hash-collision mass.
+    Deterministic (seedless md5 row-hashes), so the DuckDB twin
+    recomputes the sketch bit-exactly.
+
+    Scale shape: counts pre-aggregate at item grain (one shuffle ANY
+    exact count pays), then collapse into a FIXED 256-cell table —
+    constant memory regardless of input rows, and cell-wise SUM is the
+    mergeable-sketch property a 1000-executor rollup (or a streaming
+    micro-batch chain) combines without ever re-touching raw events.
+    The probe side joins items to 256 broadcast cells. The exact count
+    rides along here only to expose the error profile."""
+    events = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull()
+    )
+    exact = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    depths = spark.range(4).select(F.col("id").cast("int").alias("d"))
+    hashed = exact.crossJoin(F.broadcast(depths)).select(
+        "user_id",
+        "n_exact",
+        "d",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("d").cast("string"),
+                            F.lit("|"),
+                            F.col("user_id"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 64
+        ).alias("bucket"),
+    )
+    counters = hashed.groupBy("d", "bucket").agg(F.sum("n_exact").alias("c"))
+    est = (
+        hashed.join(F.broadcast(counters), ["d", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    return exact.join(est, "user_id").select(
+        "user_id",
+        "n_exact",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("n_exact")).alias("overestimate"),
+    )
+
+
+@register(
+    "part_triangle_counts",
+    """WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+),
+e AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+t AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+nodes AS (SELECT a AS node FROM e UNION SELECT b FROM e),
+pn AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+  FROM (SELECT unnest([x, y, z]) AS node FROM t)
+  GROUP BY node
+)
+SELECT n.node, CAST(COALESCE(pn.n_triangles, 0) AS BIGINT) AS n_triangles
+FROM nodes n LEFT JOIN pn USING (node)""",
+)
+def q_part_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts on the co-purchase graph (parts sharing
+    an order are adjacent) — the graph-density primitive behind
+    clustering coefficients and community seeds. The oracle states the
+    naive three-way edge join; the Spark side runs the DEGREE-ORIENTED
+    node-iterator (functions/graph.py::triangle_counts): edges orient
+    low→high (degree, id), wedges build only from oriented out-edges
+    (Σ outdeg², hub-proof), and close against the oriented list — same
+    exact counts, last-reducer-curse-free. Edge build is the basket
+    self-join keyed on ORDER (bounded by per-order basket size², never
+    parts²). At sf0.01: 116k edges, 414k triangles."""
+    from .functions.graph import triangle_counts
+
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .filter(F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull())
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+    return triangle_counts(edges)
+
+
+# ---------------------------------------------------------------------------
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     """Pin the session timezone to UTC before building the plan — DuckDB

@@ -369,3 +369,63 @@ def test_hll_registers_merge_exactly(spark):
     )
     direct = {r.bucket: r.reg for r in registers(u).collect()}
     assert {r.bucket: r.reg for r in merged.collect()} == direct
+
+
+def test_triangle_counts_known_graph(spark):
+    """Exact triangle counts on a hand-checkable graph: K4 plus a
+    pendant vertex — every clique node sits in C(3,2)=3 triangles, the
+    pendant in none; duplicate edges, reversed orientations and
+    self-loops must not change anything (canonicalized away)."""
+    from options_data_pipeline_spark.functions.graph import triangle_counts
+
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    edges = k4 + [("d", "e")]
+    # adversarial input: reversed duplicates + a self-loop
+    noisy = edges + [(b, a) for a, b in edges] + [("a", "a")]
+    df = spark.createDataFrame(noisy, "u string, v string")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3, "e": 0}
+
+
+def test_triangle_counts_matches_naive(spark):
+    """Degree-oriented counting equals the naive all-triples count on a
+    seeded random graph (the orientation trick must be lossless)."""
+    import itertools
+    import random
+
+    from options_data_pipeline_spark.functions.graph import triangle_counts
+
+    rng = random.Random(7)
+    nodes = list(range(24))
+    edges = [(a, b) for a, b in itertools.combinations(nodes, 2) if rng.random() < 0.3]
+    adj = {n: set() for n in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    expected = {
+        n: sum(
+            1
+            for x, y in itertools.combinations(sorted(adj[n]), 2)
+            if y in adj[x]
+        )
+        for n in nodes
+    }
+    df = spark.createDataFrame(edges, "u int, v int")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    # nodes with no edges don't appear in the output graph
+    expected = {n: c for n, c in expected.items() if adj[n]}
+    assert got == expected
+
+
+def test_cms_estimate_dominates_exact(spark):
+    """Count-Min invariant: the sketch NEVER undercounts — estimate ≥
+    exact for every item, and the reported overestimate is their
+    difference (pure collision mass)."""
+    from options_data_pipeline_spark import registry
+
+    df = registry.queries()["cms_heavy_hitters"](spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r.cms_estimate >= r.n_exact
+        assert r.overestimate == r.cms_estimate - r.n_exact

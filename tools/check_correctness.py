@@ -59,6 +59,9 @@ SF01_SUBSET = [
     # round 6: Bloom saturation is exactly a data-volume effect — the
     # fill ratio (and thus every verdict) shifts with corpus size
     "bloom_prefilter_stats",
+    # Count-Min collision mass is the same volume effect: buckets
+    # saturate as distinct items grow, shifting every estimate
+    "cms_heavy_hitters",
 ]
 
 

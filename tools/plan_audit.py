@@ -47,6 +47,7 @@ BNLJ_OK = {
     "tfidf_top_terms",
     "temperature_mixture",
     "dormant_high_balance",  # Q22 scalar avg-balance subquery
+    "important_part_value",  # Q11 1-row global-total threshold crossJoin
     "cooccurrence_pmi",  # 1-row n_uni/n_big totals + the 50-row top-k list
     "ivf_cell_balance",  # 1-row corpus-total crossJoined onto 8 cell rows
     "rfm_segments",  # 1-row max-orderdate crossJoined onto the customer dim
@@ -55,6 +56,10 @@ BNLJ_OK = {
     # broadcast 1-ROW bloom filter crossJoined onto the probe side (the
     # whole point: membership testing without a join)
     "bloom_prefilter_stats",
+    # bounded sketch scaffolds: 64-register HLL grid / 4-row CMS depth
+    # table crossJoined as broadcast (the sketch is fixed-size by design)
+    "hll_distinct_sketch",
+    "cms_heavy_hitters",
     # broadcast 1-row min/max normalizer for the 16-bit key scaling
     "zorder_span_audit",
     # broadcast 1-row node-count normalizer in the PageRank base term

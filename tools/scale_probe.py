@@ -152,11 +152,46 @@ def replicate_orders_lineitem(
     return lineitem.count() * factor
 
 
+def replicate_copurchase(
+    spark: SparkSession, src: str, out: str, factor: int
+) -> int:
+    """Catalog-growth axis for graph workloads over the order fact: ×N
+    orders AND ×N part universes (BOTH keys offset per replica). Each
+    replica's baskets co-purchase inside its own catalog slice, so
+    edges, wedges and triangles all grow ×N — how a retailer's
+    co-purchase graph actually scales (new products cluster with new
+    products). Contrast with lineitem+orders, which repeats the SAME
+    catalog: distinct edges would not grow at all there."""
+    orders = spark.read.parquet(os.path.join(src, "orders.parquet"))
+    lineitem = spark.read.parquet(os.path.join(src, "lineitem.parquet"))
+    base_o = orders.agg((F.max("o_orderkey") + 1).alias("m")).first().m
+    base_p = lineitem.agg((F.max("l_partkey") + 1).alias("m")).first().m
+    o_parts, l_parts = [], []
+    for r in range(factor):
+        o_parts.append(orders.select(
+            (F.col("o_orderkey") + F.lit(r * base_o)).alias("o_orderkey"),
+            *[c for c in orders.columns if c != "o_orderkey"],
+        ))
+        l_parts.append(lineitem.select(
+            (F.col("l_orderkey") + F.lit(r * base_o)).alias("l_orderkey"),
+            (F.col("l_partkey") + F.lit(r * base_p)).alias("l_partkey"),
+            *[c for c in lineitem.columns if c not in ("l_orderkey", "l_partkey")],
+        ))
+    functools.reduce(DataFrame.unionByName, o_parts).write.mode("overwrite").parquet(
+        os.path.join(out, "orders.parquet")
+    )
+    functools.reduce(DataFrame.unionByName, l_parts).write.mode("overwrite").parquet(
+        os.path.join(out, "lineitem.parquet")
+    )
+    return lineitem.count() * factor
+
+
 NEEDS = {
     "events": replicate_events,
     "documents": replicate_documents,
     "embeddings": replicate_embeddings,
     "lineitem+orders": replicate_orders_lineitem,
+    "copurchase": replicate_copurchase,
 }
 
 
