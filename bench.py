@@ -182,7 +182,6 @@ HEADLINE = [
     "video_frame_near_dup",
     "hll_distinct_sketch",
     # round-6 cont.: remaining TPC-H shapes + sketch/graph additions
-    "order_priority_check",
     "shipmode_priority",
     "important_part_value",
     "supplier_part_variety",

@@ -7588,41 +7588,6 @@ def q_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @register(
-    "order_priority_check",
-    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
-FROM orders
-WHERE o_orderdate >= TIMESTAMP '1996-01-01'
-  AND o_orderdate < TIMESTAMP '1996-04-01'
-  AND EXISTS (SELECT 1 FROM lineitem
-              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
-GROUP BY o_orderpriority""",
-)
-def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4 shape (order-priority checking; l_returnflag='R' stands
-    in for the commit<receipt lateness the reduced schema lacks): a
-    quarter-filtered priority histogram gated by an EXISTS against the
-    fact. The EXISTS is a LEFT SEMI join on orderkey — Spark's semi join
-    stops at the first match, no distinct-ify of the fact needed; the
-    date range prunes the orders scan (row-group min/max) and the flag
-    filter cuts the lineitem read to two columns. At 100 TB this is one
-    orderkey shuffle of two pre-filtered scans, then a 5-row agg."""
-    orders = load_table(spark, "orders", sf_dir).filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
-    )
-    late = (
-        load_table(spark, "lineitem", sf_dir)
-        .filter(F.col("l_returnflag") == "R")
-        .select("l_orderkey")
-    )
-    return (
-        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("order_count"))
-    )
-
-
-@register(
     "shipmode_priority",
     """SELECT l_linestatus AS ship_mode,
        CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
