@@ -7930,6 +7930,208 @@ def q_part_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges)
 
 
+def _kcore_oracle(k: int = 2, iters: int = 8) -> str:
+    """DuckDB twin of the k-core peel: ``iters`` UNROLLED peeling rounds
+    (MATERIALIZED per round — DuckDB re-inlines CTEs otherwise), each
+    recomputing degrees among the previous round's survivors. The Spark
+    side early-exits at the fixpoint; peeling is monotone, so once
+    converged every extra unrolled round is the identity and the two
+    agree exactly (convergence within ``iters`` is asserted by the unit
+    test at both gate SFs)."""
+    peels = []
+    for i in range(1, iters + 1):
+        prev = f"a{i - 1}"
+        peels.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT node FROM (
+    SELECT node, count(*) AS d FROM (
+      SELECT e.u AS node FROM e JOIN {prev} x ON e.u = x.node
+                               JOIN {prev} y ON e.v = y.node
+      UNION ALL
+      SELECT e.v AS node FROM e JOIN {prev} x ON e.u = x.node
+                               JOIN {prev} y ON e.v = y.node
+    ) GROUP BY node
+  ) WHERE d >= {k})"""
+        )
+    last = f"a{iters}"
+    return f"""WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+),
+e AS MATERIALIZED (
+  SELECT u, v FROM (
+    SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS w
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+  ) WHERE w >= 2
+),
+a0 AS MATERIALIZED (SELECT u AS node FROM e UNION SELECT v AS node FROM e),
+{",".join(peels)}
+SELECT node, CAST(count(*) AS BIGINT) AS core_deg FROM (
+  SELECT e.u AS node FROM e JOIN {last} x ON e.u = x.node
+                           JOIN {last} y ON e.v = y.node
+  UNION ALL
+  SELECT e.v AS node FROM e JOIN {last} x ON e.u = x.node
+                           JOIN {last} y ON e.v = y.node
+) GROUP BY node"""
+
+
+@register("part_kcore", _kcore_oracle())
+def q_part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core (k=2) of the REPEAT co-purchase graph (parts sharing ≥2
+    orders) — the density filter community detection and spam/anomaly
+    pipelines run before clustering: peel until every survivor keeps ≥k
+    strong partners. Completes the iterative-graph family (pagerank /
+    connected components / triangles / k-core) on the same edge
+    infrastructure (functions/graph.py::kcore — checkpointed peel
+    rounds, broadcast survivor sets, early-exit on the monotone
+    fixpoint). The w≥2 edge threshold is the graph-sparsification step
+    a 100 TB co-purchase graph needs anyway (raw co-occurrence is noise
+    at scale; thresholding drops 97% of edges here). Oracle: 8 unrolled
+    peels, identity after convergence (4 rounds at sf0.01, 6 at
+    sf0.1)."""
+    from .functions.graph import kcore
+
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .filter(F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull())
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    return kcore(edges, k=2, max_iters=8)
+
+
+@register(
+    "histogram_quantile_sketch",
+    """WITH ev AS (
+  SELECT event_type AS symbol, value FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL
+),
+stats AS (SELECT min(value) AS lo, max(value) AS hi FROM ev),
+binned AS (
+  SELECT symbol,
+         CAST(least(floor((value - lo) / ((hi - lo) / 128)), 127) AS BIGINT) AS bin
+  FROM ev, stats
+),
+hist AS (
+  SELECT symbol, bin, CAST(count(*) AS BIGINT) AS cnt
+  FROM binned GROUP BY symbol, bin
+),
+cum AS (
+  SELECT symbol, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY symbol ORDER BY bin) AS cum,
+         SUM(cnt) OVER (PARTITION BY symbol) AS n
+  FROM hist
+),
+est AS (
+  SELECT symbol, CAST(max(n) AS BIGINT) AS n,
+         min(CASE WHEN cum >= 0.5::DOUBLE * n AND cum - cnt < 0.5::DOUBLE * n THEN
+           lo + (bin + (0.5::DOUBLE * n - (cum - cnt)) / cnt) * ((hi - lo) / 128) END) AS p50_est,
+         min(CASE WHEN cum >= 0.95::DOUBLE * n AND cum - cnt < 0.95::DOUBLE * n THEN
+           lo + (bin + (0.95::DOUBLE * n - (cum - cnt)) / cnt) * ((hi - lo) / 128) END) AS p95_est
+  FROM cum, stats
+  GROUP BY symbol
+),
+exact AS (
+  SELECT event_type AS symbol,
+         quantile_cont(value, 0.5) AS p50_exact,
+         quantile_cont(value, 0.95) AS p95_exact
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1
+)
+SELECT e.symbol, est.n, e.p50_exact, est.p50_est, e.p95_exact, est.p95_est
+FROM exact e JOIN est USING (symbol)""",
+)
+def q_histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch — the fourth of the sketch family
+    (HLL distincts, CMS frequencies, Bloom membership, and now
+    quantiles): a 128-bucket equal-width histogram per key over a
+    globally-normalized value range, quantiles read off the cumulative
+    histogram with within-bin linear interpolation. Deterministic (no
+    seeds, no ties: bin edges are identical IEEE arithmetic in both
+    engines), so the DuckDB twin recomputes estimates bit-exactly;
+    exact quantile_cont rides along to expose the error.
+
+    Scale shape: the sketch collapses to ≤ |keys|×128 cells — per-key
+    bucket counts are plain SUMs (map-side combinable, mergeable across
+    executors/micro-batches exactly like the HLL registers), while the
+    exact path must shuffle every raw value. The global (lo, hi) is a
+    1-row broadcast normalizer (same family as zorder's min/max row) —
+    in production it comes from yesterday's bounds, not a second scan."""
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("event_type").isNotNull() & F.col("value").isNotNull())
+        .select(F.col("event_type").alias("symbol"), "value")
+    )
+    stats = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / F.lit(128)
+    binned = ev.crossJoin(F.broadcast(stats)).select(
+        "symbol",
+        "lo",
+        "hi",
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / width), F.lit(127)
+        ).alias("bin"),
+    )
+    hist = binned.groupBy("symbol", "lo", "hi", "bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_cum = Window.partitionBy("symbol").orderBy("bin")
+    w_all = Window.partitionBy("symbol")
+    cum = hist.select(
+        "symbol",
+        "lo",
+        "hi",
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+
+    def _est(q: float):
+        target = F.lit(q) * F.col("n")
+        val = F.col("lo") + (
+            F.col("bin") + (target - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+        ) * width
+        # exactly the bracket bin: cum_before < target <= cum (a later
+        # bin's fraction goes negative and would poison a bare min())
+        return F.min(
+            F.when(
+                (F.col("cum") >= target) & (F.col("cum") - F.col("cnt") < target),
+                val,
+            )
+        )
+
+    est = cum.groupBy("symbol").agg(
+        F.max("n").alias("n"),
+        _est(0.5).alias("p50_est"),
+        _est(0.95).alias("p95_est"),
+    )
+    exact = ev.groupBy("symbol").agg(
+        F.percentile("value", F.lit(0.5)).alias("p50_exact"),
+        F.percentile("value", F.lit(0.95)).alias("p95_exact"),
+    )
+    return exact.join(est, "symbol").select(
+        "symbol", "n", "p50_exact", "p50_est", "p95_exact", "p95_est"
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:

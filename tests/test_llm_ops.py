@@ -429,3 +429,54 @@ def test_cms_estimate_dominates_exact(spark):
     for r in rows:
         assert r.cms_estimate >= r.n_exact
         assert r.overestimate == r.cms_estimate - r.n_exact
+
+
+def test_kcore_known_graph(spark):
+    """k=2 core of triangle+chain: the triangle survives (each node
+    keeps 2 in-core partners), the chain peels away end-in; in-core
+    degrees are reported against the FINAL core."""
+    from options_data_pipeline_spark.functions.graph import kcore
+
+    edges = [("a", "b"), ("b", "c"), ("a", "c"),  # triangle
+             ("c", "d"), ("d", "e"), ("e", "f")]  # chain hanging off it
+    df = spark.createDataFrame(edges, "u string, v string")
+    got = {r.node: r.core_deg for r in kcore(df, k=2).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+    # k=3: the triangle alone can't sustain degree 3 → empty core
+    assert kcore(df, k=3).count() == 0
+
+
+def test_kcore_nonconvergence_raises(spark):
+    """A long chain peels one layer per round from each end; with
+    max_iters too small the loop must refuse to return a non-fixpoint."""
+    import pytest as _pytest
+
+    from options_data_pipeline_spark.functions.graph import kcore
+
+    chain = [(i, i + 1) for i in range(12)]
+    df = spark.createDataFrame(chain, "u int, v int")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        kcore(df, k=2, max_iters=2)
+    # enough rounds: chain fully dissolves to an empty 2-core
+    assert kcore(df, k=2, max_iters=12).count() == 0
+
+
+def test_histogram_sketch_error_bound(spark):
+    """The equal-width histogram quantile estimate is within TWO bin
+    widths of quantile_cont: interpolation can't leave the bracket bin
+    of rank q*n (one width), and quantile_cont's (n-1)*q rank
+    convention sits within one rank of that target, adding at most one
+    more bin in a sparse tail (the gap vanishes as n grows)."""
+    from pyspark.sql import functions as F
+
+    from options_data_pipeline_spark import registry
+    from options_data_pipeline_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    df = registry.queries()["histogram_quantile_sketch"](spark, sf)
+    ev = load_table(spark, "events", sf).filter(F.col("value").isNotNull())
+    lo, hi = ev.agg(F.min("value"), F.max("value")).first()
+    width = (hi - lo) / 128
+    for r in df.collect():
+        assert abs(r.p50_est - r.p50_exact) <= 2 * width
+        assert abs(r.p95_est - r.p95_exact) <= 2 * width

@@ -51,6 +51,7 @@ BNLJ_OK = {
     "cooccurrence_pmi",  # 1-row n_uni/n_big totals + the 50-row top-k list
     "ivf_cell_balance",  # 1-row corpus-total crossJoined onto 8 cell rows
     "rfm_segments",  # 1-row max-orderdate crossJoined onto the customer dim
+    "histogram_quantile_sketch",  # 1-row global min/max bin normalizer
     # bounded scaffold: symbols × day-window sequence
     "gap_fill",
     # broadcast 1-ROW bloom filter crossJoined onto the probe side (the
