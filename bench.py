@@ -188,6 +188,8 @@ HEADLINE = [
     "excess_shipper",
     "cms_heavy_hitters",
     "part_triangle_counts",
+    "part_kcore",
+    "histogram_quantile_sketch",
 ]
 
 

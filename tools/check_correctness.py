@@ -62,6 +62,13 @@ SF01_SUBSET = [
     # Count-Min collision mass is the same volume effect: buckets
     # saturate as distinct items grow, shifting every estimate
     "cms_heavy_hitters",
+    # HLL register saturation is the same distinct-volume effect
+    "hll_distinct_sketch",
+    # k-core peel DEPTH grows with graph density (4 rounds at sf0.01,
+    # 6 at sf0.1) — verifies the 8-round oracle unroll still brackets it
+    "part_kcore",
+    # bin width and occupancy follow the global min/max and row volume
+    "histogram_quantile_sketch",
 ]
 
 
