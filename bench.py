@@ -190,6 +190,15 @@ HEADLINE = [
     "part_triangle_counts",
     "part_kcore",
     "histogram_quantile_sketch",
+    "cdc_apply",
+    "kmv_overlap_estimate",
+    "pareto_frontier",
+    "attribution_last_touch",
+    "snapshot_diff",
+    "fk_integrity_audit",
+    "bitmap_distinct_rollup",
+    "sequence_gap_audit",
+    "watermark_lateness_audit",
 ]
 
 

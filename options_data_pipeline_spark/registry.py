@@ -8132,6 +8132,814 @@ def q_histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cdc_apply",
+    """WITH ch AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         CASE WHEN CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 10 = 0
+              THEN 'D' ELSE 'U' END AS op
+  FROM events
+  WHERE user_id IS NOT NULL AND event_id IS NOT NULL AND ts IS NOT NULL
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM ch
+),
+counts AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_changes,
+         CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
+  FROM ch GROUP BY user_id
+)
+SELECT r.user_id, r.ts AS last_ts, r.event_id AS last_event_id,
+       r.event_type AS last_event_type, r.value AS last_value,
+       c.n_changes, c.n_deletes
+FROM ranked r JOIN counts c USING (user_id)
+WHERE r.rn = 1 AND r.op <> 'D'""",
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge: collapse a change log into the live snapshot
+    (latest-wins per key, latest-delete removes the key) — the batch
+    MERGE every warehouse ingests its upstream OLTP feed with, and the
+    set-wise twin of the reference's rewrite-the-whole-tab update path.
+    The events table plays the change feed: key = user_id, sequence =
+    (ts, event_id), op derived deterministically from md5(event_id)
+    (1-in-10 deletes) so both engines recompute identical tombstones.
+
+    Spark shape: ONE aggregate — max(struct(seq…, op, payload…)) is
+    partial-aggregable (planned as a partial+final SortAggregate pair:
+    struct buffers aren't hash-map-mutable, but the sort is by GROUP
+    KEY only), so executors pre-collapse their slice before the single
+    key-grain shuffle; the oracle's row_number window — a full
+    (key, seq) sort over every raw change — is exactly what this avoids
+    at 100 TB (operators/cdc.py)."""
+    from .operators.cdc import cdc_latest_snapshot
+
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("event_id").isNotNull()
+            & F.col("ts").isNotNull()
+        )
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            "value",
+            F.when(
+                F.conv(
+                    F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % 10
+                == 0,
+                F.lit("D"),
+            )
+            .otherwise(F.lit("U"))
+            .alias("op"),
+        )
+    )
+    return cdc_latest_snapshot(
+        ev,
+        key_cols=["user_id"],
+        seq_cols=["ts", "event_id"],
+        payload_cols=["event_type", "value"],
+    )
+
+
+@register(
+    "kmv_overlap_estimate",
+    """WITH u AS (
+  SELECT DISTINCT event_type AS et, user_id FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+),
+hashes AS (
+  SELECT DISTINCT et,
+    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM u
+),
+sk AS MATERIALIZED (
+  SELECT et, h FROM (
+    SELECT et, h, row_number() OVER (PARTITION BY et ORDER BY h) AS rn
+    FROM hashes
+  ) WHERE rn <= 256
+),
+skn AS (SELECT et, CAST(count(*) AS BIGINT) AS n_sk, max(h) AS kth FROM sk GROUP BY et),
+est1 AS (
+  SELECT et, CASE WHEN n_sk < 256 THEN CAST(n_sk AS DOUBLE)
+                  ELSE 255.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE)
+             END AS est_distinct
+  FROM skn
+),
+ets AS (SELECT DISTINCT et FROM u),
+pairs AS (SELECT a.et AS et_a, b.et AS et_b FROM ets a JOIN ets b ON a.et < b.et),
+uh AS (
+  SELECT DISTINCT et_a, et_b, h FROM (
+    SELECT p.et_a, p.et_b, s.h FROM pairs p JOIN sk s ON s.et = p.et_a
+    UNION ALL
+    SELECT p.et_a, p.et_b, s.h FROM pairs p JOIN sk s ON s.et = p.et_b
+  )
+),
+utop AS MATERIALIZED (
+  SELECT et_a, et_b, h FROM (
+    SELECT et_a, et_b, h,
+           row_number() OVER (PARTITION BY et_a, et_b ORDER BY h) AS rn
+    FROM uh
+  ) WHERE rn <= 256
+),
+ustats AS (
+  SELECT et_a, et_b, CAST(count(*) AS BIGINT) AS n_u, max(h) AS kth_u
+  FROM utop GROUP BY 1, 2
+),
+m AS (
+  SELECT t.et_a, t.et_b, CAST(count(*) AS BIGINT) AS n_both
+  FROM utop t
+  JOIN sk sa ON sa.et = t.et_a AND sa.h = t.h
+  JOIN sk sb ON sb.et = t.et_b AND sb.h = t.h
+  GROUP BY 1, 2
+),
+ndist AS (SELECT et, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY et),
+exact AS (
+  SELECT a.et AS et_a, b.et AS et_b, CAST(count(*) AS BIGINT) AS n_inter_exact
+  FROM u a JOIN u b ON a.user_id = b.user_id AND a.et < b.et
+  GROUP BY 1, 2
+)
+SELECT p.et_a, p.et_b,
+       ea.est_distinct AS est_a, eb.est_distinct AS est_b,
+       CASE WHEN us.n_u < 256 THEN CAST(us.n_u AS DOUBLE)
+            ELSE 255.0 * 1152921504606846976.0 / CAST(us.kth_u AS DOUBLE)
+       END AS est_union,
+       CAST(coalesce(m.n_both, 0) AS DOUBLE) / CAST(us.n_u AS DOUBLE) AS jaccard_est,
+       x.n_inter_exact,
+       na.n + nb.n - x.n_inter_exact AS n_union_exact,
+       CAST(x.n_inter_exact AS DOUBLE)
+         / CAST(na.n + nb.n - x.n_inter_exact AS DOUBLE) AS jaccard_exact
+FROM pairs p
+JOIN est1 ea ON ea.et = p.et_a
+JOIN est1 eb ON eb.et = p.et_b
+JOIN ustats us ON us.et_a = p.et_a AND us.et_b = p.et_b
+LEFT JOIN m ON m.et_a = p.et_a AND m.et_b = p.et_b
+JOIN ndist na ON na.et = p.et_a
+JOIN ndist nb ON nb.et = p.et_b
+JOIN exact x ON x.et_a = p.et_a AND x.et_b = p.et_b""",
+)
+def q_kmv_overlap_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k / k-minimum-values) sketch over each event type's
+    user set, with pairwise SET-INTERSECTION estimates — the one
+    operation the HLL sketch can't do (HLL unions trivially but has no
+    intersection; KMV's k smallest hashes of a union are computable
+    from the two sketches alone, and the fraction of them present in
+    BOTH sketches estimates Jaccard). est_distinct = (k−1)·2⁶⁰ / kth
+    smallest 60-bit md5 hash (exact count when the set is smaller than
+    k=256); est_intersection = jaccard_est × est_union. Deterministic —
+    hashes depend on user_id ONLY (shared across sets, which is what
+    makes sketches intersectable) — so the DuckDB twin recomputes every
+    estimate bit-exactly; exact pair counts ride along as the audit.
+
+    Scale shape: the sketch build prunes per hash-shard first
+    (row_number inside (et, h%16)), so no single sort ever sees more
+    than 1/16th of a key's hashes before the ≤16k-row final top-k —
+    the distributed-top-k ladder. Everything after the sketch is
+    O(pairs × k): at 100 TB the raw user sets never meet; only 256
+    longs per set move, and sketches of yesterday union with today's
+    by re-ranking 512 values."""
+    K = 256
+    u = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("event_type").isNotNull() & F.col("user_id").isNotNull())
+        .select(F.col("event_type").alias("et"), "user_id")
+        .distinct()
+    )
+    hashes = u.select(
+        "et",
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        )
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    shard = Window.partitionBy("et", F.col("h") % 16).orderBy("h")
+    pruned = (
+        hashes.withColumn("rn1", F.row_number().over(shard))
+        .filter(F.col("rn1") <= K)
+        .drop("rn1")
+    )
+    w_et = Window.partitionBy("et").orderBy("h")
+    # the sketch table is BOUNDED (≤ |keys|×k rows) and consumed by five
+    # downstream sides — materialize it once (the shared-subtree playbook:
+    # lazy reuse re-evaluated the whole distinct+top-k ladder per consumer,
+    # 44 exchanges → 12)
+    sk = (
+        pruned.withColumn("rn", F.row_number().over(w_et))
+        .filter(F.col("rn") <= K)
+        .drop("rn")
+        .localCheckpoint()
+    )
+    two60 = float(1 << 60)
+    skn = sk.groupBy("et").agg(
+        F.count(F.lit(1)).alias("n_sk"), F.max("h").alias("kth")
+    )
+    est1 = skn.select(
+        "et",
+        F.when(F.col("n_sk") < K, F.col("n_sk").cast("double"))
+        .otherwise(F.lit(255.0) * F.lit(two60) / F.col("kth").cast("double"))
+        .alias("est_distinct"),
+    )
+    # every nonempty set has a sketch row, so the key dim derives from the
+    # materialized sketch — no extra pass over the fact
+    ets = sk.select("et").distinct()
+    pairs = (
+        ets.select(F.col("et").alias("et_a"))
+        .join(ets.select(F.col("et").alias("et_b")), F.col("et_a") < F.col("et_b"))
+        .localCheckpoint()  # |keys|² rows; reused by three sides
+    )
+    uh = (
+        pairs.join(sk.select(F.col("et").alias("et_a"), "h"), "et_a")
+        .select("et_a", "et_b", "h")
+        .unionByName(
+            pairs.join(sk.select(F.col("et").alias("et_b"), "h"), "et_b").select(
+                "et_a", "et_b", "h"
+            )
+        )
+        .distinct()
+    )
+    w_pair = Window.partitionBy("et_a", "et_b").orderBy("h")
+    utop = (
+        uh.withColumn("rn", F.row_number().over(w_pair))
+        .filter(F.col("rn") <= K)
+        .drop("rn")
+    )
+    ustats = utop.groupBy("et_a", "et_b").agg(
+        F.count(F.lit(1)).alias("n_u"), F.max("h").alias("kth_u")
+    )
+    n_both = (
+        utop.join(sk.select(F.col("et").alias("et_a"), "h"), ["et_a", "h"], "left_semi")
+        .join(sk.select(F.col("et").alias("et_b"), "h"), ["et_b", "h"], "left_semi")
+        .groupBy("et_a", "et_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ndist = u.groupBy("et").agg(F.count(F.lit(1)).alias("n"))
+    # exact pair intersections WITHOUT a fact self-join: each user's
+    # event-type set is bounded (≤ |keys|), so collect it once at user
+    # grain and explode its ordered pairs — one shuffle instead of a
+    # user-keyed SMJ whose output is Σ |sets|² rows
+    per_user = u.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("et")).alias("user_ets")
+    )
+    pair_structs = F.expr(
+        "flatten(transform(user_ets, (x, i) -> "
+        "transform(slice(user_ets, i + 2, size(user_ets)), "
+        "y -> struct(x AS et_a, y AS et_b))))"
+    )
+    exact = (
+        per_user.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.et_a").alias("et_a"), F.col("p.et_b").alias("et_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter_exact"))
+    )
+    return (
+        pairs.join(est1.select(F.col("et").alias("et_a"), F.col("est_distinct").alias("est_a")), "et_a")
+        .join(est1.select(F.col("et").alias("et_b"), F.col("est_distinct").alias("est_b")), "et_b")
+        # assembly sides are ≤ |pairs| rows but post-aggregate (stats-less
+        # → Spark defaults them to SMJ); hint the broadcast explicitly
+        .join(F.broadcast(ustats), ["et_a", "et_b"])
+        .join(F.broadcast(n_both), ["et_a", "et_b"], "left")
+        .join(ndist.select(F.col("et").alias("et_a"), F.col("n").alias("n_a")), "et_a")
+        .join(ndist.select(F.col("et").alias("et_b"), F.col("n").alias("n_b")), "et_b")
+        .join(exact, ["et_a", "et_b"])
+        .select(
+            "et_a",
+            "et_b",
+            "est_a",
+            "est_b",
+            F.when(F.col("n_u") < K, F.col("n_u").cast("double"))
+            .otherwise(F.lit(255.0) * F.lit(two60) / F.col("kth_u").cast("double"))
+            .alias("est_union"),
+            (
+                F.coalesce(F.col("n_both"), F.lit(0)).cast("double")
+                / F.col("n_u").cast("double")
+            ).alias("jaccard_est"),
+            "n_inter_exact",
+            (F.col("n_a") + F.col("n_b") - F.col("n_inter_exact")).alias(
+                "n_union_exact"
+            ),
+            (
+                F.col("n_inter_exact").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter_exact")).cast(
+                    "double"
+                )
+            ).alias("jaccard_exact"),
+        )
+    )
+
+
+@register(
+    "pareto_frontier",
+    """WITH p AS (
+  SELECT p_partkey, p_brand, p_retailprice, p_size,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+  FROM part
+  WHERE p_brand IS NOT NULL AND p_retailprice IS NOT NULL
+    AND p_size IS NOT NULL
+)
+SELECT b.p_partkey, b.p_brand, b.p_retailprice, b.p_size
+FROM p b
+WHERE NOT EXISTS (
+  SELECT 1 FROM p a
+  WHERE a.p_brand = b.p_brand
+    AND a.cents <= b.cents AND a.p_size >= b.p_size
+    AND (a.cents < b.cents OR a.p_size > b.p_size)
+)""",
+)
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Pareto frontier (2-D skyline): the parts not strictly
+    dominated on (price low, size high) — the multi-objective shortlist
+    query behind "cheapest part at every capability level" (and, in a
+    curation pipeline, "best quality at every length budget"). The
+    oracle states the definition as a quadratic NOT EXISTS; the Spark
+    side exploits the 2-D structure instead: sort each brand by price
+    and a row is dominated iff a strictly-cheaper row reached its size
+    (running max over the strict-past RANGE frame) or an equal-or-
+    cheaper row exceeds it (same frame closed at current). Two frames,
+    one partition+order → ONE window sort, linear per brand —
+    the skyline drops from O(n²) verification to a single
+    shuffle+sort at 100 TB. Prices compare on an exact cents grid
+    (half-away round in both engines) so RANGE offsets are integral."""
+    p = (
+        load_table(spark, "part", sf_dir)
+        .filter(
+            F.col("p_brand").isNotNull()
+            & F.col("p_retailprice").isNotNull()
+            & F.col("p_size").isNotNull()
+        )
+        .select(
+            "p_partkey",
+            "p_brand",
+            "p_retailprice",
+            "p_size",
+            F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    w_lt = (
+        Window.partitionBy("p_brand")
+        .orderBy("cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_le = (
+        Window.partitionBy("p_brand")
+        .orderBy("cents")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = p.select(
+        "p_partkey",
+        "p_brand",
+        "p_retailprice",
+        "p_size",
+        F.max("p_size").over(w_lt).alias("m_lt"),
+        F.max("p_size").over(w_le).alias("m_le"),
+    )
+    keep = (F.col("m_lt").isNull() | (F.col("m_lt") < F.col("p_size"))) & (
+        F.col("m_le") <= F.col("p_size")
+    )
+    return scored.filter(keep).select(
+        "p_partkey", "p_brand", "p_retailprice", "p_size"
+    )
+
+
+@register(
+    "attribution_last_touch",
+    """WITH ev AS (
+  SELECT user_id, ts, event_id, event_type, value FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
+),
+t AS (
+  SELECT *,
+    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_et,
+    last_value(CASE WHEN event_type <> 'purchase' THEN ts END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_ts
+  FROM ev
+)
+SELECT CASE WHEN touch_ts IS NOT NULL
+             AND epoch_us(ts) - epoch_us(touch_ts) <= 3600000000
+            THEN touch_et ELSE 'direct' END AS channel,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(CAST(round(value, 6) AS DECIMAL(20,6))) AS DOUBLE)
+         AS attributed_revenue
+FROM t WHERE event_type = 'purchase'
+GROUP BY 1""",
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to
+    the user's most recent NON-purchase touch within a 1-hour lookback
+    (no touch in window → 'direct'), and revenue rolls up per channel —
+    the funnel-analytics staple between event_funnel (did they convert)
+    and user_path_transitions (how they move). One window per user
+    stream carries the last touch forward (two last-ignorenulls
+    expressions share a single frame → ONE window sort at user grain),
+    then a channel-grain aggregate; no self-join of purchases against
+    touches, which is the quadratic formulation this avoids at 100 TB.
+    Revenue sums on the 6-dp DECIMAL grid (order-free), the hour test
+    compares exact epoch microseconds in both engines."""
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    non_purchase = F.col("event_type") != "purchase"
+    touched = ev.select(
+        "ts",
+        "event_type",
+        "value",
+        F.last(F.when(non_purchase, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_et"),
+        F.last(F.when(non_purchase, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+    )
+    channel = F.when(
+        F.col("touch_ts").isNotNull()
+        & (
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.col("touch_ts"))
+            <= 3_600_000_000
+        ),
+        F.col("touch_et"),
+    ).otherwise(F.lit("direct"))
+    return (
+        touched.filter(F.col("event_type") == "purchase")
+        .groupBy(channel.alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.round(F.col("value"), 6).cast("decimal(20,6)"))
+            .cast("double")
+            .alias("attributed_revenue"),
+        )
+    )
+
+
+@register(
+    "snapshot_diff",
+    """WITH old AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+  WHERE o_orderkey IS NOT NULL
+),
+h AS (
+  SELECT *, CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 20 AS hh
+  FROM old
+),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN hh IN (1, 2) THEN o_totalprice + 1.5 ELSE o_totalprice END
+           AS o_totalprice,
+         o_orderstatus
+  FROM h WHERE hh <> 0
+  UNION ALL
+  SELECT o_orderkey + 1000000000, o_totalprice * 0.5, o_orderstatus
+  FROM h WHERE hh = 3
+),
+j AS (
+  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         CASE WHEN o.o_orderkey IS NULL THEN 'added'
+              WHEN n.o_orderkey IS NULL THEN 'removed'
+              WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+              THEN 'changed' END AS status,
+         o.o_totalprice AS old_o_totalprice,
+         o.o_orderstatus AS old_o_orderstatus,
+         n.o_totalprice AS new_o_totalprice,
+         n.o_orderstatus AS new_o_orderstatus
+  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+)
+SELECT * FROM j WHERE status IS NOT NULL""",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (anti-entropy audit): row-level added / removed /
+    changed between two versions of a table — the check a pipeline runs
+    after a backfill, migration, or replica sync to prove two copies
+    agree, and the inverse of cdc_apply (diff recovers the change set a
+    merge applied). The "new" snapshot is a deterministic md5-keyed
+    mutation of orders (1/20 removed, 2/20 price-bumped, 1/20 re-keyed
+    as inserts) so both engines derive identical versions. ONE
+    key-partitioned full-outer join (the reconciliation family);
+    unchanged rows — the 100 TB bulk — are dropped so the output is the
+    change set, never the inputs (operators/cdc.py::snapshot_diff)."""
+    from .operators.cdc import snapshot_diff
+
+    old = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderkey").isNotNull())
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    )
+    hh = (
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 20
+    )
+    h = old.select("*", hh.alias("hh"))
+    new = (
+        h.filter(F.col("hh") != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("hh").isin(1, 2), F.col("o_totalprice") + 1.5
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            "o_orderstatus",
+        )
+        .unionByName(
+            h.filter(F.col("hh") == 3).select(
+                (F.col("o_orderkey") + F.lit(1_000_000_000)).alias("o_orderkey"),
+                (F.col("o_totalprice") * 0.5).alias("o_totalprice"),
+                "o_orderstatus",
+            )
+        )
+    )
+    return snapshot_diff(
+        old, new, key_cols=["o_orderkey"],
+        compare_cols=["o_totalprice", "o_orderstatus"],
+    )
+
+
+def _fk_audit_oracle() -> str:
+    rels = [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    parts = [
+        f"""SELECT '{name}' AS fk, CAST(count(*) AS BIGINT) AS n_child,
+       CAST(sum(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+FROM {child} c LEFT JOIN {parent} p ON c.{fk} = p.{pk}
+WHERE c.{fk} IS NOT NULL"""
+        for name, child, fk, parent, pk in rels
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("fk_integrity_audit", _fk_audit_oracle())
+def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across every FK edge of the star
+    schema in one result: child row count and orphan count (FK value
+    with no parent) per relationship — the data-quality gate a
+    warehouse runs after each load, complementing data_expectations'
+    single-table checks with the cross-table ones. Each edge is one
+    LEFT JOIN + aggregate; dimension parents broadcast, the one
+    fact-fact edge (lineitem→orders) shuffles on its join key only.
+    All seven 1-row results union into a single report frame."""
+    rels = [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    out = None
+    for name, child, fk, parent, pk in rels:
+        c = (
+            load_table(spark, child, sf_dir)
+            .filter(F.col(fk).isNotNull())
+            .select(F.col(fk).alias("k"))
+        )
+        p = load_table(spark, parent, sf_dir).select(
+            F.col(pk).alias("k"), F.lit(1).alias("hit")
+        )
+        row = c.join(p, "k", "left").agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0)).alias(
+                "n_orphans"
+            ),
+        ).select(F.lit(name).alias("fk"), "n_child", "n_orphans")
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+@register(
+    "bitmap_distinct_rollup",
+    """WITH base AS (
+  SELECT event_type AS et, CAST(ts AS DATE) AS day, user_id FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+),
+daily AS (
+  SELECT et, day, CAST(count(DISTINCT user_id) AS BIGINT) AS users_day
+  FROM base GROUP BY 1, 2
+),
+agg AS (
+  SELECT et, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(users_day) AS BIGINT) AS sum_daily_users
+  FROM daily GROUP BY 1
+),
+tot AS (
+  SELECT et, CAST(count(DISTINCT user_id) AS BIGINT) AS total_users
+  FROM base GROUP BY 1
+)
+SELECT a.et, a.n_days, a.sum_daily_users, t.total_users,
+       CAST(a.sum_daily_users AS DOUBLE) / CAST(t.total_users AS DOUBLE)
+         AS revisit_factor
+FROM agg a JOIN tot t ON t.et = a.et""",
+)
+def q_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counts via Spark 4 bitmap aggregates —
+    the deterministic counterpart to the HLL/KMV sketches when exactness
+    is required: daily per-key user bitmaps (bitmap_construct_agg over
+    4096-bit buckets) roll up to the period total with bitmap_or_agg
+    WITHOUT rescanning raw rows — the segment→rollup pattern a 100 TB
+    daily pipeline stores its per-day bitmaps for (a re-count from raw
+    would re-shuffle every event; OR-ing yesterday's bitmaps is
+    O(segments)). total_users comes ONLY from the bitmap rollup on the
+    Spark side while the oracle recomputes it as a plain
+    count(DISTINCT) — the hash match IS the exactness proof.
+    revisit_factor = Σdaily/total exposes the dedup the rollup did."""
+    base = (
+        load_table(spark, "events", sf_dir)
+        .filter(
+            F.col("event_type").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        .select(
+            F.col("event_type").alias("et"),
+            F.to_date("ts").alias("day"),
+            "user_id",
+        )
+    )
+    daily_bm = base.groupBy(
+        "et", "day", F.expr("bitmap_bucket_number(user_id)").alias("bucket")
+    ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm"))
+    daily = daily_bm.groupBy("et", "day").agg(
+        F.expr("sum(bitmap_count(bm))").alias("users_day")
+    )
+    agg = daily.groupBy("et").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("users_day").alias("sum_daily_users"),
+    )
+    # the rollup: OR the stored daily bitmaps — never touches `base` again
+    tot = (
+        daily_bm.groupBy("et", "bucket")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .groupBy("et")
+        .agg(F.expr("sum(bitmap_count(bm))").alias("total_users"))
+    )
+    return agg.join(tot, "et").select(
+        "et",
+        "n_days",
+        "sum_daily_users",
+        "total_users",
+        (
+            F.col("sum_daily_users").cast("double")
+            / F.col("total_users").cast("double")
+        ).alias("revisit_factor"),
+    )
+
+
+@register(
+    "sequence_gap_audit",
+    """WITH present AS (
+  SELECT event_id AS id FROM events
+  WHERE event_id IS NOT NULL
+    AND CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+             AS BIGINT) % 13 <> 0
+),
+d AS (
+  SELECT id, id // 1000 AS bucket,
+         id - lag(id) OVER (PARTITION BY id // 1000 ORDER BY id) AS step
+  FROM present
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_present,
+       CAST(max(id) - min(id) + 1 - count(*) AS BIGINT) AS span_missing,
+       CAST(coalesce(max(step) - 1, 0) AS BIGINT) AS max_gap_run
+FROM d GROUP BY bucket""",
+)
+def q_sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap audit: find dropped ids in a monotonically-assigned
+    stream (dropped ticks, lost offsets, missing files) — per fixed-width
+    id block: how many survive, how many are missing inside the
+    observed span, and the longest contiguous missing run (the
+    lag-diff islands technique). A deterministic md5 filter drops ~1/13
+    of events so both engines audit the identical damaged stream.
+    Everything is block-local: the window partitions by the id block
+    (never a single global sort), so at 100 TB each block audits in
+    parallel and the report is one row per block — block-boundary gaps
+    surface in the span of the NEXT block's min (documented grain)."""
+    present = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("event_id").isNotNull())
+        .select(F.col("event_id").alias("id"))
+        .filter(
+            F.conv(
+                F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10
+            ).cast("long")
+            % 13
+            != 0
+        )
+    )
+    w = Window.partitionBy((F.col("id") / 1000).cast("long")).orderBy("id")
+    d = present.select(
+        "id",
+        (F.col("id") / 1000).cast("long").alias("bucket"),
+        (F.col("id") - F.lag("id").over(w)).alias("step"),
+    )
+    return d.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        (F.max("id") - F.min("id") + 1 - F.count(F.lit(1))).alias("span_missing"),
+        F.coalesce(F.max("step") - 1, F.lit(0)).alias("max_gap_run"),
+    )
+
+
+@register(
+    "watermark_lateness_audit",
+    """WITH ev AS (
+  SELECT event_type AS et, event_id,
+         epoch_us(ts) - (CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                              AS BIGINT) % 600) * 1000000 AS ets_us
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
+),
+w AS (
+  SELECT et, ets_us,
+         max(ets_us) OVER (PARTITION BY et ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS hw_us
+  FROM ev
+),
+late AS (
+  SELECT et, greatest(0, coalesce(hw_us - ets_us, 0)) AS late_us FROM w
+)
+SELECT et, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(max(late_us) AS DOUBLE) / 1000000.0 AS max_late_s,
+       quantile_cont(late_us, 0.95) / 1000000.0 AS p95_late_s
+FROM late GROUP BY et""",
+)
+def q_watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time lateness audit — the measurement that SIZES a
+    streaming watermark: replay the stream in arrival order (event_id),
+    track the running event-time high-mark per source partition, and
+    report how far behind it late events arrive (count, max, p95).
+    The horizon choice for every withWatermark in streaming/ comes from
+    exactly this distribution; the gate data arrives perfectly ordered,
+    so a deterministic md5 jitter (0–600 s per event) recreates the
+    out-of-orderness both engines then measure identically. All
+    arithmetic in exact epoch microseconds; the only doubles are the
+    final /1e6 displays and the interpolated p95 (the same percentile
+    formula both engines already hash-match in value_percentiles)."""
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 600
+    )
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .filter(
+            F.col("event_type").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_id").isNotNull()
+        )
+        .select(
+            F.col("event_type").alias("et"),
+            "event_id",
+            (F.unix_micros(F.col("ts")) - h * 1_000_000).alias("ets_us"),
+        )
+    )
+    w = (
+        Window.partitionBy("et")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late = ev.select(
+        "et",
+        F.greatest(
+            F.lit(0), F.coalesce(F.max("ets_us").over(w) - F.col("ets_us"), F.lit(0))
+        ).alias("late_us"),
+    )
+    return late.groupBy("et").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("late_us") > 0, 1).otherwise(0)).alias("n_late"),
+        (F.max("late_us").cast("double") / 1_000_000.0).alias("max_late_s"),
+        (F.percentile("late_us", F.lit(0.95)) / 1_000_000.0).alias("p95_late_s"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:

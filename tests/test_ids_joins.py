@@ -187,3 +187,68 @@ def test_parse_row_id_inverts_generation(spark):
     for r in out:
         assert r.parsed_symbol == r.symbol
         assert r.parsed_window_start == r.window_start
+
+
+def test_cdc_latest_snapshot_semantics(spark):
+    """Latest-wins with tombstones, on a deliberately shuffled log:
+    out-of-order arrival must not matter (the pick keys on sequence,
+    not input order), a delete followed by a later update RESURRECTS
+    the key, a latest delete removes it, and equal timestamps break
+    ties on the change id."""
+    from datetime import datetime
+
+    from options_data_pipeline_spark.operators.cdc import cdc_latest_snapshot
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    log = [
+        # key 1: U(v=1) .. D .. U(v=3)  → alive at v=3 (resurrected)
+        (1, t(3), 103, "U", 3.0),
+        (1, t(1), 101, "U", 1.0),
+        (1, t(2), 102, "D", 0.0),
+        # key 2: U .. U .. D           → latest is a delete: absent
+        (2, t(1), 201, "U", 1.0),
+        (2, t(3), 203, "D", 0.0),
+        (2, t(2), 202, "U", 2.0),
+        # key 3: same ts, higher id wins
+        (3, t(1), 301, "U", 1.0),
+        (3, t(1), 302, "U", 2.0),
+    ]
+    df = spark.createDataFrame(
+        log, "k bigint, ts timestamp, cid bigint, op string, v double"
+    )
+    snap = {
+        r.k: r
+        for r in cdc_latest_snapshot(
+            df, key_cols=["k"], seq_cols=["ts", "cid"]
+        ).collect()
+    }
+    assert set(snap) == {1, 3}
+    assert snap[1].last_v == 3.0 and snap[1].last_cid == 103
+    assert snap[1].n_changes == 3 and snap[1].n_deletes == 1
+    assert snap[3].last_cid == 302 and snap[3].last_v == 2.0
+
+
+def test_snapshot_diff_semantics(spark):
+    """Generic diff: added / removed / changed (including NULL→value
+    and value→NULL transitions, which a bare != would miss) and
+    unchanged rows dropped."""
+    from options_data_pipeline_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, "B"), (3, None, "C"), (4, 40.0, "D")],
+        "k bigint, v double, s string",
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0, "A"),      # unchanged → absent from the diff
+         (2, 21.0, "B"),      # changed value
+         (3, 30.0, "C"),      # NULL → value: changed
+         (5, 50.0, "E")],     # added; 4 removed
+        "k bigint, v double, s string",
+    )
+    got = {r.k: r for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert {k: r.status for k, r in got.items()} == {
+        2: "changed", 3: "changed", 4: "removed", 5: "added"
+    }
+    assert got[2].old_v == 20.0 and got[2].new_v == 21.0
+    assert got[3].old_v is None and got[3].new_v == 30.0
+    assert got[4].new_v is None and got[5].old_v is None

@@ -480,3 +480,70 @@ def test_histogram_sketch_error_bound(spark):
     for r in df.collect():
         assert abs(r.p50_est - r.p50_exact) <= 2 * width
         assert abs(r.p95_est - r.p95_exact) <= 2 * width
+
+
+def test_kmv_overlap_internal_consistency(spark):
+    """KMV sketch invariants at sf0.001 (sets smaller than k=256, so
+    every estimate collapses to the EXACT value — the small-set branch
+    of the estimator): est_a/est_b equal the true distinct counts,
+    est_union equals the true union, and jaccard_est equals exact."""
+    from options_data_pipeline_spark import registry
+
+    df = registry.queries()["kmv_overlap_estimate"](
+        spark, "/root/testdata/sf0.001"
+    )
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r.n_union_exact >= r.n_inter_exact
+        if r.n_union_exact < 256:  # sketch IS the set: exact branch
+            assert r.est_union == float(r.n_union_exact)
+            assert abs(r.jaccard_est - r.jaccard_exact) < 1e-12
+
+
+def test_kmv_estimates_track_exact_at_sf001(spark):
+    """Even in estimation mode the KMV numbers must stay in a sane band
+    (k=256 → relative error ~1/sqrt(k) ≈ 6%; allow 4σ)."""
+    from options_data_pipeline_spark import registry
+
+    df = registry.queries()["kmv_overlap_estimate"](
+        spark, "/root/testdata/sf0.01"
+    )
+    for r in df.collect():
+        assert 0.0 <= r.jaccard_est <= 1.0
+        assert r.est_union == float(r.n_union_exact) or (
+            abs(r.est_union - r.n_union_exact) / r.n_union_exact < 0.25
+        )
+
+
+def test_pareto_frontier_matches_bruteforce(spark):
+    """The windowed skyline must equal the O(n²) dominance definition,
+    checked exhaustively per brand at sf0.001."""
+    from collections import defaultdict
+
+    from options_data_pipeline_spark import registry
+    from options_data_pipeline_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.p_partkey)
+        for r in registry.queries()["pareto_frontier"](spark, sf).collect()
+    }
+    parts = load_table(spark, "part", sf).select(
+        "p_partkey", "p_brand", "p_retailprice", "p_size"
+    ).collect()
+    by_brand = defaultdict(list)
+    for r in parts:
+        by_brand[r.p_brand].append(
+            (round(r.p_retailprice * 100), r.p_size, r.p_partkey)
+        )
+    want = set()
+    for rows in by_brand.values():
+        for c, s, k in rows:
+            dominated = any(
+                ca <= c and sa >= s and (ca < c or sa > s)
+                for ca, sa, _ in rows
+            )
+            if not dominated:
+                want.add(k)
+    assert got == want

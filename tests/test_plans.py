@@ -790,3 +790,117 @@ def test_histogram_sketch_single_fact_pass_per_side(spark, qs):
     import re
 
     assert len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M)) == 1
+
+
+def test_cdc_apply_single_shuffle_no_window(spark, qs):
+    """CDC apply must stay ONE key-grain aggregate: no window (the
+    oracle's row_number formulation would sort every raw change by
+    (key, seq)), no join, a single exchange. The struct-max plans as a
+    partial+final SortAggregate pair — sorted by group key only, still
+    map-side combining."""
+    df = qs["cdc_apply"](spark, SF)
+    plan = physical_plan(df)
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert count_exchanges(df) == 1
+
+
+def test_pareto_frontier_one_window_sort(spark, qs):
+    """The skyline must keep its linear shape: exactly one window node
+    (both RANGE frames share partition+order) over one exchange — the
+    quadratic NOT-EXISTS join formulation must never appear."""
+    import re
+
+    df = qs["pareto_frontier"](spark, SF)
+    plan = physical_plan(df)
+    assert "Join" not in plan
+    assert len(re.findall(r"^\(\d+\) Window\b", plan, re.M)) == 1
+    assert count_exchanges(df) == 1
+
+
+def test_kmv_assembly_stays_bounded(spark, qs):
+    """Post-sketch assembly runs on checkpointed ≤ keys×k tables: no
+    cartesian products, no BNLJ in the lazy plan (the pair dim is
+    materialized), and the whole DAG stays in the low-exchange band
+    (lazy subtree reuse planned 44 exchanges before materialization)."""
+    df = qs["kmv_overlap_estimate"](spark, SF)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert count_exchanges(df) <= 15
+
+
+def test_attribution_last_touch_one_window(spark, qs):
+    """Attribution must stay window-carried (one user-grain window sort
+    feeding a channel aggregate), never a purchases×touches self-join."""
+    import re
+
+    df = qs["attribution_last_touch"](spark, SF)
+    plan = physical_plan(df)
+    assert "Join" not in plan
+    assert len(re.findall(r"^\(\d+\) Window\b", plan, re.M)) == 1
+    assert count_exchanges(df) == 2  # window shuffle + channel agg
+
+
+def test_snapshot_diff_single_full_outer(spark, qs):
+    """The diff is ONE key-partitioned full-outer join (structural SMJ —
+    Spark cannot broadcast either side of a full outer); unchanged rows
+    are filtered before the result surfaces."""
+    df = qs["snapshot_diff"](spark, SF)
+    plan = physical_plan(df)
+    assert plan.count("SortMergeJoin") <= 2  # 1 node (tree + detail dedup-safe)
+    assert "Join type: FullOuter" in plan
+    assert count_exchanges(df) == 2  # one per side of the join
+
+
+def test_kmv_assembly_all_broadcast(spark, qs):
+    """Post-sketch kmv assembly joins run on ≤|pairs| rows — all must
+    broadcast (stats-less aggregates default to SMJ without the hint)."""
+    df = qs["kmv_overlap_estimate"](spark, SF)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" not in plan
+
+
+def test_fk_integrity_audit_broadcasts_dims(spark, qs):
+    """Every FK edge is a LEFT JOIN + aggregate; at the gate SF all
+    seven parents broadcast and no edge falls to a cartesian."""
+    df = qs["fk_integrity_audit"](spark, SF)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 7
+
+
+def test_bitmap_rollup_no_expand_no_raw_recount(spark, qs):
+    """The bitmap rollup must compute total_users from OR-ed segment
+    bitmaps, never via count_distinct over raw rows — no Expand node
+    (the multi-distinct trap) anywhere in the plan."""
+    df = qs["bitmap_distinct_rollup"](spark, SF)
+    plan = physical_plan(df)
+    assert "Expand" not in plan
+    assert count_exchanges(df) <= 7
+
+
+def test_sequence_gap_audit_block_parallel(spark, qs):
+    """The islands window must partition by the id block — a global
+    (unpartitioned) sort would serialize the audit at scale."""
+    import re
+
+    df = qs["sequence_gap_audit"](spark, SF)
+    plan = physical_plan(df)
+    assert len(re.findall(r"^\(\d+\) Window\b", plan, re.M)) == 1
+    # partitioned window → hashpartitioning on the bucket expr, never
+    # SinglePartition feeding the Window's sort
+    assert "SinglePartition" not in plan
+    assert count_exchanges(df) <= 2
+
+
+def test_watermark_lateness_single_pass(spark, qs):
+    """Lateness audit: one per-key window pass, aggregate reuses the
+    window's partitioning (one exchange total)."""
+    import re
+
+    df = qs["watermark_lateness_audit"](spark, SF)
+    plan = physical_plan(df)
+    assert len(re.findall(r"^\(\d+\) Window\b", plan, re.M)) == 1
+    assert "SinglePartition" not in plan
+    assert count_exchanges(df) <= 2

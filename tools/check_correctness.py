@@ -69,6 +69,9 @@ SF01_SUBSET = [
     "part_kcore",
     # bin width and occupancy follow the global min/max and row volume
     "histogram_quantile_sketch",
+    # bottom-k sketches leave the exact branch (n < k) only at volume;
+    # estimation-mode arithmetic is only exercised at the bigger SF
+    "kmv_overlap_estimate",
 ]
 
 
