@@ -199,6 +199,9 @@ HEADLINE = [
     "bitmap_distinct_rollup",
     "sequence_gap_audit",
     "watermark_lateness_audit",
+    "dau_wau_mau",
+    "name_edit_near_dup",
+    "conversion_lag_stats",
 ]
 
 

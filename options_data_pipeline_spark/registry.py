@@ -8940,6 +8940,224 @@ def q_watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dau_wau_mau",
+    """WITH base AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+days AS (SELECT DISTINCT day FROM base)
+SELECT CAST(d.day AS TIMESTAMP) AS day,
+       CAST(count(DISTINCT CASE WHEN b.day = d.day THEN b.user_id END) AS BIGINT) AS dau,
+       CAST(count(DISTINCT CASE WHEN b.day >= d.day - 6 THEN b.user_id END) AS BIGINT) AS wau,
+       CAST(count(DISTINCT b.user_id) AS BIGINT) AS mau
+FROM days d JOIN base b ON b.day BETWEEN d.day - 27 AND d.day
+GROUP BY d.day""",  # day surfaces as TIMESTAMP: date-typed cells don't
+    # round-trip uniformly through the two engines' pandas bridges
+
+)
+def q_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling active-user counts (DAU / trailing-7 WAU / trailing-28
+    MAU) — THE product-analytics query, and the one where naive SQL
+    melts at scale: the oracle's formulation joins every day against 28
+    days of raw events and re-distincts (28× read amplification). The
+    Spark side instead OR-combines STORED daily bitmap segments
+    (bitmap_distinct_rollup's tables) under a RANGE window per bucket:
+    one pass builds the per-day bitmaps, every trailing window is then
+    O(buckets × window) bitmap ORs — no raw row is touched twice, which
+    is exactly how a 100 TB pipeline serves WAU/MAU from yesterday's
+    segments. A day×bucket scaffold (bounded dims) keeps
+    activity-gapped buckets emitting rows so trailing ORs never skip a
+    day."""
+    base = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("dn"),
+            "user_id",
+        )
+    )
+    daily_bm = base.groupBy(
+        "dn", F.expr("bitmap_bucket_number(user_id)").alias("bucket")
+    ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm"))
+    scaffold = (
+        daily_bm.select("dn")
+        .distinct()
+        .crossJoin(daily_bm.select("bucket").distinct())
+    )
+    grid = scaffold.join(daily_bm, ["dn", "bucket"], "left")
+    w7 = Window.partitionBy("bucket").orderBy("dn").rangeBetween(-6, 0)
+    w28 = Window.partitionBy("bucket").orderBy("dn").rangeBetween(-27, 0)
+    rolled = grid.select(
+        "dn",
+        "bm",
+        F.expr("bitmap_or_agg(bm)").over(w7).alias("bm7"),
+        F.expr("bitmap_or_agg(bm)").over(w28).alias("bm28"),
+    ).select(
+        "dn",
+        F.coalesce(F.expr("bitmap_count(bm)"), F.lit(0)).alias("c1"),
+        F.coalesce(F.expr("bitmap_count(bm7)"), F.lit(0)).alias("c7"),
+        F.coalesce(F.expr("bitmap_count(bm28)"), F.lit(0)).alias("c28"),
+    )
+    return rolled.groupBy("dn").agg(
+        F.sum("c1").alias("dau"),
+        F.sum("c7").alias("wau"),
+        F.sum("c28").alias("mau"),
+    ).select(
+        F.date_add(F.lit("1970-01-01"), F.col("dn")).cast("timestamp").alias("day"),
+        "dau",
+        "wau",
+        "mau",
+    )
+
+
+@register(
+    "name_edit_near_dup",
+    """WITH names AS (
+  SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts FROM part
+  WHERE p_name IS NOT NULL GROUP BY p_name
+),
+b AS (
+  SELECT p_name, n_parts, split_part(p_name, ' ', 2) AS tok,
+         length(p_name) AS ln
+  FROM names
+)
+SELECT a.p_name AS name_a, x.p_name AS name_b,
+       CAST(levenshtein(a.p_name, x.p_name) AS BIGINT) AS edit_dist,
+       a.n_parts AS n_parts_a, x.n_parts AS n_parts_b
+FROM b a JOIN b x
+  ON a.tok = x.tok AND abs(a.ln - x.ln) <= 2 AND a.p_name < x.p_name
+WHERE levenshtein(a.p_name, x.p_name) <= 2""",
+)
+def q_name_edit_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity resolution on NAMES via blocked edit distance — the
+    record-linkage family the token/hash dedup ops don't cover (typo'd
+    vendor names, OCR'd titles: 'red gear' vs 'hot gear'). The scale
+    pattern is dictionary-grain dedup: collapse the corpus to DISTINCT
+    names first (vocabulary-bounded — 64 here at BOTH gate SFs, i.e.
+    constant while parts grow 10×), block on (head noun, ±2 length),
+    verify candidates with levenshtein ≤ 2, and carry per-name corpus
+    counts from the collapse. The corpus is touched exactly once by the
+    name-grain aggregate; the quadratic stage runs on the dictionary,
+    never the data — the standard shape for entity canonicalization at
+    100 TB."""
+    names = (
+        load_table(spark, "part", sf_dir)
+        .filter(F.col("p_name").isNotNull())
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+    b = names.select(
+        "p_name",
+        "n_parts",
+        F.split(F.col("p_name"), " ").getItem(1).alias("tok"),
+        F.length("p_name").alias("ln"),
+    )
+    a = b.alias("a")
+    x = b.alias("x")
+    lev = F.levenshtein(F.col("a.p_name"), F.col("x.p_name"))
+    return (
+        a.join(
+            x,
+            (F.col("a.tok") == F.col("x.tok"))
+            & (F.abs(F.col("a.ln") - F.col("x.ln")) <= 2)
+            & (F.col("a.p_name") < F.col("x.p_name")),
+        )
+        .filter(lev <= 2)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("x.p_name").alias("name_b"),
+            lev.cast("long").alias("edit_dist"),
+            F.col("a.n_parts").alias("n_parts_a"),
+            F.col("x.n_parts").alias("n_parts_b"),
+        )
+    )
+
+
+@register(
+    "conversion_lag_stats",
+    """WITH ev AS (
+  SELECT user_id, event_type, ts FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+w1 AS (
+  SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+              OVER (PARTITION BY user_id) AS first_view
+  FROM ev
+),
+w2 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > first_view THEN ts END)
+              OVER (PARTITION BY user_id) AS first_purchase
+  FROM w1
+),
+per_user AS (
+  SELECT user_id, max(first_view) AS fv, max(first_purchase) AS fp
+  FROM w2 GROUP BY user_id
+),
+cohorts AS (
+  SELECT date_trunc('day', fv) AS cohort_day,
+         epoch_us(fp) - epoch_us(fv) AS lag_us
+  FROM per_user WHERE fv IS NOT NULL
+)
+SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_users,
+       CAST(count(lag_us) AS BIGINT) AS n_converted,
+       CAST(count(lag_us) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS conversion_rate,
+       quantile_cont(lag_us, 0.5) / 1000000.0 AS p50_lag_s,
+       quantile_cont(lag_us, 0.95) / 1000000.0 AS p95_lag_s
+FROM cohorts GROUP BY cohort_day""",
+)
+def q_conversion_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert by acquisition cohort: for each first-view day,
+    how many users converted (first purchase strictly after first view)
+    and how fast (p50/p95 lag) — the funnel-velocity report that sits
+    on top of event_funnel's per-user flags. Same two chained per-user
+    windows as event_funnel (one user-grain sort total), then a
+    cohort-day aggregate; lags stay in exact epoch microseconds until
+    the final display division, percentiles use the interpolation both
+    engines already hash-match."""
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    w = Window.partitionBy("user_id")
+    w1 = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+        .over(w)
+        .alias("first_view"),
+    )
+    w2 = w1.select(
+        "*",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("first_view")),
+                F.col("ts"),
+            )
+        )
+        .over(w)
+        .alias("first_purchase"),
+    )
+    per_user = w2.groupBy("user_id").agg(
+        F.max("first_view").alias("fv"), F.max("first_purchase").alias("fp")
+    )
+    cohorts = per_user.filter(F.col("fv").isNotNull()).select(
+        F.date_trunc("day", F.col("fv")).alias("cohort_day"),
+        (F.unix_micros(F.col("fp")) - F.unix_micros(F.col("fv"))).alias("lag_us"),
+    )
+    return cohorts.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("lag_us").alias("n_converted"),
+        (F.count("lag_us").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "conversion_rate"
+        ),
+        (F.percentile("lag_us", F.lit(0.5)) / 1_000_000.0).alias("p50_lag_s"),
+        (F.percentile("lag_us", F.lit(0.95)) / 1_000_000.0).alias("p95_lag_s"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:

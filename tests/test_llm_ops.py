@@ -547,3 +547,27 @@ def test_pareto_frontier_matches_bruteforce(spark):
             if not dominated:
                 want.add(k)
     assert got == want
+
+
+def test_dau_wau_mau_monotone_invariants(spark):
+    """Trailing actives dominate: dau ≤ wau ≤ mau every day, and each
+    trailing count is at least the max daily count inside its window
+    (the scaffold guard: a bucket silent TODAY must still contribute
+    its earlier actives to WAU/MAU)."""
+    from options_data_pipeline_spark import registry
+
+    rows = sorted(
+        registry.queries()["dau_wau_mau"](
+            spark, "/root/testdata/sf0.001"
+        ).collect(),
+        key=lambda r: r.day,
+    )
+    assert rows
+    by_day = {r.day: r for r in rows}
+    days = [r.day for r in rows]
+    for i, r in enumerate(rows):
+        assert r.dau <= r.wau <= r.mau
+        window7 = [
+            by_day[d].dau for d in days if 0 <= (r.day - d).days <= 6
+        ]
+        assert r.wau >= max(window7)

@@ -904,3 +904,38 @@ def test_watermark_lateness_single_pass(spark, qs):
     assert len(re.findall(r"^\(\d+\) Window\b", plan, re.M)) == 1
     assert "SinglePartition" not in plan
     assert count_exchanges(df) <= 2
+
+
+def test_dau_wau_mau_bitmap_rolling(spark, qs):
+    """Active-user rollups must come from OR-ed daily bitmaps under ONE
+    range-window pass — no Expand (multi-distinct) and no join of days
+    against raw events (the oracle's 28x read-amplification shape)."""
+    import re
+
+    df = qs["dau_wau_mau"](spark, SF)
+    plan = physical_plan(df)
+    assert "Expand" not in plan
+    assert len(re.findall(r"^\(\d+\) Window\b", plan, re.M)) == 1
+    assert count_exchanges(df) <= 5
+
+
+def test_name_edit_near_dup_dictionary_grain(spark, qs):
+    """The quadratic edit-distance stage must run on the collapsed
+    name dictionary (broadcast self-join on the blocking key), with the
+    corpus touched only by the name-grain aggregate."""
+    df = qs["name_edit_near_dup"](spark, SF)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert count_exchanges(df) <= 3
+
+
+def test_conversion_lag_single_user_sort(spark, qs):
+    """Both funnel windows share the user partitioning; the cohort agg
+    adds the only other exchange."""
+    df = qs["conversion_lag_stats"](spark, SF)
+    plan = physical_plan(df)
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
+    assert count_exchanges(df) <= 2

@@ -52,6 +52,7 @@ BNLJ_OK = {
     "ivf_cell_balance",  # 1-row corpus-total crossJoined onto 8 cell rows
     "rfm_segments",  # 1-row max-orderdate crossJoined onto the customer dim
     "histogram_quantile_sketch",  # 1-row global min/max bin normalizer
+    "dau_wau_mau",  # bounded day×bitmap-bucket scaffold (gap_fill family)
     # bounded scaffold: symbols × day-window sequence
     "gap_fill",
     # broadcast 1-ROW bloom filter crossJoined onto the probe side (the
