@@ -37,6 +37,7 @@ def cdc_latest_snapshot(
     op_col: str = "op",
     delete_op: str = "D",
     payload_cols: Sequence[str] | None = None,
+    keep_deletes: bool = False,
 ) -> DataFrame:
     """Apply a CDC change log and return the live snapshot.
 
@@ -49,8 +50,11 @@ def cdc_latest_snapshot(
     winning payload as ``last_<col>``, plus ``n_changes`` /
     ``n_deletes`` audit counts. Keys whose LATEST change is a delete
     are dropped (their history still counted rows — they simply have
-    no live row to carry them; callers auditing tombstones keep the
-    pre-filter frame).
+    no live row to carry them) — unless ``keep_deletes`` is set, which
+    retains them as TOMBSTONE rows with a ``last_op`` column so an
+    incremental consumer can suppress out-of-order inserts that arrive
+    after the delete (the compacted-topic retention contract;
+    streaming/cdc_stream.py relies on this).
     """
     keys = list(key_cols)
     seqs = list(seq_cols)
@@ -72,9 +76,13 @@ def cdc_latest_snapshot(
             F.when(F.col(op_col) == delete_op, F.lit(1)).otherwise(F.lit(0))
         ).alias("n_deletes"),
     )
-    return snap.filter(F.col("_last._op") != delete_op).select(
+    if not keep_deletes:
+        snap = snap.filter(F.col("_last._op") != delete_op)
+    op_out = [F.col("_last._op").alias("last_op")] if keep_deletes else []
+    return snap.select(
         *keys,
         *[F.col(f"_last.{c}").alias(f"last_{c}") for c in seqs],
+        *op_out,
         *[F.col(f"_last.{c}").alias(f"last_{c}") for c in payload],
         "n_changes",
         "n_deletes",

@@ -1462,3 +1462,109 @@ def test_stream_stream_interval_join_matches_batch(spark, tmpdir):
     assert got[2].window_start == base            # second 30s before boundary
     assert got[3].window_start == base + timedelta(seconds=300)
     assert got[4].w_close == 50.0
+
+
+CDC_SCHEMA = "k bigint, ts timestamp, cid bigint, op string, v double"
+
+
+def _cdc_changes(spark, rows):
+    return spark.createDataFrame(rows, CDC_SCHEMA)
+
+
+def test_streaming_cdc_upsert_matches_batch(spark, tmpdir):
+    """Drain a change stream through the foreachBatch merge; the final
+    snapshot must equal the batch operator over the full log (cross-
+    batch out-of-order updates and a delete→resurrect included)."""
+    from options_data_pipeline_spark.operators.cdc import cdc_latest_snapshot
+    from options_data_pipeline_spark.streaming.cdc_stream import (
+        streaming_cdc_upsert,
+    )
+
+    base = datetime(2024, 1, 1, 9, 0)
+    t = lambda m: base + timedelta(minutes=m)  # noqa: E731
+    log = [
+        (1, t(1), 101, "U", 1.0), (1, t(3), 103, "U", 3.0),
+        (1, t(2), 102, "U", 2.0),          # out-of-order update: loses
+        (2, t(1), 201, "U", 1.0), (2, t(2), 202, "D", 0.0),
+        (2, t(3), 203, "U", 9.0),          # resurrect after delete
+        (3, t(1), 301, "U", 5.0), (3, t(2), 302, "D", 0.0),  # stays dead
+    ]
+    src_dir = str(tmpdir.join("cdc_src"))
+    snap = str(tmpdir.join("cdc_snap"))
+    ck = str(tmpdir.join("cdc_ck"))
+    _cdc_changes(spark, log).write.mode("overwrite").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(CDC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # several micro-batches
+        .parquet(src_dir)
+    )
+    q = streaming_cdc_upsert(
+        stream, snap, ck, key_cols=["k"], seq_cols=["ts", "cid"]
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    from options_data_pipeline_spark.streaming.cdc_stream import cdc_live_view
+
+    got = {r.k: r for r in cdc_live_view(spark, snap).collect()}
+    want = {
+        r.k: r
+        for r in cdc_latest_snapshot(
+            _cdc_changes(spark, log), key_cols=["k"], seq_cols=["ts", "cid"]
+        ).collect()
+    }
+    assert set(got) == set(want) == {1, 2}
+    for k in got:
+        assert (got[k].last_v, got[k].last_cid) == (want[k].last_v, want[k].last_cid)
+
+
+def test_cdc_merge_batch_replay_is_fixpoint(spark, tmpdir):
+    """Re-applying the same micro-batch (at-least-once foreachBatch
+    after a crash) must leave the snapshot byte-identical — the merge
+    is idempotent by construction, no applied-batch ledger needed."""
+    from options_data_pipeline_spark.streaming.cdc_stream import cdc_merge_batch
+
+    base = datetime(2024, 1, 1, 9, 0)
+    snap = str(tmpdir.join("snap"))
+    b1 = _cdc_changes(spark, [
+        (1, base, 101, "U", 1.0), (2, base, 201, "U", 2.0),
+    ])
+    b2 = _cdc_changes(spark, [
+        (1, base + timedelta(minutes=1), 102, "U", 7.0),
+        (2, base + timedelta(minutes=1), 202, "D", 0.0),
+    ])
+    cdc_merge_batch(b1, snap, key_cols=["k"], seq_cols=["ts", "cid"])
+    n = cdc_merge_batch(b2, snap, key_cols=["k"], seq_cols=["ts", "cid"])
+    first = sorted(map(tuple, spark.read.parquet(snap).collect()))
+    n2 = cdc_merge_batch(b2, snap, key_cols=["k"], seq_cols=["ts", "cid"])
+    replay = sorted(map(tuple, spark.read.parquet(snap).collect()))
+    assert n == n2 == 2          # key 1 live + key 2 TOMBSTONE retained
+    assert first == replay
+    from options_data_pipeline_spark.streaming.cdc_stream import cdc_live_view
+
+    live = cdc_live_view(spark, snap).collect()
+    assert len(live) == 1 and live[0].k == 1 and live[0].last_v == 7.0
+
+
+def test_cdc_tombstone_suppresses_out_of_order_insert(spark, tmpdir):
+    """The retention rule the stored tombstones exist for: a delete in
+    an EARLIER micro-batch must suppress the key's OLDER insert arriving
+    in a later batch (without stored tombstones the insert would
+    resurrect the key — the failure mode the first parity run caught)."""
+    from options_data_pipeline_spark.streaming.cdc_stream import (
+        cdc_live_view,
+        cdc_merge_batch,
+    )
+
+    base = datetime(2024, 1, 1, 9, 0)
+    snap = str(tmpdir.join("snap"))
+    delete_first = _cdc_changes(
+        spark, [(7, base + timedelta(minutes=5), 702, "D", 0.0)]
+    )
+    stale_insert = _cdc_changes(spark, [(7, base, 701, "U", 1.0)])
+    cdc_merge_batch(delete_first, snap, key_cols=["k"], seq_cols=["ts", "cid"])
+    cdc_merge_batch(stale_insert, snap, key_cols=["k"], seq_cols=["ts", "cid"])
+    assert cdc_live_view(spark, snap).count() == 0
+    stored = spark.read.parquet(snap).collect()
+    assert len(stored) == 1 and stored[0].last_op == "D"
