@@ -3,6 +3,7 @@ idempotent foreachBatch sink (reference §2.8 semantics)."""
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 from datetime import datetime, timedelta
@@ -1489,9 +1490,9 @@ def test_streaming_cdc_upsert_matches_batch(spark, tmpdir):
         (2, t(3), 203, "U", 9.0),          # resurrect after delete
         (3, t(1), 301, "U", 5.0), (3, t(2), 302, "D", 0.0),  # stays dead
     ]
-    src_dir = str(tmpdir.join("cdc_src"))
-    snap = str(tmpdir.join("cdc_snap"))
-    ck = str(tmpdir.join("cdc_ck"))
+    src_dir = os.path.join(tmpdir, "cdc_src")
+    snap = os.path.join(tmpdir, "cdc_snap")
+    ck = os.path.join(tmpdir, "cdc_ck")
     _cdc_changes(spark, log).write.mode("overwrite").parquet(src_dir)
     stream = (
         spark.readStream.schema(CDC_SCHEMA)
@@ -1526,7 +1527,7 @@ def test_cdc_merge_batch_replay_is_fixpoint(spark, tmpdir):
     from options_data_pipeline_spark.streaming.cdc_stream import cdc_merge_batch
 
     base = datetime(2024, 1, 1, 9, 0)
-    snap = str(tmpdir.join("snap"))
+    snap = os.path.join(tmpdir, "snap")
     b1 = _cdc_changes(spark, [
         (1, base, 101, "U", 1.0), (2, base, 201, "U", 2.0),
     ])
@@ -1558,7 +1559,7 @@ def test_cdc_tombstone_suppresses_out_of_order_insert(spark, tmpdir):
     )
 
     base = datetime(2024, 1, 1, 9, 0)
-    snap = str(tmpdir.join("snap"))
+    snap = os.path.join(tmpdir, "snap")
     delete_first = _cdc_changes(
         spark, [(7, base + timedelta(minutes=5), 702, "D", 0.0)]
     )
