@@ -117,6 +117,7 @@ def run_streaming(
     sessions_path: str | None = None,
     session_gap: str = "2 hours",
     session_watermark: str = "30 minutes",
+    latest_path: str | None = None,
 ):
     """The live twin: chained streaming stages (Spark disallows a stateful
     grouped-map after a streaming aggregation in one query, and the
@@ -131,6 +132,10 @@ def run_streaming(
     Stage 3 (optional, ``sessions_path``): tick stream → watermarked
         session_window silence detector → session sink (the W7
         heartbeat as a parallel stateful branch).
+    Stage 4 (optional, ``latest_path``): candle stream → CDC latest-wins
+        upsert → live "current candle per symbol" snapshot (the
+        reference's current-state tab, S4, maintained incrementally by
+        the idempotent foreachBatch merge in streaming/cdc_stream.py).
 
     Returns the started queries. Restart recovery = the per-stage
     checkpointLocations (reference CheckpointManager, §2.8); every stage
@@ -240,5 +245,27 @@ def run_streaming(
             .option("checkpointLocation", checkpoint_path + "/sessions")
             .outputMode("append")
             .start()
+        )
+
+    if latest_path is not None:
+        # current-state snapshot: latest candle per symbol, keyed merge
+        # (candles never delete, so every change is an upsert; the seq is
+        # the window start — a replayed or out-of-order candle file can
+        # never regress the snapshot)
+        from .streaming.cdc_stream import streaming_cdc_upsert
+
+        latest_src = (
+            spark.readStream.schema(CANDLE_STREAM_SCHEMA)
+            .parquet(candle_path)
+            .withColumn("op", F.lit("U"))
+        )
+        queries.append(
+            streaming_cdc_upsert(
+                latest_src,
+                latest_path,
+                checkpoint_path + "/latest",
+                key_cols=["symbol"],
+                seq_cols=["window_start"],
+            ).start()
         )
     return tuple(queries)

@@ -1569,3 +1569,57 @@ def test_cdc_tombstone_suppresses_out_of_order_insert(spark, tmpdir):
     assert cdc_live_view(spark, snap).count() == 0
     stored = spark.read.parquet(snap).collect()
     assert len(stored) == 1 and stored[0].last_op == "D"
+
+
+def test_run_streaming_latest_snapshot_stage(spark, tmpdir):
+    """Pipeline stage 4: run_streaming(latest_path=...) maintains the
+    current-candle-per-symbol snapshot via the CDC upsert merge; the
+    live view must hold exactly one row per symbol — the newest closed
+    window — while candles/ATR flow unchanged."""
+    from options_data_pipeline_spark.pipeline import run_streaming
+    from options_data_pipeline_spark.streaming.cdc_stream import cdc_live_view
+
+    base = datetime(2024, 1, 1, 9, 15)
+    src = tmpdir + "/ticks"
+    os.makedirs(src)
+    rows = []
+    eid = 0
+    for w in range(3):
+        for s in ("A", "B"):
+            rows.append(
+                (s, 100.0 + w, base + timedelta(minutes=5 * w), eid, 1)
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows, "symbol string, price double, ts timestamp, event_id long, user_id long"
+    ).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "symbol string, price double, ts timestamp, event_id long, user_id long"
+    ).parquet(src)
+    queries = run_streaming(
+        stream,
+        candle_path=tmpdir + "/candles",
+        sink_path=tmpdir + "/sink",
+        checkpoint_path=tmpdir + "/ckpt",
+        watermark="1 second",
+        latest_path=tmpdir + "/latest",
+    )
+    try:
+        for q in queries:
+            q.processAllAvailable()
+        # the latest stage tails the candle sink: drain it again after
+        # the candle stage committed its files
+        for q in queries:
+            q.processAllAvailable()
+    finally:
+        for q in queries:
+            q.stop()
+    latest = {r.symbol: r for r in cdc_live_view(spark, tmpdir + "/latest").collect()}
+    candles = spark.read.parquet(tmpdir + "/candles").collect()
+    assert set(latest) == {"A", "B"}
+    for sym in ("A", "B"):
+        newest = max(
+            (c for c in candles if c.symbol == sym), key=lambda c: c.window_start
+        )
+        assert latest[sym].last_window_start == newest.window_start
+        assert latest[sym].last_close == newest.close
