@@ -202,6 +202,8 @@ HEADLINE = [
     "dau_wau_mau",
     "name_edit_near_dup",
     "conversion_lag_stats",
+    "event_session_window",
+    "orders_grouping_sets",
 ]
 
 

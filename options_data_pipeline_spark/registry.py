@@ -9158,6 +9158,107 @@ def q_conversion_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "event_session_window",
+    """WITH ev AS (
+  SELECT user_id, ts, value FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+d AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+               OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                  > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM ev
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value, 6) AS DECIMAL(20,6))) AS DOUBLE)
+         AS sum_value
+FROM s GROUP BY user_id, sid""",
+)
+def q_event_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization via the NATIVE session_window operator —
+    the same gap-merge the streaming silence detector runs, here as the
+    dedicated MergingSessions physical node (pinned): Spark pre-
+    aggregates candidate sessions map-side, shuffles once on the user
+    key, and merges overlapping candidates in one sorted pass — the
+    engine-level twin of the lag/cumsum islands formulation the oracle
+    states (and tick_sessions implements manually). Same result, but
+    the operator version partial-aggregates BEFORE the shuffle — at
+    100 TB the exchange carries candidate sessions, not raw events."""
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", "ts", "value")
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value"), 6).cast("decimal(20,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "orders_grouping_sets",
+    """SELECT o_orderpriority, o_orderstatus,
+       CAST(2 * GROUPING(o_orderpriority) + GROUPING(o_orderstatus)
+            AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice, 6) AS DECIMAL(20,6))) AS DOUBLE)
+         AS sum_total
+FROM orders
+WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                        (o_orderpriority), ())""",
+)
+def q_orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form the cube/rollup
+    queries (orders_cube) are sugar for, with grouping_id
+    disambiguating aggregation levels from genuine NULLs: detail,
+    per-priority subtotal, and grand total in one Expand pass over the
+    fact (each input row fans out once per set — one scan, one
+    shuffle, never one query per level)."""
+    o = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderpriority").isNotNull() & F.col("o_orderstatus").isNotNull()
+    )
+    return (
+        o.groupingSets(
+            [["o_orderpriority", "o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice"), 6).cast("decimal(20,6)"))
+            .cast("double")
+            .alias("sum_total"),
+        )
+        .select(
+            "o_orderpriority", "o_orderstatus", "gid", "n_orders", "sum_total"
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:

@@ -939,3 +939,25 @@ def test_conversion_lag_single_user_sort(spark, qs):
     assert "Join" not in plan
     assert "SinglePartition" not in plan
     assert count_exchanges(df) <= 2
+
+
+def test_event_session_window_merging_sessions_node(spark, qs):
+    """Batch sessionization must use the native MergingSessions
+    operator (map-side candidate sessions, one shuffle on the user key)
+    — never the lag/cumsum double-window fallback."""
+    df = qs["event_session_window"](spark, SF)
+    plan = physical_plan(df)
+    assert "MergingSessions" in plan
+    assert count_exchanges(df) == 1
+
+
+def test_orders_grouping_sets_one_expand(spark, qs):
+    """All three aggregation levels come from ONE Expand pass over one
+    scan — never a union of per-level aggregates."""
+    import re
+
+    df = qs["orders_grouping_sets"](spark, SF)
+    plan = physical_plan(df)
+    assert len(re.findall(r"^\(\d+\) Expand\b", plan, re.M)) == 1
+    assert "Union" not in plan
+    assert count_exchanges(df) == 1
