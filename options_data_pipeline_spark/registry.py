@@ -8823,23 +8823,39 @@ d AS (
   SELECT id, id // 1000 AS bucket,
          id - lag(id) OVER (PARTITION BY id // 1000 ORDER BY id) AS step
   FROM present
+),
+per_bucket AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_present,
+         CAST(coalesce(max(step) - 1, 0) AS BIGINT) AS max_gap_run
+  FROM d GROUP BY bucket
+),
+bounds AS (SELECT min(id) AS gmin, max(id) AS gmax FROM present),
+scaffold AS (
+  SELECT unnest(generate_series(gmin // 1000, gmax // 1000)) AS bucket,
+         gmin, gmax
+  FROM bounds
 )
-SELECT bucket, CAST(count(*) AS BIGINT) AS n_present,
-       CAST(max(id) - min(id) + 1 - count(*) AS BIGINT) AS span_missing,
-       CAST(coalesce(max(step) - 1, 0) AS BIGINT) AS max_gap_run
-FROM d GROUP BY bucket""",
+SELECT s.bucket,
+       CAST(coalesce(p.n_present, 0) AS BIGINT) AS n_present,
+       CAST(least((s.bucket + 1) * 1000 - 1, s.gmax)
+            - greatest(s.bucket * 1000, s.gmin) + 1
+            - coalesce(p.n_present, 0) AS BIGINT) AS n_missing,
+       CAST(coalesce(p.max_gap_run, 0) AS BIGINT) AS max_gap_run
+FROM scaffold s LEFT JOIN per_bucket p ON p.bucket = s.bucket""",
 )
 def q_sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-gap audit: find dropped ids in a monotonically-assigned
-    stream (dropped ticks, lost offsets, missing files) — per fixed-width
-    id block: how many survive, how many are missing inside the
-    observed span, and the longest contiguous missing run (the
-    lag-diff islands technique). A deterministic md5 filter drops ~1/13
-    of events so both engines audit the identical damaged stream.
-    Everything is block-local: the window partitions by the id block
-    (never a single global sort), so at 100 TB each block audits in
-    parallel and the report is one row per block — block-boundary gaps
-    surface in the span of the NEXT block's min (documented grain)."""
+    stream (dropped ticks, lost offsets, missing files) — per
+    fixed-width id block: survivors, EXACT missing count inside the
+    observed global range (a bucket scaffold off the 1-row min/max
+    normalizer reports even wholly-missing blocks, so cross-block and
+    whole-block losses are counted — not just intra-block islands), and
+    the longest contiguous intra-block missing run (lag-diff islands;
+    runs crossing block edges count per block by definition of the
+    grain). A deterministic md5 filter drops ~1/13 of events so both
+    engines audit the identical damaged stream. The islands window
+    partitions by block (never a global sort); the scaffold is
+    max_id/1000 rows — report-sized, not data-sized."""
     present = (
         load_table(spark, "events", sf_dir)
         .filter(F.col("event_id").isNotNull())
@@ -8858,10 +8874,31 @@ def q_sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("id") / 1000).cast("long").alias("bucket"),
         (F.col("id") - F.lag("id").over(w)).alias("step"),
     )
-    return d.groupBy("bucket").agg(
+    per_bucket = d.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_present"),
-        (F.max("id") - F.min("id") + 1 - F.count(F.lit(1))).alias("span_missing"),
         F.coalesce(F.max("step") - 1, F.lit(0)).alias("max_gap_run"),
+    )
+    bounds = present.agg(F.min("id").alias("gmin"), F.max("id").alias("gmax"))
+    scaffold = bounds.select(
+        F.explode(
+            F.sequence(
+                (F.col("gmin") / 1000).cast("long"),
+                (F.col("gmax") / 1000).cast("long"),
+            )
+        ).alias("bucket"),
+        "gmin",
+        "gmax",
+    )
+    expected = (
+        F.least((F.col("bucket") + 1) * 1000 - 1, F.col("gmax"))
+        - F.greatest(F.col("bucket") * 1000, F.col("gmin"))
+        + 1
+    )
+    return scaffold.join(per_bucket, "bucket", "left").select(
+        "bucket",
+        F.coalesce(F.col("n_present"), F.lit(0)).alias("n_present"),
+        (expected - F.coalesce(F.col("n_present"), F.lit(0))).alias("n_missing"),
+        F.coalesce(F.col("max_gap_run"), F.lit(0)).alias("max_gap_run"),
     )
 
 

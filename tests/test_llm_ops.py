@@ -571,3 +571,31 @@ def test_dau_wau_mau_monotone_invariants(spark):
             by_day[d].dau for d in days if 0 <= (r.day - d).days <= 6
         ]
         assert r.wau >= max(window7)
+
+
+def test_sequence_gap_audit_exact_accounting(spark):
+    """Conservation law of the gap report: present + missing must equal
+    the observed global id range EXACTLY — cross-block and whole-block
+    losses included (the pre-scaffold version only counted intra-block
+    islands)."""
+    from pyspark.sql import functions as F
+
+    from options_data_pipeline_spark import registry
+    from options_data_pipeline_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    rep = registry.queries()["sequence_gap_audit"](spark, sf).collect()
+    h = (
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 13
+    )
+    present = (
+        load_table(spark, "events", sf)
+        .select(F.col("event_id").alias("id"))
+        .filter(F.col("id").isNotNull() & (h != 0))
+    )
+    gmin, gmax, n = present.agg(
+        F.min("id"), F.max("id"), F.count("id")
+    ).first()
+    assert sum(r.n_present for r in rep) == n
+    assert sum(r.n_present + r.n_missing for r in rep) == gmax - gmin + 1
