@@ -204,6 +204,7 @@ HEADLINE = [
     "conversion_lag_stats",
     "event_session_window",
     "orders_grouping_sets",
+    "part_communities_lpa",
 ]
 
 

@@ -301,3 +301,67 @@ def kcore(
         f"k-core peeling did not converge in {max_iters} rounds "
         f"({n_alive} nodes still alive); raise max_iters"
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 4,
+    u: str = "u",
+    v: str = "v",
+    materialize: bool = True,
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation over an
+    undirected edge list: every node starts as its own label; each round
+    it adopts the most frequent label among its neighbors, ties broken
+    by the SMALLEST label. Runs a FIXED number of rounds — plain LPA has
+    no convergence guarantee (bipartite-ish regions oscillate under
+    synchronous updates), so a deterministic round count is the
+    reproducible contract (and what makes a bit-exact unrolled SQL twin
+    possible); 3–5 rounds is the standard working range on social/
+    co-occurrence graphs.
+
+    Spark shape per round: one edge⋈label join per direction (the edge
+    table shuffles on its key once; label tables are node-grain and
+    broadcast when ≪ edges), a (node, label) count, and an
+    argmax-by-(count, −label) picked as a struct MIN — partial-
+    aggregable, no window. Labels localCheckpoint per round (the CC/
+    kcore round-checkpointer contract) so lineage stays flat.
+    Returns (node, label).
+    """
+    e = (
+        edges.select(F.col(u).alias("a"), F.col(v).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+    if materialize:
+        e = e.localCheckpoint()
+    labels = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    if materialize:
+        labels = labels.localCheckpoint()
+    for _ in range(rounds):
+        la = labels.select(F.col("node").alias("a"), "label")
+        lb = labels.select(F.col("node").alias("b"), "label")
+        msgs = (
+            e.join(F.broadcast(la), "a").select(F.col("b").alias("node"), "label")
+            .unionAll(
+                e.join(F.broadcast(lb), "b").select(
+                    F.col("a").alias("node"), "label"
+                )
+            )
+        )
+        cnt = msgs.groupBy("node", "label").agg(F.count(F.lit(1)).alias("c"))
+        # most frequent label, ties to the smallest: min of (-count, label)
+        labels = (
+            cnt.groupBy("node")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("label").alias("l"))).alias("p"))
+            .select("node", F.col("p.l").alias("label"))
+        )
+        if materialize:
+            labels = labels.localCheckpoint()
+    return labels

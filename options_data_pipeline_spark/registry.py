@@ -9296,6 +9296,87 @@ def q_orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lpa_oracle(rounds: int = 4) -> str:
+    """DuckDB twin of synchronous LPA: ``rounds`` unrolled update steps
+    (MATERIALIZED per round), each re-deriving every node's most-
+    frequent neighbor label with ties to the smallest label — the exact
+    deterministic rule the Spark loop applies, so labels match
+    bit-for-bit at any fixed round count."""
+    steps = []
+    for i in range(1, rounds + 1):
+        prev = f"l{i - 1}"
+        steps.append(
+            f"""l{i} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+    FROM (
+      SELECT node, label, count(*) AS c FROM (
+        SELECT e.v AS node, l.label FROM e JOIN {prev} l ON l.node = e.u
+        UNION ALL
+        SELECT e.u AS node, l.label FROM e JOIN {prev} l ON l.node = e.v
+      ) GROUP BY node, label
+    )
+  ) WHERE rn = 1)"""
+        )
+    return f"""WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+),
+e AS MATERIALIZED (
+  SELECT u, v FROM (
+    SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS w
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+  ) WHERE w >= 2
+),
+l0 AS MATERIALIZED (
+  SELECT node, node AS label
+  FROM (SELECT u AS node FROM e UNION SELECT v AS node FROM e)
+),
+{",".join(steps)}
+SELECT node, CAST(label AS BIGINT) AS label FROM l{rounds}"""
+
+
+@register("part_communities_lpa", _lpa_oracle())
+def q_part_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the repeat co-purchase graph via
+    synchronous label propagation (4 fixed rounds, most-frequent
+    neighbor label, ties to the smallest) — the fifth member of the
+    iterative-graph family (pagerank / connected components / triangles
+    / k-core / LPA) on the same thresholded edge infrastructure.
+    Fixed-round synchronous updates are the reproducible contract
+    (plain LPA oscillates; no early exit) and what the 4-step unrolled
+    oracle replays bit-exactly. Per round: one edge-key join per
+    direction with broadcast node-grain labels, then an argmax picked
+    as a partial-aggregable struct MIN (no window on the message
+    stream); labels checkpoint per round (functions/graph.py::
+    label_propagation)."""
+    from .functions.graph import label_propagation
+
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .filter(F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull())
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    return label_propagation(edges, rounds=4)
+
+
 # ---------------------------------------------------------------------------
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:

@@ -599,3 +599,23 @@ def test_sequence_gap_audit_exact_accounting(spark):
     ).first()
     assert sum(r.n_present for r in rep) == n
     assert sum(r.n_present + r.n_missing for r in rep) == gmax - gmin + 1
+
+
+def test_lpa_known_graph(spark):
+    """Two triangles joined by one bridge edge: after a few rounds each
+    triangle converges to its own min label; the deterministic
+    tie-break (smallest label among max-frequency) decides the bridge
+    endpoints' allegiance reproducibly."""
+    from options_data_pipeline_spark.functions.graph import label_propagation
+
+    edges = [(1, 2), (2, 3), (1, 3),      # triangle A
+             (4, 5), (5, 6), (4, 6),      # triangle B
+             (3, 4)]                      # bridge
+    df = spark.createDataFrame(edges, "u int, v int")
+    got = {r.node: r.label for r in label_propagation(df, rounds=4).collect()}
+    assert set(got) == {1, 2, 3, 4, 5, 6}
+    # triangle A all agree; B's interior nodes agree with each other
+    assert got[1] == got[2]
+    assert got[5] == got[6]
+    # labels are real node ids
+    assert set(got.values()) <= {1, 2, 3, 4, 5, 6}

@@ -962,3 +962,12 @@ def test_orders_grouping_sets_one_expand(spark, qs):
     assert len(re.findall(r"^\(\d+\) Expand\b", plan, re.M)) == 1
     assert "Union" not in plan
     assert count_exchanges(df) == 1
+
+
+def test_part_communities_lpa_flat_post_loop(spark, qs):
+    """LPA rounds checkpoint their labels: the returned frame's plan is
+    flat (reads the final checkpoint, no unrolled round lineage)."""
+    df = qs["part_communities_lpa"](spark, SF)
+    assert count_exchanges(df) == 0  # final labels are a checkpointed RDD
+    rows = df.collect()
+    assert rows and all(r.label is not None for r in rows)
