@@ -101,10 +101,13 @@ def snapshot_diff(
     anti-entropy audit a pipeline runs after a backfill or migration to
     prove two copies agree.
 
-    One full-outer join on the key: ``added`` (key only in ``new``),
-    ``removed`` (only in ``old``), ``changed`` (present in both, any
-    compare column differs — null-safe struct compare, so NULL→value
-    and value→NULL both count). Unchanged rows are dropped: at 100 TB
+    Both inputs must be SNAPSHOTS — at most one row per key (what
+    cdc_latest_snapshot emits); a duplicated key would fan out through
+    the full-outer join and report spurious pairs. One full-outer join
+    on the key: ``added`` (key only in ``new``), ``removed`` (only in
+    ``old``), ``changed`` (present in both, any compare column differs
+    — null-safe struct compare, so NULL→value and value→NULL both
+    count). Unchanged rows are dropped: at 100 TB
     the diff is the (small) output, never the inputs, and the join is
     key-partitioned on both sides with no skew beyond the key's own.
     Output: key columns, ``status``, plus ``old_<c>``/``new_<c>`` for

@@ -8557,6 +8557,10 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     non_purchase = F.col("event_type") != "purchase"
+    # two last(ignorenulls) picks are safe HERE (unlike the asof_nearest
+    # hazard, ADVICE r6): both gate on the SAME predicate and both
+    # fields are non-null on every qualifying row (filtered above), so
+    # they always come from the same touch row
     touched = ev.select(
         "ts",
         "event_type",
