@@ -239,6 +239,7 @@ def kcore(
     u: str = "u",
     v: str = "v",
     materialize: bool = True,
+    broadcast_nodes: bool = True,
 ) -> DataFrame:
     """Members of the k-core (the maximal subgraph where every node has
     degree ≥ k) of an UNDIRECTED edge list, with each member's in-core
@@ -276,12 +277,17 @@ def kcore(
     if materialize:
         alive = alive.localCheckpoint()
     n_alive = alive.count()
+    # survivor sets are node-grain; broadcast them only while that holds
+    # (disable for web-scale sparse graphs where |nodes| ~ |edges| and the
+    # build side would blow the broadcast limit — same contract as
+    # pagerank's broadcast_ranks / triangle_counts' broadcast_degrees)
+    _bc = F.broadcast if broadcast_nodes else (lambda df: df)
     for _ in range(max_iters):
         surv = (
             e_all.join(
-                F.broadcast(alive.select(F.col("node").alias("a"))), "a", "left_semi"
+                _bc(alive.select(F.col("node").alias("a"))), "a", "left_semi"
             ).join(
-                F.broadcast(alive.select(F.col("node").alias("b"))), "b", "left_semi"
+                _bc(alive.select(F.col("node").alias("b"))), "b", "left_semi"
             )
         )
         deg = (
@@ -309,6 +315,7 @@ def label_propagation(
     u: str = "u",
     v: str = "v",
     materialize: bool = True,
+    broadcast_nodes: bool = True,
 ) -> DataFrame:
     """Community detection by SYNCHRONOUS label propagation over an
     undirected edge list: every node starts as its own label; each round
@@ -344,13 +351,16 @@ def label_propagation(
     )
     if materialize:
         labels = labels.localCheckpoint()
+    # same broadcast contract as kcore: node-grain label tables broadcast
+    # by default, flag off for sparse web-scale graphs
+    _bc = F.broadcast if broadcast_nodes else (lambda df: df)
     for _ in range(rounds):
         la = labels.select(F.col("node").alias("a"), "label")
         lb = labels.select(F.col("node").alias("b"), "label")
         msgs = (
-            e.join(F.broadcast(la), "a").select(F.col("b").alias("node"), "label")
+            e.join(_bc(la), "a").select(F.col("b").alias("node"), "label")
             .unionAll(
-                e.join(F.broadcast(lb), "b").select(
+                e.join(_bc(lb), "b").select(
                     F.col("a").alias("node"), "label"
                 )
             )

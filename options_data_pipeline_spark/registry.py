@@ -7875,6 +7875,56 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str, min_w: int = 1) -> DataFrame:
+    """Shared edge build for the co-purchase graph family (triangles /
+    k-core / LPA): parts sharing an order are adjacent, oriented u < v.
+    The self-join keys on ORDER (bounded by per-order basket size²,
+    never parts²). ``min_w > 1`` keeps only REPEAT co-purchases — the
+    sparsification the iterative queries run on (raw co-occurrence is
+    noise at 100 TB); ``min_w=1`` returns the raw pair stream
+    (triangle_counts dedups internally)."""
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .filter(F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull())
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    )
+    if min_w <= 1:
+        return pairs.select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+    return (
+        pairs.groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= min_w)
+        .select("u", "v")
+    )
+
+
+#: oracle twin of ``_copurchase_edges(min_w=2)`` — the li/e CTE block the
+#: iterative-graph oracles share (edit the edge definition HERE and in the
+#: helper above, nowhere else)
+_COPURCHASE_E_CTE = """li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+),
+e AS MATERIALIZED (
+  SELECT u, v FROM (
+    SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS w
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+  ) WHERE w >= 2
+)"""
+
+
 @register(
     "part_triangle_counts",
     """WITH li AS (
@@ -7914,20 +7964,7 @@ def q_part_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts²). At sf0.01: 116k edges, 414k triangles."""
     from .functions.graph import triangle_counts
 
-    li = (
-        load_table(spark, "lineitem", sf_dir)
-        .filter(F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull())
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-    return triangle_counts(edges)
+    return triangle_counts(_copurchase_edges(spark, sf_dir, min_w=1))
 
 
 def _kcore_oracle(k: int = 2, iters: int = 8) -> str:
@@ -7954,18 +7991,7 @@ def _kcore_oracle(k: int = 2, iters: int = 8) -> str:
   ) WHERE d >= {k})"""
         )
     last = f"a{iters}"
-    return f"""WITH li AS (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
-),
-e AS MATERIALIZED (
-  SELECT u, v FROM (
-    SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS w
-    FROM li a JOIN li b
-      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-    GROUP BY 1, 2
-  ) WHERE w >= 2
-),
+    return f"""WITH {_COPURCHASE_E_CTE},
 a0 AS MATERIALIZED (SELECT u AS node FROM e UNION SELECT v AS node FROM e),
 {",".join(peels)}
 SELECT node, CAST(count(*) AS BIGINT) AS core_deg FROM (
@@ -7993,28 +8019,7 @@ def q_part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1)."""
     from .functions.graph import kcore
 
-    li = (
-        load_table(spark, "lineitem", sf_dir)
-        .filter(F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull())
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
-        .select("u", "v")
-    )
-    return kcore(edges, k=2, max_iters=8)
+    return kcore(_copurchase_edges(spark, sf_dir, min_w=2), k=2, max_iters=8)
 
 
 @register(
@@ -9323,18 +9328,7 @@ def _lpa_oracle(rounds: int = 4) -> str:
     )
   ) WHERE rn = 1)"""
         )
-    return f"""WITH li AS (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
-),
-e AS MATERIALIZED (
-  SELECT u, v FROM (
-    SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS w
-    FROM li a JOIN li b
-      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-    GROUP BY 1, 2
-  ) WHERE w >= 2
-),
+    return f"""WITH {_COPURCHASE_E_CTE},
 l0 AS MATERIALIZED (
   SELECT node, node AS label
   FROM (SELECT u AS node FROM e UNION SELECT v AS node FROM e)
@@ -9359,26 +9353,7 @@ def q_part_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     label_propagation)."""
     from .functions.graph import label_propagation
 
-    li = (
-        load_table(spark, "lineitem", sf_dir)
-        .filter(F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull())
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
-        .select("u", "v")
-    )
-    return label_propagation(edges, rounds=4)
+    return label_propagation(_copurchase_edges(spark, sf_dir, min_w=2), rounds=4)
 
 
 # ---------------------------------------------------------------------------

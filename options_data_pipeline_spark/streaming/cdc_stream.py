@@ -25,23 +25,69 @@ fixpoint), so a replayed micro-batch after a crash converges to the
 same snapshot with no applied-batch ledger. Audit counters belong to
 the batch operator, whose input is the immutable change log.
 
+Durability: the store is VERSIONED — each merge writes a fresh
+``v_<n>-<token>`` parquet directory and then atomically swaps the
+``_CURRENT`` pointer file (single os.replace). A crash anywhere before
+the swap leaves the pointer on the previous version (a plain
+mode-overwrite would delete-then-write, and a crash in the gap loses
+the whole snapshot — exactly the hole the repo's staged-append and
+manifest sinks close for the append path). Only the current and
+previous versions are kept; older and orphaned-partial directories are
+GC'd after each successful publish.
+
 Scale shape: the merge is one key-grain aggregate over
 (snapshot ∪ batch) — at 100 TB the snapshot side would be a
 key-partitioned table so only the batch's key partitions rewrite
-(Delta MERGE / Iceberg merge-on-read); the single-directory overwrite
-here mirrors the repo's S4 snapshot-sink contract
-(reference write_pipeline.py:328-362 sync flow).
+(Delta MERGE / Iceberg merge-on-read); the versioned pointer-swap here
+is the single-node analogue of those formats' commit protocol (and the
+durable fix for the reference's rewrite-the-whole-tab S4 flow,
+write_pipeline.py:328-362).
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import uuid
 from typing import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.cdc import cdc_latest_snapshot
-from .sink import overwrite_snapshot, sink_has_data
+
+_POINTER = "_CURRENT"
+
+
+def _current_version_dir(snapshot_path: str) -> str | None:
+    """Resolve the published snapshot directory, or None if never
+    published (missing/unreadable pointer fails closed to "empty")."""
+    try:
+        with open(os.path.join(snapshot_path, _POINTER)) as f:
+            name = f.read().strip()
+    except OSError:
+        return None
+    d = os.path.join(snapshot_path, name)
+    return d if name and os.path.isdir(d) else None
+
+
+def _publish_version(snapshot_path: str, version_dir: str) -> None:
+    """Atomically repoint ``_CURRENT`` at ``version_dir`` (tmp file +
+    os.replace — the one atomic primitive a filesystem gives us), then
+    GC everything except the new and immediately-previous versions."""
+    prev = _current_version_dir(snapshot_path)
+    tmp = os.path.join(snapshot_path, f".{_POINTER}.{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        f.write(os.path.basename(version_dir))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(snapshot_path, _POINTER))
+    keep = {os.path.basename(version_dir)}
+    if prev is not None:
+        keep.add(os.path.basename(prev))
+    for name in os.listdir(snapshot_path):
+        if name.startswith("v_") and name not in keep:
+            shutil.rmtree(os.path.join(snapshot_path, name), ignore_errors=True)
 
 
 def cdc_merge_batch(
@@ -61,8 +107,9 @@ def cdc_merge_batch(
         c for c in batch.columns if c not in set(keys) | set(seqs) | {op_col}
     ]
     changes = batch.select(*keys, *seqs, op_col, *payload)
-    if sink_has_data(snapshot_path):
-        prior = spark.read.parquet(snapshot_path).select(
+    current = _current_version_dir(snapshot_path)
+    if current is not None:
+        prior = spark.read.parquet(current).select(
             *keys,
             *[F.col(f"last_{c}").alias(c) for c in seqs],
             F.col("last_op").alias(op_col),
@@ -78,18 +125,29 @@ def cdc_merge_batch(
         payload_cols=payload,
         keep_deletes=True,  # tombstone retention — see module docstring
     ).drop("n_changes", "n_deletes")
-    # the union re-reads the snapshot being overwritten: materialize the
-    # merge result (executor-side, lineage cut from the input files)
-    # before the overwrite truncates its own input
-    merged = snap.localCheckpoint()
-    n = merged.count()
-    overwrite_snapshot(merged, snapshot_path)
-    return n
+    os.makedirs(snapshot_path, exist_ok=True)
+    seq_no = 0 if current is None else int(os.path.basename(current).split("-")[0][2:]) + 1
+    version_dir = os.path.join(
+        snapshot_path, f"v_{seq_no}-{uuid.uuid4().hex[:8]}"
+    )
+    # new version written BESIDE the current one (which the plan still
+    # reads) — no self-overwrite hazard, no driver materialization
+    snap.write.mode("overwrite").parquet(version_dir)
+    _publish_version(snapshot_path, version_dir)
+    return spark.read.parquet(version_dir).count()
+
+
+def cdc_snapshot_read(spark, snapshot_path: str) -> DataFrame:
+    """All stored rows (live + tombstones) at the published version."""
+    current = _current_version_dir(snapshot_path)
+    if current is None:
+        raise FileNotFoundError(f"no published snapshot under {snapshot_path}")
+    return spark.read.parquet(current)
 
 
 def cdc_live_view(spark, snapshot_path: str, delete_op: str = "D") -> DataFrame:
     """The consumer-facing snapshot: stored rows minus tombstones."""
-    return spark.read.parquet(snapshot_path).filter(
+    return cdc_snapshot_read(spark, snapshot_path).filter(
         F.col("last_op") != delete_op
     )
 

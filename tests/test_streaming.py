@@ -1535,11 +1535,13 @@ def test_cdc_merge_batch_replay_is_fixpoint(spark, tmpdir):
         (1, base + timedelta(minutes=1), 102, "U", 7.0),
         (2, base + timedelta(minutes=1), 202, "D", 0.0),
     ])
+    from options_data_pipeline_spark.streaming.cdc_stream import cdc_snapshot_read
+
     cdc_merge_batch(b1, snap, key_cols=["k"], seq_cols=["ts", "cid"])
     n = cdc_merge_batch(b2, snap, key_cols=["k"], seq_cols=["ts", "cid"])
-    first = sorted(map(tuple, spark.read.parquet(snap).collect()))
+    first = sorted(map(tuple, cdc_snapshot_read(spark, snap).collect()))
     n2 = cdc_merge_batch(b2, snap, key_cols=["k"], seq_cols=["ts", "cid"])
-    replay = sorted(map(tuple, spark.read.parquet(snap).collect()))
+    replay = sorted(map(tuple, cdc_snapshot_read(spark, snap).collect()))
     assert n == n2 == 2          # key 1 live + key 2 TOMBSTONE retained
     assert first == replay
     from options_data_pipeline_spark.streaming.cdc_stream import cdc_live_view
@@ -1566,8 +1568,10 @@ def test_cdc_tombstone_suppresses_out_of_order_insert(spark, tmpdir):
     stale_insert = _cdc_changes(spark, [(7, base, 701, "U", 1.0)])
     cdc_merge_batch(delete_first, snap, key_cols=["k"], seq_cols=["ts", "cid"])
     cdc_merge_batch(stale_insert, snap, key_cols=["k"], seq_cols=["ts", "cid"])
+    from options_data_pipeline_spark.streaming.cdc_stream import cdc_snapshot_read
+
     assert cdc_live_view(spark, snap).count() == 0
-    stored = spark.read.parquet(snap).collect()
+    stored = cdc_snapshot_read(spark, snap).collect()
     assert len(stored) == 1 and stored[0].last_op == "D"
 
 
@@ -1623,3 +1627,41 @@ def test_run_streaming_latest_snapshot_stage(spark, tmpdir):
         )
         assert latest[sym].last_window_start == newest.window_start
         assert latest[sym].last_close == newest.close
+
+
+def test_cdc_snapshot_survives_crash_before_publish(spark, tmpdir, monkeypatch):
+    """The versioned store's whole point: a crash AFTER the new version
+    is written but BEFORE the pointer swap must leave readers on the
+    previous snapshot intact (a plain mode-overwrite would have deleted
+    it first); the replayed merge then publishes normally and converges."""
+    from options_data_pipeline_spark.streaming import cdc_stream
+    from options_data_pipeline_spark.streaming.cdc_stream import (
+        cdc_merge_batch,
+        cdc_snapshot_read,
+    )
+
+    base = datetime(2024, 1, 1, 9, 0)
+    snap = os.path.join(tmpdir, "snap")
+    b1 = _cdc_changes(spark, [(1, base, 101, "U", 1.0)])
+    b2 = _cdc_changes(spark, [(1, base + timedelta(minutes=1), 102, "U", 9.0)])
+    cdc_merge_batch(b1, snap, key_cols=["k"], seq_cols=["ts", "cid"])
+
+    real_publish = cdc_stream._publish_version
+    monkeypatch.setattr(
+        cdc_stream,
+        "_publish_version",
+        lambda *a, **kw: (_ for _ in ()).throw(RuntimeError("crash")),
+    )
+    with pytest.raises(RuntimeError, match="crash"):
+        cdc_merge_batch(b2, snap, key_cols=["k"], seq_cols=["ts", "cid"])
+    # pointer untouched: readers still see the v1 state, no data loss
+    rows = cdc_snapshot_read(spark, snap).collect()
+    assert len(rows) == 1 and rows[0].last_v == 1.0
+
+    monkeypatch.setattr(cdc_stream, "_publish_version", real_publish)
+    cdc_merge_batch(b2, snap, key_cols=["k"], seq_cols=["ts", "cid"])
+    rows = cdc_snapshot_read(spark, snap).collect()
+    assert len(rows) == 1 and rows[0].last_v == 9.0
+    # GC kept at most current+previous versions; orphaned partial gone
+    versions = [n for n in os.listdir(snap) if n.startswith("v_")]
+    assert len(versions) <= 2
