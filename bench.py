@@ -205,6 +205,8 @@ HEADLINE = [
     "event_session_window",
     "orders_grouping_sets",
     "part_communities_lpa",
+    "inverted_index_build",
+    "bm25_rank",
 ]
 
 

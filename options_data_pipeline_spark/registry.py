@@ -9356,6 +9356,164 @@ def q_part_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(_copurchase_edges(spark, sf_dir, min_w=2), rounds=4)
 
 
+@register(
+    "inverted_index_build",
+    r"""WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY tok
+                               ORDER BY tf DESC, doc_id) AS rn
+  FROM tf
+)
+SELECT tok, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+       string_agg(CASE WHEN rn <= 5 THEN CAST(doc_id AS VARCHAR) END,
+                  ',' ORDER BY rn) AS top_postings
+FROM ranked GROUP BY tok""",
+)
+def q_inverted_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction — the search-infrastructure primitive
+    under tfidf/BM25: per token, document frequency, corpus frequency,
+    and the IMPACT-ORDERED posting head (top-5 docs by term frequency,
+    ties to the lowest doc id — the static index-pruning layout engines
+    serve cheap top-k from without walking full postings). One token
+    explode → (doc, tok) aggregate → per-token top-k; at 100 TB the
+    posting cap bounds every group's output and the token shuffle is
+    the only data-sized exchange. Postings surface as a joined string:
+    deterministic order, engine-neutral representation."""
+    toks = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    w = Window.partitionBy("tok").orderBy(F.desc("tf"), F.asc("doc_id"))
+    ranked = tf.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("cf"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col("rn") <= 5, F.struct("rn", "doc_id")
+                        )
+                    )
+                ),
+                lambda x: x["doc_id"].cast("string"),
+            ),
+            ",",
+        ).alias("top_postings"),
+    )
+
+
+@register(
+    "bm25_rank",
+    r"""WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+),
+dlen AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM dlen
+),
+q AS (SELECT unnest(['spark', 'join', 'window', 'stream']) AS tok),
+dfq AS (
+  SELECT tf.tok, CAST(count(*) AS BIGINT) AS df
+  FROM tf JOIN q USING (tok) GROUP BY tf.tok
+),
+terms AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           ln(1.0 + (CAST(s.n AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                    / (CAST(d.df AS DOUBLE) + 0.5))
+           * (CAST(tf.tf AS DOUBLE) * 2.2)
+           / (CAST(tf.tf AS DOUBLE)
+              + 1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE) / s.avgdl)),
+           6) AS DECIMAL(20,6)) AS s
+  FROM tf JOIN dfq d USING (tok) JOIN dlen l USING (doc_id) CROSS JOIN stats s
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+       CAST(sum(s) AS DOUBLE) AS bm25
+FROM terms GROUP BY doc_id""",
+)
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document scoring for a fixed query (['spark','join',
+    'window','stream'], k1=1.2, b=0.75) — the ranking function search
+    engines actually serve, completing the retrieval family above
+    tfidf/inverted_index: per-term IDF saturating length-normalized
+    term frequency. Per-term scores snap to the 6-dp DECIMAL grid
+    before the per-doc SUM (order-free, the repo's float discipline for
+    multi-term double sums; ln parity holds at 6 dp — same contract as
+    unigram_logprob). Scale shape: the 4-term query side is a broadcast
+    semi-reduction of the (doc, tok) table — no full-vocab work; avgdl
+    is one exact ints-ratio row."""
+    toks = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dlen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dlen.agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    qterms = spark.createDataFrame(
+        [("spark",), ("join",), ("window",), ("stream",)], "tok string"
+    )
+    tfq = tf.join(F.broadcast(qterms), "tok")
+    dfq = tfq.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n").cast("double") - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf").cast("double") * F.lit(2.2)) / (
+        F.col("tf").cast("double")
+        + F.lit(1.2)
+        * (
+            F.lit(0.25)
+            + F.lit(0.75) * F.col("dl").cast("double") / F.col("avgdl")
+        )
+    )
+    terms = (
+        tfq.join(F.broadcast(dfq), "tok")
+        .join(dlen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(idf * tf_part, 6).cast("decimal(20,6)").alias("s"),
+        )
+    )
+    return terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.sum("s").cast("double").alias("bm25"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:

@@ -971,3 +971,28 @@ def test_part_communities_lpa_flat_post_loop(spark, qs):
     assert count_exchanges(df) == 0  # final labels are a checkpointed RDD
     rows = df.collect()
     assert rows and all(r.label is not None for r in rows)
+
+
+def test_inverted_index_posting_cap_and_order(spark, qs):
+    """Postings must be impact-ordered (tf desc, doc_id asc) and capped
+    at 5 per token; df/cf still count the FULL posting list."""
+    rows = qs["inverted_index_build"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        ids = r.top_postings.split(",") if r.top_postings else []
+        assert len(ids) == min(5, r.df)
+        assert r.cf >= r.df
+
+
+def test_bm25_query_side_broadcast(spark, qs):
+    """The 4-term query dim and the post-agg stats sides broadcast; the
+    only data-sized exchanges are the token aggregates."""
+    import re
+
+    df = qs["bm25_rank"](spark, SF)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the only BNLJ is the 1-row avgdl/N stats normalizer
+    assert len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M)) == 1

@@ -53,6 +53,7 @@ BNLJ_OK = {
     "rfm_segments",  # 1-row max-orderdate crossJoined onto the customer dim
     "histogram_quantile_sketch",  # 1-row global min/max bin normalizer
     "dau_wau_mau",  # bounded day×bitmap-bucket scaffold (gap_fill family)
+    "bm25_rank",  # 1-row corpus avgdl/N stats normalizer
     # bounded scaffold: symbols × day-window sequence
     "gap_fill",
     # broadcast 1-ROW bloom filter crossJoined onto the probe side (the
