@@ -207,6 +207,8 @@ HEADLINE = [
     "part_communities_lpa",
     "inverted_index_build",
     "bm25_rank",
+    "user_first_paths",
+    "holt_forecast",
 ]
 
 

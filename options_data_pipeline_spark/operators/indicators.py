@@ -557,3 +557,59 @@ def adx(candles: DataFrame, n: int = 14) -> DataFrame:
         .groupBy("symbol")
         .applyInPandas(compute, schema=out_schema)
     )
+
+
+def _holt_series(values):
+    """Sequential Holt double-exponential smoothing over one symbol's
+    ordered closes (α=0.5, β=0.3): level l_t = α·x + (1−α)·(l+b), trend
+    b_t = β·(l_t−l) + (1−β)·b, seeded l₁=x₁, b₁=x₂−x₁. Every step is
+    the identical mul/add/sub sequence the recursive-CTE oracle runs —
+    IEEE-deterministic, compared unrounded. Returns (levels, trends)."""
+    if not values:
+        return [], []
+    xs = [float(x) for x in values]
+    if len(xs) == 1:
+        return [xs[0]], [None]
+    l, b = xs[0], xs[1] - xs[0]
+    levels, trends = [l], [b]
+    for x in xs[1:]:
+        l_new = 0.5 * x + 0.5 * (l + b)
+        b = 0.3 * (l_new - l) + 0.7 * b
+        l = l_new
+        levels.append(l)
+        trends.append(b)
+    return levels, trends
+
+
+def holt_linear(candles: DataFrame) -> DataFrame:
+    """Holt linear-trend smoothing + 3-step-ahead forecast per symbol —
+    the forecasting layer above the EMA family (level AND trend state,
+    ŷ_{t+h} = l_t + h·b_t). Same justified pandas-island shape as
+    ema/rsi/ATR: one symbol-grain shuffle, per-group sequential fold,
+    no closed-form window expression exists for the coupled recursion."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("window_start").reset_index(drop=True)
+        levels, trends = _holt_series(pdf["close"].tolist())
+        pdf["level"] = pd.Series(levels, dtype="float64")
+        pdf["trend"] = pd.Series(trends, dtype="float64")
+        pdf["forecast_3"] = pdf["level"] + 3.0 * pdf["trend"]
+        return pdf
+
+    out_schema = T.StructType(
+        [
+            T.StructField("symbol", T.StringType()),
+            T.StructField("window_start", T.TimestampType()),
+            T.StructField("close", T.DoubleType()),
+            T.StructField("level", T.DoubleType()),
+            T.StructField("trend", T.DoubleType()),
+            T.StructField("forecast_3", T.DoubleType()),
+        ]
+    )
+    return (
+        candles.select("symbol", "window_start", "close")
+        .groupBy("symbol")
+        .applyInPandas(compute, schema=out_schema)
+    )

@@ -9514,6 +9514,92 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "user_first_paths",
+    """WITH ev AS (
+  SELECT user_id, event_type, ts, event_id FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS rn
+  FROM ev
+),
+paths AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM ranked WHERE rn <= 3 GROUP BY user_id
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_users
+FROM paths GROUP BY path""",
+)
+def q_user_first_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry-path mining: each user's FIRST THREE events as an ordered
+    path, counted across the user base — the onboarding-funnel report
+    between event_funnel (fixed milestones) and user_path_transitions
+    (memoryless bigrams): the actual opening sequences users take. One
+    user-grain window keeps 3 rows per user (WindowGroupLimit prunes
+    the rest before the shuffle materializes them), then a path-grain
+    count — output is bounded by |event_types|³ regardless of users."""
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 3)
+    paths = ranked.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("rn", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@register(
+    "holt_forecast",
+    "WITH RECURSIVE " + candles_cte(3600)
+    + """,
+numbered AS MATERIALIZED (
+  SELECT symbol, window_start, "close",
+         lead("close") OVER (PARTITION BY symbol ORDER BY window_start)
+           AS next_close,
+         row_number() OVER (PARTITION BY symbol ORDER BY window_start) AS rn
+  FROM candles
+),
+rec AS (
+  SELECT symbol, rn, "close" AS l, next_close - "close" AS b
+  FROM numbered WHERE rn = 1 AND next_close IS NOT NULL
+  UNION ALL
+  SELECT t.symbol, t.rn,
+         0.5 * t."close" + 0.5 * (r.l + r.b) AS l,
+         0.3 * ((0.5 * t."close" + 0.5 * (r.l + r.b)) - r.l) + 0.7 * r.b AS b
+  FROM rec r JOIN numbered t ON t.symbol = r.symbol AND t.rn = r.rn + 1
+)
+SELECT n.symbol, n.window_start, n."close",
+       coalesce(rec.l, n."close") AS level, rec.b AS trend,
+       rec.l + 3.0 * rec.b AS forecast_3
+FROM numbered n LEFT JOIN rec ON rec.symbol = n.symbol AND rec.rn = n.rn""",
+)
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing (α=0.5, β=0.3; l₁=x₁, b₁=x₂−x₁)
+    with the 3-candle-ahead forecast ŷ = l + 3b — the forecasting layer
+    above the EMA family: level AND trend carried as coupled recursions
+    (no closed-form window expression), the same justified pandas-island
+    class as Wilder ATR, hash-checked UNROUNDED against the recursive-
+    CTE twin (every step the identical mul/add/sub sequence). Extends
+    forecast_revenue's closed-form regression with the state-space
+    approach an ops dashboard actually runs on live series."""
+    from .operators.indicators import holt_linear
+
+    return holt_linear(ohlc_candles(load_ticks(spark, sf_dir), "1 hour"))
+
+
 # ---------------------------------------------------------------------------
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:

@@ -619,3 +619,27 @@ def test_lpa_known_graph(spark):
     assert got[5] == got[6]
     # labels are real node ids
     assert set(got.values()) <= {1, 2, 3, 4, 5, 6}
+
+
+def test_holt_forecast_tracks_linear_series(spark):
+    """On an exactly linear series the Holt recursion locks on: level
+    equals the series, trend equals the slope, and the 3-step forecast
+    is exact — the defining fixed point of double-exponential
+    smoothing. A single-row symbol degrades to (level=x, trend=NULL)."""
+    from datetime import datetime, timedelta
+
+    from options_data_pipeline_spark.operators.indicators import holt_linear
+
+    base = datetime(2024, 1, 1)
+    rows = [("A", base + timedelta(hours=i), 100.0 + 2.0 * i) for i in range(30)]
+    rows.append(("B", base, 50.0))
+    df = spark.createDataFrame(
+        rows, "symbol string, window_start timestamp, close double"
+    )
+    out = {(r.symbol, r.window_start): r for r in holt_linear(df).collect()}
+    last = out[("A", base + timedelta(hours=29))]
+    assert abs(last.level - (100.0 + 2.0 * 29)) < 1e-9
+    assert abs(last.trend - 2.0) < 1e-9
+    assert abs(last.forecast_3 - (100.0 + 2.0 * 32)) < 1e-9
+    b = out[("B", base)]
+    assert b.level == 50.0 and b.trend is None and b.forecast_3 is None
