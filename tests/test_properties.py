@@ -657,3 +657,70 @@ def test_zvalue_is_injective_and_locality_bounded(spark_prop, pts):
                 expect |= ((r.x >> (8 - j + i)) & 1) << (2 * i)
                 expect |= ((r.y >> (8 - j + i)) & 1) << (2 * i + 1)
             assert cell_from_z == expect
+
+
+cdc_logs = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=5),          # key
+        st.integers(min_value=0, max_value=20),         # minute (seq ts)
+        st.sampled_from(["U", "D"]),                    # op
+        st.integers(min_value=0, max_value=99),         # payload value
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(cdc_logs, st.integers(min_value=1, max_value=4))
+def test_cdc_merge_any_batch_split_matches_batch_operator(
+    spark_prop, log, n_splits
+):
+    """For ANY change log and ANY split into micro-batches, streaming
+    cdc_merge_batch applied batch-by-batch must converge to the batch
+    operator's snapshot over the whole log (live keys, winning values)
+    — the incremental-view-maintenance contract of the tombstone-
+    retaining merge."""
+    import os
+    import shutil
+    import tempfile
+    from datetime import datetime, timedelta
+
+    from options_data_pipeline_spark.operators.cdc import cdc_latest_snapshot
+    from options_data_pipeline_spark.streaming.cdc_stream import (
+        cdc_live_view,
+        cdc_merge_batch,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (k, base + timedelta(minutes=m), cid, op, float(v))
+        for cid, (k, m, op, v) in enumerate(log)
+    ]
+    schema = "k bigint, ts timestamp, cid bigint, op string, v double"
+    want = {
+        r.k: (r.last_v, r.last_cid)
+        for r in cdc_latest_snapshot(
+            spark_prop.createDataFrame(rows, schema),
+            key_cols=["k"],
+            seq_cols=["ts", "cid"],
+        ).collect()
+    }
+    snap = tempfile.mkdtemp(prefix="odp_cdc_prop_")
+    try:
+        # split preserving nothing in particular — arbitrary chunking
+        size = max(1, len(rows) // n_splits)
+        for i in range(0, len(rows), size):
+            cdc_merge_batch(
+                spark_prop.createDataFrame(rows[i : i + size], schema),
+                os.path.join(snap, "s"),
+                key_cols=["k"],
+                seq_cols=["ts", "cid"],
+            )
+        got = {
+            r.k: (r.last_v, r.last_cid)
+            for r in cdc_live_view(spark_prop, os.path.join(snap, "s")).collect()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(snap, ignore_errors=True)
