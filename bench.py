@@ -209,6 +209,10 @@ HEADLINE = [
     "bm25_rank",
     "user_first_paths",
     "holt_forecast",
+    # round-7 additions
+    "approx_sketch_stats",
+    "approx_sketch_stats_builtin",
+    "copurchase_basket_audit",
 ]
 
 
@@ -222,6 +226,27 @@ R1_SUBSET = [
     "orders_cube", "doc_quality", "exact_dedup", "minhash_lsh", "simhash",
     "cosine_topk", "cosine_topk_ivf", "embedding_near_dup",
 ]
+
+
+# Bench-signal hygiene (round 7): the full suite is 160+ queries and grows
+# every round, so suite-total drift detection drowns in suite growth. This
+# PINNED 25-query subset is the stable cross-round signal — the r1 subset
+# (19) plus the top-cost representatives of each heavy family (graph,
+# connected-components, ANN, wide-simhash, CDC, IR). Per-query budgets are
+# 1.6× the round-6 recorded times (floor 0.5 s) — a query over budget is a
+# real regression, not suite growth. BASELINE.md §bench documents the set.
+PINNED_BUDGETS = {
+    "ohlc_5m": 0.63, "ohlc_true_range": 0.67, "atr_wilder": 0.92,
+    "gap_fill": 0.95, "dedup_delta": 0.86, "value_percentiles": 0.74,
+    "tick_sessions": 0.55, "props_json_stats": 0.76, "pricing_summary": 1.4,
+    "revenue_by_nation": 0.73, "top_parts_per_brand": 0.5,
+    "orders_cube": 0.79, "doc_quality": 0.58, "exact_dedup": 1.09,
+    "minhash_lsh": 1.94, "simhash": 2.08, "cosine_topk": 0.93,
+    "cosine_topk_ivf": 0.83, "embedding_near_dup": 0.64,
+    "part_triangle_counts": 11.49, "dedup_clusters": 8.12,
+    "ivf_kmeans_multiprobe": 5.53, "simhash_wide_pairs": 5.83,
+    "cdc_apply": 0.64, "bm25_rank": 3.36,
+}
 
 
 def main() -> None:
@@ -277,6 +302,12 @@ def main() -> None:
     # slowest queries, trimmed until the serialized line fits the tail
     # window with headroom.
     r1_total = round(sum(timings[q] for q in R1_SUBSET if q in timings), 3)
+    pinned = {q: timings[q] for q in PINNED_BUDGETS if q in timings}
+    over_budget = {
+        q: [pinned[q], PINNED_BUDGETS[q]]
+        for q in pinned
+        if pinned[q] > PINNED_BUDGETS[q]
+    }
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)
     )
@@ -287,6 +318,9 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "r1_subset_total": r1_total,
+        "pinned25_total": round(sum(pinned.values()), 3),
+        "pinned25_budget_total": round(sum(PINNED_BUDGETS.values()), 2),
+        "pinned25_over_budget": over_budget,
         "queries_file": out_path,
         "queries": slowest,
     }

@@ -86,7 +86,13 @@ def bloom_might_contain(
     """Attach the membership verdict: True = key MIGHT be in the built
     set (send to the exact check), False = key is DEFINITELY absent
     (skip the join entirely — zero false negatives). The 1-row filter
-    broadcasts; the probe is pure Column arithmetic, no shuffle."""
+    broadcasts; the probe is pure Column arithmetic, no shuffle.
+
+    NULL keys: md5(NULL) would propagate NULL through every bit test and
+    a downstream ``filter(~might_contain)`` would silently drop the row
+    (three-valued logic); instead a NULL key yields ``True`` so it always
+    reaches the exact check — the 'no false negatives' contract holds for
+    every row, including null-key rows."""
     m_bits = n_words * BITS_PER_WORD
     probed = df.crossJoin(F.broadcast(bloom))
     cond = None
@@ -103,7 +109,8 @@ def bloom_might_contain(
             )
         hit = (F.call_function("shiftright", expr, b) % 2) == 1
         cond = hit if cond is None else (cond & hit)
-    return probed.select(*df.columns, cond.alias(out_col))
+    verdict = F.when(F.col(key_col).isNull(), F.lit(True)).otherwise(cond)
+    return probed.select(*df.columns, verdict.alias(out_col))
 
 
 def bloom_build_partitioned(
@@ -160,7 +167,8 @@ def bloom_might_contain_partitioned(
     """Partitioned-probe twin: compute each key's bucket, broadcast-join
     the (tiny) bloom table on it, test the same k bits. A key whose
     bucket has no bloom row (nothing was ever inserted there) is
-    definitely absent."""
+    definitely absent. NULL keys yield ``True`` (routed to the exact
+    check), same contract as :func:`bloom_might_contain`."""
     m_bits = n_words * BITS_PER_WORD
     bucket = (
         F.conv(F.substring(F.md5(F.concat(F.col(key_col), F.lit("#b"))), 1, 8), 16, 10)
@@ -182,4 +190,5 @@ def bloom_might_contain_partitioned(
             )
         hit = (F.call_function("shiftright", F.coalesce(expr, F.lit(0)), b) % 2) == 1
         cond = hit if cond is None else (cond & hit)
-    return probed.select(*df.columns, cond.alias(out_col))
+    verdict = F.when(F.col(key_col).isNull(), F.lit(True)).otherwise(cond)
+    return probed.select(*df.columns, verdict.alias(out_col))

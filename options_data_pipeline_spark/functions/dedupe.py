@@ -739,6 +739,120 @@ def incremental_lsh_candidates(
     )
 
 
+def append_lsh_index(
+    batch: DataFrame,
+    path: str,
+    text_col: str = "text",
+    k: int = 5,
+) -> int:
+    """Append a new batch's signatures to a stored LSH index (the daily
+    increment the write-once :func:`build_lsh_index` docstring promises):
+    shingle+hash ONLY the batch, write its (doc_id, mh*, b*) rows as new
+    parquet files beside the corpus's. Returns the number of rows
+    appended.
+
+    At-least-once safe WITHOUT a ledger: signatures are deterministic,
+    so a replayed append writes byte-identical duplicate ROWS — which
+    cannot change probe RESULTS (:func:`incremental_lsh_candidates` ends
+    in a candidate-grain ``distinct``) and which the next
+    :func:`compact_lsh_index` collapses exactly. The cost of replay is
+    temporary storage, never correctness. Appends accumulate small
+    files; compaction is the maintenance path that merges them."""
+    if not os.path.isdir(path):
+        raise FileNotFoundError(
+            f"append_lsh_index: no index at {path!r} — build_lsh_index first"
+        )
+    wide = minhash_signatures_wide(batch, text_col, k)
+    idx = wide.select(
+        "doc_id",
+        *[f"mh{j}" for j in range(len(MINHASH_PARAMS))],
+        *band_bucket_cols(),
+    )
+    idx.write.mode("append").parquet(path)
+    return idx.count()
+
+
+def compact_lsh_index(
+    spark,
+    path: str,
+    tombstones: DataFrame | None = None,
+    retention_filter: str | None = None,
+    rows_per_file: int = 1_000_000,
+) -> dict:
+    """Maintenance pass for the incremental LSH index — the piece a year
+    of continuous ingest needs (daily :func:`append_lsh_index` calls grow
+    the dir unboundedly in files AND in dead rows):
+
+    1. drop replay-duplicate rows (exact ``distinct`` — signature rows
+       are deterministic, so duplicates are byte-identical),
+    2. drop TOMBSTONED docs (left-anti on ``tombstones.doc_id`` — docs
+       deleted from the corpus stop generating candidates),
+    3. drop EXPIRED docs via ``retention_filter``, an SQL predicate over
+       the index row (e.g. ``"doc_id >= 500"`` when ids encode ingest
+       order — the retention knob; rows failing it are removed),
+    4. merge small files: rewrite at ``ceil(n / rows_per_file)`` files,
+       hash-partitioned and sorted by doc_id (deterministic bytes).
+
+    Publish reuses the build's staging invariant (stage under a temp
+    name, atomic ``os.rename`` swap, old generation removed after the
+    swap) so a reader never sees a half-compacted index and a crashed
+    compaction leaves the live index untouched. Replay-idempotent: the
+    surviving row set is a pure function of (stored rows, tombstones,
+    filter), so re-running yields byte-identical output. Probe results
+    over surviving docs are UNCHANGED — compaction only removes rows
+    probes must not match.
+
+    Returns {"rows_before", "rows_after", "files_before", "files_after"}.
+    """
+    import math
+    import shutil
+    import uuid
+
+    if not os.path.isdir(path):
+        raise FileNotFoundError(f"compact_lsh_index: no index at {path!r}")
+    files_before = sum(
+        1 for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    idx = spark.read.parquet(path)
+    rows_before = idx.count()
+    live = idx.distinct()
+    if tombstones is not None:
+        live = live.join(
+            F.broadcast(tombstones.select("doc_id").distinct()),
+            "doc_id",
+            "left_anti",
+        )
+    if retention_filter:
+        live = live.filter(retention_filter)
+    rows_after = live.count()
+    n_files = max(1, math.ceil(rows_after / rows_per_file))
+    staged = f"{path}.compact-{uuid.uuid4().hex[:8]}"
+    (
+        live.repartition(n_files, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(staged)
+    )
+    old = f"{path}.old-{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    try:
+        os.rename(staged, path)
+    except OSError:
+        os.rename(old, path)  # roll back: live index restored
+        shutil.rmtree(staged, ignore_errors=True)
+        raise
+    shutil.rmtree(old, ignore_errors=True)
+    files_after = sum(
+        1 for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    return {
+        "rows_before": rows_before,
+        "rows_after": rows_after,
+        "files_before": files_before,
+        "files_after": files_after,
+    }
+
+
 def simhash_signatures_2w(
     docs: DataFrame, text_col: str = "text", bits: int = 124
 ) -> DataFrame:

@@ -34,12 +34,20 @@ def pagerank(
     dst: str = "dst",
     materialize: bool = True,
     broadcast_ranks: bool = False,
+    redistribute: bool = False,
 ) -> DataFrame:
     """Ranks after ``iters`` power iterations on a DIRECTED edge list
     (feed both directions for an undirected graph). Nodes = every id
-    appearing as src or dst; sinks (no out-edges) simply contribute
-    nothing (no dangling redistribution — fine for the symmetric graphs
-    this registry feeds; document if used on asymmetric ones).
+    appearing as src or dst; by default sinks (no out-edges) simply
+    contribute nothing — fine for the symmetric graphs this registry
+    feeds, where every node has out-edges, but on a directed
+    citation-style graph that LEAKS rank mass every round.
+    ``redistribute=True`` adds the standard dangling-mass correction:
+    each round, the total rank D sitting on sink nodes is shared to all
+    nodes as damping·D/N (one anti-join + broadcast 1-row per round;
+    keeps Σrank ≈ 1). Grid discipline: D is an exact decimal sum of
+    grid ranks, its share a single-op double chain mirrored by the
+    oracle — still bit-exact cross-engine.
 
     Output: (node, rank) with rank a 12-dp-grid double, summing to ≤ 1.
 
@@ -98,21 +106,35 @@ def pagerank(
         in_sums = contribs.groupBy("node").agg(
             F.sum("contrib").alias("in_sum")  # EXACT decimal aggregate
         )
-        ranks = (
-            ranks.select("node", "n_nodes")
-            .join(F.broadcast(in_sums) if broadcast_ranks else in_sums, "node", "left")
-            .select(
-                "node",
-                "n_nodes",
-                F.round(
-                    (F.lit(1.0) - F.lit(damping)) / F.col("n_nodes")
-                    + F.lit(damping)
-                    * F.coalesce(F.col("in_sum").cast("double"), F.lit(0.0)),
-                    GRID,
-                )
-                .cast(f"decimal(32,{GRID})")
-                .alias("rank"),
+        new_rank = (
+            (F.lit(1.0) - F.lit(damping)) / F.col("n_nodes")
+            + F.lit(damping)
+            * F.coalesce(F.col("in_sum").cast("double"), F.lit(0.0))
+        )
+        base = ranks.select("node", "n_nodes", "rank").join(
+            F.broadcast(in_sums) if broadcast_ranks else in_sums, "node", "left"
+        )
+        if redistribute:
+            # D = exact decimal sum of the grid ranks on sink nodes
+            # (anti-join against out-degrees); its per-node share is a
+            # single-op double chain, order-mirrored by the oracle
+            dang = ranks.join(
+                deg.select(F.col("src").alias("node")), "node", "left_anti"
+            ).agg(
+                F.coalesce(
+                    F.sum("rank"), F.lit(0).cast(f"decimal(32,{GRID})")
+                ).alias("dang")
             )
+            base = base.crossJoin(F.broadcast(dang))
+            new_rank = new_rank + F.lit(damping) * (
+                F.col("dang").cast("double") / F.col("n_nodes")
+            )
+        ranks = base.select(
+            "node",
+            "n_nodes",
+            F.round(new_rank, GRID)
+            .cast(f"decimal(32,{GRID})")
+            .alias("rank"),
         )
     return ranks.select("node", F.col("rank").cast("double").alias("rank"))
 

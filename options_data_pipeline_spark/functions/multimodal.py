@@ -8,10 +8,15 @@ inflate + per-scanline unfilter, all five spec filters), baseline JPEG
 (stdlib Huffman decode + float IDCT, :mod:`.jpeg`), and 16-bit PCM WAV
 (``wave``) are decoded for real with the stdlib — genuine bytes→
 pixels/samples→features paths exercised end-to-end in tests via the
-``make_bmp`` / ``make_png`` / ``make_jpeg`` / ``make_wav`` fixture
-builders. MP3 and video codecs need external libraries absent from this
-container and stay behind clearly-marked ``NotImplementedError`` stubs;
-progressive/arithmetic JPEG likewise (see jpeg.py scope note).
+``make_bmp`` / ``make_png`` / ``make_jpeg`` / ``make_wav`` / ``make_mp3``
+fixture builders. MP3 gets a real stdlib frame-header walk
+(:func:`parse_mp3_frames`: ID3v2 skip, resync, bitrate/sample-rate
+tables, computed frame lengths) with compressed-domain per-frame
+energies — full PCM synthesis (Huffman + polyphase filter bank) stays
+out of scope, as does video decode (operates on pre-extracted frames,
+the post-ffmpeg boundary); AAC/OGG and progressive/arithmetic JPEG stay
+behind clearly-marked ``NotImplementedError`` (see jpeg.py scope
+note).
 
 Scale notes: binary payloads dominate row size, so the loaders should set
 ``spark.sql.files.maxPartitionBytes`` low enough that an Arrow batch of
@@ -342,13 +347,152 @@ def _decode_jpeg(payload: bytes) -> list[float]:
     return _finish_image_features(width, height, sums, lum_top, lum_bot)
 
 
+# --- MP3: stdlib frame-header parse (closes the round-6 stub) -------------
+# MPEG-1/2/2.5 Layer III bitrate (kbps) and sample-rate tables, per the
+# ISO/IEC 11172-3 header layout. Index 0 ("free") and 15 are invalid.
+_MP3_BITRATES_V1_L3 = [
+    None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, None
+]
+_MP3_BITRATES_V2_L3 = [
+    None, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, None
+]
+_MP3_SAMPLE_RATES = {3: [44100, 48000, 32000],   # MPEG-1
+                     2: [22050, 24000, 16000],   # MPEG-2
+                     0: [11025, 12000, 8000]}    # MPEG-2.5
+
+
+def parse_mp3_frames(payload: bytes) -> list[dict]:
+    """Walk an MP3 bitstream's Layer III frame headers with pure stdlib
+    arithmetic: skip an ID3v2 tag (syncsafe size), resync on 0xFFE,
+    decode version/bitrate/sample-rate/padding/channel-mode from each
+    32-bit header, advance by the computed frame length
+    (samples_per_frame/8 · bitrate / sample_rate + padding). Returns one
+    dict per frame: offset, length, bitrate_kbps, sample_rate, channels,
+    samples, and ``energy`` — the mean |byte − 128| of the frame's DATA
+    bytes. The energy is a COMPRESSED-PAYLOAD proxy, not decoded PCM
+    (full Layer III synthesis needs Huffman tables + polyphase filter
+    banks): deterministic and content-sensitive, so it discriminates and
+    fingerprints re-muxed/re-tagged copies of the same stream, but it is
+    not perceptual loudness — documented contract, same honesty rule as
+    the video path's pre-extracted-frames boundary."""
+    i = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        size = 0
+        for b in payload[6:10]:  # syncsafe: 7 bits per byte
+            size = (size << 7) | (b & 0x7F)
+        i = 10 + size
+    frames: list[dict] = []
+    n = len(payload)
+    while i + 4 <= n:
+        h = int.from_bytes(payload[i:i + 4], "big")
+        if (h >> 21) & 0x7FF != 0x7FF:
+            i += 1  # resync byte-by-byte past garbage/tags
+            continue
+        version = (h >> 19) & 3       # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        layer = (h >> 17) & 3         # 1 = Layer III
+        br_idx = (h >> 12) & 0xF
+        sr_idx = (h >> 10) & 3
+        padding = (h >> 9) & 1
+        mode = (h >> 6) & 3           # 3 = mono
+        if version == 1 or layer != 1 or sr_idx == 3:
+            i += 1
+            continue
+        table = _MP3_BITRATES_V1_L3 if version == 3 else _MP3_BITRATES_V2_L3
+        bitrate = table[br_idx]
+        if bitrate is None:
+            i += 1
+            continue
+        sample_rate = _MP3_SAMPLE_RATES[version][sr_idx]
+        samples = 1152 if version == 3 else 576
+        length = (samples // 8) * bitrate * 1000 // sample_rate + padding
+        if length < 4 or i + length > n:
+            break  # truncated final frame: stop, don't fabricate
+        data = payload[i + 4:i + length]
+        energy = (
+            sum(abs(b - 128) for b in data) / len(data) if data else 0.0
+        )
+        frames.append({
+            "offset": i,
+            "length": length,
+            "bitrate_kbps": bitrate,
+            "sample_rate": sample_rate,
+            "channels": 1 if mode == 3 else 2,
+            "samples": samples,
+            "energy": energy,
+        })
+        i += length
+    return frames
+
+
+def _decode_mp3(payload: bytes) -> list[float]:
+    """MP3 feature vector from the frame-header walk (no PCM synthesis —
+    see :func:`parse_mp3_frames`): [sample_rate, channels, duration_s,
+    mean_frame_energy/128, max_frame_energy/128, vbr_flag, mean_bitrate_
+    kbps, n_frames]. Same 8-wide shape as the WAV features so mixed
+    audio corpora share one feature schema."""
+    frames = parse_mp3_frames(payload)
+    if not frames:
+        raise NotImplementedError(
+            "no decodable MPEG Layer III frames in payload"
+        )
+    f0 = frames[0]
+    energies = [f["energy"] for f in frames]
+    bitrates = [f["bitrate_kbps"] for f in frames]
+    duration = sum(f["samples"] / f["sample_rate"] for f in frames)
+    return [
+        float(f0["sample_rate"]),
+        float(f0["channels"]),
+        duration,
+        sum(energies) / len(energies) / 128.0,
+        max(energies) / 128.0,
+        1.0 if len(set(bitrates)) > 1 else 0.0,
+        sum(bitrates) / len(bitrates),
+        float(len(frames)),
+    ]
+
+
+def make_mp3(
+    frame_energies: list[int],
+    bitrate_kbps: int = 128,
+    sample_rate: int = 44100,
+    id3: bytes | None = None,
+) -> bytes:
+    """Deterministic MP3 fixture builder (MPEG-1 Layer III, mono, no
+    CRC): one frame per entry in ``frame_energies``; frame f's data
+    bytes alternate 128±energy so ``parse_mp3_frames`` reads back
+    exactly ``energy`` as the frame's mean |byte−128|. Optionally
+    prefixed with a syncsafe-sized ID3v2 tag."""
+    br_idx = _MP3_BITRATES_V1_L3.index(bitrate_kbps)
+    sr_idx = _MP3_SAMPLE_RATES[3].index(sample_rate)
+    out = bytearray()
+    if id3 is not None:
+        size = len(id3)
+        out += b"ID3" + bytes([3, 0, 0,
+                               (size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                               (size >> 7) & 0x7F, size & 0x7F]) + id3
+    length = 144 * bitrate_kbps * 1000 // sample_rate  # no padding
+    for amp in frame_energies:
+        hdr = bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), 0xC0])
+        data = bytearray()
+        for j in range(length - 4):
+            data.append(128 + amp if j % 2 == 0 else 128 - amp)
+        out += hdr + bytes(data)
+    return bytes(out)
+
+
 def _decode_audio(payload: bytes) -> list[float]:
-    """Real audio decode for 16-bit PCM WAV via stdlib ``wave``: bytes →
-    samples → 8-dim feature [framerate, channels, duration_s, rms, peak,
-    zero-crossing rate, mean_abs, dc_offset] (amplitudes normalized to
-    [-1,1]). Compressed audio (MP3/AAC) needs ffmpeg/librosa — stubbed."""
+    """Real audio decode: 16-bit PCM WAV via stdlib ``wave`` → 8-dim
+    feature [framerate, channels, duration_s, rms, peak, zero-crossing
+    rate, mean_abs, dc_offset] (amplitudes normalized to [-1,1]); MP3 via
+    the stdlib frame-header walk → the 8-dim :func:`_decode_mp3` vector
+    (compressed-domain energies — see its scope note). Other compressed
+    audio (AAC/OGG) needs external libs — still NotImplementedError."""
+    if payload[:3] == b"ID3" or (
+        len(payload) >= 2 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
+    ):
+        return _decode_mp3(payload)
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-        raise NotImplementedError("only PCM WAV is decodable without audio libs")
+        raise NotImplementedError("only PCM WAV / MP3 decodable without audio libs")
     with wave.open(io.BytesIO(payload)) as w:
         nch, sw, fr, nf = w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes()
         if sw != 2:
@@ -377,7 +521,7 @@ def _decode_audio(payload: bytes) -> list[float]:
 DECODERS = {
     "fake": _fake_decode,  # deterministic test decoder
     "image": _decode_image,  # real: 24-bit BMP + 8-bit PNG + baseline JPEG (all stdlib)
-    "audio": _decode_audio,  # real: 16-bit PCM WAV; MP3/AAC → NotImplementedError (needs ffmpeg/librosa)
+    "audio": _decode_audio,  # real: 16-bit PCM WAV + MP3 frame-header walk; AAC/OGG → NotImplementedError
     "video": _unavailable,  # STUB: ffmpeg frame sample → per-frame image path
 }
 
@@ -682,6 +826,37 @@ def audio_fingerprint_bands(payload: bytes, n_slices: int = 64) -> tuple[int, in
         lo = s * per
         hi = min((s + 1) * per, n) if s < n_slices - 1 else n
         sums[s] = sum(abs(v) for v in mono[lo:hi])
+    total = sum(sums)
+    bits = [1 if n_slices * v > total else 0 for v in sums]
+    bands = []
+    for b in range(4):
+        v = 0
+        for i in range(16):
+            v |= bits[b * 16 + i] << i
+        bands.append(v)
+    return tuple(bands)
+
+
+def mp3_fingerprint_bands(payload: bytes, n_slices: int = 64) -> tuple[int, int, int, int]:
+    """64-bit energy-profile fingerprint of an MP3, as four 16-bit bands
+    — the SAME banding contract as :func:`audio_fingerprint_bands` /
+    ``ahash_bands``, so MP3 clips ride the existing banded-Hamming
+    near-dup join unchanged: split the per-frame energy sequence
+    (:func:`parse_mp3_frames` — compressed-domain, see its scope note)
+    into 64 slices; bit s = slice s is louder than the stream average
+    (64·Σslice > Σall, integer-free exact on the float energies). Finds
+    re-encoded-tag / re-muxed copies of the same stream."""
+    frames = parse_mp3_frames(payload)
+    if not frames:
+        raise NotImplementedError("no decodable MPEG Layer III frames")
+    energies = [f["energy"] for f in frames]
+    n = len(energies)
+    per = max(n // n_slices, 1)
+    sums = [0.0] * n_slices
+    for s in range(n_slices):
+        lo = s * per
+        hi = min((s + 1) * per, n) if s < n_slices - 1 else n
+        sums[s] = sum(energies[lo:hi])
     total = sum(sums)
     bits = [1 if n_slices * v > total else 0 for v in sums]
     bands = []

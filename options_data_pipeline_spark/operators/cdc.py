@@ -89,11 +89,45 @@ def cdc_latest_snapshot(
     )
 
 
+def assert_unique_keys(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    side: str = "input",
+    max_examples: int = 5,
+) -> None:
+    """Fail loudly if ``df`` has more than one row for any key: one
+    hash-agg pass at key grain (map-side combining, report-sized
+    collect of only the duplicated keys), then a ``ValueError`` naming
+    the worst offenders. Used by :func:`snapshot_diff`'s opt-in
+    ``assert_unique`` to turn the silent fan-out wrong answer into a
+    loud failure."""
+    keys = list(key_cols)
+    dups = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") > 1)
+        .orderBy(F.col("n_rows").desc(), *keys)
+        .limit(max_examples + 1)
+        .collect()
+    )
+    if dups:
+        shown = [
+            {**{k: r[k] for k in keys}, "n_rows": r["n_rows"]}
+            for r in dups[:max_examples]
+        ]
+        more = " (and more)" if len(dups) > max_examples else ""
+        raise ValueError(
+            f"snapshot_diff: {side} snapshot violates the at-most-one-row-"
+            f"per-key precondition on {keys}; duplicated keys{more}: {shown}"
+        )
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,
     key_cols: Sequence[str],
     compare_cols: Sequence[str] | None = None,
+    assert_unique: bool = False,
 ) -> DataFrame:
     """Row-level diff between two snapshots of the same table — the
     inverse of :func:`cdc_latest_snapshot` (apply turns changes into a
@@ -103,7 +137,10 @@ def snapshot_diff(
 
     Both inputs must be SNAPSHOTS — at most one row per key (what
     cdc_latest_snapshot emits); a duplicated key would fan out through
-    the full-outer join and report spurious pairs. One full-outer join
+    the full-outer join and report spurious pairs. Pass
+    ``assert_unique=True`` to verify that precondition up front (one
+    extra counting pass per side; raises ``ValueError`` with example
+    keys instead of silently fanning out). One full-outer join
     on the key: ``added`` (key only in ``new``), ``removed`` (only in
     ``old``), ``changed`` (present in both, any compare column differs
     — null-safe struct compare, so NULL→value and value→NULL both
@@ -114,6 +151,9 @@ def snapshot_diff(
     each compare column.
     """
     keys = list(key_cols)
+    if assert_unique:
+        assert_unique_keys(old, keys, side="old")
+        assert_unique_keys(new, keys, side="new")
     if compare_cols is None:
         compare_cols = [c for c in old.columns if c not in keys]
     comp = list(compare_cols)

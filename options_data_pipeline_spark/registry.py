@@ -2283,28 +2283,229 @@ def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_int8_stats(load_table(spark, "embeddings", sf_dir))
 
 
-@register("approx_sketch_stats")  # rows-only: sketch internals differ per engine
+@register(
+    "approx_sketch_stats",
+    """WITH ev AS (
+  SELECT event_type AS symbol, value, user_id FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL AND user_id IS NOT NULL
+),
+stats AS (SELECT min(value) AS lo, max(value) AS hi FROM ev),
+binned AS (
+  SELECT symbol,
+         CAST(least(floor((value - lo) / ((hi - lo) / 128)), 127) AS BIGINT) AS bin
+  FROM ev, stats
+),
+hist AS (
+  SELECT symbol, bin, CAST(count(*) AS BIGINT) AS cnt FROM binned GROUP BY 1, 2
+),
+cum AS (
+  SELECT symbol, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY symbol ORDER BY bin) AS cum,
+         SUM(cnt) OVER (PARTITION BY symbol) AS n
+  FROM hist
+),
+qest AS (
+  SELECT symbol, CAST(max(n) AS BIGINT) AS n,
+         min(CASE WHEN cum >= 0.5::DOUBLE * n AND cum - cnt < 0.5::DOUBLE * n THEN
+           lo + (bin + (0.5::DOUBLE * n - (cum - cnt)) / cnt) * ((hi - lo) / 128) END) AS p50_est,
+         min(CASE WHEN cum >= 0.95::DOUBLE * n AND cum - cnt < 0.95::DOUBLE * n THEN
+           lo + (bin + (0.95::DOUBLE * n - (cum - cnt)) / cnt) * ((hi - lo) / 128) END) AS p95_est
+  FROM cum, stats
+  GROUP BY symbol
+),
+k AS (
+  SELECT DISTINCT symbol, user_id,
+         CAST(concat('0x', substr(md5(concat(symbol, '|', user_id)), 1, 15)) AS BIGINT) AS h
+  FROM ev
+),
+rho AS (
+  SELECT symbol, h % 64 AS bucket,
+         CASE WHEN h // 64 = 0 THEN 55
+              ELSE 55 - length(bin(h // 64)) END AS rho
+  FROM k
+),
+regs AS (SELECT symbol, bucket, max(rho) AS reg FROM rho GROUP BY 1, 2),
+scaffold AS (
+  SELECT s.symbol, b.b AS bucket
+  FROM (SELECT DISTINCT symbol FROM regs) s, range(64) b(b)
+),
+full_regs AS (
+  SELECT sc.symbol, sc.bucket, coalesce(r.reg, 0) AS reg
+  FROM scaffold sc LEFT JOIN regs r
+    ON r.symbol = sc.symbol AND r.bucket = sc.bucket
+),
+hll AS (
+  SELECT symbol,
+         0.709 * 64.0 * 64.0 / sum(1.0 / CAST(1::BIGINT << reg AS DOUBLE)) AS users_hll_est
+  FROM full_regs GROUP BY symbol
+)
+SELECT q.symbol, q.n, q.p50_est, q.p95_est, h.users_hll_est
+FROM qest q JOIN hll h ON h.symbol = q.symbol""",
+)
 def q_approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB observability path for A7/A9: mergeable single-pass
-    sketches (t-digest percentiles, HLL++ distinct counts) replacing the
-    exact sorts/sets that work at test scale. No oracle by design —
-    sketch estimates are engine-specific; the exact twins
-    (value_percentiles, buffer_stats) carry the correctness burden."""
-    ticks = load_ticks(spark, sf_dir)
-    sketch = ticks.groupBy("symbol").agg(
-        F.percentile_approx("price", [0.5, 0.95, 0.99], 10000).alias("p_approx"),
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.count(F.lit(1)).alias("n"),
+    """The 100 TB observability path for A7/A9, now ORACLE-EXACT: one
+    composed sketch-stats report per symbol built entirely from the
+    repo's PORTABLE deterministic sketches — the 128-bucket interpolated
+    histogram quantiles (histogram_quantile_sketch's machinery) and the
+    md5/dyadic HyperLogLog user count (hll_distinct_sketch's machinery)
+    — instead of Spark's built-in t-digest/HLL++ whose internals can't
+    be recomputed by another engine (that version survives as the
+    rows-only demo ``approx_sketch_stats_builtin``). Every arithmetic
+    step is bit-identical cross-engine: dyadic 2^(−reg) register terms,
+    order-free sums, single-op interpolation.
+
+    Scale shape: both sketches are mergeable and collapse to ≤
+    |symbols|×128 cells before any join — per-key SUM/MAX combine
+    map-side, the global (lo,hi) normalizer is a broadcast 1-row, and
+    the only raw-grain shuffle is the one DISTINCT at (symbol,user)
+    grain the exact count would pay anyway."""
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .filter(
+            F.col("event_type").isNotNull()
+            & F.col("value").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        .select(F.col("event_type").alias("symbol"), "value", "user_id")
     )
-    # Scalar columns (not array<double>): the driver's rows-only
-    # canonicalization sorts on every column and cannot hash a list.
+    # --- histogram quantile sketch (see histogram_quantile_sketch) ---
+    stats = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / F.lit(128)
+    binned = ev.crossJoin(F.broadcast(stats)).select(
+        "symbol",
+        "lo",
+        "hi",
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / width), F.lit(127)
+        ).alias("bin"),
+    )
+    hist = binned.groupBy("symbol", "lo", "hi", "bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_cum = Window.partitionBy("symbol").orderBy("bin")
+    w_all = Window.partitionBy("symbol")
+    cum = hist.select(
+        "symbol", "lo", "hi", "bin", "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+
+    def _est(q: float):
+        target = F.lit(q) * F.col("n")
+        val = F.col("lo") + (
+            F.col("bin") + (target - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+        ) * width
+        return F.min(
+            F.when(
+                (F.col("cum") >= target) & (F.col("cum") - F.col("cnt") < target),
+                val,
+            )
+        )
+
+    qest = cum.groupBy("symbol").agg(
+        F.max("n").alias("n"),
+        _est(0.5).alias("p50_est"),
+        _est(0.95).alias("p95_est"),
+    )
+    # --- md5/dyadic HLL user count (see hll_distinct_sketch) ---
+    k = (
+        ev.select("symbol", "user_id")
+        .distinct()
+        .select(
+            "symbol",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.col("symbol"), F.col("user_id"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long").alias("h"),
+        )
+    )
+    w = F.shiftright(F.col("h"), 6)  # exact h // 64 (60-bit nonneg long)
+    rho = F.when(w == 0, F.lit(55)).otherwise(
+        F.lit(55) - F.length(F.conv(w.cast("string"), 10, 2))
+    )
+    regs = (
+        k.select("symbol", (F.col("h") % 64).alias("bucket"), rho.alias("rho"))
+        .groupBy("symbol", "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    scaffold = (
+        regs.select("symbol")
+        .distinct()
+        .crossJoin(spark.range(64).select(F.col("id").cast("long").alias("bucket")))
+    )
+    full_regs = scaffold.join(regs, ["symbol", "bucket"], "left").select(
+        "symbol", F.coalesce(F.col("reg"), F.lit(0)).alias("reg")
+    )
+    term = F.lit(1.0) / F.call_function(
+        "shiftleft", F.lit(1).cast("long"), F.col("reg").cast("int")
+    ).cast("double")
+    hll = full_regs.groupBy("symbol").agg(
+        (F.lit(0.709) * F.lit(64.0) * F.lit(64.0) / F.sum(term)).alias(
+            "users_hll_est"
+        )
+    )
+    return qest.join(hll, "symbol").select(
+        "symbol", "n", "p50_est", "p95_est", "users_hll_est"
+    )
+
+
+@register(
+    "approx_sketch_stats_builtin",
+    """WITH ev AS (
+  SELECT event_type AS symbol, value, user_id FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL AND user_id IS NOT NULL
+)
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS users_exact,
+       TRUE AS users_within_20pct,
+       TRUE AS p_monotone,
+       TRUE AS p_in_range
+FROM ev GROUP BY symbol""",
+)
+def q_approx_sketch_stats_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's BUILT-IN sketches (t-digest percentile_approx, HLL++
+    approx_count_distinct) — the engine-native 100 TB observability
+    path. Their internals aren't portable, so the oracle checks a
+    CONTRACT instead of raw estimates: exact n and exact user count
+    (recomputable anywhere) plus three accuracy invariants the Spark
+    side evaluates against its own exact values and the oracle asserts
+    as literal TRUE — HLL++ within 20% of exact (default rsd 5%),
+    percentile estimates monotone (p50≤p95≤p99), and estimates inside
+    [min, max]. Both engines' sketches are deterministic for fixed
+    data, so the gate is stable; if a Spark upgrade degrades sketch
+    accuracy past the contract, this row hash-mismatches loudly.
+    The portable bit-exact composition lives in
+    ``approx_sketch_stats``."""
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .filter(
+            F.col("event_type").isNotNull()
+            & F.col("value").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        .select(F.col("event_type").alias("symbol"), "value", "user_id")
+    )
+    sketch = ev.groupBy("symbol").agg(
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("p"),
+        F.approx_count_distinct("user_id").alias("users_approx"),
+        F.count_distinct("user_id").alias("users_exact"),
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    p50, p95, p99 = (F.element_at("p", i) for i in (1, 2, 3))
+    ratio = F.col("users_approx").cast("double") / F.col("users_exact")
     return sketch.select(
         "symbol",
-        F.element_at("p_approx", 1).alias("p50_approx"),
-        F.element_at("p_approx", 2).alias("p95_approx"),
-        F.element_at("p_approx", 3).alias("p99_approx"),
-        "approx_users",
         "n",
+        "users_exact",
+        ((ratio >= 0.8) & (ratio <= 1.2)).alias("users_within_20pct"),
+        ((p50 <= p95) & (p95 <= p99)).alias("p_monotone"),
+        ((p50 >= F.col("vmin")) & (p99 <= F.col("vmax"))).alias("p_in_range"),
     )
 
 
@@ -7548,7 +7749,10 @@ def q_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("h"),
         )
     )
-    w = (F.col("h") / 64).cast("long")
+    # Exact integer h // 64: h is a nonnegative 60-bit md5-derived long, so
+    # shiftright(h, 6) == h // 64 with no double-rounding of the low bits
+    # (h / 64 via double would round bits above 2^53 and could flip rho by 1).
+    w = F.shiftright(F.col("h"), 6)
     rho = F.when(w == 0, F.lit(55)).otherwise(
         F.lit(55) - F.length(F.conv(w.cast("string"), 10, 2))
     )
@@ -7875,19 +8079,43 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _copurchase_edges(spark: SparkSession, sf_dir: str, min_w: int = 1) -> DataFrame:
+#: Giant-basket guard for the co-purchase family: a basket contributes at
+#: most CAP² pairs. TPC-H baskets are ≤7 lines so the cap never fires at
+#: test SFs (oracle hashes unchanged), but one degenerate 100k-line order
+#: at 100 TB would otherwise put ~10^10 pairs in a single join key's task.
+#: Deterministic rule (mirrors inverted_index_build's posting caps): keep
+#: the CAP smallest partkeys per order — reproducible cross-engine, unlike
+#: "sample N".
+_COPURCHASE_BASKET_CAP = 64
+
+
+def _copurchase_edges(
+    spark: SparkSession,
+    sf_dir: str,
+    min_w: int = 1,
+    max_basket: int = _COPURCHASE_BASKET_CAP,
+) -> DataFrame:
     """Shared edge build for the co-purchase graph family (triangles /
     k-core / LPA): parts sharing an order are adjacent, oriented u < v.
     The self-join keys on ORDER (bounded by per-order basket size²,
-    never parts²). ``min_w > 1`` keeps only REPEAT co-purchases — the
-    sparsification the iterative queries run on (raw co-occurrence is
-    noise at 100 TB); ``min_w=1`` returns the raw pair stream
-    (triangle_counts dedups internally)."""
+    never parts²), and baskets are capped at ``max_basket`` distinct
+    parts (deterministic smallest-partkey rule — see
+    ``_COPURCHASE_BASKET_CAP``), so a degenerate mega-order cannot
+    explode one key's task. ``min_w > 1`` keeps only REPEAT
+    co-purchases — the sparsification the iterative queries run on (raw
+    co-occurrence is noise at 100 TB); ``min_w=1`` returns the raw pair
+    stream (triangle_counts dedups internally)."""
     li = (
         load_table(spark, "lineitem", sf_dir)
         .filter(F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull())
         .select("l_orderkey", "l_partkey")
         .distinct()
+    )
+    w_ord = Window.partitionBy("l_orderkey").orderBy("l_partkey")
+    li = (
+        li.withColumn("rn", F.row_number().over(w_ord))
+        .filter(F.col("rn") <= max_basket)
+        .drop("rn")
     )
     a = li.alias("a")
     b = li.alias("b")
@@ -7912,8 +8140,10 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str, min_w: int = 1) -> DataF
 #: iterative-graph oracles share (edit the edge definition HERE and in the
 #: helper above, nowhere else)
 _COPURCHASE_E_CTE = """li AS (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+  SELECT l_orderkey, l_partkey FROM (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+  ) QUALIFY row_number() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) <= 64
 ),
 e AS MATERIALIZED (
   SELECT u, v FROM (
@@ -7928,8 +8158,10 @@ e AS MATERIALIZED (
 @register(
     "part_triangle_counts",
     """WITH li AS (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+  SELECT l_orderkey, l_partkey FROM (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+  ) QUALIFY row_number() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) <= 64
 ),
 e AS (
   SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
@@ -8877,10 +9109,10 @@ def q_sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             != 0
         )
     )
-    w = Window.partitionBy((F.col("id") / 1000).cast("long")).orderBy("id")
+    w = Window.partitionBy(F.expr("id div 1000")).orderBy("id")
     d = present.select(
         "id",
-        (F.col("id") / 1000).cast("long").alias("bucket"),
+        F.expr("id div 1000").alias("bucket"),
         (F.col("id") - F.lag("id").over(w)).alias("step"),
     )
     per_bucket = d.groupBy("bucket").agg(
@@ -8891,8 +9123,8 @@ def q_sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaffold = bounds.select(
         F.explode(
             F.sequence(
-                (F.col("gmin") / 1000).cast("long"),
-                (F.col("gmax") / 1000).cast("long"),
+                F.expr("gmin div 1000"),
+                F.expr("gmax div 1000"),
             )
         ).alias("bucket"),
         "gmin",
@@ -9598,6 +9830,148 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.indicators import holt_linear
 
     return holt_linear(ohlc_candles(load_ticks(spark, sf_dir), "1 hour"))
+
+
+def _pagerank_dangling_oracle(iters: int = 3) -> str:
+    head = """WITH baskets AS MATERIALIZED (
+  SELECT DISTINCT user_id, event_type AS item
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+edges AS MATERIALIZED (
+  SELECT a.item AS src, b.item AS dst
+  FROM baskets a JOIN baskets b
+    ON a.user_id = b.user_id AND a.item < b.item
+  GROUP BY 1, 2
+),
+nodes AS MATERIALIZED (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+),
+nn AS MATERIALIZED (SELECT count(*) AS n_nodes FROM nodes),
+deg AS MATERIALIZED (
+  SELECT src, count(*) AS out_deg FROM edges GROUP BY 1
+),
+r0 AS MATERIALIZED (
+  SELECT node, CAST(round(1.0 / n_nodes, 12) AS DECIMAL(32,12)) AS rank
+  FROM nodes, nn
+)"""
+    body = ""
+    prev = "r0"
+    for i in range(1, iters + 1):
+        body += f""",
+dg{i} AS MATERIALIZED (
+  SELECT coalesce(sum(r.rank), CAST(0 AS DECIMAL(32,12))) AS dang
+  FROM {prev} r LEFT JOIN deg d ON d.src = r.node
+  WHERE d.src IS NULL
+),
+c{i} AS MATERIALIZED (
+  SELECT e.dst AS node,
+         CAST(round(CAST(r.rank AS DOUBLE) / d.out_deg, 12) AS DECIMAL(32,12)) AS contrib
+  FROM edges e JOIN {prev} r ON r.node = e.src JOIN deg d ON d.src = e.src
+),
+r{i} AS MATERIALIZED (
+  SELECT n.node,
+         CAST(round((1.0 - 0.85) / nn.n_nodes
+                    + 0.85 * coalesce(CAST(s.in_sum AS DOUBLE), 0.0)
+                    + 0.85 * (CAST(dg.dang AS DOUBLE) / nn.n_nodes), 12)
+              AS DECIMAL(32,12)) AS rank
+  FROM nodes n
+  LEFT JOIN (SELECT node, sum(contrib) AS in_sum FROM c{i} GROUP BY 1) s
+    ON s.node = n.node, nn, dg{i} dg
+)"""
+        prev = f"r{i}"
+    return head + body + f"""
+SELECT node, CAST(rank AS DOUBLE) AS rank FROM {prev}"""
+
+
+@register("pagerank_dangling", _pagerank_dangling_oracle(3))
+def q_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank WITH dangling-mass redistribution on a DIRECTED graph
+    that actually has sinks: the item graph oriented src < dst, so the
+    lexicographically-last item of every connected region has no
+    out-edges. Without the correction those sinks leak rank every round
+    (item_pagerank's documented sinks-contribute-nothing contract is
+    fine only for its symmetric edges); with ``redistribute=True`` each
+    round's sink mass D is an exact decimal sum shared back as
+    damping·D/N — Σrank stays ≈ 1, the standard treatment for
+    citation/web-style graphs. Oracle = fully unrolled trajectory with
+    a per-round dangling CTE, hash-exact on the same 12-dp grid recipe.
+
+    Scale shape: the correction adds one node-grain anti-join and a
+    broadcast 1-row per round — no new edge-grain work."""
+    from .functions.graph import pagerank
+
+    events = load_table(spark, "events", sf_dir)
+    baskets = (
+        events.filter(
+            F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+        )
+        .select("user_id", F.col("event_type").alias("item"))
+        .distinct()
+    )
+    a, b = baskets.alias("a"), baskets.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .select(F.col("a.item").alias("src"), F.col("b.item").alias("dst"))
+        .distinct()
+    )
+    return pagerank(
+        edges, iters=3, redistribute=True, broadcast_ranks=True
+    )
+
+
+@register(
+    "copurchase_basket_audit",
+    """WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+),
+s AS (SELECT l_orderkey, count(*) AS basket FROM li GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_baskets,
+       CAST(max(basket) AS BIGINT) AS max_basket,
+       CAST(sum(CASE WHEN basket > 64 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_capped_baskets,
+       CAST(sum(CASE WHEN basket > 64
+                THEN (basket * (basket - 1)) // 2 - 2016
+                ELSE 0 END) AS BIGINT) AS pairs_dropped
+FROM s""",
+)
+def q_copurchase_basket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit companion to the giant-basket guard on ``_copurchase_edges``
+    (cap = ``_COPURCHASE_BASKET_CAP`` = 64 distinct parts per order):
+    reports how many baskets the cap fires on and exactly how many
+    co-purchase pairs it drops (basket·(basket−1)/2 − C(64,2) = 2016 per
+    capped basket). On TPC-H baskets (≤7 lines) both counts are 0 — the
+    row a 100 TB operator checks before trusting the graph family's
+    edge list. One hash-grain shuffle (order sizes), report-sized out."""
+    cap = _COPURCHASE_BASKET_CAP
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .filter(F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull())
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    sizes = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("basket"))
+    # exact integer pair counts — no double division (ADVICE r6 hazard class)
+    capped_pairs = F.expr(
+        f"(basket * (basket - 1)) div 2 - {cap * (cap - 1) // 2}"
+    )
+    return sizes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_baskets"),
+        F.max("basket").cast("long").alias("max_basket"),
+        F.sum(F.when(F.col("basket") > cap, 1).otherwise(0))
+        .cast("long")
+        .alias("n_capped_baskets"),
+        F.sum(
+            F.when(F.col("basket") > cap, capped_pairs).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("pairs_dropped"),
+    )
 
 
 # ---------------------------------------------------------------------------

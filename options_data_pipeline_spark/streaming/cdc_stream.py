@@ -109,7 +109,31 @@ def cdc_merge_batch(
     changes = batch.select(*keys, *seqs, op_col, *payload)
     current = _current_version_dir(snapshot_path)
     if current is not None:
-        prior = spark.read.parquet(current).select(
+        stored = spark.read.parquet(current)
+        # Fail loudly on schema evolution between micro-batches: the merge
+        # selects last_<c> for every batch-derived payload/seq column, so a
+        # renamed/added/removed payload column would otherwise surface as an
+        # opaque AnalysisException mid-merge. The snapshot schema is fixed at
+        # first publish; evolving it requires a rebuild (documented contract).
+        expected = (
+            set(keys)
+            | {f"last_{c}" for c in seqs}
+            | {"last_op"}
+            | {f"last_{c}" for c in payload}
+        )
+        stored_cols = set(stored.columns)
+        missing = sorted(expected - stored_cols)
+        extra = sorted(stored_cols - expected)
+        if missing or extra:
+            raise ValueError(
+                "cdc_merge_batch: change-stream schema does not match the "
+                f"stored snapshot at {current!r}. Snapshot is missing "
+                f"columns {missing} expected for this batch; snapshot has "
+                f"extra columns {extra} absent from this batch. The stored "
+                "snapshot schema is fixed at first publish — rebuild the "
+                "snapshot to evolve the payload schema."
+            )
+        prior = stored.select(
             *keys,
             *[F.col(f"last_{c}").alias(c) for c in seqs],
             F.col("last_op").alias(op_col),

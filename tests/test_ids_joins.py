@@ -252,3 +252,27 @@ def test_snapshot_diff_semantics(spark):
     assert got[2].old_v == 20.0 and got[2].new_v == 21.0
     assert got[3].old_v is None and got[3].new_v == 30.0
     assert got[4].new_v is None and got[5].old_v is None
+
+
+def test_snapshot_diff_assert_unique(spark):
+    """Opt-in precondition check: a duplicated key raises a loud
+    ValueError naming the offending keys instead of silently fanning
+    out through the full-outer join; the default path is unchanged."""
+    import pytest
+
+    from options_data_pipeline_spark.operators.cdc import snapshot_diff
+
+    clean = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "k bigint, v double"
+    )
+    duped = spark.createDataFrame(
+        [(1, 10.0), (1, 11.0), (2, 20.0)], "k bigint, v double"
+    )
+    # default: no check — the fan-out is the caller's (documented) problem
+    assert snapshot_diff(duped, clean, ["k"]).count() >= 1
+    with pytest.raises(ValueError, match=r"old snapshot.*\bk\b"):
+        snapshot_diff(duped, clean, ["k"], assert_unique=True)
+    with pytest.raises(ValueError, match="new snapshot"):
+        snapshot_diff(clean, duped, ["k"], assert_unique=True)
+    # clean inputs pass the check and produce the normal diff
+    assert snapshot_diff(clean, clean, ["k"], assert_unique=True).count() == 0

@@ -339,6 +339,35 @@ def test_pagerank_invariants(spark):
     assert ranks["a"] == ranks["b"] == ranks["c"]  # exact tie on the grid
 
 
+def test_pagerank_dangling_redistribution(spark):
+    """On a graph WITH a sink, the default drops the sink's mass every
+    round (Σrank < 1) while redistribute=True conserves it (Σrank ≈ 1)
+    and still ranks the sink highest — the citation-graph contract."""
+    from options_data_pipeline_spark.functions.graph import pagerank
+
+    # chain into a sink: a->c, b->c, c has no out-edges
+    edges = spark.createDataFrame(
+        [("a", "c"), ("b", "c")], "src string, dst string"
+    )
+    leak = {r.node: r.rank for r in pagerank(edges, iters=5).collect()}
+    keep = {
+        r.node: r.rank
+        for r in pagerank(edges, iters=5, redistribute=True).collect()
+    }
+    assert sum(leak.values()) < 0.9  # sink mass visibly leaked
+    assert abs(sum(keep.values()) - 1.0) < 1e-6
+    assert keep["c"] > keep["a"] and keep["a"] == keep["b"]
+    # redistribution raises everyone relative to the leaking variant
+    assert all(keep[n] > leak[n] for n in ("a", "b"))
+    # strongly-connected graphs are unaffected by the option
+    sym = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    plain = sorted(map(tuple, pagerank(sym, iters=3).collect()))
+    redis = sorted(map(tuple, pagerank(sym, iters=3, redistribute=True).collect()))
+    assert plain == redis
+
+
 def test_hll_registers_merge_exactly(spark):
     """The property that makes HLL a 1000-executor sketch: registers of
     two disjoint data slices combine by per-register MAX into exactly

@@ -1550,6 +1550,125 @@ def test_cdc_merge_batch_replay_is_fixpoint(spark, tmpdir):
     assert len(live) == 1 and live[0].k == 1 and live[0].last_v == 7.0
 
 
+def test_streaming_bitmap_rollup_matches_batch(spark, tmpdir):
+    """Stream events through the foreachBatch OR-merge in several
+    micro-batches; the report answered from STORED SEGMENTS ONLY must
+    equal (a) the batch operator over the full log and (b) exact
+    count-distinct ground truth — users overlapping across days and
+    across micro-batches included."""
+    from options_data_pipeline_spark.streaming.bitmap_stream import (
+        batch_bitmap_segments,
+        bitmap_rollup_report,
+        bitmap_segments_read,
+        streaming_bitmap_rollup,
+    )
+
+    base = datetime(2024, 1, 1, 9, 0)
+    rows = []
+    # two event types; users revisit across days and split across batches
+    for d in range(3):
+        for u in range(1, 8):
+            if (u + d) % 3 != 0:
+                rows.append(("click", base + timedelta(days=d, minutes=u), u))
+        for u in range(5, 10):
+            rows.append(("view", base + timedelta(days=d, minutes=u), u))
+    schema = "event_type string, ts timestamp, user_id bigint"
+    src = os.path.join(tmpdir, "bm_src")
+    store = os.path.join(tmpdir, "bm_store")
+    ck = os.path.join(tmpdir, "bm_ck")
+    spark.createDataFrame(rows, schema).repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # several micro-batches
+        .parquet(src)
+    )
+    q = streaming_bitmap_rollup(stream, store, ck).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    segments = bitmap_segments_read(spark, store)
+    got = {r.et: r for r in bitmap_rollup_report(segments).collect()}
+    full = spark.createDataFrame(rows, schema)
+    want = {
+        r.et: r
+        for r in bitmap_rollup_report(batch_bitmap_segments(full)).collect()
+    }
+    assert set(got) == set(want) == {"click", "view"}
+    for et in got:
+        assert (got[et].n_days, got[et].sum_daily_users, got[et].total_users) == (
+            want[et].n_days, want[et].sum_daily_users, want[et].total_users
+        )
+    # exact ground truth for the period total
+    exact = {
+        r.event_type: r.n
+        for r in full.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert {et: got[et].total_users for et in got} == exact
+
+
+def test_bitmap_merge_batch_replay_is_fixpoint(spark, tmpdir):
+    """OR is idempotent: re-merging the same micro-batch (at-least-once
+    foreachBatch after a crash) leaves segments AND the report
+    unchanged — no ledger, no sequence columns."""
+    from options_data_pipeline_spark.streaming.bitmap_stream import (
+        bitmap_merge_batch,
+        bitmap_rollup_report,
+        bitmap_segments_read,
+    )
+
+    base = datetime(2024, 1, 1, 9, 0)
+    schema = "event_type string, ts timestamp, user_id bigint"
+    store = os.path.join(tmpdir, "store")
+    b1 = spark.createDataFrame(
+        [("click", base, 1), ("click", base, 2)], schema
+    )
+    b2 = spark.createDataFrame(
+        [("click", base + timedelta(days=1), 2), ("click", base, 3)], schema
+    )
+    bitmap_merge_batch(b1, store)
+    n = bitmap_merge_batch(b2, store)
+    first = sorted(map(tuple, bitmap_rollup_report(
+        bitmap_segments_read(spark, store)).collect()))
+    n2 = bitmap_merge_batch(b2, store)  # replay
+    replay = sorted(map(tuple, bitmap_rollup_report(
+        bitmap_segments_read(spark, store)).collect()))
+    assert n == n2 and first == replay
+    assert first[0][1:4] == (2, 4, 3)  # n_days=2, Σdaily=3+1, total=3
+
+
+def test_cdc_merge_batch_schema_evolution_fails_loudly(spark, tmpdir):
+    """The stored snapshot's payload schema is fixed at first publish; a
+    micro-batch whose payload columns evolved (added/renamed) must fail
+    with a descriptive ValueError naming the mismatched columns — not an
+    opaque AnalysisException from the prior-snapshot select mid-merge."""
+    import pytest
+
+    from options_data_pipeline_spark.streaming.cdc_stream import cdc_merge_batch
+
+    base = datetime(2024, 1, 1, 9, 0)
+    snap = os.path.join(tmpdir, "snap")
+    b1 = _cdc_changes(spark, [(1, base, 101, "U", 1.0)])
+    cdc_merge_batch(b1, snap, key_cols=["k"], seq_cols=["ts", "cid"])
+    evolved = spark.createDataFrame(
+        [(1, base + timedelta(minutes=1), 102, "U", 2.0, "extra")],
+        "k bigint, ts timestamp, cid bigint, op string, v double, note string",
+    )
+    with pytest.raises(ValueError, match=r"last_note.*fixed at first publish"):
+        cdc_merge_batch(evolved, snap, key_cols=["k"], seq_cols=["ts", "cid"])
+    renamed = spark.createDataFrame(
+        [(1, base + timedelta(minutes=1), 102, "U", 2.0)],
+        "k bigint, ts timestamp, cid bigint, op string, val double",
+    )
+    with pytest.raises(ValueError, match=r"last_val.*last_v"):
+        cdc_merge_batch(renamed, snap, key_cols=["k"], seq_cols=["ts", "cid"])
+    # the matching batch still merges after the rejected ones
+    b2 = _cdc_changes(spark, [(1, base + timedelta(minutes=2), 103, "U", 3.0)])
+    assert cdc_merge_batch(b2, snap, key_cols=["k"], seq_cols=["ts", "cid"]) == 1
+
+
 def test_cdc_tombstone_suppresses_out_of_order_insert(spark, tmpdir):
     """The retention rule the stored tombstones exist for: a delete in
     an EARLIER micro-batch must suppress the key's OLDER insert arriving

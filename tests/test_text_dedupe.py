@@ -590,6 +590,76 @@ def test_lsh_index_write_once_and_incremental_parity(spark, tmp_path):
     assert got, "expected at least one cross-split candidate (0/1 vs 4)"
 
 
+def test_lsh_index_append_compact_maintenance(spark, tmp_path):
+    """The year-of-ingest maintenance path: appends accumulate replayed
+    duplicate rows and small files; compaction collapses duplicates,
+    merges files, honors tombstones and the retention filter, publishes
+    atomically, and NEVER changes probe results for surviving docs —
+    replay-idempotent throughout."""
+    import os
+
+    from options_data_pipeline_spark.functions.dedupe import (
+        append_lsh_index,
+        build_lsh_index,
+        compact_lsh_index,
+        incremental_lsh_candidates,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "completely different content about sparkling distributed engines",
+        "another unrelated document concerning market data pipelines",
+        "the quick brown fox jumps over the lazy dog again and again!",  # near-dup of 0
+        "fresh appended material about streaming watermark semantics",
+    ]
+    df = docs_df(spark, texts)
+    path = str(tmp_path / "idx")
+    build_lsh_index(df.filter("doc_id < 3"), path)
+    n = append_lsh_index(df.filter("doc_id >= 3"), path)
+    assert n == 2
+    append_lsh_index(df.filter("doc_id >= 3"), path)  # at-least-once replay
+    assert spark.read.parquet(path).count() == 7  # 3 + 2 + 2 dup rows
+
+    probe = docs_df(
+        spark,
+        ["THE QUICK brown fox jumps over the lazy DOG again and again"],
+    ).selectExpr("doc_id + 100 AS doc_id", "text")  # distinct from corpus ids
+
+    def candidates():
+        return sorted(
+            (r.doc_a, r.doc_b, r.jaccard_est)
+            for r in incremental_lsh_candidates(
+                probe, spark.read.parquet(path)
+            ).collect()
+        )
+
+    before = candidates()
+    assert {c[0] for c in before} >= {0, 3}  # hits both build + append rows
+
+    stats = compact_lsh_index(spark, path)
+    assert stats["rows_before"] == 7 and stats["rows_after"] == 5
+    assert stats["files_after"] <= stats["files_before"]
+    assert candidates() == before  # probe results byte-identical
+
+    # replay-idempotent: a second compaction is a no-op on rows & probes
+    stats2 = compact_lsh_index(spark, path)
+    assert stats2["rows_before"] == stats2["rows_after"] == 5
+    assert candidates() == before
+
+    # tombstone doc 3: its candidate pairs disappear, others untouched
+    tomb = spark.createDataFrame([(3,)], "doc_id bigint")
+    compact_lsh_index(spark, path, tombstones=tomb)
+    after_tomb = candidates()
+    assert after_tomb == [c for c in before if c[0] != 3] and after_tomb
+
+    # retention knob: expire everything but the newest ids
+    compact_lsh_index(spark, path, retention_filter="doc_id >= 4")
+    assert candidates() == []  # doc 0 expired; probe no longer matches
+    assert {r.doc_id for r in spark.read.parquet(path).collect()} == {4}
+    assert not [d for d in os.listdir(os.path.dirname(path))
+                if ".old-" in d or ".compact-" in d]  # no stray generations
+
+
 def test_lsh_index_atomic_publish_no_partial(spark, tmp_path):
     """A crashed build leaves only a .build-* staging dir, never a
     half-published index at the final path."""
@@ -818,6 +888,37 @@ def test_bloom_filter_no_false_negatives_and_measurable_fp(spark):
     tiny = bloom_build(keys, n_words=1, k=4)
     got = bloom_might_contain(keys, tiny, n_words=1, k=4).collect()
     assert all(r.might_contain for r in got)
+
+
+def test_bloom_null_key_routes_to_exact_check(spark):
+    """NULL keys must yield might_contain=True (a boolean, never NULL):
+    md5(NULL) would otherwise propagate NULL through the bit tests and a
+    downstream filter(~might_contain) would silently drop null-key rows
+    — three-valued logic leaking through the no-false-negatives
+    contract. Both the single and partitioned probes route NULLs to the
+    exact check."""
+    from options_data_pipeline_spark.functions.bloom import (
+        bloom_build,
+        bloom_build_partitioned,
+        bloom_might_contain,
+        bloom_might_contain_partitioned,
+    )
+
+    keys = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(50)], "fingerprint string"
+    )
+    with_null = spark.createDataFrame(
+        [("key-1",), (None,), ("unseen",)], "fingerprint string"
+    )
+    bloom = bloom_build(keys, n_words=16, k=4)
+    got = {r.fingerprint: r.might_contain for r in bloom_might_contain(
+        with_null, bloom, n_words=16, k=4).collect()}
+    assert got["key-1"] is True
+    assert got[None] is True  # not None: NULL key → definite True
+    part = bloom_build_partitioned(keys, n_partitions=4)
+    gotp = {r.fingerprint: r.might_contain for r in
+            bloom_might_contain_partitioned(with_null, part, n_partitions=4).collect()}
+    assert gotp["key-1"] is True and gotp[None] is True
 
 
 def test_partitioned_bloom_matches_single_and_scales_capacity(spark):
