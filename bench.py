@@ -213,6 +213,19 @@ HEADLINE = [
     "approx_sketch_stats",
     "approx_sketch_stats_builtin",
     "copurchase_basket_audit",
+    "pagerank_dangling",
+    "benford_audit",
+    "surrogate_keys",
+    "bigram_logprob",
+    # eager power iteration at construction (timer spans it, like
+    # dedup_clusters)
+    "embedding_top_pc",
+    "table_profile",
+    "compaction_bins",
+    "seasonal_hour_anomaly",
+    "adamic_adar_links",
+    "bootstrap_mean_ci",
+    "mmr_diversified_topk",
 ]
 
 

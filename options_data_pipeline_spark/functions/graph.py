@@ -86,6 +86,12 @@ def pagerank(
         .alias("rank"),
     )
     for _ in range(iters):
+        if redistribute and materialize:
+            # the dangling sum makes ranks a TWO-consumer subtree per
+            # round (contribs + D) — unrolled lazily the plan doubles
+            # per iteration (measured: 63 exchanges at 3 rounds vs 19
+            # materialized). Node-grain checkpoint, cheap by definition.
+            ranks = ranks.localCheckpoint()
         rank_side = ranks.select(F.col("node").alias("src"), "rank")
         deg_side = deg
         if broadcast_ranks:
@@ -118,9 +124,12 @@ def pagerank(
             # D = exact decimal sum of the grid ranks on sink nodes
             # (anti-join against out-degrees); its per-node share is a
             # single-op double chain, order-mirrored by the oracle
-            dang = ranks.join(
-                deg.select(F.col("src").alias("node")), "node", "left_anti"
-            ).agg(
+            sink_probe = deg.select(F.col("src").alias("node"))
+            if broadcast_ranks:
+                # checkpointed deg carries no stats → the anti-join
+                # would fall to SMJ without the hint (node-grain side)
+                sink_probe = F.broadcast(sink_probe)
+            dang = ranks.join(sink_probe, "node", "left_anti").agg(
                 F.coalesce(
                     F.sum("rank"), F.lit(0).cast(f"decimal(32,{GRID})")
                 ).alias("dang")
@@ -397,3 +406,73 @@ def label_propagation(
         if materialize:
             labels = labels.localCheckpoint()
     return labels
+
+
+def adamic_adar(
+    edges: DataFrame,
+    u: str = "u",
+    v: str = "v",
+    max_center_degree: int = 1024,
+    min_common: int = 2,
+    materialize: bool = True,
+    broadcast_degrees: bool = True,
+) -> DataFrame:
+    """Adamic–Adar link prediction on an UNDIRECTED edge list: for every
+    NON-adjacent pair (a, b) sharing >= ``min_common`` neighbors, the
+    score sum(1 / ln(deg(y))) over common neighbors y — the classic
+    "people/items you may also like" recommender primitive (Adamic &
+    Adar 2003), and the item-graph completion step a co-purchase model
+    feeds from.
+
+    Scale shape: candidate pairs are generated ONLY through shared
+    centers (one self-join of the adjacency list keyed on the CENTER
+    node — never corpus x corpus), and centers with degree >
+    ``max_center_degree`` are dropped before the wedge join: a hub's
+    wedge fan-out is deg^2 in ONE join key (the same giant-basket
+    failure mode the co-purchase edge build caps) while its per-wedge
+    signal 1/ln(deg) is the SMALLEST of any center, so the standard
+    practice is to cap exactly as stop-words are capped in the posting
+    lists (inverted_index_build's bound, applied to graphs). The cap is
+    part of the operator's documented contract and mirrored by the
+    oracle. Known-edge removal is one left-anti join at pair grain.
+
+    Determinism (oracle hash-exactness): degrees are exact ints;
+    1/ln(deg) is a single-op chain of exactly-rounded IEEE ops
+    (bit-identical cross-engine); per-pair summation snaps each term to
+    the 12-dp DECIMAL grid so accumulation order cannot leak (the same
+    discipline as pagerank's contribution sums).
+
+    Returns (node_a, node_b, n_common, aa_score), node_a < node_b.
+    """
+    e = (
+        edges.select(F.col(u).alias("a"), F.col(v).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+    if materialize:
+        # feeds the adjacency build twice (via the union) + the final
+        # anti-join — same multi-consumer contract as triangle_counts
+        e = e.localCheckpoint()
+    adj = e.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionAll(
+        e.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    if broadcast_degrees:
+        # node-grain side onto the edge-grain adjacency; checkpointed
+        # inputs carry no stats -> explicit hint (triangle_counts lesson)
+        deg = F.broadcast(deg)
+    ctr = adj.join(deg, "node").filter(F.col("d") <= max_center_degree)
+    ca = ctr.select("node", F.col("nbr").alias("node_a"), "d")
+    cb = ctr.select("node", F.col("nbr").alias("node_b"))
+    wedges = ca.join(cb, "node").filter(F.col("node_a") < F.col("node_b"))
+    term = F.round(F.lit(1.0) / F.log(F.col("d")), 12).cast("decimal(32,12)")
+    cand = wedges.groupBy("node_a", "node_b").agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.sum(term).cast("double").alias("aa_score"),
+    )
+    return cand.filter(F.col("n_common") >= min_common).join(
+        e.select(F.col("a").alias("node_a"), F.col("b").alias("node_b")),
+        ["node_a", "node_b"],
+        "left_anti",
+    )

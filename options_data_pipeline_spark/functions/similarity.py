@@ -1011,3 +1011,104 @@ def kcenter_coreset(
         chosen.append((int(far.vid), list(far.v), float(far.nrm), float(far.d)))
     rows = [(i, cid, d) for i, (cid, _v, _n, d) in enumerate(chosen)]
     return spark.createDataFrame(rows, "rank long, vec_id long, sel_dist double")
+
+
+def mmr_topk(
+    vectors: DataFrame,
+    k: int = 6,
+    pool: int = 16,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell & Goldstein,
+    SIGIR'98) — the diversified top-k every RAG retriever ships: fetch a
+    relevance ``pool`` (here: cosine top-``pool`` to the probe = the
+    lowest-id vector, the same fixed-probe convention as the ANN
+    queries), then greedily select ``k`` items maximizing
+    ``lam * rel(c) - (1 - lam) * max_sim(c, selected)`` — relevance
+    tempered by redundancy, so near-duplicate passages can't crowd the
+    context window. The relevance-only top-k is `cosine_topk`; the
+    diversity-only extreme is `kcenter_coreset`; MMR is the production
+    midpoint.
+
+    Scale shape: ONE corpus scan builds the pool (TakeOrdered top-pool,
+    no corpus shuffle/sort); the k-1 greedy rounds run on the
+    ``pool``-row localCheckpointed frame with literal selected vectors —
+    bounded work, identical contract to kcenter_coreset's driver-side
+    centers.
+
+    Determinism: cosines are fold dot-products over Spark-computed
+    norms (bit-exact vs list_dot_product); max-sim is a picked value;
+    the MMR score is two exactly-rounded ops on exact halves (lam must
+    be dyadic); argmax ties break toward the smaller id. The oracle
+    unrolls the identical trajectory.
+
+    Returns (sel_rank, vec_id, relevance, max_sim, mmr_score) —
+    max_sim/mmr_score NULL for the rank-1 seed (pure relevance pick).
+    """
+    spark = vectors.sparkSession
+    v = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        norm_col(vec_col).alias("nrm"),
+    )
+    seeds = v.orderBy("vid").limit(1).collect()
+    if not seeds:
+        raise ValueError("mmr_topk: empty corpus")
+    probe = seeds[0]
+    p_vec = F.array(*[F.lit(float(x)) for x in probe.v])
+    p_nrm = float(probe.nrm)
+    cand = (
+        v.filter(F.col("vid") != int(probe.vid))
+        .select(
+            "vid",
+            "v",
+            "nrm",
+            (dot_col(F.col("v"), p_vec) / (F.col("nrm") * F.lit(p_nrm))).alias(
+                "rel"
+            ),
+        )
+        .orderBy(F.col("rel").desc(), "vid")
+        .limit(pool)
+    )
+    cand = cand.localCheckpoint()  # pool-row frame feeds every round
+    first = cand.orderBy(F.col("rel").desc(), "vid").limit(1).collect()[0]
+    # (vid, vec, norm, rel, max_sim, mmr)
+    chosen = [(int(first.vid), list(first.v), float(first.nrm), float(first.rel), None, None)]
+    for _ in range(k - 1):
+        max_sim = None
+        for _cid, cv, cn, _r, _ms, _mm in chosen:
+            lit_vec = F.array(*[F.lit(float(x)) for x in cv])
+            s = dot_col(F.col("v"), lit_vec) / (F.col("nrm") * F.lit(cn))
+            max_sim = s if max_sim is None else F.greatest(max_sim, s)
+        score = F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * max_sim
+        pick = (
+            cand.filter(~F.col("vid").isin([c[0] for c in chosen]))
+            .select("vid", "v", "nrm", "rel", max_sim.alias("ms"), score.alias("sc"))
+            .select(
+                F.max(
+                    F.struct(
+                        F.col("sc"), (-F.col("vid")).alias("neg"), "vid", "v",
+                        "nrm", "rel", "ms",
+                    )
+                ).alias("m")
+            )
+            .collect()[0]
+            .m
+        )
+        if pick is None:
+            break
+        chosen.append(
+            (int(pick.vid), list(pick.v), float(pick.nrm), float(pick.rel),
+             float(pick.ms), float(pick.sc))
+        )
+    rows = [
+        (i + 1, cid, r, ms, mm)
+        for i, (cid, _v, _n, r, ms, mm) in enumerate(chosen)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "sel_rank long, vec_id long, relevance double, max_sim double, "
+        "mmr_score double",
+    )

@@ -9974,6 +9974,379 @@ def q_copurchase_basket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "benford_audit",
+    """WITH cents AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS n
+  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+),
+d AS (
+  SELECT CAST(substr(CAST(n AS VARCHAR), 1, 1) AS INT) AS digit,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM cents GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_orders) AS BIGINT) AS total FROM d)
+SELECT digit, n_orders,
+       CAST(n_orders AS DOUBLE) / total AS obs_share,
+       CAST(CAST(round(log10(1.0 + 1.0 / digit), 6) AS DECIMAL(10,6)) AS DOUBLE)
+         AS benford_share,
+       CAST(CAST(round(CAST(n_orders AS DOUBLE) / total, 6) AS DECIMAL(10,6))
+            - CAST(round(log10(1.0 + 1.0 / digit), 6) AS DECIMAL(10,6))
+            AS DOUBLE) AS excess
+FROM d, tot""",
+)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit on order totals — the
+    fraud/synthetic-data screen a DQ suite runs next to
+    `data_expectations`: organic monetary amounts follow
+    P(d) = log10(1 + 1/d); a generator or a tampered feed shows up as a
+    fat `excess` on some digit. (TPC-H totals are uniform-ish, so THIS
+    corpus legitimately deviates — the audit reports, it doesn't gate.)
+    Float discipline: digits come from exact integer cents (single
+    round half-away + cast — no double-formatting divergence), shares
+    are single divisions of exact counts, and the observed−expected
+    excess is a DECIMAL(10,6)-grid subtraction. One hash agg at digit
+    grain (≤9 groups), map-side combining; report-sized output."""
+    cents = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_totalprice").isNotNull() & (F.col("o_totalprice") > 0))
+        .select(
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("n")
+        )
+    )
+    d = cents.groupBy(
+        F.substring(F.col("n").cast("string"), 1, 1).cast("int").alias("digit")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    tot = d.agg(F.sum("n_orders").cast("long").alias("total"))
+    benford = F.round(
+        F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")), 6
+    ).cast("decimal(10,6)")
+    obs = F.col("n_orders").cast("double") / F.col("total")
+    return d.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n_orders",
+        obs.alias("obs_share"),
+        benford.cast("double").alias("benford_share"),
+        (F.round(obs, 6).cast("decimal(10,6)") - benford)
+        .cast("double")
+        .alias("excess"),
+    )
+
+
+@register(
+    "surrogate_keys",
+    """WITH base AS (
+  SELECT event_id FROM events WHERE event_id IS NOT NULL
+)
+SELECT event_id,
+       CAST(row_number() OVER (ORDER BY event_id) AS BIGINT) AS surrogate_id
+FROM base""",
+)
+def q_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense order-preserving surrogate-key assignment WITHOUT a global
+    sort — the warehouse two-pass every dimension/fact load needs at
+    100 TB, where `row_number() OVER (ORDER BY k)` (the oracle's
+    definition, and what this returns bit-for-bit) would funnel every
+    row through ONE partition. Pass 1: count rows per deterministic
+    RANGE bucket (here `event_id div 100000`; production derives the
+    boundaries from yesterday's histogram — any order-preserving
+    bucketing works). Pass 2: prefix-sum the (tiny) bucket-count table
+    into start offsets, broadcast it back, and assign
+    offset + row_number within each bucket — the only windows run
+    bucket-partitioned, fully parallel. Same id↔row mapping as the
+    global sort, none of its single-task bottleneck."""
+    base = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("event_id").isNotNull())
+        .select("event_id")
+    )
+    bucketed = base.withColumn("bucket", F.expr("event_id div 100000"))
+    counts = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    # prefix offsets over the bucket table: bucket count ≈ rows/100k —
+    # report-sized, so the unpartitioned running sum is over a tiny frame
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "bucket", F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("off")
+    )
+    w_in = Window.partitionBy("bucket").orderBy("event_id")
+    return (
+        bucketed.join(F.broadcast(offsets), "bucket")
+        .select(
+            "event_id",
+            (F.col("off") + F.row_number().over(w_in)).alias("surrogate_id"),
+        )
+    )
+
+
+@register(
+    "bigram_logprob",
+    r"""WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts FROM documents
+),
+big AS (
+  SELECT doc_id, ts[i] AS a, ts[i+1] AS b
+  FROM toks, unnest(generate_series(1, len(ts) - 1)) AS t(i)
+  WHERE len(ts) >= 2
+),
+cnt AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM big GROUP BY 1, 2
+),
+first_cnt AS (
+  SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM cnt GROUP BY 1
+),
+lm AS (
+  SELECT c.a, c.b,
+         CAST(round(ln(CAST(c.c_ab AS DOUBLE) / f.c_a), 6) AS DECIMAL(20,6)) AS logp
+  FROM cnt c JOIN first_cnt f ON f.a = c.a
+)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(lm.logp) AS DOUBLE) AS sum_logprob,
+       CAST(sum(lm.logp) AS DOUBLE) / count(*) AS avg_logprob
+FROM big g JOIN lm ON lm.a = g.a AND lm.b = g.b
+GROUP BY g.doc_id""",
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score — the conditional-probability step up
+    from `unigram_logprob` (and the closest stdlib analogue of the
+    kenlm-perplexity filters CCNet/Gopher actually ship): each doc's
+    token stream scored under the corpus's own bigram model,
+    p(b|a) = c(a,b)/c(a·). Repetitive/templated docs score HIGH
+    (predictable transitions), incoherent ones LOW — the two tails a
+    curation funnel trims. Same float discipline as unigram: 6-dp-grid
+    ln of a single exact-count division, DECIMAL sum, edge-cast double.
+
+    Scale shape: the LM is vocab²-bounded (a broadcast dim after the
+    two count aggs); the doc-grain score is one join + one hash agg over
+    the token stream — no windows, no sorts."""
+    toks = load_table(spark, "documents", sf_dir).selectExpr(
+        "doc_id", "regexp_extract_all(lower(text), '\\\\S+', 0) AS ts"
+    )
+    big = toks.filter(F.expr("size(ts) >= 2")).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ts) - 1),"
+                " i -> struct(element_at(ts, i) AS a, element_at(ts, i + 1) AS b))"
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.a", "g.b")
+    cnt = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    first_cnt = cnt.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    lm = cnt.join(first_cnt, "a").select(
+        "a",
+        "b",
+        F.round(
+            F.log(F.col("c_ab").cast("double") / F.col("c_a")), 6
+        )
+        .cast("decimal(20,6)")
+        .alias("logp"),
+    )
+    return (
+        big.join(F.broadcast(lm), ["a", "b"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("logp").cast("double").alias("sum_logprob"),
+            (F.sum("logp").cast("double") / F.count(F.lit(1))).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
+def _embedding_top_pc_oracle(rounds: int = 8) -> str:
+    head = """WITH v0_ AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+nn AS MATERIALIZED (SELECT count(*) AS n FROM v0_),
+d AS MATERIALIZED (
+  SELECT vec_id, i - 1 AS dim, e[i] AS x
+  FROM v0_, (SELECT unnest(generate_series(1, 64)) AS i)
+),
+means AS MATERIALIZED (
+  SELECT dim,
+         CAST(sum(CAST(round(x * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / nn.n AS m
+  FROM d, nn GROUP BY dim, nn.n
+),
+cen AS MATERIALIZED (
+  SELECT d.vec_id, d.dim, d.x - means.m AS cx
+  FROM d JOIN means ON means.dim = d.dim
+),
+cov AS MATERIALIZED (
+  SELECT a.dim AS di, b.dim AS dj,
+         CAST(sum(CAST(round(a.cx * b.cx * 1e12) AS BIGINT)) AS DOUBLE)
+           / 1e12 / nn.n AS c
+  FROM cen a JOIN cen b ON a.vec_id = b.vec_id, nn
+  GROUP BY a.dim, b.dim, nn.n
+),
+v0 AS MATERIALIZED (
+  SELECT unnest(generate_series(0, 63)) AS dim, 0.125 AS v
+)"""
+    body = ""
+    prev = "v0"
+    for r in range(1, rounds + 1):
+        body += f""",
+w{r} AS MATERIALIZED (
+  SELECT cov.di AS dim,
+         CAST(sum(CAST(round(cov.c * p.v, 12) AS DECIMAL(32,12))) AS DOUBLE) AS w
+  FROM cov JOIN {prev} p ON p.dim = cov.dj
+  GROUP BY cov.di
+),
+nr{r} AS MATERIALIZED (
+  SELECT sqrt(CAST(sum(CAST(round(w * w, 12) AS DECIMAL(32,12))) AS DOUBLE)) AS nrm
+  FROM w{r}
+),
+v{r} AS MATERIALIZED (
+  SELECT dim, round(w / nrm, 12) AS v FROM w{r}, nr{r}
+)"""
+        prev = f"v{r}"
+    return head + body + f""",
+trace AS (
+  SELECT CAST(sum(CAST(round(c, 12) AS DECIMAL(32,12))) AS DOUBLE) AS tr
+  FROM cov WHERE di = dj
+)
+SELECT v.dim, v.v AS loading, nr{rounds}.nrm AS eigenvalue,
+       nr{rounds}.nrm / trace.tr AS explained_share
+FROM {prev} v, nr{rounds}, trace"""
+
+
+@register("embedding_top_pc", _embedding_top_pc_oracle(8))
+def q_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by POWER
+    ITERATION — the iterative-linear-algebra sibling of PageRank
+    (same unrolled-rounds grid discipline) and the core of embedding
+    whitening / anisotropy audits (a single direction hoarding variance
+    is the classic symptom of a degenerate encoder; `explained_share` =
+    λ₁/trace quantifies it). Pipeline: DECIMAL-grid means → broadcast mean
+    array → centered covariance cells generated MAP-SIDE (zip_with
+    centering + double posexplode, partial agg to ≤4096 cells per task
+    — covariance is dimension², never corpus²) → 8 rounds of w = C·v
+    with 12-dp-grid products, exact decimal sums, single-op sqrt norms.
+    Every step bit-identical in the fully-unrolled DuckDB twin.
+
+    Scale shape: the corpus is touched ONCE with NO corpus-grain
+    shuffle (cells partial-aggregate in place; the one exchange carries
+    per-task 4096-cell partials); every round after that runs on the
+    4096-row covariance against a 64-row vector — driver-free iterative linear algebra whose
+    per-round cost is INDEPENDENT of corpus size. v₀ = 1/8 (exact
+    dyadic 1/√64)."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        F.col("embedding").cast("array<double>").alias("e")
+    )
+    emb = emb.localCheckpoint()  # feeds means + the cell pass
+    n_df = emb.agg(F.count(F.lit(1)).alias("n"))
+    means = (
+        emb.select(F.posexplode("e").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.sum(F.round(F.col("x") * F.lit(1e6)).cast("long")).alias("s"))
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "dim",
+            (F.col("s").cast("double") / F.lit(1e6) / F.col("n")).alias("m"),
+        )
+    )
+    # 64-element mean ARRAY as a broadcast 1-row, so centering is a
+    # zip_with and the covariance cells are generated MAP-SIDE by a
+    # double posexplode + partial agg — the first cut self-joined the
+    # exploded (vec, dim) table on vec_id, which shuffled corpus×64 rows
+    # and materialized corpus×4096 JOINED rows (93 s at ×100); this
+    # shape partial-aggregates each task down to ≤4096 cells before the
+    # one tiny shuffle (11 s at ×100).
+    marr = means.agg(
+        F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("ms")
+    ).select(F.transform("ms", lambda t: t["m"]).alias("marr"))
+    cen = emb.crossJoin(F.broadcast(marr)).select(
+        F.zip_with("e", "marr", lambda x, m: x - m).alias("ce")
+    )
+    # upper triangle only (C is symmetric): 2080 cells/vec instead of
+    # 4096 — the decimal partial-agg is the ×100 probe's hot loop, and
+    # mirroring the aggregated triangle is free (sum terms per cell are
+    # identical, so the oracle's full-matrix values still hash-match)
+    cells = cen.select(
+        F.posexplode("ce").alias("di", "cxi"), "ce"
+    ).selectExpr(
+        "di", "cxi", "posexplode(slice(ce, di + 1, 64)) AS (djo, cxj)"
+    )
+    # 12-dp terms as SCALED LONGS (round(x·1e12) → bigint): integer
+    # addition is order-free-exact like the decimal grid but ~40×
+    # faster through the JVM hash agg (measured 40.4 s → 1.0 s for the
+    # cell pass at ×100 — java.math.BigDecimal was the entire hot
+    # loop). Level 1 sums longs per (cell, partition) — per-task totals
+    # are overflow-safe by construction; level 2 sums the few partials
+    # as DECIMAL(38,0), unbounded. Exact regrouping of exact integers:
+    # any salt gives the identical total, so spark_partition_id's
+    # nondeterminism never reaches the result.
+    term = F.round(F.col("cxi") * F.col("cxj") * F.lit(1e12)).cast("long")
+    part = cells.groupBy(
+        "di",
+        (F.col("di") + F.col("djo")).alias("dj"),
+        F.spark_partition_id().alias("salt"),
+    ).agg(F.sum(term).alias("p"))
+    cov_tri = part.groupBy("di", "dj").agg(
+        F.sum(F.col("p").cast("decimal(38,0)")).alias("s")
+    )
+    cov = (
+        cov_tri.unionByName(
+            cov_tri.filter(F.col("di") != F.col("dj")).select(
+                F.col("dj").alias("di"), F.col("di").alias("dj"), "s"
+            )
+        )
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "di",
+            "dj",
+            (F.col("s").cast("double") / F.lit(1e12) / F.col("n")).alias("c"),
+        )
+    )
+    cov = cov.localCheckpoint()  # 4096 rows feed 8 rounds + the trace
+    v = spark.range(64).select(
+        F.col("id").cast("int").alias("dim"), F.lit(0.125).alias("v")
+    )
+    nrm = None
+    for _ in range(8):
+        w = (
+            cov.join(
+                F.broadcast(v.select(F.col("dim").alias("dj"), "v")), "dj"
+            )
+            .groupBy("di")
+            .agg(
+                F.sum(
+                    F.round(F.col("c") * F.col("v"), 12).cast("decimal(32,12)")
+                ).alias("ws")
+            )
+            .select(F.col("di").alias("dim"), F.col("ws").cast("double").alias("w"))
+        )
+        w = w.localCheckpoint()  # 64 rows; feeds norm + next v
+        nrm = w.agg(
+            F.sqrt(
+                F.sum(
+                    F.round(F.col("w") * F.col("w"), 12).cast("decimal(32,12)")
+                ).cast("double")
+            ).alias("nrm")
+        )
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            "dim", F.round(F.col("w") / F.col("nrm"), 12).alias("v")
+        )
+    trace = cov.filter(F.col("di") == F.col("dj")).agg(
+        F.sum(F.round(F.col("c"), 12).cast("decimal(32,12)"))
+        .cast("double")
+        .alias("tr")
+    )
+    return (
+        v.crossJoin(F.broadcast(nrm))
+        .crossJoin(F.broadcast(trace))
+        .select(
+            "dim",
+            F.col("v").alias("loading"),
+            F.col("nrm").alias("eigenvalue"),
+            (F.col("nrm") / F.col("tr")).alias("explained_share"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
@@ -9996,3 +10369,504 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return dict(_ORACLES)
+
+
+@register(
+    "table_profile",
+    """SELECT 'event_id' AS col_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(event_id) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+       CAST(min(event_id) AS DOUBLE) AS min_num,
+       CAST(max(event_id) AS DOUBLE) AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str,
+       CAST(NULL AS VARCHAR) AS max_str
+FROM events
+UNION ALL
+SELECT 'ts', count(*), count(*) - count(ts), count(DISTINCT ts),
+       CAST(epoch_us(min(ts)) AS DOUBLE), CAST(epoch_us(max(ts)) AS DOUBLE),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM events
+UNION ALL
+SELECT 'user_id', count(*), count(*) - count(user_id), count(DISTINCT user_id),
+       CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM events
+UNION ALL
+SELECT 'event_type', count(*), count(*) - count(event_type),
+       count(DISTINCT event_type),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       min(event_type), max(event_type)
+FROM events
+UNION ALL
+SELECT 'value', count(*), count(*) - count(value),
+       count(DISTINCT value + 0.0),
+       CAST(min(value + 0.0) AS DOUBLE), CAST(max(value + 0.0) AS DOUBLE),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM events
+UNION ALL
+SELECT 'props', count(*), count(*) - count(props), count(DISTINCT props),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       min(props), max(props)
+FROM events""",
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-driven per-column profile of the events table (null count,
+    EXACT distinct count, typed min/max) — the dataset-card / DQ summary
+    a warehouse publishes next to every table, and the completion of the
+    expectations family (`data_expectations` checks NAMED constraints;
+    this profiles EVERY column with zero configuration). The oracle
+    states the naive one-SELECT-per-column UNION (6 scans); the Spark
+    side is functions/profile.py::profile_columns — ONE scan, unpivoted
+    to (col_name, value) grain, single two-phase count-distinct (no
+    multi-distinct Expand). Timestamps surface as exact epoch
+    microseconds (integer-valued doubles); double columns normalize
+    ``x + 0.0`` on both sides so -0.0/+0.0 cannot split the string-image
+    distinct count."""
+    from .functions.profile import profile_columns
+
+    return profile_columns(load_table(spark, "events", sf_dir))
+
+
+@register(
+    "compaction_bins",
+    """WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(34 + length(coalesce(event_type, ''))
+                     + length(coalesce(props, ''))) AS BIGINT) AS day_bytes
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1
+),
+pref AS (
+  SELECT *,
+         CAST(coalesce(sum(day_bytes) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS p
+  FROM daily
+)
+SELECT p // 65536 AS bin_id,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(n_rows) AS BIGINT) AS n_rows,
+       CAST(sum(day_bytes) AS BIGINT) AS bin_bytes,
+       min(day) AS first_day,
+       max(day) AS last_day
+FROM pref GROUP BY 1""",
+)
+def q_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-partition COMPACTION PLANNER — the table-maintenance step
+    every streaming-ingested lakehouse table needs (a day of micro-batch
+    appends leaves thousands of KB-sized files; OPTIMIZE/rewrite jobs
+    bin-pack them back to target-sized files). Day partitions are sized
+    (34 fixed bytes + variable-width columns, the planner's estimate),
+    then packed into bins by RUNNING-TOTAL binning — bin = exclusive
+    prefix-sum div target — the same deterministic policy Spark's own
+    file-scan coalescing uses, which keeps bins CONTIGUOUS in partition
+    order (a compacted file spans adjacent days, preserving day-range
+    pruning). Target 64 KiB so the test SFs exercise multi-bin plans;
+    production uses ~1 GiB. Exact integer arithmetic end-to-end.
+
+    Scale shape: one day-grain agg (map-side combined), then the window
+    + final agg run on the DAY-GRAIN table (rows = days — report-sized,
+    same tiny-frame contract as surrogate_keys' bucket offsets). The
+    planner never shuffles row-grain data."""
+    daily = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull())
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.lit(34)
+                + F.length(F.coalesce(F.col("event_type"), F.lit("")))
+                + F.length(F.coalesce(F.col("props"), F.lit("")))
+            ).alias("day_bytes"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    pref = daily.withColumn(
+        "p", F.coalesce(F.sum("day_bytes").over(w), F.lit(0))
+    )
+    return (
+        pref.withColumn("bin_id", F.expr("p div 65536"))
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("day_bytes").alias("bin_bytes"),
+            F.min("day").alias("first_day"),
+            F.max("day").alias("last_day"),
+        )
+    )
+
+
+@register(
+    "seasonal_hour_anomaly",
+    """WITH cell AS (
+  SELECT event_type, date_trunc('day', ts) AS day_start,
+         hour(ts) AS hour_of_day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2, 3
+),
+st AS (
+  SELECT *, CAST(count(*) OVER w AS BIGINT) AS n_days,
+         CAST(sum(n_events) OVER w AS BIGINT) AS s,
+         CAST(sum(n_events * n_events) OVER w AS BIGINT) AS q
+  FROM cell WINDOW w AS (PARTITION BY event_type, hour_of_day)
+),
+calc AS (
+  SELECT *, CASE WHEN n_days >= 8
+                 THEN (s - n_events) / (n_days - 1) END AS m
+  FROM st
+),
+calc2 AS (
+  SELECT *, CASE WHEN n_days >= 8 THEN
+    sqrt(greatest((q - n_events * n_events) / (n_days - 1) - m * m, 0.0))
+  END AS sd
+  FROM calc
+)
+SELECT event_type, day_start, hour_of_day, n_events,
+       m AS loo_mean,
+       CASE WHEN sd > 0 THEN (n_events - m) / sd END AS z_score,
+       CASE WHEN sd > 0 AND abs((n_events - m) / sd) >= 3.0
+            THEN TRUE ELSE FALSE END AS is_anomaly
+FROM calc2""",
+)
+def q_seasonal_hour_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONAL-baseline anomaly detection: each (event_type, day, hour)
+    count z-scored against the SAME HOUR-OF-DAY on every OTHER day —
+    the diurnal-profile twin of `event_rate_anomaly`'s trailing-24h
+    baseline (a trailing window flags 3am-vs-2am shape as anomalous; a
+    seasonal baseline asks "is this 3am normal FOR a 3am?" — monitoring
+    stacks run both). Leave-one-out mean/std exclude the value under
+    test from its own baseline without a second pass: LOO mean/var
+    derive from the cell's exact integer sum/sum-of-squares
+    ((S-x)/(n-1), (Q-x**2)/(n-1) - m**2) — a mirrored chain of
+    exactly-rounded IEEE ops on exact integers, bit-identical
+    cross-engine (no grid needed). Cells with < 8 observed days emit a
+    NULL baseline, never a false alert.
+
+    Scale shape: one (type, day, hour) agg (map-side combined) + one
+    window at (type, hour-of-day) grain over the DAY-GRAIN cell table —
+    never row-grain. 365 partitions x |types|, each ≤ 365 rows."""
+    cell = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day_start"),
+            F.hour("ts").alias("hour_of_day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.partitionBy("event_type", "hour_of_day")
+    n = F.col("n_events")
+    st = cell.select(
+        "*",
+        F.count(F.lit(1)).over(w).alias("n_days"),
+        F.sum("n_events").over(w).alias("s"),
+        F.sum(n * n).over(w).alias("q"),
+    )
+    m = F.when(
+        F.col("n_days") >= 8, (F.col("s") - n) / (F.col("n_days") - 1)
+    )
+    calc = st.withColumn("m", m)
+    sd = F.when(
+        F.col("n_days") >= 8,
+        F.sqrt(
+            F.greatest(
+                (F.col("q") - n * n) / (F.col("n_days") - 1)
+                - F.col("m") * F.col("m"),
+                F.lit(0.0),
+            )
+        ),
+    )
+    calc2 = calc.withColumn("sd", sd)
+    z = (n - F.col("m")) / F.col("sd")
+    return calc2.select(
+        "event_type",
+        "day_start",
+        "hour_of_day",
+        "n_events",
+        F.col("m").alias("loo_mean"),
+        F.when(F.col("sd") > 0, z).alias("z_score"),
+        F.when((F.col("sd") > 0) & (F.abs(z) >= 3.0), F.lit(True))
+        .otherwise(F.lit(False))
+        .alias("is_anomaly"),
+    )
+
+
+@register(
+    "adamic_adar_links",
+    f"""WITH {_COPURCHASE_E_CTE},
+adj AS MATERIALIZED (
+  SELECT u AS node, v AS nbr FROM e
+  UNION ALL
+  SELECT v AS node, u AS nbr FROM e
+),
+deg AS MATERIALIZED (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1
+),
+ctr AS MATERIALIZED (
+  SELECT a.node, a.nbr, d.d
+  FROM adj a JOIN deg d USING (node) WHERE d.d <= 1024
+),
+cand AS (
+  SELECT a.nbr AS node_a, b.nbr AS node_b,
+         CAST(count(*) AS BIGINT) AS n_common,
+         CAST(sum(CAST(round(1.0 / ln(a.d), 12) AS DECIMAL(32,12)))
+              AS DOUBLE) AS aa_score
+  FROM ctr a JOIN ctr b ON a.node = b.node AND a.nbr < b.nbr
+  GROUP BY 1, 2
+)
+SELECT node_a, node_b, n_common, aa_score
+FROM cand c
+WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = c.node_a AND e.v = c.node_b)""",
+)
+def q_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar LINK PREDICTION on the repeat co-purchase graph:
+    for every non-adjacent part pair sharing a strong co-purchase
+    partner, score sum(1/ln(deg(y))) over the common neighbors y —
+    the "customers also bought" candidate generator (Adamic & Adar
+    2003), completing the graph family's read side (pagerank ranks
+    nodes, LPA groups them, this predicts the MISSING edges). Wedges
+    are generated only through shared centers (one adjacency self-join
+    keyed on the center node — never parts x parts), centers above
+    degree 1024 are dropped by documented contract (a hub's wedge
+    fan-out is deg^2 in one join key while its 1/ln(deg) signal is the
+    smallest of any center — the graph twin of the posting-list cap),
+    and known edges are removed by one pair-grain anti-join. Terms snap
+    to the 12-dp DECIMAL grid; see functions/graph.py::adamic_adar."""
+    from .functions.graph import adamic_adar
+
+    return adamic_adar(
+        _copurchase_edges(spark, sf_dir, min_w=2),
+        max_center_degree=1024,
+        min_common=1,
+    )
+
+
+def _poisson_thresholds(max_k: int = 8) -> list[int]:
+    """Exact integer thresholds for inverse-CDF Poisson(1) sampling from
+    a 60-bit uniform hash: weight k is assigned when h < t_k first
+    holds (h >= t_{max_k-1} -> max_k, P ~ 1e-6). The float->int
+    conversion happens ONCE here and the same integer literals are
+    embedded in both the Spark plan and the oracle SQL, so cross-engine
+    agreement is by construction, not by float coincidence."""
+    import math
+
+    e = math.exp(-1.0)
+    out, tot = [], 0.0
+    for k in range(max_k):
+        tot += e / math.factorial(k)
+        out.append(int(tot * (1 << 60)))
+    return out
+
+
+_BOOT_THRESH = _poisson_thresholds()
+_BOOT_REPS = 32
+
+
+def _bootstrap_oracle() -> str:
+    cases = " ".join(
+        f"WHEN h < {t} THEN {k}" for k, t in enumerate(_BOOT_THRESH)
+    )
+    return f"""WITH base AS MATERIALIZED (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+rep AS (
+  SELECT b.o_orderkey, b.cents, j
+  FROM base b, (SELECT unnest(generate_series(0, {_BOOT_REPS - 1})) AS j)
+),
+hashed AS (
+  SELECT cents, j,
+         CAST(concat('0x', substr(md5(o_orderkey::VARCHAR || ':' || j::VARCHAR),
+                                  1, 15)) AS BIGINT) AS h
+  FROM rep
+),
+weighted AS (
+  SELECT j, CASE {cases} ELSE {len(_BOOT_THRESH)} END AS w, cents FROM hashed
+),
+means AS (
+  SELECT j, CAST(sum(w * cents) AS BIGINT) AS wp,
+         CAST(sum(w) AS BIGINT) AS ws
+  FROM weighted GROUP BY j
+),
+ordered AS (
+  SELECT CAST(wp AS DOUBLE) / ws / 100.0 AS mean_j,
+         row_number() OVER (ORDER BY CAST(wp AS DOUBLE) / ws / 100.0, j) AS rn
+  FROM means WHERE ws > 0
+),
+band AS (
+  SELECT min(mean_j) AS boot_lo, max(mean_j) AS boot_hi
+  FROM ordered WHERE rn IN (2, {_BOOT_REPS - 1})
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_orders,
+       (SELECT CAST(sum(cents) AS DOUBLE) / count(*) / 100.0 FROM base)
+         AS point_mean,
+       band.boot_lo, band.boot_hi,
+       CAST({_BOOT_REPS} AS BIGINT) AS n_reps
+FROM band"""
+
+
+@register("bootstrap_mean_ci", _bootstrap_oracle())
+def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON-BOOTSTRAP confidence interval for the mean order value —
+    the one-pass resampling scheme that actually works on distributed
+    data (Chamandy et al., "Estimating Uncertainty for Massive Data
+    Streams", Google 2012): classic bootstrap needs n draws WITH
+    replacement per replicate (a shuffle per replicate); the Poisson
+    approximation gives every row an independent Poisson(1) weight per
+    replicate, so all 32 replicates materialize in ONE scan as a
+    32-way explode + one (replicate)-grain agg. Every metrics pipeline
+    that reports error bars runs this shape.
+
+    Determinism: the per-(row, replicate) uniform is a 60-bit
+    md5-derived integer compared against PRECOMPUTED integer CDF
+    thresholds (no float compare — the float->int conversion happens
+    once in Python and both engines receive identical literals); weights
+    and cents are exact integers, each replicate mean is a mirrored
+    wp/ws/100 division chain, and the 93.75% band is the 2nd/31st ORDER
+    STATISTIC of the 32 replicate means (picked values, not
+    interpolated percentiles). Replicate count is fixed; the 32-row
+    ordering window is trivially bounded."""
+    base = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_totalprice").isNotNull())
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    base = base.localCheckpoint()  # feeds replicates + the point stats
+    rep = base.withColumn(
+        "j", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_REPS - 1)))
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("j").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    wgt = None
+    for k, t in enumerate(_BOOT_THRESH):
+        cond = h < F.lit(t)
+        wgt = F.when(cond, k) if wgt is None else wgt.when(cond, k)
+    wgt = wgt.otherwise(F.lit(len(_BOOT_THRESH)))
+    means = (
+        rep.select("j", wgt.alias("w"), "cents")
+        .groupBy("j")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).alias("wp"),
+            F.sum("w").alias("ws"),
+        )
+        .filter(F.col("ws") > 0)
+        .select(
+            "j",
+            (F.col("wp").cast("double") / F.col("ws") / F.lit(100.0)).alias(
+                "mean_j"
+            ),
+        )
+    )
+    # 32-row frame: the unpartitioned ordering window is bounded by the
+    # replicate count, never data volume
+    rn = F.row_number().over(Window.orderBy("mean_j", "j"))
+    band = (
+        means.withColumn("rn", rn)
+        .filter(F.col("rn").isin(2, _BOOT_REPS - 1))
+        .agg(
+            F.min("mean_j").alias("boot_lo"), F.max("mean_j").alias("boot_hi")
+        )
+    )
+    point = base.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (
+            F.sum("cents").cast("double") / F.count(F.lit(1)) / F.lit(100.0)
+        ).alias("point_mean"),
+    )
+    return (
+        point.crossJoin(F.broadcast(band))
+        .select(
+            "n_orders",
+            "point_mean",
+            "boot_lo",
+            "boot_hi",
+            F.lit(_BOOT_REPS).cast("long").alias("n_reps"),
+        )
+    )
+
+
+def _mmr_oracle(k: int = 6, pool: int = 16) -> str:
+    sim = (
+        "list_dot_product(c.v, s.v) / (sqrt(list_dot_product(c.v, c.v))"
+        " * sqrt(list_dot_product(s.v, s.v)))"
+    )
+    parts = [
+        f"""WITH vv AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+probe AS MATERIALIZED (
+  SELECT vec_id AS pid, v AS pv FROM vv ORDER BY vec_id LIMIT 1
+),
+pool AS MATERIALIZED (
+  SELECT c.vec_id, c.v,
+         list_dot_product(c.v, p.pv)
+           / (sqrt(list_dot_product(c.v, c.v))
+              * sqrt(list_dot_product(p.pv, p.pv))) AS rel
+  FROM vv c, probe p WHERE c.vec_id <> p.pid
+  ORDER BY rel DESC, c.vec_id LIMIT {pool}
+),
+s1 AS MATERIALIZED (
+  SELECT vec_id, v, rel, CAST(NULL AS DOUBLE) AS max_sim,
+         CAST(NULL AS DOUBLE) AS mmr, 1 AS sel_rank
+  FROM pool ORDER BY rel DESC, vec_id LIMIT 1
+)"""
+    ]
+    prev_sel = "s1"
+    for r in range(2, k + 1):
+        parts.append(
+            f"""r{r} AS MATERIALIZED (
+  SELECT vec_id, v, rel, max_sim, 0.5 * rel - 0.5 * max_sim AS mmr,
+         {r} AS sel_rank
+  FROM (
+    SELECT c.vec_id, c.v, c.rel, max({sim}) AS max_sim
+    FROM pool c, {prev_sel} s
+    WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev_sel})
+    GROUP BY c.vec_id, c.v, c.rel
+  )
+  ORDER BY mmr DESC, vec_id LIMIT 1
+),
+sel{r} AS MATERIALIZED (
+  SELECT * FROM {prev_sel} UNION ALL SELECT * FROM r{r}
+)"""
+        )
+        prev_sel = f"sel{r}"
+    body = ",\n".join(parts)
+    return f"""{body}
+SELECT CAST(sel_rank AS BIGINT) AS sel_rank, vec_id, rel AS relevance,
+       max_sim, mmr AS mmr_score
+FROM {prev_sel}"""
+
+
+@register("mmr_diversified_topk", _mmr_oracle())
+def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified retrieval top-k (see functions/similarity.py::
+    mmr_topk): greedy lam=0.5 re-rank of the cosine top-16 pool to the
+    fixed probe (lowest vec_id) — the RAG context-selection step between
+    `cosine_topk` (pure relevance) and `kcenter_coreset` (pure
+    diversity). Oracle: the identical greedy trajectory fully unrolled,
+    one MATERIALIZED round per selection."""
+    from .functions.similarity import mmr_topk
+
+    return mmr_topk(load_table(spark, "embeddings", sf_dir), k=6, pool=16)

@@ -1,0 +1,226 @@
+"""Round-7 operator tests: adamic_adar, profile_columns, mmr_topk,
+Poisson-bootstrap thresholds, compaction binning, seasonal LOO baseline."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from options_data_pipeline_spark.functions.graph import adamic_adar
+from options_data_pipeline_spark.functions.profile import profile_columns
+from options_data_pipeline_spark.functions.similarity import mmr_topk
+
+
+# ---------------------------------------------------------------- adamic adar
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "u long, v long")
+
+
+def test_adamic_adar_hand_computed(spark):
+    # path graph 1-2-3 plus 1-4, 3-4: common neighbors of (1,3) are {2, 4};
+    # (1,3) non-adjacent. deg: 1->2, 2->2, 3->2, 4->2.
+    e = _edges(spark, [(1, 2), (2, 3), (1, 4), (3, 4)])
+    out = adamic_adar(e, min_common=1).collect()
+    rows = {(r.node_a, r.node_b): r for r in out}
+    assert set(rows) == {(1, 3), (2, 4)}
+    r = rows[(1, 3)]
+    assert r.n_common == 2
+    expected = 2 * round(1.0 / math.log(2.0), 12)
+    assert r.aa_score == pytest.approx(expected, abs=1e-9)
+
+
+def test_adamic_adar_excludes_existing_edges(spark):
+    # triangle 1-2-3: every 2-path closes into an existing edge -> empty
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3)])
+    assert adamic_adar(e, min_common=1).count() == 0
+
+
+def test_adamic_adar_center_degree_cap(spark):
+    # star center 0 with 5 leaves: deg(0)=5. With the cap below 5 the
+    # center is dropped and no candidate pairs survive; with cap >= 5
+    # every leaf pair is predicted through the hub.
+    star = [(0, i) for i in range(1, 6)]
+    e = _edges(spark, star)
+    assert adamic_adar(e, max_center_degree=4, min_common=1).count() == 0
+    full = adamic_adar(e, max_center_degree=5, min_common=1)
+    assert full.count() == 10  # C(5,2) leaf pairs
+    one = full.filter((F.col("node_a") == 1) & (F.col("node_b") == 2)).first()
+    assert one.aa_score == pytest.approx(round(1.0 / math.log(5.0), 12), abs=1e-9)
+
+
+def test_adamic_adar_orientation_insensitive(spark):
+    fwd = adamic_adar(_edges(spark, [(1, 2), (2, 3)]), min_common=1)
+    rev = adamic_adar(_edges(spark, [(2, 1), (3, 2)]), min_common=1)
+    assert sorted(map(tuple, fwd.collect())) == sorted(map(tuple, rev.collect()))
+
+
+# ------------------------------------------------------------ profile_columns
+
+
+def test_profile_columns_null_and_distinct_accounting(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "a", -0.0), (3, None, 0.0), (None, "b", None)],
+        "id long, tag string, x double",
+    )
+    prof = {r.col_name: r for r in profile_columns(df).collect()}
+    assert set(prof) == {"id", "tag", "x"}
+    rid = prof["id"]
+    assert (rid.n_rows, rid.n_nulls, rid.n_distinct) == (4, 1, 3)
+    assert (rid.min_num, rid.max_num) == (1.0, 3.0)
+    assert rid.min_str is None and rid.max_str is None
+    rtag = prof["tag"]
+    assert (rtag.n_nulls, rtag.n_distinct) == (1, 2)
+    assert (rtag.min_str, rtag.max_str) == ("a", "b")
+    assert rtag.min_num is None
+    rx = prof["x"]
+    # -0.0 and 0.0 collapse to ONE distinct value (the +0.0 normalization)
+    assert (rx.n_nulls, rx.n_distinct) == (1, 2)
+    assert (rx.min_num, rx.max_num) == (0.0, 1.5)
+
+
+def test_profile_columns_timestamp_epoch_micros(spark):
+    df = spark.sql(
+        "SELECT timestamp'2024-01-02 03:04:05.123456' AS ts"
+    )
+    r = profile_columns(df).collect()[0]
+    import datetime
+
+    expect = datetime.datetime(
+        2024, 1, 2, 3, 4, 5, 123456, tzinfo=datetime.timezone.utc
+    ).timestamp() * 1_000_000
+    assert r.min_num == r.max_num == expect
+
+
+# ------------------------------------------------------------------- mmr topk
+
+
+def test_mmr_topk_first_pick_is_most_relevant_and_diversifies(spark):
+    # probe (id 0) along e0; ids 1,2 nearly parallel to probe (1 slightly
+    # closer), id 3 orthogonal-ish. Pure relevance top-3 = [1, 2, 3];
+    # MMR must pick 1 first, then prefer 3 over the redundant 2.
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.14, 0.0]),
+        (2, [0.99, 0.141, 0.0]),
+        (3, [0.2, 0.0, 0.98]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = mmr_topk(df, k=3, pool=3, lam=0.5)
+    picks = [r.vec_id for r in out.orderBy("sel_rank").collect()]
+    assert picks[0] == 1
+    assert picks[1] == 3
+    assert picks[2] == 2
+    first = out.filter(F.col("sel_rank") == 1).first()
+    assert first.max_sim is None and first.mmr_score is None
+
+
+def test_mmr_topk_scores_monotone_nonincreasing(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = mmr_topk(df, k=5, pool=10).orderBy("sel_rank").collect()
+    scores = [r.mmr_score for r in out[1:]]
+    assert all(a >= b - 1e-12 for a, b in zip(scores, scores[1:]))
+    assert len({r.vec_id for r in out}) == 5
+
+
+# -------------------------------------------------- bootstrap / bins / seasonal
+
+
+def test_poisson_thresholds_match_cdf():
+    from options_data_pipeline_spark.registry import _poisson_thresholds
+
+    ts = _poisson_thresholds()
+    assert ts == sorted(ts)
+    # final threshold covers all but ~1e-5 of the mass (P[X >= 8])
+    assert ts[-1] / float(1 << 60) > 0.99998
+    # spacing ratios follow e^-1/k!: P(1)/P(0) == 1, P(2)/P(1) == 1/2
+    p = [ts[0]] + [b - a for a, b in zip(ts, ts[1:])]
+    assert abs(p[1] / p[0] - 1.0) < 1e-9
+    assert abs(p[2] / p[1] - 0.5) < 1e-9
+
+
+def test_bootstrap_mean_ci_brackets_point_mean(spark):
+    from options_data_pipeline_spark.registry import queries
+
+    row = queries()["bootstrap_mean_ci"](spark, "/root/testdata/sf0.001").first()
+    assert row.n_reps == 32
+    assert row.boot_lo <= row.boot_hi
+    # the 93.75% band should bracket the point estimate comfortably
+    assert row.boot_lo <= row.point_mean <= row.boot_hi
+
+
+def test_compaction_bins_contiguous_and_conserving(spark):
+    from options_data_pipeline_spark.registry import queries
+
+    out = queries()["compaction_bins"](spark, "/root/testdata/sf0.001")
+    rows = out.orderBy("bin_id").collect()
+    # bins partition the day axis contiguously: each bin's first_day
+    # follows the previous bin's last_day
+    for a, b in zip(rows, rows[1:]):
+        assert a.last_day < b.first_day
+    # conservation: total rows equal the source day-grain total
+    from options_data_pipeline_spark.sources.tables import load_table
+
+    n = (
+        load_table(spark, "events", "/root/testdata/sf0.001")
+        .filter(F.col("ts").isNotNull())
+        .count()
+    )
+    assert sum(r.n_rows for r in rows) == n
+    # every bin except possibly the last holds >= target bytes worth of
+    # days only if a single day overflows; running-total binning bounds
+    # each bin by target + max(day_bytes)
+    assert all(r.n_days >= 1 for r in rows)
+
+
+def test_seasonal_hour_anomaly_loo_excludes_self(spark):
+    # 9 days of small varied counts at hour 3 except one 50-spike:
+    # the spike's OWN baseline must not include the 50.
+    import datetime
+
+    rows = []
+    for d in range(9):
+        n = 50 if d == 4 else 4 + (d % 3)
+        for i in range(n):
+            rows.append(
+                (
+                    datetime.datetime(2024, 3, 1 + d, 3, 0, i),
+                    "tick",
+                )
+            )
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+
+    from options_data_pipeline_spark.registry import queries
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        for t in ("events",):
+            df.select(
+                F.monotonically_increasing_id().alias("event_id"),
+                "ts",
+                F.lit(1).cast("long").alias("user_id"),
+                "event_type",
+                F.lit(1.0).alias("value"),
+                F.lit(None).cast("string").alias("props"),
+            ).write.parquet(os.path.join(tmp, f"{t}.parquet"))
+        out = queries()["seasonal_hour_anomaly"](spark, tmp).collect()
+    by_day = {r.day_start.day: r for r in out}
+    spike = by_day[5]
+    # other days: d % 3 pattern -> [4, 5, 6, 4, 6, 4, 5, 6], mean 5.0
+    assert spike.loo_mean == pytest.approx(5.0)
+    assert spike.is_anomaly
+    normal = by_day[1]
+    # the spike inflates every OTHER day's baseline mean (and its std,
+    # which keeps the normal day's |z| below the alert bar)
+    assert normal.loo_mean == pytest.approx((50 + 5 + 6 + 4 + 6 + 4 + 5 + 6) / 8.0)
+    assert not normal.is_anomaly

@@ -72,6 +72,12 @@ SF01_SUBSET = [
     # bottom-k sketches leave the exact branch (n < k) only at volume;
     # estimation-mode arithmetic is only exercised at the bigger SF
     "kmv_overlap_estimate",
+    # round 7: the MMR pool (cosine top-16) recomposes with corpus
+    # volume, reshuffling the whole greedy trajectory
+    "mmr_diversified_topk",
+    # wedge/adjacency density (and thus the candidate set) is a pure
+    # volume effect on the repeat co-purchase graph
+    "adamic_adar_links",
 ]
 
 

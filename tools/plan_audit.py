@@ -67,6 +67,20 @@ BNLJ_OK = {
     "zorder_span_audit",
     # broadcast 1-row node-count normalizer in the PageRank base term
     "item_pagerank",
+    # + the per-round broadcast 1-row dangling-mass total
+    "pagerank_dangling",
+    # composed portable sketch: 1-row histogram min/max normalizer + the
+    # 64-register HLL scaffold (both bounded by construction)
+    "approx_sketch_stats",
+    # broadcast 1-row total-orders normalizer onto ≤9 digit rows
+    "benford_audit",
+    # power-iteration PCA: broadcast 1-row n/norm/trace normalizers onto
+    # the 4096-cell covariance / 64-row vector frames (all bounded by
+    # dimension², never corpus-sized)
+    "embedding_top_pc",
+    # broadcast 1-row bootstrap band crossJoined onto the 1-row point
+    # estimate (both bounded by the replicate count)
+    "bootstrap_mean_ci",
 }
 
 
