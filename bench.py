@@ -226,6 +226,10 @@ HEADLINE = [
     "adamic_adar_links",
     "bootstrap_mean_ci",
     "mmr_diversified_topk",
+    "association_rules",
+    "k_anonymity_audit",
+    "ab_test_zscore",
+    "containment_near_dup",
 ]
 
 

@@ -968,3 +968,79 @@ def simhash_near_pairs_2w(
     return simhash_pairs_from_2w_signatures(
         simhash_signatures_2w(docs, text_col, bits), max_hamming, bits
     )
+
+
+def containment_pairs(
+    docs: DataFrame, text_col: str = "text", k: int = 5, threshold: float = 0.8
+) -> DataFrame:
+    """EXACT directed n-gram CONTAINMENT >= threshold: pairs where
+    doc_sub's shingle set is mostly inside doc_sup's
+    (|A∩B| / |A| >= t, A != B) — the asymmetric twin of
+    :func:`ngram_jaccard_pairs`. Jaccard misses the classic curation
+    case (a short doc embedded verbatim in a much longer one —
+    boilerplate, quoted articles, template wrappers) because the size
+    mismatch crushes the union ratio; containment is the measure
+    actually used for that sweep.
+
+    Prefix filtering still applies, one-sided: if C(A,B) >= t then A's
+    first |A| - ceil(t|A|) + 1 rarity-ordered shingles MUST hit B, so
+    candidates come from joining the SUB side's prefix against the
+    candidate-superset side's full posting stream — the cost is
+    sum(df) over prefix shingles (an inverted-index probe; rarity
+    ordering keeps the hot shingles out of every prefix), never docs².
+    Verification is one exact array_intersect per candidate; the result
+    is provably identical to the naive all-pairs scan."""
+    sh = shingles(docs, text_col, k).repartition("doc_id")
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    arrs = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("shingle")).alias("sset"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w_doc = Window.partitionBy("doc_id")
+    ranked = (
+        sh.join(F.broadcast(dfreq), "shingle")
+        .withColumn(
+            "rn",
+            F.row_number().over(w_doc.orderBy(F.col("df"), F.col("shingle"))),
+        )
+        .withColumn(
+            "prefix_len",
+            F.count(F.lit(1)).over(w_doc)
+            - F.ceil(F.lit(threshold) * F.count(F.lit(1)).over(w_doc))
+            + 1,
+        )
+    )
+    prefix = ranked.filter(F.col("rn") <= F.col("prefix_len")).select(
+        "doc_id", "shingle"
+    )
+    cand = (
+        prefix.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_sub"), F.col("b.doc_id").alias("doc_sup")
+        )
+        .distinct()
+    )
+    aa = arrs.select(
+        F.col("doc_id").alias("doc_sub"),
+        F.col("sset").alias("set_sub"),
+        F.col("n").alias("n_sub"),
+    )
+    bb = arrs.select(
+        F.col("doc_id").alias("doc_sup"), F.col("sset").alias("set_sup")
+    )
+    return (
+        cand.join(aa, "doc_sub")
+        .join(bb, "doc_sup")
+        .withColumn(
+            "n_common",
+            F.size(F.array_intersect("set_sub", "set_sup")).cast("long"),
+        )
+        .withColumn(
+            "containment",
+            F.col("n_common").cast("double") / F.col("n_sub").cast("double"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_sub", "doc_sup", "n_common", "containment")
+    )

@@ -8089,6 +8089,29 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COPURCHASE_BASKET_CAP = 64
 
 
+def _capped_baskets(
+    spark: SparkSession,
+    sf_dir: str,
+    max_basket: int = _COPURCHASE_BASKET_CAP,
+) -> DataFrame:
+    """Distinct (order, part) basket stream with the giant-basket cap
+    (deterministic smallest-partkey rule) — the shared input of the
+    co-purchase graph family and the basket-mining queries. Oracle twin:
+    ``_COPURCHASE_LI_CTE``."""
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .filter(F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull())
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    w_ord = Window.partitionBy("l_orderkey").orderBy("l_partkey")
+    return (
+        li.withColumn("rn", F.row_number().over(w_ord))
+        .filter(F.col("rn") <= max_basket)
+        .drop("rn")
+    )
+
+
 def _copurchase_edges(
     spark: SparkSession,
     sf_dir: str,
@@ -8105,18 +8128,7 @@ def _copurchase_edges(
     co-purchases — the sparsification the iterative queries run on (raw
     co-occurrence is noise at 100 TB); ``min_w=1`` returns the raw pair
     stream (triangle_counts dedups internally)."""
-    li = (
-        load_table(spark, "lineitem", sf_dir)
-        .filter(F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull())
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    w_ord = Window.partitionBy("l_orderkey").orderBy("l_partkey")
-    li = (
-        li.withColumn("rn", F.row_number().over(w_ord))
-        .filter(F.col("rn") <= max_basket)
-        .drop("rn")
-    )
+    li = _capped_baskets(spark, sf_dir, max_basket)
     a = li.alias("a")
     b = li.alias("b")
     pairs = a.join(
@@ -8136,15 +8148,20 @@ def _copurchase_edges(
     )
 
 
-#: oracle twin of ``_copurchase_edges(min_w=2)`` — the li/e CTE block the
-#: iterative-graph oracles share (edit the edge definition HERE and in the
-#: helper above, nowhere else)
-_COPURCHASE_E_CTE = """li AS (
+#: oracle twin of the capped distinct (order, part) basket stream —
+#: shared by the graph-family edge CTE below and the basket-mining
+#: oracles (association_rules)
+_COPURCHASE_LI_CTE = """li AS (
   SELECT l_orderkey, l_partkey FROM (
     SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
     WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
   ) QUALIFY row_number() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) <= 64
-),
+)"""
+
+#: oracle twin of ``_copurchase_edges(min_w=2)`` — the li/e CTE block the
+#: iterative-graph oracles share (edit the edge definition HERE and in the
+#: helper above, nowhere else)
+_COPURCHASE_E_CTE = f"""{_COPURCHASE_LI_CTE},
 e AS MATERIALIZED (
   SELECT u, v FROM (
     SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS w
@@ -10545,56 +10562,15 @@ def q_seasonal_hour_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ((S-x)/(n-1), (Q-x**2)/(n-1) - m**2) — a mirrored chain of
     exactly-rounded IEEE ops on exact integers, bit-identical
     cross-engine (no grid needed). Cells with < 8 observed days emit a
-    NULL baseline, never a false alert.
+    NULL baseline, never a false alert. Implementation shared with the
+    streaming twin (operators/seasonal.py — parity is structural).
 
     Scale shape: one (type, day, hour) agg (map-side combined) + one
     window at (type, hour-of-day) grain over the DAY-GRAIN cell table —
     never row-grain. 365 partitions x |types|, each ≤ 365 rows."""
-    cell = (
-        load_table(spark, "events", sf_dir)
-        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
-        .groupBy(
-            "event_type",
-            F.date_trunc("day", "ts").alias("day_start"),
-            F.hour("ts").alias("hour_of_day"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_events"))
-    )
-    w = Window.partitionBy("event_type", "hour_of_day")
-    n = F.col("n_events")
-    st = cell.select(
-        "*",
-        F.count(F.lit(1)).over(w).alias("n_days"),
-        F.sum("n_events").over(w).alias("s"),
-        F.sum(n * n).over(w).alias("q"),
-    )
-    m = F.when(
-        F.col("n_days") >= 8, (F.col("s") - n) / (F.col("n_days") - 1)
-    )
-    calc = st.withColumn("m", m)
-    sd = F.when(
-        F.col("n_days") >= 8,
-        F.sqrt(
-            F.greatest(
-                (F.col("q") - n * n) / (F.col("n_days") - 1)
-                - F.col("m") * F.col("m"),
-                F.lit(0.0),
-            )
-        ),
-    )
-    calc2 = calc.withColumn("sd", sd)
-    z = (n - F.col("m")) / F.col("sd")
-    return calc2.select(
-        "event_type",
-        "day_start",
-        "hour_of_day",
-        "n_events",
-        F.col("m").alias("loo_mean"),
-        F.when(F.col("sd") > 0, z).alias("z_score"),
-        F.when((F.col("sd") > 0) & (F.abs(z) >= 3.0), F.lit(True))
-        .otherwise(F.lit(False))
-        .alias("is_anomaly"),
-    )
+    from .operators.seasonal import hour_cells, loo_scores
+
+    return loo_scores(hour_cells(load_table(spark, "events", sf_dir)))
 
 
 @register(
@@ -10870,3 +10846,296 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.similarity import mmr_topk
 
     return mmr_topk(load_table(spark, "embeddings", sf_dir), k=6, pool=16)
+
+
+@register(
+    "association_rules",
+    f"""WITH {_COPURCHASE_LI_CTE},
+n_ord AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM li),
+items AS (
+  SELECT l_partkey AS item, CAST(count(*) AS BIGINT) AS cnt FROM li GROUP BY 1
+),
+pairs AS (
+  SELECT a.l_partkey AS antecedent, b.l_partkey AS consequent,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT p.antecedent, p.consequent, p.n_ab,
+       ia.cnt AS n_antecedent, ic.cnt AS n_consequent,
+       CAST(p.n_ab AS DOUBLE) / ia.cnt AS confidence,
+       CAST(p.n_ab AS DOUBLE) / n_ord.n AS support,
+       (CAST(p.n_ab AS DOUBLE) / ia.cnt)
+         / (CAST(ic.cnt AS DOUBLE) / n_ord.n) AS lift
+FROM pairs p
+JOIN items ia ON ia.item = p.antecedent
+JOIN items ic ON ic.item = p.consequent, n_ord
+WHERE p.n_ab >= 2""",
+)
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket ASSOCIATION RULES (the Apriori/FP-growth output
+    layer, directed): for every part pair co-purchased in >= 2 orders,
+    support / confidence / lift — confidence ranks "add-to-cart"
+    suggestions, lift > 1 separates real affinity from popularity
+    (`item_cooccurrence` is the undirected-Jaccard sibling at user
+    grain; rules are DIRECTED — conf(A->B) != conf(B->A)). Pair
+    generation runs on the SAME capped basket stream as the co-purchase
+    graph (basket² bounded per order, mega-basket-proof); item counts
+    broadcast back onto the pair aggregate (post-agg joins carry no
+    stats — the kmv lesson), the 1-row basket total is a broadcast
+    normalizer. Counts exact; conf/support single divisions; lift a
+    mirrored two-division chain."""
+    li = _capped_baskets(spark, sf_dir)
+    li = li.localCheckpoint()  # feeds totals + items + both pair sides
+    n_ord = li.agg(
+        F.count_distinct("l_orderkey").alias("n")
+    )
+    items = li.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("antecedent"),
+            F.col("b.l_partkey").alias("consequent"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    ia = items.select(F.col("item").alias("antecedent"), F.col("cnt").alias("n_antecedent"))
+    ic = items.select(F.col("item").alias("consequent"), F.col("cnt").alias("n_consequent"))
+    conf = F.col("n_ab").cast("double") / F.col("n_antecedent")
+    return (
+        pairs.join(F.broadcast(ia), "antecedent")
+        .join(F.broadcast(ic), "consequent")
+        .crossJoin(F.broadcast(n_ord))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_ab",
+            "n_antecedent",
+            "n_consequent",
+            conf.alias("confidence"),
+            (F.col("n_ab").cast("double") / F.col("n")).alias("support"),
+            (conf / (F.col("n_consequent").cast("double") / F.col("n"))).alias(
+                "lift"
+            ),
+        )
+    )
+
+
+@register(
+    "k_anonymity_audit",
+    """SELECT c_nationkey, c_mktsegment,
+       CAST(count(*) AS BIGINT) AS k_size,
+       CAST(count(DISTINCT (CAST(round(c_acctbal * 100) AS BIGINT) + 1000000)
+                           // 100000) AS BIGINT) AS l_distinct,
+       count(*) < 5 AS at_risk
+FROM customer
+WHERE c_nationkey IS NOT NULL AND c_mktsegment IS NOT NULL
+GROUP BY 1, 2""",
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY / L-DIVERSITY audit — the privacy gate a dataset
+    passes before publication or training-data release: group rows by
+    their quasi-identifiers (nation x market segment — the columns an
+    attacker can link from outside), report each group's size k (a
+    group of k < 5 re-identifies its members) and the l-diversity of a
+    sensitive attribute (account-balance band in 1000-currency buckets:
+    a group whose members all share one band leaks the value even at
+    large k). Completes the privacy family next to `pii_scrub_stats`
+    (scrubbing removes direct identifiers; this audits the INDIRECT
+    ones).
+
+    Exactness: the sensitive band uses offset integer-cents division
+    ((cents + 10^6) div 10^5) so the operands stay nonnegative —
+    Spark's `div` truncates toward zero while DuckDB's `//` floors, and
+    they only agree on nonnegative ints. One hash agg at quasi-id grain
+    with a single two-phase count-distinct; report-sized output."""
+    cents_band = (
+        F.round(F.col("c_acctbal") * 100).cast("long") + F.lit(1000000)
+    )
+    return (
+        load_table(spark, "customer", sf_dir)
+        .filter(
+            F.col("c_nationkey").isNotNull() & F.col("c_mktsegment").isNotNull()
+        )
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("k_size"),
+            F.count_distinct(
+                F.expr(
+                    "(CAST(round(c_acctbal * 100) AS BIGINT) + 1000000)"
+                    " div 100000"
+                )
+            ).alias("l_distinct"),
+            (F.count(F.lit(1)) < 5).alias("at_risk"),
+        )
+    )
+
+
+@register(
+    "ab_test_zscore",
+    """WITH g AS (
+  SELECT event_type,
+         CAST(count(*) FILTER (user_id % 2 = 0) AS BIGINT) AS n_control,
+         CAST(count(*) FILTER (user_id % 2 = 1) AS BIGINT) AS n_treatment,
+         sum(CAST(round(value, 6) AS DECIMAL(20,6)))
+           FILTER (user_id % 2 = 0) AS s_c,
+         sum(CAST(round(value, 6) AS DECIMAL(20,6)))
+           FILTER (user_id % 2 = 1) AS s_t,
+         sum(CAST(round(value * value, 6) AS DECIMAL(30,6)))
+           FILTER (user_id % 2 = 0) AS q_c,
+         sum(CAST(round(value * value, 6) AS DECIMAL(30,6)))
+           FILTER (user_id % 2 = 1) AS q_t
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY 1
+),
+m AS (
+  SELECT *,
+         CASE WHEN n_control > 0
+              THEN CAST(s_c AS DOUBLE) / n_control END AS mean_control,
+         CASE WHEN n_treatment > 0
+              THEN CAST(s_t AS DOUBLE) / n_treatment END AS mean_treatment
+  FROM g
+),
+v AS (
+  SELECT *,
+         CASE WHEN n_control >= 2 AND n_treatment >= 2 THEN
+           sqrt((CAST(q_c AS DOUBLE) / n_control
+                   - mean_control * mean_control) / n_control
+                + (CAST(q_t AS DOUBLE) / n_treatment
+                   - mean_treatment * mean_treatment) / n_treatment)
+         END AS se
+  FROM m
+)
+SELECT event_type, n_control, n_treatment, mean_control, mean_treatment,
+       CASE WHEN se > 0 THEN (mean_treatment - mean_control) / se END
+         AS z_score
+FROM v""",
+)
+def q_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample A/B z-test per event_type — the experimentation
+    readout every product pipeline runs: users split by a deterministic
+    hash (here user_id parity — the stand-in for the experiment
+    assignment), per-arm mean of `value`, and the Welch z on the
+    difference. ONE conditional-aggregate pass (FILTER-style whens) —
+    no join between arms, no second scan; output at type grain.
+
+    Float discipline: per-arm sums/sum-of-squares snap to the 6-dp
+    DECIMAL grid (order-free exact accumulation); means, variances, the
+    pooled standard error and z are a mirrored chain of exactly-rounded
+    IEEE ops on those exact operands; sub-2-sample arms and zero SE
+    emit NULL, never a fake significance."""
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    ctl = F.col("user_id") % 2 == 0
+    sv = F.round(F.col("value"), 6).cast("decimal(20,6)")
+    qv = F.round(F.col("value") * F.col("value"), 6).cast("decimal(30,6)")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.when(ctl, F.lit(1))).alias("n_control"),
+        F.count(F.when(~ctl, F.lit(1))).alias("n_treatment"),
+        F.sum(F.when(ctl, sv)).alias("s_c"),
+        F.sum(F.when(~ctl, sv)).alias("s_t"),
+        F.sum(F.when(ctl, qv)).alias("q_c"),
+        F.sum(F.when(~ctl, qv)).alias("q_t"),
+    )
+    mean_c = F.when(
+        F.col("n_control") > 0, F.col("s_c").cast("double") / F.col("n_control")
+    )
+    mean_t = F.when(
+        F.col("n_treatment") > 0,
+        F.col("s_t").cast("double") / F.col("n_treatment"),
+    )
+    m = g.withColumn("mean_control", mean_c).withColumn(
+        "mean_treatment", mean_t
+    )
+    se = F.when(
+        (F.col("n_control") >= 2) & (F.col("n_treatment") >= 2),
+        F.sqrt(
+            (
+                F.col("q_c").cast("double") / F.col("n_control")
+                - F.col("mean_control") * F.col("mean_control")
+            )
+            / F.col("n_control")
+            + (
+                F.col("q_t").cast("double") / F.col("n_treatment")
+                - F.col("mean_treatment") * F.col("mean_treatment")
+            )
+            / F.col("n_treatment")
+        ),
+    )
+    v = m.withColumn("se", se)
+    return v.select(
+        "event_type",
+        "n_control",
+        "n_treatment",
+        "mean_control",
+        "mean_treatment",
+        F.when(
+            F.col("se") > 0,
+            (F.col("mean_treatment") - F.col("mean_control")) / F.col("se"),
+        ).alias("z_score"),
+    )
+
+
+@register(
+    "containment_near_dup",
+    f"""WITH {SHINGLES_CTE},
+dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+arrs AS (
+  SELECT doc_id, list_sort(list(shingle)) AS sset, count(*) AS n
+  FROM sh GROUP BY doc_id
+),
+ranked AS (
+  SELECT sh.doc_id, sh.shingle,
+         row_number() OVER (PARTITION BY sh.doc_id
+                            ORDER BY d.df, sh.shingle) AS rn,
+         count(*) OVER (PARTITION BY sh.doc_id)
+           - ceil(0.8 * count(*) OVER (PARTITION BY sh.doc_id)) + 1
+           AS prefix_len
+  FROM sh JOIN dfreq d USING (shingle)
+),
+prefix AS (SELECT doc_id, shingle FROM ranked WHERE rn <= prefix_len),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_sub, b.doc_id AS doc_sup
+  FROM prefix a JOIN sh b USING (shingle)
+  WHERE a.doc_id <> b.doc_id
+),
+scored AS (
+  SELECT doc_sub, doc_sup,
+         CAST(len(list_intersect(sa.sset, sb.sset)) AS BIGINT) AS n_common,
+         sa.n AS n_sub
+  FROM cand
+  JOIN arrs sa ON sa.doc_id = doc_sub
+  JOIN arrs sb ON sb.doc_id = doc_sup
+)
+SELECT doc_sub, doc_sup, n_common,
+       n_common::DOUBLE / n_sub::DOUBLE AS containment
+FROM scored
+WHERE n_common::DOUBLE / n_sub::DOUBLE >= 0.8""",
+)
+def q_containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed n-gram CONTAINMENT pairs (|A∩B|/|A| >= 0.8) — the
+    asymmetric near-dup sweep Jaccard cannot see: a short doc embedded
+    verbatim in a much longer one (boilerplate wrappers, quoted
+    articles) has tiny union-ratio but full containment, and it's the
+    sub-document that curation drops. One-sided prefix filtering keeps
+    it exact at scale (see functions/dedupe.py::containment_pairs);
+    `ngram_jaccard` remains the symmetric twin, `span_dedup` the
+    sub-document-granular one."""
+    from .functions.dedupe import containment_pairs
+
+    return containment_pairs(
+        load_table(spark, "documents", sf_dir), threshold=0.8
+    )

@@ -224,3 +224,29 @@ def test_seasonal_hour_anomaly_loo_excludes_self(spark):
     # which keeps the normal day's |z| below the alert bar)
     assert normal.loo_mean == pytest.approx((50 + 5 + 6 + 4 + 6 + 4 + 5 + 6) / 8.0)
     assert not normal.is_anomaly
+
+
+def test_containment_pairs_catches_sub_document(spark):
+    from options_data_pipeline_spark.functions.dedupe import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "the quick brown fox jumps over the lazy dog"
+    long = (
+        "intro boilerplate header section one two three. "
+        + short
+        + " trailing licence text and much more unrelated content follows here"
+    )
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, "completely different text body")],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_sub, r.doc_sup): r for r in containment_pairs(df).collect()}
+    assert (1, 2) in got
+    assert got[(1, 2)].containment == 1.0  # every shingle of 1 is in 2
+    assert (2, 1) not in got  # asymmetric: the long doc is NOT contained
+    assert not any(3 in k for k in got)
+    # and Jaccard at the same bar misses it — the reason this op exists
+    jac = ngram_jaccard_pairs(df, threshold=0.8).collect()
+    assert not any({r.doc_a, r.doc_b} == {1, 2} for r in jac)

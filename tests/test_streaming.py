@@ -1784,3 +1784,71 @@ def test_cdc_snapshot_survives_crash_before_publish(spark, tmpdir, monkeypatch):
     # GC kept at most current+previous versions; orphaned partial gone
     versions = [n for n in os.listdir(snap) if n.startswith("v_")]
     assert len(versions) <= 2
+
+
+def test_streaming_seasonal_anomaly_matches_batch(spark, tmpdir):
+    """Stream events through the batch-tagged idempotent cell append in
+    several micro-batches; the LOO report answered from STORED CELLS
+    ONLY must equal the batch operator over the full log, and a
+    replayed merge must write nothing (count exactly-once under
+    at-least-once delivery)."""
+    from options_data_pipeline_spark.operators.seasonal import (
+        hour_cells,
+        loo_scores,
+    )
+    from options_data_pipeline_spark.streaming.seasonal_stream import (
+        seasonal_merge_batch,
+        seasonal_report,
+        streaming_seasonal_anomaly,
+    )
+
+    base = datetime(2024, 2, 1, 0, 0)
+    rows = []
+    # 10 days x 2 hours x 2 types with varied counts and one spike,
+    # rows deliberately straddling micro-batch boundaries
+    for d in range(10):
+        for h in (3, 14):
+            n = 40 if (d == 6 and h == 3) else 3 + ((d + h) % 4)
+            for i in range(n):
+                rows.append(
+                    ("click" if i % 2 == 0 else "view",
+                     base + timedelta(days=d, hours=h, seconds=i))
+                )
+    schema = "event_type string, ts timestamp"
+    src = os.path.join(tmpdir, "seas_src")
+    store = os.path.join(tmpdir, "seas_store")
+    ck = os.path.join(tmpdir, "seas_ck")
+    spark.createDataFrame(rows, schema).repartition(5).write.parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_seasonal_anomaly(stream, store, ck).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.event_type, r.day_start, r.hour_of_day): r
+        for r in seasonal_report(spark, store).collect()
+    }
+    full = spark.createDataFrame(rows, schema)
+    want = {
+        (r.event_type, r.day_start, r.hour_of_day): r
+        for r in loo_scores(hour_cells(full)).collect()
+    }
+    assert set(got) == set(want) and len(got) == 40
+    for k in want:
+        assert got[k].n_events == want[k].n_events
+        assert got[k].loo_mean == want[k].loo_mean  # bit-exact shared impl
+        assert got[k].z_score == want[k].z_score
+        assert got[k].is_anomaly == want[k].is_anomaly
+    # the spike is flagged once the baseline accrues
+    spikes = [k for k, r in got.items() if r.is_anomaly]
+    assert all(k[2] == 3 and k[1].day == 7 for k in spikes) and spikes
+    # replay idempotence: re-merging an already-applied batch writes 0
+    some_batch = spark.read.parquet(src).limit(50)
+    first = seasonal_merge_batch(some_batch, store, batch_id=99)
+    again = seasonal_merge_batch(some_batch, store, batch_id=99)
+    assert first > 0 and again == 0

@@ -81,6 +81,8 @@ BNLJ_OK = {
     # broadcast 1-row bootstrap band crossJoined onto the 1-row point
     # estimate (both bounded by the replicate count)
     "bootstrap_mean_ci",
+    # broadcast 1-row basket-total normalizer onto the rule table
+    "association_rules",
 }
 
 
