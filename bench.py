@@ -27,6 +27,9 @@ from options_data_pipeline_spark import registry
 # ngram_jaccard deliberately excluded: exact all-pairs verification on the
 # synthetic corpus (tiny vocab → ~all pairs are candidates) is inherently
 # quadratic; minhash_lsh is the benched scale path for near-dup.
+# containment_near_dup + containment_recall_audit excluded for the same
+# reason (the one-sided prefix filter cannot bound the superset side);
+# containment_winnowed is the benched scale path for containment.
 # dedup_clusters (re-admitted): the star-contraction loop still runs
 # EAGERLY at query construction, so the timer starts BEFORE construction
 # for every query — lazy queries charge ~ms there, iterative ones their
@@ -229,7 +232,7 @@ HEADLINE = [
     "association_rules",
     "k_anonymity_audit",
     "ab_test_zscore",
-    "containment_near_dup",
+    "containment_winnowed",
 ]
 
 

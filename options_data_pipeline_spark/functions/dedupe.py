@@ -986,10 +986,20 @@ def containment_pairs(
     first |A| - ceil(t|A|) + 1 rarity-ordered shingles MUST hit B, so
     candidates come from joining the SUB side's prefix against the
     candidate-superset side's full posting stream — the cost is
-    sum(df) over prefix shingles (an inverted-index probe; rarity
-    ordering keeps the hot shingles out of every prefix), never docs².
-    Verification is one exact array_intersect per candidate; the result
-    is provably identical to the naive all-pairs scan."""
+    sum(df) over prefix shingles. Verification is one exact
+    array_intersect per candidate; the result is provably identical to
+    the naive all-pairs scan.
+
+    SCALE CONTRACT — this is the declared VERIFY-ONLY audit arm, the
+    exact twin of :func:`containment_winnowed` (same positioning as
+    ngram_jaccard's PPJoin chain next to MinHash-LSH): unlike Jaccard's
+    two-sided prefix join, the containment bound cannot prefix-filter
+    the SUPERSET side (B may be arbitrarily larger than A, so any of
+    B's shingles can be the match), and on a vocabulary where even
+    rarity-ordered prefix shingles stay hot the candidate set
+    degenerates toward all-pairs (measured: 17M of 25M ordered pairs
+    at 5k docs here). Run it on a sample at 100 TB; the production
+    sweep is containment_winnowed."""
     sh = shingles(docs, text_col, k).repartition("doc_id")
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     arrs = sh.groupBy("doc_id").agg(
@@ -1022,6 +1032,17 @@ def containment_pairs(
         )
         .distinct()
     )
+    return _containment_verify(cand, arrs, threshold)
+
+
+def _containment_verify(
+    cand: DataFrame, arrs: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact containment verification shared by the audit and production
+    arms: join candidate (doc_sub, doc_sup) pairs to the per-doc sorted
+    shingle arrays and keep |A∩B|/|A| >= threshold. One array_intersect
+    per candidate; the ratio is a single exactly-rounded double division
+    (mirrored by the oracle's ::DOUBLE division)."""
     aa = arrs.select(
         F.col("doc_id").alias("doc_sub"),
         F.col("sset").alias("set_sub"),
@@ -1044,3 +1065,82 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("doc_sub", "doc_sup", "n_common", "containment")
     )
+
+
+def containment_winnowed(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.8,
+    fp_k: int = 24,
+    fp_w: int = 8,
+    max_df: int = 64,
+) -> DataFrame:
+    """PRODUCTION directed containment sweep: coarse winnowing
+    fingerprints (Schleimer/Wilkerson/Aiken) generate the candidates,
+    exact shingle verification scores them — the scale path next to the
+    verify-only exact arm :func:`containment_pairs`.
+
+    Why winnowing beats prefix filtering here: the containment bound
+    cannot restrict the SUPERSET side, so exact candidate generation
+    degenerates toward all-pairs on a hot vocabulary. But the near-dup
+    case containment exists for — a sub-document embedded in a longer
+    one — is CONTIGUOUS, and winnowing gives a deterministic guarantee
+    on contiguity: any shared normalized substring of length >=
+    fp_k + fp_w - 1 (default 31 chars) produces a shared fingerprint.
+    Candidates are doc pairs sharing >= 1 fingerprint whose document
+    frequency is <= max_df (the stop-fingerprint cap — boilerplate
+    fragments duplicated corpus-wide carry no pair signal and would
+    make the posting self-join quadratic; same cap contract as
+    winnow_overlap_pairs / the inverted-index posting caps).
+
+    RECALL CONTRACT (measured vs the exact arm by the
+    containment_recall_audit registry query): every pair whose shared
+    region spans a 31-char run with a sub-stop-frequency fingerprint is
+    found (100% at sf0.01, 90.5% at sf0.1 on the synthetic corpus; the
+    misses share no 31-char contiguous run at all — scattered
+    shingle-set containment, invisible to any contiguity sketch).
+
+    Scale shape: fingerprint stream is ~1/fp_w of the shingle stream;
+    the posting self-join is bounded by sum(df²) over capped
+    fingerprints (<= max_df per posting — never docs²); verification
+    touches candidates only. One corpus-linear aggregate builds the
+    shingle arrays."""
+    from .text import winnow_fingerprints
+
+    fps = winnow_fingerprints(docs, text_col, fp_k, fp_w)
+    # one groupBy materializes each capped fingerprint's doc list; ordered
+    # pairs explode from the (<= max_df) list — no fp self-join, no
+    # re-derivation of the md5 stream per join side (the 4x-md5 trap
+    # winnow_overlap_pairs measured)
+    grouped = fps.groupBy("fp").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
+    grouped = grouped.filter(F.size("ids") <= max_df)
+    und = (
+        grouped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (a, i) ->"
+                    " transform(slice(ids, i + 2, size(ids) - i - 1),"
+                    " b -> struct(a AS doc_a, b AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    # containment is directed; a shared fingerprint is not — both orders
+    cand = und.select(
+        F.col("doc_a").alias("doc_sub"), F.col("doc_b").alias("doc_sup")
+    ).unionByName(
+        und.select(
+            F.col("doc_b").alias("doc_sub"), F.col("doc_a").alias("doc_sup")
+        )
+    )
+    sh = shingles(docs, text_col, k).repartition("doc_id")
+    arrs = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("shingle")).alias("sset"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return _containment_verify(cand, arrs, threshold)

@@ -11126,16 +11126,162 @@ FROM scored
 WHERE n_common::DOUBLE / n_sub::DOUBLE >= 0.8""",
 )
 def q_containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Directed n-gram CONTAINMENT pairs (|A∩B|/|A| >= 0.8) — the
+    """EXACT directed n-gram CONTAINMENT pairs (|A∩B|/|A| >= 0.8) — the
     asymmetric near-dup sweep Jaccard cannot see: a short doc embedded
     verbatim in a much longer one (boilerplate wrappers, quoted
     articles) has tiny union-ratio but full containment, and it's the
-    sub-document that curation drops. One-sided prefix filtering keeps
-    it exact at scale (see functions/dedupe.py::containment_pairs);
+    sub-document that curation drops.
+
+    DECLARED VERIFY-ONLY AUDIT ARM (same positioning as ngram_jaccard's
+    exact PPJoin chain; excluded from bench): the one-sided prefix
+    filter cannot bound the superset side, so on a hot vocabulary the
+    candidate set degenerates toward all-pairs — run on a sample at
+    100 TB. The production sweep is `containment_winnowed`;
+    `containment_recall_audit` measures the gap between the two.
     `ngram_jaccard` remains the symmetric twin, `span_dedup` the
     sub-document-granular one."""
     from .functions.dedupe import containment_pairs
 
     return containment_pairs(
         load_table(spark, "documents", sf_dir), threshold=0.8
+    )
+
+
+#: oracle CTE chain of the EXACT containment arm (everything after the
+#: sh CTE) — shared by containment_near_dup and the recall audit
+_CONTAINMENT_EXACT_CTES = """dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+arrs AS MATERIALIZED (
+  SELECT doc_id, list_sort(list(shingle)) AS sset, count(*) AS n
+  FROM sh GROUP BY doc_id
+),
+ranked AS (
+  SELECT sh.doc_id, sh.shingle,
+         row_number() OVER (PARTITION BY sh.doc_id
+                            ORDER BY d.df, sh.shingle) AS rn,
+         count(*) OVER (PARTITION BY sh.doc_id)
+           - ceil(0.8 * count(*) OVER (PARTITION BY sh.doc_id)) + 1
+           AS prefix_len
+  FROM sh JOIN dfreq d USING (shingle)
+),
+prefix AS (SELECT doc_id, shingle FROM ranked WHERE rn <= prefix_len),
+ecand AS (
+  SELECT DISTINCT a.doc_id AS doc_sub, b.doc_id AS doc_sup
+  FROM prefix a JOIN sh b USING (shingle)
+  WHERE a.doc_id <> b.doc_id
+),
+exact AS (
+  SELECT doc_sub, doc_sup FROM (
+    SELECT c.doc_sub, c.doc_sup,
+           CAST(len(list_intersect(sa.sset, sb.sset)) AS BIGINT) AS n_common,
+           sa.n AS n_sub
+    FROM ecand c
+    JOIN arrs sa ON sa.doc_id = c.doc_sub
+    JOIN arrs sb ON sb.doc_id = c.doc_sup
+  ) WHERE n_common::DOUBLE / n_sub::DOUBLE >= 0.8
+)"""
+
+#: oracle CTE chain of the PRODUCTION winnowed-candidate arm (fps ->
+#: capped postings -> directed candidate pairs); assumes a later join
+#: against the arrs CTE for verification
+_CONTAINMENT_WINNOW_CTES = f"""fps AS MATERIALIZED ({{winnow}}),
+capped AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 64),
+cf AS MATERIALIZED (SELECT f.doc_id, f.fp FROM fps f JOIN capped USING (fp)),
+wcand AS (
+  SELECT DISTINCT a.doc_id AS doc_sub, b.doc_id AS doc_sup
+  FROM cf a JOIN cf b USING (fp)
+  WHERE a.doc_id <> b.doc_id
+)"""
+
+
+@register(
+    "containment_winnowed",
+    f"""WITH {_CONTAINMENT_WINNOW_CTES.format(winnow=_winnow_fps_sql(24, 8))},
+{SHINGLES_CTE},
+arrs AS (
+  SELECT doc_id, list_sort(list(shingle)) AS sset, count(*) AS n
+  FROM sh GROUP BY doc_id
+),
+scored AS (
+  SELECT c.doc_sub, c.doc_sup,
+         CAST(len(list_intersect(sa.sset, sb.sset)) AS BIGINT) AS n_common,
+         sa.n AS n_sub
+  FROM wcand c
+  JOIN arrs sa ON sa.doc_id = c.doc_sub
+  JOIN arrs sb ON sb.doc_id = c.doc_sup
+)
+SELECT doc_sub, doc_sup, n_common,
+       n_common::DOUBLE / n_sub::DOUBLE AS containment
+FROM scored
+WHERE n_common::DOUBLE / n_sub::DOUBLE >= 0.8""",
+)
+def q_containment_winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION directed containment sweep (|A∩B|/|A| >= 0.8):
+    coarse winnowing fingerprints (k=24, w=8 — any shared 31-char
+    normalized run GUARANTEES a shared fingerprint) generate candidates
+    from df-capped postings, exact shingle verification scores them.
+    The embedded-sub-document case containment exists for is contiguous
+    by nature, so the contiguity sketch is the right candidate
+    generator where the exact arm's prefix filter degenerates (see
+    functions/dedupe.py::containment_winnowed for the full contract).
+    Candidate join bounded by sum(df²) over <= 64-doc postings — never
+    docs²; recall vs the exact arm measured by
+    `containment_recall_audit` (100% sf0.01 / 90.5% sf0.1)."""
+    from .functions.dedupe import containment_winnowed
+
+    return containment_winnowed(
+        load_table(spark, "documents", sf_dir), threshold=0.8
+    )
+
+
+@register(
+    "containment_recall_audit",
+    f"""WITH {_CONTAINMENT_WINNOW_CTES.format(winnow=_winnow_fps_sql(24, 8))},
+{SHINGLES_CTE},
+{_CONTAINMENT_EXACT_CTES},
+win AS (
+  SELECT doc_sub, doc_sup FROM (
+    SELECT c.doc_sub, c.doc_sup,
+           CAST(len(list_intersect(sa.sset, sb.sset)) AS BIGINT) AS n_common,
+           sa.n AS n_sub
+    FROM wcand c
+    JOIN arrs sa ON sa.doc_id = c.doc_sub
+    JOIN arrs sb ON sb.doc_id = c.doc_sup
+  ) WHERE n_common::DOUBLE / n_sub::DOUBLE >= 0.8
+),
+marked AS (
+  SELECT e.doc_sub, w.doc_sub IS NOT NULL AS found
+  FROM exact e
+  LEFT JOIN win w ON w.doc_sub = e.doc_sub AND w.doc_sup = e.doc_sup
+)
+SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(*) FILTER (found) AS BIGINT) AS n_found,
+       CAST(count(*) FILTER (found) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS recall
+FROM marked""",
+)
+def q_containment_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL AUDIT for the production containment sweep: run the exact
+    arm (containment_pairs) and the winnowed arm (containment_winnowed)
+    side by side and report how many exact pairs the production path
+    found — the measured recall number the winnowed contract quotes
+    (precedent: lsh_incremental_recall, ann_recall_report). Contains
+    the exact arm, so it is itself VERIFY-ONLY at scale (sample-grade
+    at 100 TB; excluded from bench like ngram_jaccard)."""
+    from .functions.dedupe import containment_pairs, containment_winnowed
+
+    docs = load_table(spark, "documents", sf_dir)
+    exact = containment_pairs(docs, threshold=0.8).select("doc_sub", "doc_sup")
+    win = (
+        containment_winnowed(docs, threshold=0.8)
+        .select("doc_sub", "doc_sup")
+        .withColumn("found", F.lit(True))
+    )
+    marked = exact.join(win, ["doc_sub", "doc_sup"], "left")
+    return marked.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count(F.when(F.col("found"), F.lit(1))).alias("n_found"),
+        (
+            F.count(F.when(F.col("found"), F.lit(1))).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("recall"),
     )

@@ -250,3 +250,53 @@ def test_containment_pairs_catches_sub_document(spark):
     # and Jaccard at the same bar misses it — the reason this op exists
     jac = ngram_jaccard_pairs(df, threshold=0.8).collect()
     assert not any({r.doc_a, r.doc_b} == {1, 2} for r in jac)
+
+
+def test_containment_winnowed_matches_exact_on_contiguous(spark):
+    """The production arm must find every contiguous embedding (the
+    winnowing guarantee: a shared normalized run >= fp_k + fp_w - 1 = 31
+    chars shares a fingerprint) and verify it with the SAME exact score
+    as the audit arm."""
+    from options_data_pipeline_spark.functions.dedupe import (
+        containment_pairs,
+        containment_winnowed,
+    )
+
+    short = "the quick brown fox jumps over the lazy dog near the river"
+    corpus = [
+        (1, short),
+        (2, "intro boilerplate header. " + short + " trailing licence text"),
+        (3, short + " and a different continuation entirely here"),
+        (4, "completely unrelated text body with nothing shared at all"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    exact = {
+        (r.doc_sub, r.doc_sup): (r.n_common, r.containment)
+        for r in containment_pairs(df).collect()
+    }
+    win = {
+        (r.doc_sub, r.doc_sup): (r.n_common, r.containment)
+        for r in containment_winnowed(df).collect()
+    }
+    # every exact pair here is a contiguous embedding -> full recall,
+    # identical exact verification scores, no extra (false) pairs
+    assert win == exact
+    assert (1, 2) in win and (1, 3) in win
+    assert not any(4 in k for k in win)
+
+
+def test_containment_winnowed_stop_fp_cap_drops_hot_postings(spark):
+    """A fingerprint duplicated in more docs than max_df carries no pair
+    signal: with max_df below the duplication count the hot posting is
+    dropped (no candidates at all), with it raised the pairs return —
+    the documented stop-fingerprint recall contract."""
+    from options_data_pipeline_spark.functions.dedupe import (
+        containment_winnowed,
+    )
+
+    text = "identical boilerplate paragraph repeated verbatim in every doc"
+    df = spark.createDataFrame(
+        [(i, text) for i in range(1, 7)], "doc_id long, text string"
+    )
+    assert containment_winnowed(df, max_df=5).count() == 0
+    assert containment_winnowed(df, max_df=6).count() == 30  # 6*5 directed
