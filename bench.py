@@ -233,6 +233,11 @@ HEADLINE = [
     "k_anonymity_audit",
     "ab_test_zscore",
     "containment_winnowed",
+    "join_skew_audit",
+    "chi2_drift",
+    "embedding_int8_quantize",
+    "weighted_bernoulli_sample",
+    "part_entity_resolution",
 ]
 
 

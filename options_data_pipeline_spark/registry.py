@@ -11285,3 +11285,496 @@ def q_containment_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("recall"),
     )
+
+
+@register(
+    "join_skew_audit",
+    """WITH kv AS (
+  SELECT 'l_orderkey' AS key_name, l_orderkey AS key_value
+  FROM lineitem WHERE l_orderkey IS NOT NULL
+  UNION ALL
+  SELECT 'l_partkey', l_partkey FROM lineitem WHERE l_partkey IS NOT NULL
+  UNION ALL
+  SELECT 'l_suppkey', l_suppkey FROM lineitem WHERE l_suppkey IS NOT NULL
+),
+per AS (
+  SELECT key_name, key_value, CAST(count(*) AS BIGINT) AS df
+  FROM kv GROUP BY 1, 2
+)
+SELECT key_name,
+       CAST(sum(df) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(max(df) AS BIGINT) AS max_df,
+       CAST(max(df) AS DOUBLE) / CAST(sum(df) AS DOUBLE) AS top_share,
+       CAST(sum(df * df) AS DOUBLE)
+         / (CAST(sum(df) AS DOUBLE) * CAST(sum(df) AS DOUBLE)) AS hhi,
+       CAST(sum(df) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_df
+FROM per GROUP BY 1""",
+)
+def q_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-KEY SKEW AUDIT — the pre-flight a 100 TB pipeline runs
+    before shuffling on a key: for each candidate join/partition key of
+    the fact table, the cardinality profile that predicts stragglers —
+    max per-key frequency, the top key's row share, and the
+    Herfindahl–Hirschman concentration index (sum of squared key
+    shares; 1/n_keys = perfectly even, →1 = one key owns the table).
+    AQE's skew-join handles moderate cases at runtime; this audit is
+    how you DECIDE between broadcast, salting, or a different key
+    before paying the shuffle.
+
+    One stack()-unpivoted scan (3 key columns, read once), one hash agg
+    at (key, value) grain with map-side combine, then a 3-row rollup.
+    Exactness: counts and sum(df²) are exact integers (BIGINT here;
+    a 100 TB deployment sums df² in DECIMAL); shares are mirrored
+    chains of exactly-rounded double ops on those integers."""
+    kv = (
+        load_table(spark, "lineitem", sf_dir)
+        .selectExpr(
+            "stack(3, 'l_orderkey', l_orderkey, 'l_partkey', l_partkey,"
+            " 'l_suppkey', l_suppkey) AS (key_name, key_value)"
+        )
+        .filter(F.col("key_value").isNotNull())
+    )
+    per = kv.groupBy("key_name", "key_value").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n_rows = F.sum("df")
+    return per.groupBy("key_name").agg(
+        n_rows.alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("df").alias("max_df"),
+        (F.max("df").cast("double") / n_rows.cast("double")).alias(
+            "top_share"
+        ),
+        (
+            F.sum(F.col("df") * F.col("df")).cast("double")
+            / (n_rows.cast("double") * n_rows.cast("double"))
+        ).alias("hhi"),
+        (n_rows.cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avg_df"
+        ),
+    )
+
+
+@register(
+    "embedding_int8_quantize",
+    """WITH dims AS (
+  SELECT i, CAST(v[i] AS DOUBLE) AS x
+  FROM (SELECT embedding AS v FROM embeddings),
+       unnest(range(1, len(v) + 1)) AS u(i)
+),
+stats AS (
+  SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs
+  FROM (SELECT i, min(x) AS mn, max(x) AS mx FROM dims GROUP BY i)
+),
+q AS (
+  SELECT e.vec_id,
+         list_transform(range(1, len(e.embedding) + 1), i ->
+           CASE WHEN s.maxs[i] = s.mins[i] THEN 0
+                ELSE CAST(round((CAST(e.embedding[i] AS DOUBLE) - s.mins[i])
+                                / (s.maxs[i] - s.mins[i]) * 255.0)
+                          AS INTEGER) END) AS qvec,
+         list_transform(range(1, len(e.embedding) + 1), i ->
+           abs(CAST(e.embedding[i] AS DOUBLE)
+               - (CASE WHEN s.maxs[i] = s.mins[i] THEN 0.0
+                       ELSE CAST(round((CAST(e.embedding[i] AS DOUBLE) - s.mins[i])
+                                       / (s.maxs[i] - s.mins[i]) * 255.0)
+                                 AS INTEGER) END
+                  / 255.0 * (s.maxs[i] - s.mins[i]) + s.mins[i]))) AS errs
+  FROM embeddings e, stats s
+)
+SELECT vec_id,
+       list_aggregate(list_transform(qvec, x -> CAST(x AS VARCHAR)),
+                      'string_agg', ',') AS qvec_csv,
+       list_aggregate(errs, 'max') AS max_abs_err
+FROM q""",
+)
+def q_embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING INT8 QUANTIZATION — the 4× storage/bandwidth cut every
+    vector store applies before ANN serving: per-DIMENSION min/max over
+    the corpus define an affine grid, each float maps to
+    round((x-min)/(max-min)*255), and the per-vector max absolute
+    reconstruction error is reported for the quality gate. Constant
+    dimensions quantize to 0 with zero error (guarded division).
+
+    Scale shape: the stats pass is one posexplode + 64-group agg
+    (map-side combined) collapsing to a 1-row broadcast of two 64-float
+    arrays; the quantize pass is a corpus-linear narrow map (pure
+    array transform, whole-stage codegen) — no shuffle of vectors at
+    all. Exactness: min/max are picked values (bit-identical
+    cross-engine); the quantize chain is exactly-rounded double ops on
+    them; max_abs_err is an order-free MAX fold over the array."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    dims = emb.select(
+        F.posexplode("embedding").alias("d", "xf")
+    ).select("d", F.col("xf").cast("double").alias("x"))
+    stats = (
+        dims.groupBy("d")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("d"), F.col("mn")))
+            ).alias("smn"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col("d"), F.col("mx")))
+            ).alias("smx"),
+        )
+        .select(
+            F.expr("transform(smn, s -> s.mn)").alias("mins"),
+            F.expr("transform(smx, s -> s.mx)").alias("maxs"),
+        )
+    )
+    qexpr = (
+        "transform(embedding, (xf, i) -> CASE"
+        " WHEN element_at(maxs, i + 1) = element_at(mins, i + 1) THEN 0"
+        " ELSE CAST(round((CAST(xf AS DOUBLE) - element_at(mins, i + 1))"
+        " / (element_at(maxs, i + 1) - element_at(mins, i + 1)) * 255.0D)"
+        " AS INT) END)"
+    )
+    errexpr = (
+        "transform(embedding, (xf, i) -> abs(CAST(xf AS DOUBLE)"
+        " - (CASE WHEN element_at(maxs, i + 1) = element_at(mins, i + 1)"
+        " THEN 0.0D ELSE CAST(round((CAST(xf AS DOUBLE)"
+        " - element_at(mins, i + 1)) / (element_at(maxs, i + 1)"
+        " - element_at(mins, i + 1)) * 255.0D) AS INT) END"
+        " / 255.0D * (element_at(maxs, i + 1) - element_at(mins, i + 1))"
+        " + element_at(mins, i + 1))))"
+    )
+    return (
+        emb.crossJoin(F.broadcast(stats))
+        .withColumn("qvec", F.expr(qexpr))
+        .withColumn("max_abs_err", F.expr(f"array_max({errexpr})"))
+        # the compare surface serializes the int8 codes (the harness
+        # value-hash has no array support); downstream consumers use
+        # the array column via the same transform
+        .select(
+            "vec_id",
+            F.array_join("qvec", ",").alias("qvec_csv"),
+            "max_abs_err",
+        )
+    )
+
+
+@register(
+    "weighted_bernoulli_sample",
+    r"""WITH w AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS h
+  FROM documents
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS w_total FROM w)
+SELECT doc_id, n_tokens,
+       CASE WHEN 500 * n_tokens >= w_total THEN 1.0
+            ELSE CAST(500 * n_tokens AS DOUBLE) / CAST(w_total AS DOUBLE)
+       END AS p_keep
+FROM w, tot
+WHERE CAST(h AS HUGEINT) * w_total < CAST(500 AS HUGEINT) * n_tokens * 4294967296""",
+)
+def q_weighted_bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHT-PROPORTIONAL DETERMINISTIC SAMPLING — the curation move
+    "sample ~500 documents with probability proportional to token
+    count" (longer docs carry more training signal), reproducible
+    across reruns and engines: each doc keeps iff
+    h(doc_id)/2³² < target·w/W_total, with h the md5-derived 32-bit
+    uniform. The inequality is evaluated in EXACT INTEGER arithmetic
+    (h·W_total < target·w·2³² — DECIMAL on the Spark side, HUGEINT in
+    the oracle), so no float boundary can flip a row's verdict between
+    engines: the sample is a pure function of the data. Docs heavy
+    enough that target·w ≥ W_total are always kept (p_keep = 1).
+
+    Scale shape: one scan + a 1-row broadcast total — no shuffle of
+    the corpus, no global sort (the Efraimidis–Spirakis top-k
+    alternative needs one); expected sample size = target exactly."""
+    target = 500
+    docs = load_table(spark, "documents", sf_dir)
+    w = docs.select(
+        "doc_id",
+        token_count_col().alias("n_tokens"),
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    tot = w.agg(F.sum("n_tokens").alias("w_total"))
+    dec = "decimal(38,0)"
+    keep = (
+        F.col("h").cast(dec) * F.col("w_total").cast(dec)
+        < F.lit(target).cast(dec)
+        * F.col("n_tokens").cast(dec)
+        * F.lit(4294967296).cast(dec)
+    )
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .filter(keep)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.when(
+                F.lit(target) * F.col("n_tokens") >= F.col("w_total"),
+                F.lit(1.0),
+            )
+            .otherwise(
+                (F.lit(target) * F.col("n_tokens")).cast("double")
+                / F.col("w_total").cast("double")
+            )
+            .alias("p_keep"),
+        )
+    )
+
+
+@register(
+    "chi2_drift",
+    """WITH ev AS (
+  SELECT event_type, value,
+         CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END AS early
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL
+),
+rng AS (SELECT min(value) AS mn, max(value) AS mx FROM ev),
+binned AS (
+  SELECT event_type, early,
+         CASE WHEN mx = mn THEN 0
+              ELSE least(CAST(floor((value - mn) / (mx - mn) * 8) AS INTEGER), 7)
+         END AS bin
+  FROM ev, rng
+),
+cells AS (
+  SELECT event_type, bin,
+         CAST(count(*) FILTER (early = 1) AS BIGINT) AS o_early,
+         CAST(count(*) FILTER (early = 0) AS BIGINT) AS o_late
+  FROM binned GROUP BY 1, 2
+),
+tot AS (
+  SELECT *,
+         CAST(sum(o_early) OVER (PARTITION BY event_type) AS BIGINT) AS t_early,
+         CAST(sum(o_late) OVER (PARTITION BY event_type) AS BIGINT) AS t_late
+  FROM cells
+),
+terms AS (
+  SELECT event_type, t_early, t_late,
+         CAST(round(
+           (CAST(o_early AS DOUBLE)
+              - CAST(o_early + o_late AS DOUBLE) * CAST(t_early AS DOUBLE)
+                / CAST(t_early + t_late AS DOUBLE))
+           * (CAST(o_early AS DOUBLE)
+              - CAST(o_early + o_late AS DOUBLE) * CAST(t_early AS DOUBLE)
+                / CAST(t_early + t_late AS DOUBLE))
+           / (CAST(o_early + o_late AS DOUBLE) * CAST(t_early AS DOUBLE)
+              / CAST(t_early + t_late AS DOUBLE))
+           + (CAST(o_late AS DOUBLE)
+              - CAST(o_early + o_late AS DOUBLE) * CAST(t_late AS DOUBLE)
+                / CAST(t_early + t_late AS DOUBLE))
+           * (CAST(o_late AS DOUBLE)
+              - CAST(o_early + o_late AS DOUBLE) * CAST(t_late AS DOUBLE)
+                / CAST(t_early + t_late AS DOUBLE))
+           / (CAST(o_early + o_late AS DOUBLE) * CAST(t_late AS DOUBLE)
+              / CAST(t_early + t_late AS DOUBLE)), 12)
+           AS DECIMAL(38,12)) AS term
+  FROM tot
+)
+SELECT event_type,
+       CAST(t_early + t_late AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_bins,
+       CASE WHEN t_early > 0 AND t_late > 0
+            THEN CAST(sum(term) AS DOUBLE) END AS chi2,
+       CASE WHEN t_early > 0 AND t_late > 0 AND count(*) > 1
+            THEN CAST(sum(term) AS DOUBLE) / CAST(count(*) - 1 AS DOUBLE)
+       END AS chi2_per_dof
+FROM terms
+GROUP BY event_type, t_early, t_late""",
+)
+def q_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTION-DRIFT GATE (two-sample chi-square) — the check a
+    training-data pipeline runs between ingestion periods: per
+    event_type, bin `value` into 8 fixed-width buckets over the global
+    range, split rows into early/late month halves, and test whether
+    the two halves draw from the same bucket distribution. chi²/dof >>
+    1 flags drift (the chi-square analogue of PSI, chosen over PSI
+    because it needs no ln — every arithmetic step is an
+    exactly-rounded IEEE op, oracle-portable without transcendentals).
+
+    Scale shape: one scan + a 1-row min/max broadcast; contingency
+    cells via ONE conditional aggregate at (type, bin) grain (no
+    early/late join, no second scan — the ab_test_zscore pattern),
+    column totals by a window over the ≤ 8-row-per-type cell table.
+    Exactness: counts exact; expected counts and per-cell terms are
+    mirrored double chains; the cross-bin SUM rides the 12-dp DECIMAL
+    grid (order-free); empty-period types emit NULL, never a fake
+    verdict."""
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    ev = ev.select(
+        "event_type",
+        "value",
+        F.when(F.dayofmonth("ts") <= 15, F.lit(1)).otherwise(F.lit(0)).alias("early"),
+    )
+    rng = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    binned = ev.crossJoin(F.broadcast(rng)).select(
+        "event_type",
+        "early",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("mn"))
+                    / (F.col("mx") - F.col("mn"))
+                    * 8
+                ).cast("int"),
+                F.lit(7),
+            )
+        )
+        .alias("bin"),
+    )
+    cells = binned.groupBy("event_type", "bin").agg(
+        F.count(F.when(F.col("early") == 1, F.lit(1))).alias("o_early"),
+        F.count(F.when(F.col("early") == 0, F.lit(1))).alias("o_late"),
+    )
+    w_t = Window.partitionBy("event_type")
+    tot = cells.select(
+        "*",
+        F.sum("o_early").over(w_t).alias("t_early"),
+        F.sum("o_late").over(w_t).alias("t_late"),
+    )
+    n_d = (F.col("t_early") + F.col("t_late")).cast("double")
+    row_d = (F.col("o_early") + F.col("o_late")).cast("double")
+    e_early = row_d * F.col("t_early").cast("double") / n_d
+    e_late = row_d * F.col("t_late").cast("double") / n_d
+    term = (
+        (F.col("o_early").cast("double") - e_early)
+        * (F.col("o_early").cast("double") - e_early)
+        / e_early
+        + (F.col("o_late").cast("double") - e_late)
+        * (F.col("o_late").cast("double") - e_late)
+        / e_late
+    )
+    terms = tot.select(
+        "event_type",
+        "t_early",
+        "t_late",
+        F.round(term, 12).cast("decimal(38,12)").alias("term"),
+    )
+    both = (F.col("t_early") > 0) & (F.col("t_late") > 0)
+    return terms.groupBy("event_type", "t_early", "t_late").agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("term").alias("s"),
+    ).select(
+        "event_type",
+        (F.col("t_early") + F.col("t_late")).alias("n_events"),
+        "n_bins",
+        F.when(both, F.col("s").cast("double")).alias("chi2"),
+        F.when(
+            both & (F.col("n_bins") > 1),
+            F.col("s").cast("double") / (F.col("n_bins") - 1).cast("double"),
+        ).alias("chi2_per_dof"),
+    )
+
+
+@register(
+    "part_entity_resolution",
+    """WITH RECURSIVE toks AS (
+  SELECT p_partkey, p_brand,
+         list_distinct(string_split(p_name, ' ')) AS ts
+  FROM part
+),
+posting AS (SELECT p_brand, unnest(ts) AS tok, p_partkey FROM toks),
+cand AS (
+  SELECT DISTINCT a.p_partkey AS pa, b.p_partkey AS pb
+  FROM posting a JOIN posting b
+    ON a.p_brand = b.p_brand AND a.tok = b.tok
+  WHERE a.p_partkey < b.p_partkey
+),
+pairs AS MATERIALIZED (
+  SELECT pa, pb FROM (
+    SELECT pa, pb,
+           len(list_intersect(ta.ts, tb.ts)) AS c,
+           len(ta.ts) AS na, len(tb.ts) AS nb
+    FROM cand
+    JOIN toks ta ON ta.p_partkey = pa
+    JOIN toks tb ON tb.p_partkey = pb
+  ) WHERE c::DOUBLE / (na + nb - c) >= 0.6
+),
+edges AS MATERIALIZED (
+  SELECT pa AS src, pb AS dst FROM pairs
+  UNION ALL
+  SELECT pb, pa FROM pairs
+),
+reach(v, l) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.l FROM edges e JOIN reach r ON r.v = e.dst
+),
+lab AS (SELECT v, CAST(min(l) AS BIGINT) AS entity_id FROM reach GROUP BY v)
+SELECT v AS p_partkey, entity_id,
+       CAST(count(*) OVER (PARTITION BY entity_id) AS BIGINT) AS cluster_size
+FROM lab""",
+)
+def q_part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENTITY RESOLUTION over the part catalog — the
+    blocking → pairwise-scoring → transitive-clustering pipeline every
+    master-data/catalog-dedup system runs (the record-linkage shape of
+    Fellegi–Sunter, composed from this repo's own primitives): BLOCK on
+    (brand, name-token) postings so candidate generation is an
+    inverted-index join (sum(df²) per block key, never catalog²), SCORE
+    candidates with exact token-set Jaccard >= 0.6 (>= 4 of 5 words
+    shared — "same product, reworded"), CLUSTER matched pairs with the
+    O(log n) large-star/small-star contraction, and emit every resolved
+    record with its entity id (= min partkey of the component, the
+    survivor) and cluster size.
+
+    The recursive-CTE oracle computes transitive min-reachability
+    directly — hash equality proves the distributed contraction
+    reaches the same fixpoint. Jaccard is one exact integer intersect +
+    a single double division; blocking and scoring shuffles are at
+    posting and pair grain."""
+    from .functions.dedupe import connected_components_star
+
+    parts = load_table(spark, "part", sf_dir).select(
+        "p_partkey",
+        "p_brand",
+        F.array_distinct(F.split("p_name", " ")).alias("ts"),
+    )
+    posting = parts.select(
+        "p_brand", F.explode("ts").alias("tok"), "p_partkey"
+    )
+    cand = (
+        posting.alias("a")
+        .join(posting.alias("b"), ["p_brand", "tok"])
+        .filter(F.col("a.p_partkey") < F.col("b.p_partkey"))
+        .select(
+            F.col("a.p_partkey").alias("pa"), F.col("b.p_partkey").alias("pb")
+        )
+        .distinct()
+    )
+    ta = parts.select(
+        F.col("p_partkey").alias("pa"),
+        F.col("ts").alias("tsa"),
+    )
+    tb = parts.select(
+        F.col("p_partkey").alias("pb"),
+        F.col("ts").alias("tsb"),
+    )
+    c = F.size(F.array_intersect("tsa", "tsb"))
+    pairs = (
+        cand.join(ta, "pa")
+        .join(tb, "pb")
+        .filter(
+            c.cast("double")
+            / (F.size("tsa") + F.size("tsb") - c).cast("double")
+            >= 0.6
+        )
+        .select("pa", "pb")
+    )
+    labels = connected_components_star(pairs, id_a="pa", id_b="pb")
+    return labels.select(
+        F.col("doc_id").alias("p_partkey"),
+        F.col("label").alias("entity_id"),
+    ).withColumn(
+        "cluster_size",
+        F.count(F.lit(1)).over(Window.partitionBy("entity_id")),
+    )

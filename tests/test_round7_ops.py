@@ -300,3 +300,92 @@ def test_containment_winnowed_stop_fp_cap_drops_hot_postings(spark):
     )
     assert containment_winnowed(df, max_df=5).count() == 0
     assert containment_winnowed(df, max_df=6).count() == 30  # 6*5 directed
+
+
+# -------------------------------------------------- round-7 batch 4
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_join_skew_audit_invariants(spark):
+    from __spark_entry__ import queries
+
+    rows = {r.key_name: r for r in
+            queries()["join_skew_audit"](spark, SF_DIR).collect()}
+    assert set(rows) == {"l_orderkey", "l_partkey", "l_suppkey"}
+    for r in rows.values():
+        # HHI bounded by [1/n_keys (even), 1 (one key)]; top_share
+        # consistent with its own components
+        assert 1.0 / r.n_keys <= r.hhi <= 1.0
+        assert r.top_share == r.max_df / r.n_rows
+        assert r.avg_df == r.n_rows / r.n_keys
+    # same fact table, no null keys in TPC-H lineitem → equal n_rows
+    assert len({r.n_rows for r in rows.values()}) == 1
+    # orderkey is the high-cardinality key: lowest concentration
+    assert rows["l_orderkey"].hhi < rows["l_suppkey"].hhi
+
+
+def test_embedding_int8_quantize_error_bound(spark):
+    from __spark_entry__ import queries
+
+    out = queries()["embedding_int8_quantize"](spark, SF_DIR).collect()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    dims = emb.selectExpr("posexplode(embedding) AS (d, x)")
+    rng = dims.groupBy("d").agg(
+        (F.max(F.col("x").cast("double")) - F.min(F.col("x").cast("double"))).alias("r")
+    )
+    max_range = rng.agg(F.max("r")).collect()[0][0]
+    # quantization error is at most half a step of the widest dimension
+    assert all(r.max_abs_err <= max_range / 510.0 * (1 + 1e-9) for r in out)
+    assert all(
+        0 <= int(v) <= 255 for r in out for v in r.qvec_csv.split(",")
+    )
+    assert len(out) == emb.count()
+
+
+def test_weighted_bernoulli_sample_deterministic(spark):
+    from __spark_entry__ import queries
+
+    q = queries()["weighted_bernoulli_sample"]
+    a = sorted(r.doc_id for r in q(spark, SF_DIR).collect())
+    b = sorted(r.doc_id for r in q(spark, SF_DIR).collect())
+    assert a == b and len(a) > 0  # pure function of the data
+    rows = q(spark, SF_DIR).collect()
+    assert all(0.0 < r.p_keep <= 1.0 for r in rows)
+    # heavy docs (p_keep == 1) are ALWAYS kept: every doc whose weight
+    # clears the always-keep bar must appear in the sample
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    from options_data_pipeline_spark.functions.text import token_count_col
+    w = docs.select("doc_id", token_count_col().alias("w"))
+    w_total = w.agg(F.sum("w")).collect()[0][0]
+    heavy = {r.doc_id for r in w.filter(F.col("w") * 500 >= w_total).collect()}
+    assert heavy <= set(a)
+
+
+def test_chi2_drift_invariants(spark):
+    from __spark_entry__ import queries
+
+    rows = queries()["chi2_drift"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_bins <= 8
+        if r.chi2 is not None:
+            assert r.chi2 >= 0.0
+            if r.n_bins > 1:
+                assert r.chi2_per_dof == r.chi2 / (r.n_bins - 1)
+
+
+def test_part_entity_resolution_cluster_contract(spark):
+    from __spark_entry__ import queries
+
+    rows = queries()["part_entity_resolution"](spark, SF_DIR).collect()
+    assert rows
+    by_entity = {}
+    for r in rows:
+        by_entity.setdefault(r.entity_id, []).append(r)
+    for eid, members in by_entity.items():
+        # the entity id is the min member (the survivor rule) and the
+        # advertised cluster_size is the actual member count
+        assert eid == min(m.p_partkey for m in members)
+        assert all(m.cluster_size == len(members) for m in members)
+        assert len(members) >= 2  # singletons never entered the graph

@@ -83,6 +83,12 @@ BNLJ_OK = {
     "bootstrap_mean_ci",
     # broadcast 1-row basket-total normalizer onto the rule table
     "association_rules",
+    # broadcast 1-row per-dimension min/max arrays onto the vector scan
+    "embedding_int8_quantize",
+    # broadcast 1-row corpus weight total onto the document scan
+    "weighted_bernoulli_sample",
+    # broadcast 1-row global value min/max onto the event scan
+    "chi2_drift",
 }
 
 

@@ -97,6 +97,30 @@ def replicate_documents(spark: SparkSession, src: str, out: str, factor: int) ->
     return raw.count() * factor
 
 
+def replicate_part(spark: SparkSession, src: str, out: str, factor: int) -> int:
+    """Catalog-axis growth for part-table ops (entity resolution):
+    each replica offsets p_partkey and Caesar-rotates the p_name
+    letters (r % 26 rotations), so replicas contribute NEW name-token
+    vocabulary — within-replica match structure is preserved, across
+    replicas nothing spuriously matches (the documents-axis
+    decorrelation rule; same ≤ 26-replica uniqueness bound)."""
+    raw = spark.read.parquet(os.path.join(src, "part.parquet"))
+    base = raw.agg((F.max("p_partkey") + 1).alias("m")).first().m
+    other = [c for c in raw.columns if c not in ("p_partkey", "p_name")]
+    parts = []
+    for r in range(factor):
+        parts.append(
+            raw.select(
+                (F.col("p_partkey") + F.lit(r * base)).alias("p_partkey"),
+                _caesar(F.col("p_name"), r).alias("p_name"),
+                *other,
+            )
+        )
+    df = functools.reduce(DataFrame.unionByName, parts)
+    df.write.mode("overwrite").parquet(os.path.join(out, "part.parquet"))
+    return raw.count() * factor
+
+
 def replicate_embeddings(spark: SparkSession, src: str, out: str, factor: int) -> int:
     raw = spark.read.parquet(os.path.join(src, "embeddings.parquet"))
     base = raw.agg((F.max("vec_id") + 1).alias("m")).first().m
@@ -192,6 +216,7 @@ NEEDS = {
     "embeddings": replicate_embeddings,
     "lineitem+orders": replicate_orders_lineitem,
     "copurchase": replicate_copurchase,
+    "part": replicate_part,
 }
 
 
