@@ -238,6 +238,10 @@ HEADLINE = [
     "embedding_int8_quantize",
     "weighted_bernoulli_sample",
     "part_entity_resolution",
+    "mad_outlier_audit",
+    "feature_correlations",
+    "discount_elasticity",
+    "split_leakage_audit",
 ]
 
 

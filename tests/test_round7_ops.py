@@ -389,3 +389,71 @@ def test_part_entity_resolution_cluster_contract(spark):
         assert eid == min(m.p_partkey for m in members)
         assert all(m.cluster_size == len(members) for m in members)
         assert len(members) >= 2  # singletons never entered the graph
+
+
+def test_mad_outlier_audit_invariants(spark):
+    from __spark_entry__ import queries
+
+    rows = queries()["mad_outlier_audit"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.mad >= 0.0
+        assert r.outlier_frac == r.n_outliers / r.n_events
+        # the robust fence flags a minority by construction on any
+        # non-degenerate distribution
+        assert r.n_outliers < r.n_events / 2
+
+
+def test_mad_outliers_robust_to_heavy_tail(spark):
+    """The defining property vs the mean/std fence: one absurd value
+    must not move the median/MAD fence enough to hide ITSELF."""
+    from __spark_entry__ import queries  # noqa: F401  (shape reference)
+    import os, tempfile
+
+    vals = [float(v) for v in range(100)] + [1e12]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            [(i, "t", vals[i]) for i in range(len(vals))],
+            "event_id long, event_type string, value double",
+        ).withColumn("ts", F.current_timestamp()).withColumn(
+            "user_id", F.lit(1)
+        ).withColumn("props", F.lit("{}")).write.parquet(
+            os.path.join(tmp, "events.parquet")
+        )
+        row = queries()["mad_outlier_audit"](spark, tmp).first()
+    assert row.median_value == 50.0 and row.n_outliers == 1
+
+
+def test_feature_correlations_bounds(spark):
+    from __spark_entry__ import queries
+
+    rows = queries()["feature_correlations"](spark, SF_DIR).collect()
+    assert len(rows) == 3
+    assert all(-1.0 <= r.pearson_r <= 1.0 for r in rows)
+    # the synthetic columns are drawn independently — every |r| is weak
+    # (a strong correlation here would mean the op is broken)
+    assert all(abs(r.pearson_r) < 0.2 for r in rows)
+
+
+def test_discount_elasticity_shapes(spark):
+    from __spark_entry__ import queries
+
+    rows = queries()["discount_elasticity"](spark, SF_DIR).collect()
+    assert len(rows) == 25  # every TPC-H brand regressed independently
+    assert all(0.0 <= r.r2 <= 1.0 for r in rows if r.r2 is not None)
+
+
+def test_split_leakage_audit_accounts_for_every_pair(spark):
+    from __spark_entry__ import queries
+    from options_data_pipeline_spark.functions.dedupe import (
+        minhash_lsh_candidates,
+    )
+    from options_data_pipeline_spark.sources.tables import load_table
+
+    rows = queries()["split_leakage_audit"](spark, SF_DIR).collect()
+    total = sum(r.n_pairs for r in rows)
+    assert total == minhash_lsh_candidates(
+        load_table(spark, "documents", SF_DIR)
+    ).count()
+    for r in rows:
+        assert r.is_leak == (r.split_lo != r.split_hi)
