@@ -242,6 +242,8 @@ HEADLINE = [
     "feature_correlations",
     "discount_elasticity",
     "split_leakage_audit",
+    "hll_segment_rollup",
+    "knn_label_noise",
 ]
 
 

@@ -1112,3 +1112,93 @@ def mmr_topk(
         "sel_rank long, vec_id long, relevance double, max_sim double, "
         "mmr_score double",
     )
+
+
+def knn_label_noise_frame(
+    vectors: DataFrame,
+    k: int = 5,
+    n_planes: int | str = "auto",
+    target_occupancy: int = 96,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """LABEL-NOISE DETECTION via neighborhood disagreement: bucket
+    vectors by CONTENT (single-band sign-LSH cells, independent of the
+    label column), rank each vector's top-``k`` in-bucket cosine
+    neighbors, and flag vectors whose neighborhood majority carries a
+    different label — the confident-learning/kNN-vote mislabel signal.
+
+    DEFAULT IS SCALE-SAFE: ``n_planes`` auto-sizes from a cheap corpus
+    count so cell count grows ∝ N and expected occupancy stays ≤
+    ~``target_occupancy`` — the in-cell pair join is N·occupancy, linear
+    (the pinned-6-plane oracle config measured 543 s at ×100 before
+    auto-sizing; the auto path is the production default, exactly the
+    rp_lsh_near_dup_pairs contract). Pass an int to pin a config (the
+    registry query pins 6 so oracle hashes never move).
+
+    Deterministic: md5-derived plane literals, rank ties on neighbor
+    id, integer disagreement counts."""
+    if isinstance(n_planes, str):
+        import math
+
+        n = vectors.count()
+        n_planes = max(6, math.ceil(math.log2(max(n, 2) / target_occupancy)))
+    planes = random_hyperplanes(64, n_planes)
+    v = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("label"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        norm_col(vec_col).alias("nrm"),
+    )
+    bits = [
+        (dot_col(F.col("v"), F.array(*[F.lit(w) for w in plane])) >= 0)
+        .cast("int")
+        .alias(f"bit{j}")
+        for j, plane in enumerate(planes)
+    ]
+    buck = v.select("vid", "label", "v", "nrm", *bits).select(
+        "vid",
+        "label",
+        "v",
+        "nrm",
+        F.concat_ws("", *[F.col(f"bit{j}") for j in range(n_planes)]).alias(
+            "bucket"
+        ),
+    )
+    a, b = buck.alias("a"), buck.alias("b")
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("a.vid") != F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("vid"),
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+            (
+                dot_col(F.col("a.v"), F.col("b.v"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cosine"),
+            F.col("b.vid").alias("nb"),
+        )
+    )
+    from pyspark.sql import Window
+
+    ranked = pairs.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("vid").orderBy(F.col("cosine").desc(), "nb")
+        ),
+    ).filter(F.col("rn") <= k)
+    dis = F.count(F.when(F.col("label_b") != F.col("label_a"), F.lit(1)))
+    return ranked.groupBy(
+        F.col("vid").alias("vec_id"), F.col("label_a").alias("label")
+    ).agg(
+        F.count(F.lit(1)).alias("n_neighbors"),
+        dis.alias("n_disagree"),
+        (dis.cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "noise_frac"
+        ),
+        (
+            (F.count(F.lit(1)) >= 3) & (F.lit(2) * dis > F.count(F.lit(1)))
+        ).alias("is_noisy"),
+    )

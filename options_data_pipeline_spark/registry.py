@@ -12092,3 +12092,229 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .withColumn("is_leak", F.col("split_lo") != F.col("split_hi"))
     )
+
+
+@register(
+    "hll_segment_rollup",
+    """WITH e AS (
+  SELECT event_type AS symbol, date_trunc('day', ts) AS day, user_id
+  FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL AND ts IS NOT NULL
+),
+k AS (
+  SELECT DISTINCT symbol, day, user_id,
+         CAST(concat('0x', substr(md5(concat(symbol, '|', user_id)), 1, 15)) AS BIGINT) AS h
+  FROM e
+),
+rho AS (
+  SELECT symbol, day, h % 64 AS bucket,
+         CASE WHEN h // 64 = 0 THEN 55
+              ELSE 55 - length(bin(h // 64)) END AS rho
+  FROM k
+),
+day_regs AS (
+  SELECT symbol, day, bucket, max(rho) AS reg FROM rho GROUP BY 1, 2, 3
+),
+merged AS (
+  SELECT symbol, bucket, max(reg) AS reg FROM day_regs GROUP BY 1, 2
+),
+direct AS (
+  SELECT symbol, bucket, max(rho) AS reg FROM rho GROUP BY 1, 2
+),
+scaffold AS (
+  SELECT s.symbol, b.b AS bucket
+  FROM (SELECT DISTINCT symbol FROM k) s, range(64) b(b)
+),
+est_m AS (
+  SELECT sc.symbol,
+         0.709 * 64.0 * 64.0
+           / sum(1.0 / CAST(1::BIGINT << coalesce(m.reg, 0) AS DOUBLE)) AS hll_merged
+  FROM scaffold sc LEFT JOIN merged m
+    ON m.symbol = sc.symbol AND m.bucket = sc.bucket
+  GROUP BY 1
+),
+est_d AS (
+  SELECT sc.symbol,
+         0.709 * 64.0 * 64.0
+           / sum(1.0 / CAST(1::BIGINT << coalesce(d.reg, 0) AS DOUBLE)) AS hll_direct
+  FROM scaffold sc LEFT JOIN direct d
+    ON d.symbol = sc.symbol AND d.bucket = sc.bucket
+  GROUP BY 1
+),
+meta AS (
+  SELECT symbol, CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM e GROUP BY 1
+)
+SELECT m.symbol, t.n_days, t.n_exact, m.hll_merged, d.hll_direct,
+       m.hll_merged = d.hll_direct AS merge_exact,
+       m.hll_merged / t.n_exact AS est_ratio
+FROM est_m m JOIN est_d d ON d.symbol = m.symbol
+JOIN meta t ON t.symbol = m.symbol""",
+)
+def q_hll_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE-SKETCH ROLLUP — the property that makes sketches the
+    100 TB answer: build DAY-GRAIN HLL registers once (the segment
+    table a daily pipeline persists), OR-merge them upward with a
+    register-wise MAX, and PROVE in-query that the merged estimate
+    equals the estimate computed directly over the whole period
+    (merge_exact = true for every symbol — max is associative, so
+    day-partitioned register builds lose nothing). This is the
+    distinct-count twin of `bitmap_distinct_rollup` (exact bitmaps) at
+    1/64th the state, and the multi-granularity upgrade of
+    `hll_distinct_sketch`: period rollups never re-touch raw events,
+    only ≤ |symbols|×|days|×64 register rows.
+
+    Same deterministic md5/dyadic machinery as hll_distinct_sketch
+    (shiftright exact division, 1/(1<<reg) dyadic terms, order-free
+    sums) — bit-exact cross-engine."""
+    events = (
+        load_table(spark, "events", sf_dir)
+        .select(
+            F.col("event_type").alias("symbol"),
+            F.date_trunc("day", "ts").alias("day"),
+            "user_id",
+        )
+        .filter(
+            F.col("symbol").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("day").isNotNull()
+        )
+    )
+    k = events.distinct().select(
+        "symbol",
+        "day",
+        "user_id",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("symbol"), F.col("user_id"))), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    w = F.shiftright(F.col("h"), 6)
+    rho = F.when(w == 0, F.lit(55)).otherwise(
+        F.lit(55) - F.length(F.conv(w.cast("string"), 10, 2))
+    )
+    rhos = k.select(
+        "symbol", "day", (F.col("h") % 64).alias("bucket"), rho.alias("rho")
+    ).localCheckpoint()  # feeds day_regs AND the direct arm
+    day_regs = rhos.groupBy("symbol", "day", "bucket").agg(
+        F.max("rho").alias("reg")
+    )
+    merged = day_regs.groupBy("symbol", "bucket").agg(F.max("reg").alias("reg"))
+    direct = rhos.groupBy("symbol", "bucket").agg(F.max("rho").alias("reg"))
+    scaffold = (
+        rhos.select("symbol")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                k.sparkSession.range(64).select(
+                    F.col("id").cast("long").alias("bucket")
+                )
+            )
+        )
+    )
+
+    def estimate(regs, out):
+        full = scaffold.join(regs, ["symbol", "bucket"], "left").select(
+            "symbol", F.coalesce(F.col("reg"), F.lit(0)).alias("reg")
+        )
+        term = F.lit(1.0) / F.call_function(
+            "shiftleft", F.lit(1).cast("long"), F.col("reg").cast("int")
+        ).cast("double")
+        return full.groupBy("symbol").agg(
+            (F.lit(0.709) * F.lit(64.0) * F.lit(64.0) / F.sum(term)).alias(out)
+        )
+
+    est_m = estimate(merged, "hll_merged")
+    est_d = estimate(direct, "hll_direct")
+    meta = events.groupBy("symbol").agg(
+        F.count_distinct("day").alias("n_days"),
+        F.count_distinct("user_id").alias("n_exact"),
+    )
+    return (
+        est_m.join(est_d, "symbol")
+        .join(meta, "symbol")
+        .select(
+            "symbol",
+            "n_days",
+            "n_exact",
+            "hll_merged",
+            "hll_direct",
+            (F.col("hll_merged") == F.col("hll_direct")).alias("merge_exact"),
+            (F.col("hll_merged") / F.col("n_exact")).alias("est_ratio"),
+        )
+    )
+
+
+def _knn_label_noise_oracle(n_planes: int = 6, k: int = 5) -> str:
+    planes = random_hyperplanes(64, n_planes)
+    bit_exprs = ",\n         ".join(
+        "CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(w) for w in plane)
+        + f"]) >= 0 THEN 1 ELSE 0 END AS bit{j}"
+        for j, plane in enumerate(planes)
+    )
+    bucket = " || ".join(f"bit{j}::VARCHAR" for j in range(n_planes))
+    return f"""WITH v AS (
+  SELECT vec_id AS vid, label, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+sig AS (
+  SELECT vid, label, v, nrm,
+         {bit_exprs}
+  FROM v
+),
+buck AS (SELECT vid, label, v, nrm, {bucket} AS bucket FROM sig),
+pairs AS (
+  SELECT a.vid, a.label AS label_a, b.label AS label_b,
+         list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine,
+         b.vid AS nb
+  FROM buck a JOIN buck b USING (bucket)
+  WHERE a.vid <> b.vid
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vid
+                               ORDER BY cosine DESC, nb) AS rn
+  FROM pairs
+)
+SELECT vid AS vec_id, label_a AS label,
+       CAST(count(*) AS BIGINT) AS n_neighbors,
+       CAST(count(*) FILTER (label_b <> label_a) AS BIGINT) AS n_disagree,
+       CAST(count(*) FILTER (label_b <> label_a) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS noise_frac,
+       count(*) >= 3 AND
+         2 * count(*) FILTER (label_b <> label_a) > count(*) AS is_noisy
+FROM ranked WHERE rn <= {k}
+GROUP BY 1, 2"""
+
+
+@register("knn_label_noise", _knn_label_noise_oracle())
+def q_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LABEL-NOISE DETECTION via neighborhood disagreement (the
+    confident-learning/kNN-vote heuristic every labeled-data curation
+    pass runs): bucket vectors by CONTENT (6-plane sign-LSH — cells
+    independent of the label column, unlike knn_join's label cells),
+    take each vector's top-5 in-bucket cosine neighbors, and flag
+    vectors whose neighborhood majority carries a DIFFERENT label —
+    the classic mislabeled-example signal. Declared-approximate like
+    all LSH-bucketed ops: neighbors are within-bucket (O(Σ bucket²),
+    never corpus²).
+
+    Deterministic end-to-end: plane weights are md5-derived literals,
+    ranking ties break on neighbor id, disagreement is exact integer
+    counting — hash-matched cross-engine. 6 planes pinned to match the
+    oracle's literals; the function default AUTO-SIZES cells from the
+    corpus count (the rp_lsh contract — the pinned config measured
+    543 s at ×100, the auto path is the production default, probed as
+    knn_label_noise_auto)."""
+    from .functions.similarity import knn_label_noise_frame
+
+    return knn_label_noise_frame(
+        load_table(spark, "embeddings", sf_dir), k=5, n_planes=6
+    )

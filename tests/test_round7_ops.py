@@ -457,3 +457,47 @@ def test_split_leakage_audit_accounts_for_every_pair(spark):
     ).count()
     for r in rows:
         assert r.is_leak == (r.split_lo != r.split_hi)
+
+
+def test_hll_segment_rollup_merge_is_lossless(spark):
+    from __spark_entry__ import queries
+
+    rows = queries()["hll_segment_rollup"](spark, SF_DIR).collect()
+    assert rows
+    # the theorem under test: register-wise MAX over day segments
+    # reproduces the whole-period registers exactly, for every symbol
+    assert all(r.merge_exact for r in rows)
+    assert all(r.hll_merged == r.hll_direct for r in rows)
+    # raw m=64 HLL has NO small-range correction (documented in
+    # hll_distinct_sketch) — at sf0.001 cardinalities only sanity-band it
+    assert all(0.2 < r.est_ratio < 5.0 for r in rows)
+    assert all(r.est_ratio == r.hll_merged / r.n_exact for r in rows)
+
+
+def test_knn_label_noise_flags_planted_mislabel(spark):
+    """Six near-identical vectors, one carrying the wrong label: the
+    odd one's whole neighborhood disagrees (flagged); the majority's
+    neighborhoods mostly agree (not flagged)."""
+    from __spark_entry__ import queries
+    import os, tempfile
+
+    base = [1.0] + [0.0] * 63
+    rows = []
+    for i in range(6):
+        vec = list(base)
+        vec[1] = 0.001 * i  # near-identical, not byte-identical
+        rows.append((i, vec, 2 if i == 5 else 1))
+    far = [0.0] * 63 + [1.0]
+    rows += [(10 + i, far, 3) for i in range(2)]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.parquet(os.path.join(tmp, "embeddings.parquet"))
+        out = {r.vec_id: r for r in
+               queries()["knn_label_noise"](spark, tmp).collect()}
+    assert out[5].is_noisy and out[5].noise_frac == 0.0 or True  # see below
+    # vec 5: all 5 neighbors carry label 1 ≠ 2 → fully disagreeing
+    assert out[5].n_disagree == out[5].n_neighbors and out[5].is_noisy
+    # the correctly-labeled majority: exactly one disagreeing neighbor
+    for i in range(5):
+        assert out[i].n_disagree == 1 and not out[i].is_noisy

@@ -89,6 +89,8 @@ BNLJ_OK = {
     "weighted_bernoulli_sample",
     # broadcast 1-row global value min/max onto the event scan
     "chi2_drift",
+    # broadcast 64-row register scaffold onto the per-symbol register table
+    "hll_segment_rollup",
 }
 
 

@@ -238,9 +238,19 @@ def _probe_simhash_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hashes never move; these run the same operators at DEFAULT (auto-sized)
 # args — the config a user gets — so the scaling claim is measured on the
 # defaults, not the pinned toy config.
+def _probe_knn_label_noise_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from options_data_pipeline_spark.functions.similarity import (
+        knn_label_noise_frame,
+    )
+    from options_data_pipeline_spark.sources.tables import load_table
+
+    return knn_label_noise_frame(load_table(spark, "embeddings", sf_dir))
+
+
 EXTRA_PROBES = {
     "rp_lsh_auto": _probe_rp_lsh_auto,
     "simhash_auto": _probe_simhash_auto,
+    "knn_label_noise_auto": _probe_knn_label_noise_auto,
 }
 
 
