@@ -11555,6 +11555,7 @@ tot AS (
 ),
 terms AS (
   SELECT event_type, t_early, t_late,
+         CASE WHEN t_early > 0 AND t_late > 0 THEN
          CAST(round(
            (CAST(o_early AS DOUBLE)
               - CAST(o_early + o_late AS DOUBLE) * CAST(t_early AS DOUBLE)
@@ -11572,7 +11573,7 @@ terms AS (
                 / CAST(t_early + t_late AS DOUBLE))
            / (CAST(o_early + o_late AS DOUBLE) * CAST(t_late AS DOUBLE)
               / CAST(t_early + t_late AS DOUBLE)), 12)
-           AS DECIMAL(38,12)) AS term
+           AS DECIMAL(38,12)) END AS term
   FROM tot
 )
 SELECT event_type,
@@ -11653,11 +11654,16 @@ def q_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.col("o_late").cast("double") - e_late)
         / e_late
     )
+    # guard BEFORE the arithmetic: a type entirely in one half makes the
+    # expected counts 0 and the term divides by zero (ANSI raises)
     terms = tot.select(
         "event_type",
         "t_early",
         "t_late",
-        F.round(term, 12).cast("decimal(38,12)").alias("term"),
+        F.when(
+            (F.col("t_early") > 0) & (F.col("t_late") > 0),
+            F.round(term, 12).cast("decimal(38,12)"),
+        ).alias("term"),
     )
     both = (F.col("t_early") > 0) & (F.col("t_late") > 0)
     return terms.groupBy("event_type", "t_early", "t_late").agg(

@@ -1852,3 +1852,95 @@ def test_streaming_seasonal_anomaly_matches_batch(spark, tmpdir):
     first = seasonal_merge_batch(some_batch, store, batch_id=99)
     again = seasonal_merge_batch(some_batch, store, batch_id=99)
     assert first > 0 and again == 0
+
+
+def test_streaming_drift_monitor_matches_batch_and_flags_drift(spark, tmpdir):
+    """Freeze a uniform reference, stream a drifted live period in
+    micro-batches: (1) the report from stored cells equals the shared
+    batch math over the full live log (structural parity), (2) the
+    drifted type is flagged and the stable type is not, (3) a replayed
+    merge writes nothing (exactly-once under at-least-once delivery)."""
+    from options_data_pipeline_spark.operators.drift import (
+        chi2_between,
+        hist_cells,
+    )
+    from options_data_pipeline_spark.streaming.drift_stream import (
+        _read_reference,
+        drift_merge_batch,
+        drift_report,
+        publish_reference,
+        streaming_drift_monitor,
+    )
+
+    # reference: both types uniform over [0, 100)
+    ref_rows = [
+        ("stable", float(v % 100)) for v in range(800)
+    ] + [("shifty", float(v % 100)) for v in range(800)]
+    ref = spark.createDataFrame(ref_rows, "event_type string, value double")
+    ref_path = os.path.join(tmpdir, "drift_ref")
+    publish_reference(ref, ref_path)
+
+    # live: 'stable' stays uniform; 'shifty' collapses into one bin
+    live_rows = [
+        ("stable", float((v * 7) % 100)) for v in range(600)
+    ] + [("shifty", 3.0 + (v % 10) * 0.1) for v in range(600)]
+    src = os.path.join(tmpdir, "drift_src")
+    store = os.path.join(tmpdir, "drift_store")
+    ck = os.path.join(tmpdir, "drift_ck")
+    spark.createDataFrame(
+        live_rows, "event_type string, value double"
+    ).repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_drift_monitor(stream, ref_path, store, ck).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r.event_type: r for r in drift_report(spark, ref_path, store).collect()}
+    # structural parity: same result as the shared math over the full log
+    rng, ref_cells = _read_reference(spark, ref_path)
+    live_full = spark.read.parquet(src)
+    want = {
+        r.event_type: r
+        for r in chi2_between(ref_cells, hist_cells(live_full, rng)).collect()
+    }
+    assert set(got) == set(want) == {"stable", "shifty"}
+    for k in want:
+        assert got[k].n_live == want[k].n_live == 600
+        assert got[k].chi2 == want[k].chi2  # bit-exact shared impl
+        assert got[k].is_drifted == want[k].is_drifted
+    assert got["shifty"].is_drifted and not got["stable"].is_drifted
+
+    # replay idempotence: re-merging an already-applied batch writes 0
+    some = spark.read.parquet(src).limit(40)
+    first = drift_merge_batch(some, ref_path, store, batch_id=424242)
+    again = drift_merge_batch(some, ref_path, store, batch_id=424242)
+    assert first > 0 and again == 0
+
+    # reference republish is atomic: the pointer still resolves and the
+    # report keeps answering after a rebuild
+    publish_reference(ref, ref_path)
+    assert drift_report(spark, ref_path, store).count() == 2
+
+
+def test_drift_chi2_between_null_on_one_sided_type(spark):
+    """A type present on only one side has no two-sample statistic:
+    chi2/verdict must be NULL, never a fake number."""
+    from options_data_pipeline_spark.operators.drift import chi2_between
+
+    ref = spark.createDataFrame(
+        [("a", 0, 10), ("a", 1, 10)], "event_type string, bin int, n long"
+    )
+    live = spark.createDataFrame(
+        [("a", 0, 12), ("a", 1, 8), ("b", 3, 99)],
+        "event_type string, bin int, n long",
+    )
+    rows = {r.event_type: r for r in chi2_between(ref, live).collect()}
+    assert rows["a"].chi2 is not None and rows["a"].chi2 >= 0.0
+    assert rows["b"].chi2 is None and rows["b"].is_drifted is None
+    assert rows["b"].n_ref == 0 and rows["b"].n_live == 99
