@@ -1181,8 +1181,6 @@ def knn_label_noise_frame(
             F.col("b.vid").alias("nb"),
         )
     )
-    from pyspark.sql import Window
-
     ranked = pairs.withColumn(
         "rn",
         F.row_number().over(

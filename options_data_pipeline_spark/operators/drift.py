@@ -41,12 +41,18 @@ def bin_expr(n_bins: int = N_BINS) -> F.Column:
     degenerate range -> bin 0; values clamp into [0, n_bins-1] so
     out-of-reference live values land in the edge bins instead of
     fabricating new cells."""
-    raw = F.floor(
+    # clamp the DOUBLE before floor/cast: a far-out-of-range live value
+    # otherwise floors to a huge long and raises CAST_OVERFLOW under
+    # ANSI — the exact case the clamp exists for
+    scaled = (
         (F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn")) * n_bins
-    ).cast("int")
+    )
+    clamped = F.greatest(
+        F.least(scaled, F.lit(float(n_bins - 1))), F.lit(0.0)
+    )
     return (
         F.when(F.col("mx") == F.col("mn"), F.lit(0))
-        .otherwise(F.greatest(F.least(raw, F.lit(n_bins - 1)), F.lit(0)))
+        .otherwise(F.floor(clamped).cast("int"))
         .alias("bin")
     )
 

@@ -10958,9 +10958,6 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's `div` truncates toward zero while DuckDB's `//` floors, and
     they only agree on nonnegative ints. One hash agg at quasi-id grain
     with a single two-phase count-distinct; report-sized output."""
-    cents_band = (
-        F.round(F.col("c_acctbal") * 100).cast("long") + F.lit(1000000)
-    )
     return (
         load_table(spark, "customer", sf_dir)
         .filter(

@@ -39,8 +39,11 @@ def publish_reference(events: DataFrame, ref_path: str) -> None:
     always see one complete version."""
     os.makedirs(ref_path, exist_ok=True)
     vdir = os.path.join(ref_path, f"v_{uuid.uuid4().hex[:12]}")
-    rng = value_range(events)
-    rng.coalesce(1).write.parquet(os.path.join(vdir, "range"))
+    value_range(events).coalesce(1).write.parquet(os.path.join(vdir, "range"))
+    # bin against the range READ BACK from what was just written: one
+    # aggregate scan instead of two, and the stored cells are guaranteed
+    # binned by the exact stored range
+    rng = events.sparkSession.read.parquet(os.path.join(vdir, "range"))
     hist_cells(events, rng).coalesce(1).write.parquet(
         os.path.join(vdir, "cells")
     )
@@ -49,7 +52,11 @@ def publish_reference(events: DataFrame, ref_path: str) -> None:
 
 def _read_reference(
     spark: SparkSession, ref_path: str
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, str]:
+    """(range, cells, version) of the PUBLISHED reference. The version
+    string keys everything downstream: live partials are tagged with
+    the version they were binned under, so a reference rebuild can
+    never silently mix counts from incompatible binnings."""
     vdir = _current_version_dir(ref_path)
     if vdir is None:
         raise FileNotFoundError(
@@ -59,24 +66,33 @@ def _read_reference(
     return (
         spark.read.parquet(os.path.join(vdir, "range")),
         spark.read.parquet(os.path.join(vdir, "cells")),
+        os.path.basename(vdir),
     )
+
+
+_LIVE_SCHEMA = (
+    "id string, batch_id long, ref_version string,"
+    " event_type string, bin int, n long"
+)
 
 
 def drift_merge_batch(
     batch: DataFrame, ref_path: str, store_path: str, batch_id: int
 ) -> int:
     """Bin one micro-batch against the published reference range and
-    idempotently append its cell partials (keyed by batch_id × cell).
-    Returns rows written — 0 on a replay."""
-    rng, _ = _read_reference(batch.sparkSession, ref_path)
+    idempotently append its cell partials (keyed by batch_id × cell ×
+    reference version). Returns rows written — 0 on a replay."""
+    rng, _, version = _read_reference(batch.sparkSession, ref_path)
     part = hist_cells(batch, rng).select(
         F.concat_ws(
             "|",
+            F.lit(version),
             F.lit(str(batch_id)),
             F.col("event_type"),
             F.col("bin").cast("string"),
         ).alias("id"),
         F.lit(batch_id).alias("batch_id"),
+        F.lit(version).alias("ref_version"),
         "event_type",
         "bin",
         "n",
@@ -84,10 +100,22 @@ def drift_merge_batch(
     return idempotent_append_batch(part, store_path, id_col="id", prune_col=None)
 
 
-def live_cells_read(spark: SparkSession, store_path: str) -> DataFrame:
-    """True live cells from the stored partials (associative sum)."""
+def live_cells_read(
+    spark: SparkSession, store_path: str, ref_version: str
+) -> DataFrame:
+    """True live cells from the stored partials (associative sum),
+    restricted to partials binned under ``ref_version`` — counts from
+    an older reference use a different bin geometry and MUST NOT merge.
+    Empty (never-written) store → empty cells, not a read error."""
+    from .sink import sink_has_data
+
+    if not sink_has_data(store_path):
+        return spark.createDataFrame([], _LIVE_SCHEMA).select(
+            "event_type", "bin", "n"
+        )
     return (
         spark.read.parquet(store_path)
+        .filter(F.col("ref_version") == ref_version)
         .groupBy("event_type", "bin")
         .agg(F.sum("n").alias("n"))
     )
@@ -97,10 +125,14 @@ def drift_report(
     spark: SparkSession, ref_path: str, store_path: str, threshold: float = 4.0
 ) -> DataFrame:
     """The chi-square drift verdict from stored state only — reference
-    cells vs accumulated live cells, via the shared operators/drift.py
-    math."""
-    _, ref_cells = _read_reference(spark, ref_path)
-    return chi2_between(ref_cells, live_cells_read(spark, store_path), threshold)
+    cells vs the live cells accumulated UNDER THE CURRENT reference
+    version, via the shared operators/drift.py math. Callable any time:
+    before the first micro-batch (or right after a reference rebuild)
+    every type reports n_live = 0 with a NULL verdict."""
+    _, ref_cells, version = _read_reference(spark, ref_path)
+    return chi2_between(
+        ref_cells, live_cells_read(spark, store_path, version), threshold
+    )
 
 
 def streaming_drift_monitor(

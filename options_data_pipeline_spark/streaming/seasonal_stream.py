@@ -55,7 +55,17 @@ def seasonal_merge_batch(
 
 
 def seasonal_cells_read(spark, store_path: str) -> DataFrame:
-    """True cells from the stored partials (associative re-aggregation)."""
+    """True cells from the stored partials (associative re-aggregation).
+    An empty (never-written) store reads as zero cells, not a raw
+    PATH_NOT_FOUND — the report is callable before the first batch."""
+    from .sink import sink_has_data
+
+    if not sink_has_data(store_path):
+        return spark.createDataFrame(
+            [],
+            "event_type string, day_start timestamp,"
+            " hour_of_day int, n_events long",
+        )
     return (
         spark.read.parquet(store_path)
         .groupBy("event_type", "day_start", "hour_of_day")

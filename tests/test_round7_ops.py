@@ -495,7 +495,6 @@ def test_knn_label_noise_flags_planted_mislabel(spark):
         ).write.parquet(os.path.join(tmp, "embeddings.parquet"))
         out = {r.vec_id: r for r in
                queries()["knn_label_noise"](spark, tmp).collect()}
-    assert out[5].is_noisy and out[5].noise_frac == 0.0 or True  # see below
     # vec 5: all 5 neighbors carry label 1 ≠ 2 → fully disagreeing
     assert out[5].n_disagree == out[5].n_neighbors and out[5].is_noisy
     # the correctly-labeled majority: exactly one disagreeing neighbor

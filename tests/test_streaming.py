@@ -1903,7 +1903,7 @@ def test_streaming_drift_monitor_matches_batch_and_flags_drift(spark, tmpdir):
 
     got = {r.event_type: r for r in drift_report(spark, ref_path, store).collect()}
     # structural parity: same result as the shared math over the full log
-    rng, ref_cells = _read_reference(spark, ref_path)
+    rng, ref_cells, _version = _read_reference(spark, ref_path)
     live_full = spark.read.parquet(src)
     want = {
         r.event_type: r
@@ -1944,3 +1944,50 @@ def test_drift_chi2_between_null_on_one_sided_type(spark):
     assert rows["a"].chi2 is not None and rows["a"].chi2 >= 0.0
     assert rows["b"].chi2 is None and rows["b"].is_drifted is None
     assert rows["b"].n_ref == 0 and rows["b"].n_live == 99
+
+
+def test_drift_reference_rebuild_never_mixes_binnings(spark, tmpdir):
+    """Review regression: live partials are keyed by reference version —
+    after a reference rebuild the report must NOT merge counts binned
+    under the old range, and out-of-range live values clamp into the
+    edge bin instead of overflowing the cast."""
+    from options_data_pipeline_spark.streaming.drift_stream import (
+        drift_merge_batch,
+        drift_report,
+        publish_reference,
+    )
+
+    ref_path = os.path.join(tmpdir, "ref2")
+    store = os.path.join(tmpdir, "store2")
+    ref = spark.createDataFrame(
+        [("a", float(v % 100)) for v in range(400)],
+        "event_type string, value double",
+    )
+    publish_reference(ref, ref_path)
+
+    # report is callable BEFORE any batch: n_live = 0, NULL verdict
+    pre = drift_report(spark, ref_path, store).collect()
+    assert [(r.n_live, r.chi2) for r in pre] == [(0, None)]
+
+    # a batch with an absurd out-of-range value must not kill the merge
+    batch = spark.createDataFrame(
+        [("a", 1e18)] + [("a", float(v % 100)) for v in range(200)],
+        "event_type string, value double",
+    )
+    assert drift_merge_batch(batch, ref_path, store, batch_id=1) > 0
+    r1 = drift_report(spark, ref_path, store).first()
+    assert r1.n_live == 201  # the 1e18 row landed in the edge bin
+
+    # rebuild the reference with a DIFFERENT range: old partials carry
+    # the old version tag and must vanish from the report
+    ref2 = spark.createDataFrame(
+        [("a", float(v % 200)) for v in range(400)],
+        "event_type string, value double",
+    )
+    publish_reference(ref2, ref_path)
+    r2 = drift_report(spark, ref_path, store).first()
+    assert r2.n_live == 0 and r2.chi2 is None
+    # new batches under the new reference accumulate fresh
+    assert drift_merge_batch(batch, ref_path, store, batch_id=2) > 0
+    r3 = drift_report(spark, ref_path, store).first()
+    assert r3.n_live == 201
