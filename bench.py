@@ -244,6 +244,7 @@ HEADLINE = [
     "split_leakage_audit",
     "hll_segment_rollup",
     "knn_label_noise",
+    "tv_distance_matrix",
 ]
 
 

@@ -12321,3 +12321,122 @@ def q_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_label_noise_frame(
         load_table(spark, "embeddings", sf_dir), k=5, n_planes=6
     )
+
+
+@register(
+    "tv_distance_matrix",
+    """WITH ev AS (
+  SELECT event_type, value FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+rng AS (SELECT min(value) AS mn, max(value) AS mx FROM ev),
+binned AS (
+  SELECT event_type,
+         CASE WHEN mx = mn THEN 0
+              ELSE least(CAST(floor((value - mn) / (mx - mn) * 8) AS INTEGER), 7)
+         END AS bin
+  FROM ev, rng
+),
+cells AS (
+  SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n
+  FROM binned GROUP BY 1, 2
+),
+tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS t FROM cells GROUP BY 1),
+scaffold AS (
+  SELECT e.event_type, b.b AS bin
+  FROM (SELECT DISTINCT event_type FROM cells) e, range(8) b(b)
+),
+dense AS (
+  SELECT sc.event_type, sc.bin,
+         CAST(coalesce(c.n, 0) AS DOUBLE) / CAST(t.t AS DOUBLE) AS p
+  FROM scaffold sc
+  LEFT JOIN cells c ON c.event_type = sc.event_type AND c.bin = sc.bin
+  JOIN tot t ON t.event_type = sc.event_type
+),
+arrs AS (
+  SELECT event_type, list(p ORDER BY bin) AS ps FROM dense GROUP BY 1
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       0.5 * list_aggregate(
+         list_transform(range(1, 9), i -> abs(a.ps[i] - b.ps[i])), 'sum')
+         AS tv_distance
+FROM arrs a JOIN arrs b ON a.event_type < b.event_type""",
+)
+def q_tv_distance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAIRWISE DISTRIBUTION DISTANCE between event types — the
+    "which segments behave alike" readout (segment merging, stratified
+    sampling design, canary comparisons): total-variation distance
+    0.5·Σ|p−q| over the shared 8-bin value histogram. TVD is the
+    transcendental-free distance (KL/JS need ln — not portable
+    cross-engine), bounded [0,1], symmetric.
+
+    Scale shape: ONE scan to cells (map-side combined), densified per
+    type into an ORDERED 8-probability array, then the pairwise join
+    runs on the |types|-row array table — never on events. The 8-term
+    sum is a sequential array fold (deterministic order, bit-identical
+    cross-engine — the zip_with/list_aggregate equivalence), so no
+    DECIMAL grid is needed."""
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    rng = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    binned = ev.crossJoin(F.broadcast(rng)).select(
+        "event_type",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("mn"))
+                    / (F.col("mx") - F.col("mn"))
+                    * 8
+                ).cast("int"),
+                F.lit(7),
+            )
+        )
+        .alias("bin"),
+    )
+    cells = binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cells.groupBy("event_type").agg(F.sum("n").alias("t"))
+    scaffold = (
+        cells.select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.range(8).select(F.col("id").cast("int").alias("bin"))
+            )
+        )
+    )
+    dense = (
+        scaffold.join(cells, ["event_type", "bin"], "left")
+        .join(tot, "event_type")
+        .select(
+            "event_type",
+            "bin",
+            (
+                F.coalesce(F.col("n"), F.lit(0)).cast("double")
+                / F.col("t").cast("double")
+            ).alias("p"),
+        )
+    )
+    arrs = dense.groupBy("event_type").agg(
+        F.expr("transform(array_sort(collect_list(struct(bin, p))), s -> s.p)").alias(
+            "ps"
+        )
+    )
+    a = arrs.select(F.col("event_type").alias("type_a"), F.col("ps").alias("pa"))
+    b = arrs.select(F.col("event_type").alias("type_b"), F.col("ps").alias("pb"))
+    fold = (
+        "aggregate(transform(sequence(1, 8),"
+        " i -> abs(element_at(pa, i) - element_at(pb, i))),"
+        " 0D, (acc, x) -> acc + x)"
+    )
+    return (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            (F.lit(0.5) * F.expr(fold)).alias("tv_distance"),
+        )
+    )

@@ -500,3 +500,13 @@ def test_knn_label_noise_flags_planted_mislabel(spark):
     # the correctly-labeled majority: exactly one disagreeing neighbor
     for i in range(5):
         assert out[i].n_disagree == 1 and not out[i].is_noisy
+
+
+def test_tv_distance_matrix_properties(spark):
+    from __spark_entry__ import queries
+
+    rows = queries()["tv_distance_matrix"](spark, SF_DIR).collect()
+    # 5 event types -> C(5,2) unordered pairs, each distance in [0, 1]
+    assert len(rows) == 10
+    assert all(0.0 <= r.tv_distance <= 1.0 for r in rows)
+    assert all(r.type_a < r.type_b for r in rows)

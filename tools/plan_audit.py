@@ -91,6 +91,8 @@ BNLJ_OK = {
     "chi2_drift",
     # broadcast 64-row register scaffold onto the per-symbol register table
     "hll_segment_rollup",
+    # |types|-row probability-array table self-joined on < (range, not equi)
+    "tv_distance_matrix",
 }
 
 
