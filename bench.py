@@ -245,6 +245,9 @@ HEADLINE = [
     "hll_segment_rollup",
     "knn_label_noise",
     "tv_distance_matrix",
+    "half_life_engagement",
+    "wilson_ctr_bands",
+    "winsorized_stats",
 ]
 
 

@@ -12440,3 +12440,231 @@ def q_tv_distance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(0.5) * F.expr(fold)).alias("tv_distance"),
         )
     )
+
+
+@register(
+    "half_life_engagement",
+    """WITH ev AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         CAST(round(value, 6) AS DECIMAL(20,6)) AS v
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+),
+mx AS (SELECT max(day) AS max_day FROM ev),
+aged AS (
+  SELECT user_id,
+         least(CAST(datediff('day', day, max_day) AS BIGINT), 55) AS age,
+         v
+  FROM ev, mx
+),
+per_age AS (
+  SELECT user_id, age, sum(v) AS s, CAST(count(*) AS BIGINT) AS n
+  FROM aged GROUP BY 1, 2
+),
+arrs AS (
+  SELECT user_id,
+         list(CAST(s AS DOUBLE) ORDER BY age) AS ss,
+         list(age ORDER BY age) AS ages,
+         CAST(sum(n) AS BIGINT) AS n_events
+  FROM per_age GROUP BY 1
+)
+SELECT user_id, n_events,
+       list_aggregate(
+         list_transform(range(1, len(ss) + 1),
+           i -> ss[i] / CAST(1::BIGINT << ages[i] AS DOUBLE)), 'sum')
+         AS decayed_score
+FROM arrs""",
+)
+def q_half_life_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECENCY-WEIGHTED ENGAGEMENT SCORE with EXACT exponential decay:
+    per user, Σ value·2^(−age_days) — yesterday counts half of today,
+    the standard freshness prior for retention/churn features. The
+    decay is DYADIC (2^−k via integer shift, the HLL trick), not
+    exp()/pow() — so unlike an e-folding score the result hash-matches
+    across engines with no grid. Ages cap at 55 (beyond that the weight
+    underflows the shift; contribution ~0 by construction).
+
+    Scale shape: one (user, age) agg (map-side combined, exact DECIMAL
+    day sums) then one user-grain agg collecting ≤ 56 (age, sum) cells
+    into an ORDERED array; the decay sum is a sequential array fold —
+    deterministic order, bit-identical cross-engine."""
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        F.date_trunc("day", "ts").alias("day"),
+        F.round("value", 6).cast("decimal(20,6)").alias("v"),
+    )
+    mx = ev.agg(F.max("day").alias("max_day"))
+    aged = ev.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.least(F.datediff("max_day", "day").cast("long"), F.lit(55)).alias(
+            "age"
+        ),
+        "v",
+    )
+    per_age = aged.groupBy("user_id", "age").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    arrs = per_age.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(age, CAST(s AS DOUBLE) AS sd))),"
+            " x -> x.sd)"
+        ).alias("ss"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(age, CAST(s AS DOUBLE) AS sd))),"
+            " x -> x.age)"
+        ).alias("ages"),
+        F.sum("n").alias("n_events"),
+    )
+    fold = (
+        "aggregate(transform(sequence(1, size(ss)),"
+        " i -> element_at(ss, i)"
+        " / CAST(shiftleft(CAST(1 AS BIGINT), CAST(element_at(ages, i) AS INT))"
+        " AS DOUBLE)), 0D, (acc, x) -> acc + x)"
+    )
+    return arrs.select(
+        "user_id", "n_events", F.expr(fold).alias("decayed_score")
+    )
+
+
+@register(
+    "wilson_ctr_bands",
+    """WITH d AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS clicks,
+         CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS views
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IN ('click', 'view')
+  GROUP BY 1
+),
+w AS (
+  SELECT *, clicks + views AS n,
+         CAST(clicks AS DOUBLE) / CAST(clicks + views AS DOUBLE) AS p
+  FROM d WHERE clicks + views > 0
+)
+SELECT day, clicks, views, p AS ctr,
+       ((p + 1.96 * 1.96 / (2.0 * n))
+          - 1.96 * sqrt(p * (1.0 - p) / n
+                        + 1.96 * 1.96 / (4.0 * n * n)))
+         / (1.0 + 1.96 * 1.96 / n) AS wilson_lo,
+       ((p + 1.96 * 1.96 / (2.0 * n))
+          + 1.96 * sqrt(p * (1.0 - p) / n
+                        + 1.96 * 1.96 / (4.0 * n * n)))
+         / (1.0 + 1.96 * 1.96 / n) AS wilson_hi
+FROM w""",
+)
+def q_wilson_ctr_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAILY CLICK-THROUGH RATE with WILSON 95% score intervals — the
+    uncertainty-aware rate readout (a 3-click day and a 3000-click day
+    with the same CTR get very different bands; naive ±z·se bands go
+    negative at small n, Wilson stays in [0,1]). One conditional
+    aggregate at day grain; the interval is a mirrored chain of
+    exactly-rounded IEEE ops (sqrt is correctly-rounded; 1.96·1.96 is
+    written identically in both engines) on exact integer counts — no
+    grid, no transcendentals."""
+    d = (
+        load_table(spark, "events", sf_dir)
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("event_type").isin("click", "view")
+        )
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.when(F.col("event_type") == "click", F.lit(1))).alias(
+                "clicks"
+            ),
+            F.count(F.when(F.col("event_type") == "view", F.lit(1))).alias(
+                "views"
+            ),
+        )
+        .filter(F.col("clicks") + F.col("views") > 0)
+    )
+    n = (F.col("clicks") + F.col("views")).cast("double")
+    p = F.col("clicks").cast("double") / n
+    z2 = F.lit(1.96) * F.lit(1.96)
+    center = p + z2 / (F.lit(2.0) * n)
+    half = F.lit(1.96) * F.sqrt(
+        p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n)
+    )
+    denom = F.lit(1.0) + z2 / n
+    return d.select(
+        "day",
+        "clicks",
+        "views",
+        p.alias("ctr"),
+        ((center - half) / denom).alias("wilson_lo"),
+        ((center + half) / denom).alias("wilson_hi"),
+    )
+
+
+@register(
+    "winsorized_stats",
+    """WITH ev AS (
+  SELECT event_type, value FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.01) AS p01,
+         quantile_cont(value, 0.99) AS p99
+  FROM ev GROUP BY 1
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       q.p01, q.p99,
+       CAST(count(*) FILTER (e.value < q.p01) AS BIGINT) AS n_clipped_lo,
+       CAST(count(*) FILTER (e.value > q.p99) AS BIGINT) AS n_clipped_hi,
+       CAST(sum(CAST(round(greatest(least(e.value, q.p99), q.p01), 6)
+                     AS DECIMAL(20,6))) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS winsorized_mean
+FROM ev e JOIN q USING (event_type)
+GROUP BY 1, 3, 4""",
+)
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINSORIZED MEAN per event type — the tail-robust average
+    (clip at the exact p01/p99, then average): the standard treatment
+    before feeding heavy-tailed metrics to trend monitors, where a raw
+    mean follows one whale and a median discards real mass. Completes
+    the robust-stats family next to `mad_outlier_audit` (flagging) —
+    this one REPAIRS.
+
+    Two passes (exact percentiles are rank-based): percentile agg at
+    type grain, then the 5-row clip bounds broadcast back onto the
+    scan; the clipped mean accumulates on the 6-dp DECIMAL grid."""
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    q = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.01)).alias("p01"),
+        F.percentile("value", F.lit(0.99)).alias("p99"),
+    )
+    clipped = F.greatest(F.least(F.col("value"), F.col("p99")), F.col("p01"))
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "p01", "p99")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("value") < F.col("p01"), F.lit(1))).alias(
+                "n_clipped_lo"
+            ),
+            F.count(F.when(F.col("value") > F.col("p99"), F.lit(1))).alias(
+                "n_clipped_hi"
+            ),
+            (
+                F.sum(F.round(clipped, 6).cast("decimal(20,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("winsorized_mean"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "p01",
+            "p99",
+            "n_clipped_lo",
+            "n_clipped_hi",
+            "winsorized_mean",
+        )
+    )

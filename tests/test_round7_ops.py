@@ -510,3 +510,65 @@ def test_tv_distance_matrix_properties(spark):
     assert len(rows) == 10
     assert all(0.0 <= r.tv_distance <= 1.0 for r in rows)
     assert all(r.type_a < r.type_b for r in rows)
+
+
+def test_half_life_engagement_dyadic_decay(spark):
+    """Hand-checkable decay: one user, value 8 today and 8 yesterday →
+    score 8 + 8/2 = 12; n_events accounted."""
+    from __spark_entry__ import queries
+    import datetime, os, tempfile
+
+    t0 = datetime.datetime(2024, 5, 10, 12, 0, 0)
+    rows = [
+        (1, 100, "click", t0, 8.0),
+        (2, 100, "click", t0 - datetime.timedelta(days=1), 8.0),
+        (3, 200, "view", t0, 3.0),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, event_type string,"
+            " ts timestamp, value double",
+        ).withColumn("props", F.lit("{}")).write.parquet(
+            os.path.join(tmp, "events.parquet")
+        )
+        out = {r.user_id: r for r in
+               queries()["half_life_engagement"](spark, tmp).collect()}
+    assert out[100].decayed_score == 12.0 and out[100].n_events == 2
+    assert out[200].decayed_score == 3.0
+
+
+def test_wilson_bands_bracket_ctr_and_stay_in_unit_interval(spark):
+    from __spark_entry__ import queries
+
+    rows = queries()["wilson_ctr_bands"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.wilson_lo <= r.ctr <= r.wilson_hi <= 1.0
+        # band width shrinks with volume: a day with more traffic than
+        # another must not have a (much) wider band — sanity, not exact
+        assert r.wilson_hi - r.wilson_lo < 1.0
+
+
+def test_winsorized_mean_tames_planted_whale(spark):
+    from __spark_entry__ import queries
+    import datetime, os, tempfile
+
+    t0 = datetime.datetime(2024, 5, 1)
+    vals = [float(v) for v in range(100)] + [1e9]
+    rows = [
+        (i, 1, "t", t0 + datetime.timedelta(minutes=i), vals[i])
+        for i in range(len(vals))
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, event_type string,"
+            " ts timestamp, value double",
+        ).withColumn("props", F.lit("{}")).write.parquet(
+            os.path.join(tmp, "events.parquet")
+        )
+        r = queries()["winsorized_stats"](spark, tmp).first()
+    # raw mean would be ~9.9e6; the clipped mean stays at data scale
+    assert r.winsorized_mean < 200
+    assert r.n_clipped_hi == 1 and r.n_events == 101

@@ -93,6 +93,8 @@ BNLJ_OK = {
     "hll_segment_rollup",
     # |types|-row probability-array table self-joined on < (range, not equi)
     "tv_distance_matrix",
+    # broadcast 1-row max-day anchor onto the event scan
+    "half_life_engagement",
 }
 
 
