@@ -248,6 +248,7 @@ HEADLINE = [
     "half_life_engagement",
     "wilson_ctr_bands",
     "winsorized_stats",
+    "abc_classification",
 ]
 
 

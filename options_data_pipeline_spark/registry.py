@@ -12668,3 +12668,89 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "winsorized_mean",
         )
     )
+
+
+@register(
+    "abc_classification",
+    """WITH rev AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev
+  FROM lineitem
+  WHERE l_partkey IS NOT NULL
+  GROUP BY 1
+),
+tot AS (SELECT sum(rev) AS t FROM rev),
+c AS (
+  SELECT l_partkey, rev,
+         sum(rev) OVER (ORDER BY rev DESC, l_partkey) AS cum
+  FROM rev
+)
+SELECT l_partkey,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(cum AS DOUBLE) / CAST(t AS DOUBLE) AS cum_share,
+       CASE WHEN CAST(cum AS DOUBLE) / CAST(t AS DOUBLE) <= 0.7 THEN 'A'
+            WHEN CAST(cum AS DOUBLE) / CAST(t AS DOUBLE) <= 0.9 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM c, tot""",
+)
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / PARETO CLASSIFICATION of the part catalog by revenue
+    share — the inventory-management standard (A = heads carrying 70%
+    of revenue, B = the next 20%, C = the long tail), computed WITHOUT
+    a global sort: the oracle's `sum() OVER (ORDER BY rev DESC)` is a
+    single-task funnel at 100 TB, so the cumulative revenue runs the
+    surrogate_keys two-pass — deterministic DESCENDING range buckets on
+    integer cents, a report-sized bucket-total prefix table broadcast
+    back, and bucket-partitioned (fully parallel) in-bucket prefix
+    windows. Hash equality against the global-window oracle proves the
+    parallel plan reproduces the single-task semantics bit-for-bit
+    (revenue on the exact DECIMAL(18,4) grid; shares single
+    divisions)."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_partkey").isNotNull()
+    )
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        ).alias("rev")
+    )
+    # descending range buckets: negate integer ten-thousandths so bucket
+    # ascends as revenue descends; ~$10k-wide buckets keep the offset
+    # table report-sized at any SF
+    bucketed = rev.withColumn(
+        "bucket", F.expr("-(CAST(rev * 10000 AS BIGINT) div 100000000)")
+    )
+    btot = bucketed.groupBy("bucket").agg(F.sum("rev").alias("brev"))
+    w_off = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = btot.select(
+        "bucket",
+        F.coalesce(
+            F.sum("brev").over(w_off), F.lit(0).cast("decimal(28,4)")
+        ).alias("off"),
+        F.sum("brev").over(
+            Window.orderBy("bucket").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("t"),
+    )
+    w_in = Window.partitionBy("bucket").orderBy(
+        F.col("rev").desc(), "l_partkey"
+    )
+    cum = (
+        bucketed.join(F.broadcast(offsets), "bucket")
+        .withColumn("cum", F.col("off") + F.sum("rev").over(w_in))
+    )
+    share = F.col("cum").cast("double") / F.col("t").cast("double")
+    return cum.select(
+        "l_partkey",
+        F.col("rev").cast("double").alias("revenue"),
+        share.alias("cum_share"),
+        F.when(share <= 0.7, F.lit("A"))
+        .when(share <= 0.9, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )

@@ -724,3 +724,47 @@ def test_cdc_merge_any_batch_split_matches_batch_operator(
         assert got == want
     finally:
         shutil.rmtree(snap, ignore_errors=True)
+
+
+# ------------------------------------------------- containment winnowing
+
+_words = st.lists(
+    st.sampled_from(["alpha", "bravo", "carol", "delta", "echos",
+                     "fortx", "golfy", "hotel", "india", "julie"]),
+    min_size=8,
+    max_size=20,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_words, st.integers(min_value=0, max_value=7))
+def test_containment_winnowed_guarantee_on_contiguous_embeds(
+    spark_prop, ws, cut
+):
+    """The winnowing GUARANTEE, property-tested: embed a document
+    verbatim inside a longer wrapper (any contiguous run far exceeding
+    fp_k + fp_w - 1 chars) — the production arm must find the (sub,
+    sup) pair with the same exact score as the audit arm, for ANY word
+    content and wrapper split point."""
+    from options_data_pipeline_spark.functions.dedupe import (
+        containment_pairs,
+        containment_winnowed,
+    )
+
+    sub = " ".join(ws)
+    head = " ".join(f"head{j}xx" for j in range(cut + 2))
+    tail = "trailing licence text common to wrappers"
+    sup = f"{head} {sub} {tail}"
+    df = spark_prop.createDataFrame(
+        [(1, sub), (2, sup)], "doc_id long, text string"
+    )
+    exact = {
+        (r.doc_sub, r.doc_sup): (r.n_common, r.containment)
+        for r in containment_pairs(df).collect()
+    }
+    win = {
+        (r.doc_sub, r.doc_sup): (r.n_common, r.containment)
+        for r in containment_winnowed(df).collect()
+    }
+    assert (1, 2) in exact  # verbatim embedding => containment 1.0
+    assert win == exact  # full recall + identical exact verification

@@ -572,3 +572,24 @@ def test_winsorized_mean_tames_planted_whale(spark):
     # raw mean would be ~9.9e6; the clipped mean stays at data scale
     assert r.winsorized_mean < 200
     assert r.n_clipped_hi == 1 and r.n_events == 101
+
+
+def test_abc_classification_partitions_revenue(spark):
+    from __spark_entry__ import queries
+
+    rows = queries()["abc_classification"](spark, SF_DIR).collect()
+    assert rows
+    # classes are contiguous in cumulative share
+    a = [r.cum_share for r in rows if r.abc_class == "A"]
+    b = [r.cum_share for r in rows if r.abc_class == "B"]
+    c = [r.cum_share for r in rows if r.abc_class == "C"]
+    assert a and b and c
+    assert max(a) <= 0.7 < min(b) and max(b) <= 0.9 < min(c)
+    # class-A parts each carry at least as much revenue as any class-C
+    # part (the synthetic revenue is near-uniform, so class SIZES track
+    # the share thresholds rather than a Pareto head/tail split)
+    assert min(r.revenue for r in rows if r.abc_class == "A") >= max(
+        r.revenue for r in rows if r.abc_class == "C"
+    )
+    # cumulative share reaches ~1 at the last part
+    assert abs(max(r.cum_share for r in rows) - 1.0) < 1e-9
