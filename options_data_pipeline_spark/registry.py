@@ -12184,6 +12184,7 @@ def q_hll_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("day").isNotNull()
         )
     )
+    # k feeds the register build AND the meta counts — checkpoint once
     k = events.distinct().select(
         "symbol",
         "day",
@@ -12197,7 +12198,7 @@ def q_hll_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("h"),
-    )
+    ).localCheckpoint()
     w = F.shiftright(F.col("h"), 6)
     rho = F.when(w == 0, F.lit(55)).otherwise(
         F.lit(55) - F.length(F.conv(w.cast("string"), 10, 2))
@@ -12235,10 +12236,22 @@ def q_hll_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     est_m = estimate(merged, "hll_merged")
     est_d = estimate(direct, "hll_direct")
-    meta = events.groupBy("symbol").agg(
-        F.count_distinct("day").alias("n_days"),
-        F.count_distinct("user_id").alias("n_exact"),
+    # two pre-aggregated distinct counts joined at symbol grain — a
+    # multi-countDistinct in one agg plans via Expand (doubles the rows
+    # through the shuffle; the waiting_supplier lesson)
+    n_days = (
+        k.select("symbol", "day")
+        .distinct()
+        .groupBy("symbol")
+        .agg(F.count(F.lit(1)).alias("n_days"))
     )
+    n_exact = (
+        k.select("symbol", "user_id")
+        .distinct()
+        .groupBy("symbol")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    meta = n_days.join(n_exact, "symbol")
     return (
         est_m.join(est_d, "symbol")
         .join(meta, "symbol")
@@ -12395,8 +12408,13 @@ def q_tv_distance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("bin"),
     )
-    cells = binned.groupBy("event_type", "bin").agg(
-        F.count(F.lit(1)).alias("n")
+    # the ≤ |types|×8-row cell table feeds THREE consumers (totals,
+    # scaffold, densify) — localCheckpoint or each re-derives the full
+    # event scan (measured: 12 scans / 14 exchanges without it)
+    cells = (
+        binned.groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
     )
     tot = cells.groupBy("event_type").agg(F.sum("n").alias("t"))
     scaffold = (
@@ -12432,8 +12450,11 @@ def q_tv_distance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         " i -> abs(element_at(pa, i) - element_at(pb, i))),"
         " 0D, (acc, x) -> acc + x)"
     )
+    # |types|-row table: broadcast one side explicitly — the checkpointed
+    # frame carries no stats, and a stats-less non-equi join otherwise
+    # plans as CartesianProduct
     return (
-        a.join(b, F.col("type_a") < F.col("type_b"))
+        a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
         .select(
             "type_a",
             "type_b",

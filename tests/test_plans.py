@@ -996,3 +996,140 @@ def test_bm25_query_side_broadcast(spark, qs):
     assert "BroadcastHashJoin" in plan
     # the only BNLJ is the 1-row avgdl/N stats normalizer
     assert len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M)) == 1
+
+
+# ---------------------------------------------------------------- round 7
+
+
+def test_join_skew_audit_one_scan_unpivot(spark, qs):
+    """Three key profiles from ONE fact scan (stack unpivot), one
+    (key,value)-grain shuffle + a 3-row rollup — never three scans."""
+    df = qs["join_skew_audit"](spark, SF)
+    plan = physical_plan(df)
+    assert len(read_schemas(df)) == 1
+    assert count_exchanges(df) <= 2
+    assert "SinglePartition" not in plan
+
+
+def test_embedding_int8_quantize_no_vector_shuffle(spark, qs):
+    """The quantize pass is a narrow map over the vector scan: the only
+    exchanges belong to the 64-row dim-stats aggregate; vectors
+    themselves never shuffle and nothing sort-merges."""
+    df = qs["embedding_int8_quantize"](spark, SF)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row stats broadcast
+    assert count_exchanges(df) <= 4
+
+
+def test_weighted_bernoulli_sample_scan_and_total_only(spark, qs):
+    df = qs["weighted_bernoulli_sample"](spark, SF)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row weight total
+    assert count_exchanges(df) <= 3
+
+
+def test_containment_winnowed_never_fp_self_join(spark, qs):
+    """Candidate pairs explode from the df-capped posting LISTS (a
+    Generate over grouped postings) — no fingerprint self-join, no
+    cartesian anywhere; verification joins stay hash joins."""
+    df = qs["containment_winnowed"](spark, SF)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan
+    assert "SortMergeJoin" not in plan
+    assert count_exchanges(df) <= 12
+
+
+def test_abc_classification_no_global_sort_funnel(spark, qs):
+    """The part-grain cumulative sum must run bucket-partitioned; the
+    only single-partition frames allowed are the report-sized bucket
+    offset windows."""
+    df = qs["abc_classification"](spark, SF)
+    plan = physical_plan(df)
+    assert "hashpartitioning" in plan  # the in-bucket prefix window
+    assert plan.count("SinglePartition") <= 2
+    assert "BroadcastHashJoin" in plan  # offsets broadcast back
+
+
+def test_mad_outlier_audit_broadcast_passes(spark, qs):
+    """Exact median/MAD is three type-grain aggs with 5-row broadcasts
+    back onto the scan — never a sort-merge of events against stats."""
+    df = qs["mad_outlier_audit"](spark, SF)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert count_exchanges(df) <= 3
+
+
+def test_hll_segment_rollup_no_multi_distinct_expand(spark, qs):
+    """n_days/n_exact come from two pre-aggregated distincts joined at
+    symbol grain — a multi-countDistinct Expand would double the rows
+    through the shuffle (the waiting_supplier lesson)."""
+    df = qs["hll_segment_rollup"](spark, SF)
+    assert "Expand" not in physical_plan(df)
+
+
+def test_tv_distance_matrix_checkpointed_cells(spark, qs):
+    """The cell table feeds three consumers through ONE localCheckpoint
+    — without it the event scan re-derives 12 times (measured); the
+    pairwise join runs on the |types|-row array table."""
+    df = qs["tv_distance_matrix"](spark, SF)
+    plan = physical_plan(df)
+    assert count_exchanges(df) <= 5
+    assert "CartesianProduct" not in plan
+
+
+def test_half_life_engagement_fold_not_window(spark, qs):
+    """The decay sum is an array fold over per-user cells — no window
+    pass over raw events."""
+    import re
+
+    df = qs["half_life_engagement"](spark, SF)
+    plan = physical_plan(df)
+    assert len(re.findall(r"^\(\d+\) Window\b", plan, re.M)) == 0
+    assert count_exchanges(df) <= 3
+
+
+def test_wilson_ctr_bands_single_pass(spark, qs):
+    df = qs["wilson_ctr_bands"](spark, SF)
+    assert count_exchanges(df) == 1
+    assert len(read_schemas(df)) == 1
+
+
+def test_winsorized_stats_two_pass_broadcast(spark, qs):
+    df = qs["winsorized_stats"](spark, SF)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert count_exchanges(df) <= 2
+
+
+def test_chi2_drift_one_conditional_pass(spark, qs):
+    """Contingency cells from ONE conditional aggregate (no early/late
+    join, no Expand); totals via a window on the ≤8-row-per-type cell
+    table."""
+    import re
+
+    df = qs["chi2_drift"](spark, SF)
+    plan = physical_plan(df)
+    assert "Expand" not in plan
+    assert len(re.findall(r"^\(\d+\) Window\b", plan, re.M)) == 1
+    assert count_exchanges(df) <= 3
+
+
+def test_feature_correlations_single_scan_single_agg(spark, qs):
+    df = qs["feature_correlations"](spark, SF)
+    assert count_exchanges(df) == 1
+    assert len(read_schemas(df)) == 1
+
+
+def test_discount_elasticity_broadcast_dim_one_shuffle(spark, qs):
+    """25 regressions in one pass: part dim broadcasts onto the fact
+    scan, ONE brand-grain agg shuffle."""
+    df = qs["discount_elasticity"](spark, SF)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert count_exchanges(df) == 1
