@@ -78,6 +78,25 @@ SF01_SUBSET = [
     # wedge/adjacency density (and thus the candidate set) is a pure
     # volume effect on the repeat co-purchase graph
     "adamic_adar_links",
+    # round 7 cont.: winnow-fp document frequencies cross the stop-fp
+    # cap only at volume (sf0.01 has zero capped fps at k=24)
+    "containment_winnowed",
+    # recall itself is the volume-sensitive number (1.0 -> 0.9046)
+    "containment_recall_audit",
+    # LSH-candidate density across splits is a duplication-volume effect
+    "split_leakage_audit",
+    # content-cell occupancy (and thus each vector's neighbor pool)
+    # grows with corpus volume
+    "knn_label_noise",
+    # day-segment register saturation is the distinct-volume effect
+    "hll_segment_rollup",
+    # blocking-key posting density drives the candidate set
+    "part_entity_resolution",
+    # exact percentile interpolation indices shift with row volume
+    "mad_outlier_audit",
+    "winsorized_stats",
+    # cumulative-share boundaries (and bucket occupancy) move with volume
+    "abc_classification",
 ]
 
 
