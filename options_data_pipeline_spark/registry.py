@@ -12184,7 +12184,6 @@ def q_hll_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("day").isNotNull()
         )
     )
-    # k feeds the register build AND the meta counts — checkpoint once
     k = events.distinct().select(
         "symbol",
         "day",
@@ -12198,7 +12197,7 @@ def q_hll_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("h"),
-    ).localCheckpoint()
+    )
     w = F.shiftright(F.col("h"), 6)
     rho = F.when(w == 0, F.lit(55)).otherwise(
         F.lit(55) - F.length(F.conv(w.cast("string"), 10, 2))
@@ -12238,15 +12237,19 @@ def q_hll_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     est_d = estimate(direct, "hll_direct")
     # two pre-aggregated distinct counts joined at symbol grain — a
     # multi-countDistinct in one agg plans via Expand (doubles the rows
-    # through the shuffle; the waiting_supplier lesson)
+    # through the shuffle; the waiting_supplier lesson). Derived from
+    # the event scan directly, NOT from a checkpointed k: checkpointing
+    # the corpus-grain k is a second full materialization to disk
+    # (measured 3.6× at the ×300 probe vs these cheap map-side-combined
+    # distinct aggs; rhos keeps the only corpus-grain checkpoint)
     n_days = (
-        k.select("symbol", "day")
+        events.select("symbol", "day")
         .distinct()
         .groupBy("symbol")
         .agg(F.count(F.lit(1)).alias("n_days"))
     )
     n_exact = (
-        k.select("symbol", "user_id")
+        events.select("symbol", "user_id")
         .distinct()
         .groupBy("symbol")
         .agg(F.count(F.lit(1)).alias("n_exact"))
