@@ -249,6 +249,7 @@ HEADLINE = [
     "wilson_ctr_bands",
     "winsorized_stats",
     "abc_classification",
+    "neyman_stratified_sample",
 ]
 
 

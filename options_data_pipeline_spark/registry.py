@@ -12778,3 +12778,100 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("C"))
         .alias("abc_class"),
     )
+
+
+@register(
+    "neyman_stratified_sample",
+    r"""WITH ev AS (
+  SELECT event_id, event_type, value FROM events
+  WHERE event_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL
+),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_h,
+         CAST(sum(CAST(round(value, 6) AS DECIMAL(20,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(round(value * value, 6) AS DECIMAL(30,6))) AS DOUBLE) AS sq
+  FROM ev GROUP BY 1
+),
+sd AS (
+  SELECT event_type, n_h,
+         sqrt(greatest(sq / n_h - (sx / n_h) * (sx / n_h), 0.0)) AS s_h
+  FROM s
+),
+tot AS (
+  SELECT CAST(sum(CAST(round(n_h * s_h, 6) AS DECIMAL(30,6))) AS DOUBLE) AS t
+  FROM sd
+),
+rates AS (
+  SELECT event_type, n_h, s_h,
+         least(400.0 * s_h / t, 1.0) AS keep_rate
+  FROM sd, tot
+)
+SELECT e.event_id, e.event_type, r.keep_rate
+FROM ev e JOIN rates r USING (event_type)
+WHERE CAST(concat('0x', substr(md5(concat('neyman:', CAST(e.event_id AS VARCHAR))), 1, 8))
+           AS BIGINT) < r.keep_rate * 4294967296.0""",
+)
+def q_neyman_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEYMAN-OPTIMAL STRATIFIED SAMPLE (~400 rows): per-stratum keep
+    rates proportional to the stratum's standard deviation
+    (rate_h = n·S_h / Σ N_k·S_k — minimum-variance allocation for a
+    fixed budget: volatile strata oversample, quiet strata barely
+    sample), with the keep decision a salted deterministic hash compare
+    — reproducible across reruns and engines, the variance-aware
+    upgrade of `stratified_sample`'s equal-rate design.
+
+    Exactness: stratum moments on the 6-dp DECIMAL grid; S_h a mirrored
+    sqrt chain; the 5-term allocation denominator sums gridded terms
+    (order-free); the keep verdict compares the md5-derived 32-bit
+    uniform against an identically-computed double threshold — both
+    operands bit-equal cross-engine, so the sample is a pure function
+    of the data. One scan + a 5-row rate broadcast; no sort, no
+    shuffle of the corpus."""
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("event_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+    ).select("event_id", "event_type", "value")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.sum(F.round("value", 6).cast("decimal(20,6)"))
+        .cast("double")
+        .alias("sx"),
+        F.sum(F.round(F.col("value") * F.col("value"), 6).cast("decimal(30,6)"))
+        .cast("double")
+        .alias("sq"),
+    )
+    s_h = F.sqrt(
+        F.greatest(
+            F.col("sq") / F.col("n_h")
+            - (F.col("sx") / F.col("n_h")) * (F.col("sx") / F.col("n_h")),
+            F.lit(0.0),
+        )
+    )
+    sd = s.select("event_type", "n_h", s_h.alias("s_h"))
+    tot = sd.agg(
+        F.sum(F.round(F.col("n_h") * F.col("s_h"), 6).cast("decimal(30,6)"))
+        .cast("double")
+        .alias("t")
+    )
+    rates = sd.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        F.least(F.lit(400.0) * F.col("s_h") / F.col("t"), F.lit(1.0)).alias(
+            "keep_rate"
+        ),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("neyman:"), F.col("event_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        ev.join(F.broadcast(rates), "event_type")
+        .filter(h < F.col("keep_rate") * F.lit(4294967296.0))
+        .select("event_id", "event_type", "keep_rate")
+    )

@@ -176,6 +176,37 @@ def cdc_live_view(spark, snapshot_path: str, delete_op: str = "D") -> DataFrame:
     )
 
 
+def cdc_previous_snapshot_read(spark, snapshot_path: str) -> DataFrame:
+    """TIME TRAVEL one version back: the snapshot as it was before the
+    last merge. The publish GC deliberately retains current + previous
+    (the crash-recovery window) — this reader turns that retention into
+    a consumer feature: diff a bad deploy's writes (feed both versions
+    to operators/cdc.snapshot_diff), or read-repair against the state
+    one merge ago. Raises if no previous version exists (fresh store or
+    exactly one publish) — never silently serves the current one."""
+    current = _current_version_dir(snapshot_path)
+    if current is None:
+        raise FileNotFoundError(f"no published snapshot under {snapshot_path}")
+    versions = sorted(
+        n
+        for n in os.listdir(snapshot_path)
+        if n.startswith("v_")
+        and os.path.isdir(os.path.join(snapshot_path, n))
+        and n != os.path.basename(current)
+    )
+    if not versions:
+        raise FileNotFoundError(
+            f"no previous version under {snapshot_path} — only the current"
+            " publish exists"
+        )
+    if len(versions) > 1:
+        raise RuntimeError(
+            f"expected at most one retained previous version, found"
+            f" {versions} — GC invariant violated"
+        )
+    return spark.read.parquet(os.path.join(snapshot_path, versions[0]))
+
+
 def streaming_cdc_upsert(
     stream: DataFrame,
     snapshot_path: str,

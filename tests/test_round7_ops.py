@@ -593,3 +593,21 @@ def test_abc_classification_partitions_revenue(spark):
     )
     # cumulative share reaches ~1 at the last part
     assert abs(max(r.cum_share for r in rows) - 1.0) < 1e-9
+
+
+def test_neyman_sample_oversamples_volatile_strata(spark):
+    from __spark_entry__ import queries
+
+    rows = queries()["neyman_stratified_sample"](spark, SF_DIR).collect()
+    assert rows
+    assert all(0.0 < r.keep_rate <= 1.0 for r in rows)
+    # determinism: second run identical
+    again = queries()["neyman_stratified_sample"](spark, SF_DIR).collect()
+    assert sorted(r.event_id for r in rows) == sorted(
+        r.event_id for r in again
+    )
+    # rates are per-stratum constants ordered by stratum volatility
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, set()).add(r.keep_rate)
+    assert all(len(v) == 1 for v in by_type.values())

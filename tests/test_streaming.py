@@ -1991,3 +1991,35 @@ def test_drift_reference_rebuild_never_mixes_binnings(spark, tmpdir):
     assert drift_merge_batch(batch, ref_path, store, batch_id=2) > 0
     r3 = drift_report(spark, ref_path, store).first()
     assert r3.n_live == 201
+
+
+def test_cdc_time_travel_reads_previous_version(spark, tmpdir):
+    """The GC's current+previous retention doubles as one-step time
+    travel: after two merges, cdc_previous_snapshot_read returns the
+    state as of merge 1; before a second publish exists it refuses
+    (never silently serves the current version)."""
+    from options_data_pipeline_spark.streaming.cdc_stream import (
+        cdc_merge_batch,
+        cdc_previous_snapshot_read,
+        cdc_snapshot_read,
+    )
+
+    base = datetime(2024, 1, 1, 9, 0)
+    snap = os.path.join(tmpdir, "tt_snap")
+    b1 = _cdc_changes(spark, [
+        (1, base, 101, "U", 1.0), (2, base, 201, "U", 2.0),
+    ])
+    b2 = _cdc_changes(spark, [
+        (1, base + timedelta(minutes=1), 102, "U", 7.0),
+    ])
+    cdc_merge_batch(b1, snap, key_cols=["k"], seq_cols=["ts", "cid"])
+    with pytest.raises(FileNotFoundError):
+        cdc_previous_snapshot_read(spark, snap)  # only one publish yet
+    after_1 = sorted(map(tuple, cdc_snapshot_read(spark, snap).collect()))
+    cdc_merge_batch(b2, snap, key_cols=["k"], seq_cols=["ts", "cid"])
+    prev = sorted(
+        map(tuple, cdc_previous_snapshot_read(spark, snap).collect())
+    )
+    assert prev == after_1  # exactly the pre-merge-2 state
+    now = {r.k: r for r in cdc_snapshot_read(spark, snap).collect()}
+    assert now[1].last_v == 7.0  # and the current one moved on

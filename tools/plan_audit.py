@@ -95,6 +95,8 @@ BNLJ_OK = {
     "tv_distance_matrix",
     # broadcast 1-row max-day anchor onto the event scan
     "half_life_engagement",
+    # broadcast 1-row allocation denominator onto the 5-row rate table
+    "neyman_stratified_sample",
 }
 
 
