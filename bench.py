@@ -265,13 +265,16 @@ R1_SUBSET = [
 ]
 
 
-# Bench-signal hygiene (round 7): the full suite is 160+ queries and grows
-# every round, so suite-total drift detection drowns in suite growth. This
-# PINNED 25-query subset is the stable cross-round signal — the r1 subset
-# (19) plus the top-cost representatives of each heavy family (graph,
-# connected-components, ANN, wide-simhash, CDC, IR). Per-query budgets are
-# 1.6× the round-6 recorded times (floor 0.5 s) — a query over budget is a
-# real regression, not suite growth. BASELINE.md §bench documents the set.
+# Bench-signal hygiene (round 7, widened round 8): the full suite is 200+
+# queries and grows every round, so suite-total drift detection drowns in
+# suite growth. This PINNED subset is the stable cross-round signal — the
+# r1 subset (19) plus the top-cost representative of EVERY family with a
+# >1 s member (graph, connected-components, ANN, wide-simhash, CDC, IR,
+# and since round 8 the previously-unpinned LSH/winnow/stats families
+# whose r6→r7 drift was unbounded). Per-query budgets are 1.6× the last
+# recorded times (floor 0.5 s; part_entity_resolution re-based on its
+# round-8 two-tier rebuild) — a query over budget is a real regression,
+# not suite growth. BASELINE.md §bench documents the set.
 PINNED_BUDGETS = {
     "ohlc_5m": 0.63, "ohlc_true_range": 0.67, "atr_wilder": 0.92,
     "gap_fill": 0.95, "dedup_delta": 0.86, "value_percentiles": 0.74,
@@ -283,6 +286,21 @@ PINNED_BUDGETS = {
     "part_triangle_counts": 11.49, "dedup_clusters": 8.12,
     "ivf_kmeans_multiprobe": 5.53, "simhash_wide_pairs": 5.83,
     "cdc_apply": 0.64, "bm25_rank": 3.36,
+    # round-8 additions (1.6× the BENCH_r07 recordings)
+    "part_entity_resolution": 5.5,   # re-based: two-tier warm 3.4 s
+    "dedup_canonical": 8.05,
+    "approx_sketch_stats_builtin": 7.26,
+    "vector_curation": 6.69,
+    "bootstrap_mean_ci": 6.35,
+    "embedding_top_pc": 5.95,
+    "feature_correlations": 5.87,
+    "semdedup_prune": 5.12,
+    "part_kcore": 4.66,
+    "containment_winnowed": 4.34,
+    "part_communities_lpa": 4.30,
+    "rp_lsh_near_dup": 4.08,
+    "winnow_overlap": 3.84,
+    "simhash_near_pairs": 3.50,
 }
 
 
@@ -355,9 +373,9 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "r1_subset_total": r1_total,
-        "pinned25_total": round(sum(pinned.values()), 3),
-        "pinned25_budget_total": round(sum(PINNED_BUDGETS.values()), 2),
-        "pinned25_over_budget": over_budget,
+        "pinned_total": round(sum(pinned.values()), 3),
+        "pinned_budget_total": round(sum(PINNED_BUDGETS.values()), 2),
+        "pinned_over_budget": over_budget,
         "queries_file": out_path,
         "queries": slowest,
     }

@@ -649,6 +649,36 @@ def band_bucket_cols() -> list:
     return cols
 
 
+def _lsh_current(path: str) -> str | None:
+    """Resolve the published index generation under ``path`` via the
+    shared ``_CURRENT`` pointer (cdc_stream's helper — the one atomic
+    publish primitive every store in this repo uses)."""
+    from ..streaming.cdc_stream import _current_version_dir
+
+    return _current_version_dir(path)
+
+
+def _lsh_next_version_dir(path: str) -> str:
+    """Name the next generation dir ``v_<seq>-<hex>`` beside the current
+    one (cdc_stream's naming convention, so seq ordering is recoverable)."""
+    import uuid
+
+    cur = _lsh_current(path)
+    seq = 0 if cur is None else int(os.path.basename(cur).split("-")[0][2:]) + 1
+    return os.path.join(path, f"v_{seq}-{uuid.uuid4().hex[:8]}")
+
+
+def read_lsh_index(spark, path: str) -> DataFrame:
+    """Read the published generation of a stored LSH index. Raises
+    FileNotFoundError if nothing has been published at ``path``."""
+    cur = _lsh_current(path)
+    if cur is None:
+        raise FileNotFoundError(
+            f"read_lsh_index: no published index at {path!r} — build_lsh_index first"
+        )
+    return spark.read.parquet(cur)
+
+
 def build_lsh_index(
     docs: DataFrame,
     path: str,
@@ -671,28 +701,24 @@ def build_lsh_index(
     against already-written ids before appending) from exact-id grain to
     near-dup grain.
 
-    Same stage-and-atomic-rename publish as the vector indexes: a
-    half-written build is never visible; a lost publish race discards a
-    byte-identical staging dir (signatures are deterministic)."""
-    import shutil
-    import uuid
+    Publishes through the versioned-dir + atomic ``_CURRENT`` pointer
+    scheme shared with cdc_stream/bitmap_stream/drift_stream: the
+    generation is written beside any live one and becomes visible only
+    at the single ``os.replace`` of the pointer file, so a crash at ANY
+    point leaves either no index (first build) or the previous
+    generation fully readable — readers never see half-state."""
+    from ..streaming.cdc_stream import _publish_version
 
     spark = docs.sparkSession
-    marker = os.path.join(path, "_SUCCESS")
-    if overwrite and os.path.isdir(path):
-        shutil.rmtree(path)
-    if not os.path.exists(marker):
+    if _lsh_current(path) is None or overwrite:
         wide = minhash_signatures_wide(docs, text_col, k)
         idx = wide.select("doc_id", *[f"mh{j}" for j in range(len(MINHASH_PARAMS))],
                           *band_bucket_cols())
-        staged = f"{path}.build-{uuid.uuid4().hex[:8]}"
-        idx.write.mode("overwrite").parquet(staged)
-        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-        try:
-            os.rename(staged, path)
-        except OSError:
-            shutil.rmtree(staged, ignore_errors=True)
-    return docs.sparkSession.read.parquet(path)
+        os.makedirs(path, exist_ok=True)
+        vdir = _lsh_next_version_dir(path)
+        idx.write.mode("overwrite").parquet(vdir)
+        _publish_version(path, vdir)
+    return read_lsh_index(spark, path)
 
 
 def incremental_lsh_candidates(
@@ -757,8 +783,14 @@ def append_lsh_index(
     in a candidate-grain ``distinct``) and which the next
     :func:`compact_lsh_index` collapses exactly. The cost of replay is
     temporary storage, never correctness. Appends accumulate small
-    files; compaction is the maintenance path that merges them."""
-    if not os.path.isdir(path):
+    files; compaction is the maintenance path that merges them.
+
+    Appends land INSIDE the published generation dir (Spark's job-commit
+    protocol makes the parquet append itself all-or-nothing); the
+    ``_CURRENT`` pointer is untouched, so a crashed append can never
+    unpublish the index."""
+    cur = _lsh_current(path)
+    if cur is None:
         raise FileNotFoundError(
             f"append_lsh_index: no index at {path!r} — build_lsh_index first"
         )
@@ -768,7 +800,7 @@ def append_lsh_index(
         *[f"mh{j}" for j in range(len(MINHASH_PARAMS))],
         *band_bucket_cols(),
     )
-    idx.write.mode("append").parquet(path)
+    idx.write.mode("append").parquet(cur)
     return idx.count()
 
 
@@ -793,27 +825,31 @@ def compact_lsh_index(
     4. merge small files: rewrite at ``ceil(n / rows_per_file)`` files,
        hash-partitioned and sorted by doc_id (deterministic bytes).
 
-    Publish reuses the build's staging invariant (stage under a temp
-    name, atomic ``os.rename`` swap, old generation removed after the
-    swap) so a reader never sees a half-compacted index and a crashed
-    compaction leaves the live index untouched. Replay-idempotent: the
-    surviving row set is a pure function of (stored rows, tombstones,
-    filter), so re-running yields byte-identical output. Probe results
-    over surviving docs are UNCHANGED — compaction only removes rows
-    probes must not match.
+    Publish is the versioned-dir + atomic ``_CURRENT`` pointer swap
+    shared with cdc_stream (``_publish_version``): the compacted
+    generation is written as a NEW ``v_<n>`` dir beside the live one and
+    becomes visible at a single ``os.replace`` of the pointer — a crash
+    anywhere before the swap leaves the live index untouched and
+    readable (no rename window where no index exists at ``path``);
+    superseded generations are GC'd only after the swap.
+    Replay-idempotent: the surviving row set is a pure function of
+    (stored rows, tombstones, filter), so re-running yields
+    byte-identical output. Probe results over surviving docs are
+    UNCHANGED — compaction only removes rows probes must not match.
 
     Returns {"rows_before", "rows_after", "files_before", "files_after"}.
     """
     import math
-    import shutil
-    import uuid
 
-    if not os.path.isdir(path):
+    from ..streaming.cdc_stream import _publish_version
+
+    cur = _lsh_current(path)
+    if cur is None:
         raise FileNotFoundError(f"compact_lsh_index: no index at {path!r}")
     files_before = sum(
-        1 for f in os.listdir(path) if f.endswith(".parquet")
+        1 for f in os.listdir(cur) if f.endswith(".parquet")
     )
-    idx = spark.read.parquet(path)
+    idx = spark.read.parquet(cur)
     rows_before = idx.count()
     live = idx.distinct()
     if tombstones is not None:
@@ -826,24 +862,16 @@ def compact_lsh_index(
         live = live.filter(retention_filter)
     rows_after = live.count()
     n_files = max(1, math.ceil(rows_after / rows_per_file))
-    staged = f"{path}.compact-{uuid.uuid4().hex[:8]}"
+    vdir = _lsh_next_version_dir(path)
     (
         live.repartition(n_files, "doc_id")
         .sortWithinPartitions("doc_id")
         .write.mode("overwrite")
-        .parquet(staged)
+        .parquet(vdir)
     )
-    old = f"{path}.old-{uuid.uuid4().hex[:8]}"
-    os.rename(path, old)
-    try:
-        os.rename(staged, path)
-    except OSError:
-        os.rename(old, path)  # roll back: live index restored
-        shutil.rmtree(staged, ignore_errors=True)
-        raise
-    shutil.rmtree(old, ignore_errors=True)
+    _publish_version(path, vdir)
     files_after = sum(
-        1 for f in os.listdir(path) if f.endswith(".parquet")
+        1 for f in os.listdir(vdir) if f.endswith(".parquet")
     )
     return {
         "rows_before": rows_before,

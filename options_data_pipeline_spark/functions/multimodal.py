@@ -380,6 +380,8 @@ def parse_mp3_frames(payload: bytes) -> list[dict]:
         size = 0
         for b in payload[6:10]:  # syncsafe: 7 bits per byte
             size = (size << 7) | (b & 0x7F)
+        if payload[5] & 0x10:  # footer flag: 10-byte ID3v2.4 footer
+            size += 10         # follows the tag and is NOT in the size
         i = 10 + size
     frames: list[dict] = []
     n = len(payload)

@@ -32,8 +32,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: dtypes whose min/max surface through the DOUBLE channel
-_NUM_PREFIXES = ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
+#: dtypes whose min/max surface through the DOUBLE channel. Matched on
+#: the EXACT base type (text before any '(' parameter list), never by
+#: prefix: 'interval day' etc. also start with 'int' but cannot cast to
+#: double — those route to the string branch with every other type.
+_NUM_TYPES = {"tinyint", "smallint", "int", "bigint", "float", "double", "decimal"}
 
 
 def profile_columns(df: DataFrame) -> DataFrame:
@@ -47,7 +50,7 @@ def profile_columns(df: DataFrame) -> DataFrame:
             num = F.unix_micros(col).cast("double")
             key = col.cast("string")
             txt = F.lit(None).cast("string")
-        elif dtype.startswith(_NUM_PREFIXES):
+        elif dtype.split("(")[0] in _NUM_TYPES:
             base = (col + F.lit(0.0)) if dtype in ("float", "double") else col
             num = base.cast("double")
             key = base.cast("string")

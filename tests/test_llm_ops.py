@@ -511,6 +511,44 @@ def test_histogram_sketch_error_bound(spark):
         assert abs(r.p95_est - r.p95_exact) <= 2 * width
 
 
+def test_sketch_queries_degenerate_range(spark, tmp_path):
+    """All `value`s equal ⇒ histogram width 0: both sketch queries and
+    their DuckDB oracles must agree via the bin-0 guard (Spark would
+    otherwise NaN→NULL the bin while DuckDB errors casting NaN to
+    BIGINT — a cross-engine divergence)."""
+    import duckdb
+    import pandas as pd
+
+    from options_data_pipeline_spark import registry
+
+    ev = pd.DataFrame(
+        {
+            "event_id": range(12),
+            "ts": pd.to_datetime("2024-01-02 09:30:00")
+            + pd.to_timedelta(range(12), "s"),
+            "user_id": [i % 4 for i in range(12)],
+            "event_type": (["click", "view", "buy"] * 4),
+            "value": [42.5] * 12,
+            "props": ["{}"] * 12,
+        }
+    )
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    sf = str(tmp_path)
+    ev.to_parquet(tmp_path / "events.parquet")
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    oracles = registry.oracle_sql()
+    for name in ("histogram_quantile_sketch", "approx_sketch_stats"):
+        got = registry.queries()[name](spark, sf).collect()
+        assert len(got) == 3
+        for r in got:
+            assert r.p50_est == 42.5 and r.p95_est == 42.5  # width-0 ⇒ lo
+        dd = con.execute(oracles[name]).fetch_df()
+        assert len(dd) == 3
+        assert set(dd["p50_est"]) == {42.5} and set(dd["p95_est"]) == {42.5}
+
+
 def test_kmv_overlap_internal_consistency(spark):
     """KMV sketch invariants at sf0.001 (sets smaller than k=256, so
     every estimate collapses to the EXACT value — the small-set branch

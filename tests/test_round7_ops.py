@@ -95,6 +95,21 @@ def test_profile_columns_timestamp_epoch_micros(spark):
     assert r.min_num == r.max_num == expect
 
 
+def test_profile_columns_interval_and_decimal_routing(spark):
+    """Interval dtypes start with 'int' but cannot cast to double — they
+    must route to the STRING branch (the zero-configuration contract);
+    decimal(p,s) still rides the numeric channel."""
+    df = spark.sql(
+        "SELECT INTERVAL '3' DAY AS gap, CAST(2.50 AS DECIMAL(10,2)) AS amt"
+    )
+    prof = {r.col_name: r for r in profile_columns(df).collect()}
+    g = prof["gap"]
+    assert g.min_num is None and g.max_num is None  # not the numeric branch
+    assert g.min_str == g.max_str and "3" in g.min_str
+    a = prof["amt"]
+    assert (a.min_num, a.max_num) == (2.5, 2.5)
+
+
 # ------------------------------------------------------------------- mmr topk
 
 

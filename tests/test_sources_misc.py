@@ -244,6 +244,29 @@ def test_multimodal_mp3_frame_walk_and_features(spark):
         extract_features(parse_and_fail, decoder="audio").collect()
 
 
+def test_mp3_id3v24_footer_flag_skipped():
+    """An ID3v2.4 tag with the footer flag (byte 5 bit 4) carries a
+    10-byte footer NOT counted in the syncsafe size: the parser must
+    skip it, so the first frame's reported offset is exact (no reliance
+    on byte-by-byte resync through the footer)."""
+    from options_data_pipeline_spark.functions.multimodal import (
+        make_mp3,
+        parse_mp3_frames,
+    )
+
+    body = make_mp3([15, 25])  # frames only, no tag
+    tag = b"\x00" * 24
+    size = len(tag)
+    header = b"ID3" + bytes([4, 0, 0x10,  # v2.4, footer flag set
+                             (size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                             (size >> 7) & 0x7F, size & 0x7F])
+    footer = b"3DI" + header[3:]  # footer mirrors the header
+    frames = parse_mp3_frames(header + tag + footer + body)
+    assert len(frames) == 2
+    assert frames[0]["offset"] == 10 + size + 10  # header + tag + footer
+    assert [round(f["energy"]) for f in frames] == [15, 25]
+
+
 def test_mp3_fingerprint_bands_contract(spark):
     """MP3 fingerprint shares the ahash/audio band contract: identical
     streams → identical bands; a re-tagged copy (different ID3, same

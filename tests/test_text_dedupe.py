@@ -569,7 +569,7 @@ def test_lsh_index_write_once_and_incremental_parity(spark, tmp_path):
 
     path = str(tmp_path / "lsh_index")
     idx = build_lsh_index(corpus, path)
-    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    assert os.path.exists(os.path.join(path, "_CURRENT"))  # published pointer
     assert idx.count() == 3
     assert {f"mh{j}" for j in range(16)} <= set(idx.columns)
     assert {"b0", "b1", "b2", "b3"} <= set(idx.columns)
@@ -603,6 +603,7 @@ def test_lsh_index_append_compact_maintenance(spark, tmp_path):
         build_lsh_index,
         compact_lsh_index,
         incremental_lsh_candidates,
+        read_lsh_index,
     )
 
     texts = [
@@ -618,7 +619,7 @@ def test_lsh_index_append_compact_maintenance(spark, tmp_path):
     n = append_lsh_index(df.filter("doc_id >= 3"), path)
     assert n == 2
     append_lsh_index(df.filter("doc_id >= 3"), path)  # at-least-once replay
-    assert spark.read.parquet(path).count() == 7  # 3 + 2 + 2 dup rows
+    assert read_lsh_index(spark, path).count() == 7  # 3 + 2 + 2 dup rows
 
     probe = docs_df(
         spark,
@@ -629,7 +630,7 @@ def test_lsh_index_append_compact_maintenance(spark, tmp_path):
         return sorted(
             (r.doc_a, r.doc_b, r.jaccard_est)
             for r in incremental_lsh_candidates(
-                probe, spark.read.parquet(path)
+                probe, read_lsh_index(spark, path)
             ).collect()
         )
 
@@ -655,43 +656,67 @@ def test_lsh_index_append_compact_maintenance(spark, tmp_path):
     # retention knob: expire everything but the newest ids
     compact_lsh_index(spark, path, retention_filter="doc_id >= 4")
     assert candidates() == []  # doc 0 expired; probe no longer matches
-    assert {r.doc_id for r in spark.read.parquet(path).collect()} == {4}
-    assert not [d for d in os.listdir(os.path.dirname(path))
-                if ".old-" in d or ".compact-" in d]  # no stray generations
+    assert {r.doc_id for r in read_lsh_index(spark, path).collect()} == {4}
+    # versioned publish GC keeps at most {current, previous} generations
+    gens = [d for d in os.listdir(path) if d.startswith("v_")]
+    assert len(gens) <= 2
 
 
 def test_lsh_index_atomic_publish_no_partial(spark, tmp_path):
-    """A crashed build leaves only a .build-* staging dir, never a
-    half-published index at the final path."""
+    """A crash at the pointer swap never half-publishes: a crashed FIRST
+    build leaves no readable index (retry succeeds); a crashed COMPACTION
+    leaves the previous generation fully readable with identical probe
+    results — the exact crash window the old two-step dir rename had."""
     import os
 
     from options_data_pipeline_spark.functions import dedupe as dd
 
-    df = docs_df(spark, ["some text here", "other text there"])
+    df = docs_df(spark, ["some text here", "other text there",
+                         "some text here too"])
     path = str(tmp_path / "idx")
 
-    real_rename = os.rename
+    real_replace = os.replace
     calls = {}
 
     def boom(src, dst):
-        if dst == path:
-            calls["hit"] = src
-            raise RuntimeError("crash before publish")
-        return real_rename(src, dst)
+        if os.path.basename(dst) == "_CURRENT":
+            calls["hit"] = calls.get("hit", 0) + 1
+            raise RuntimeError("crash at pointer swap")
+        return real_replace(src, dst)
 
-    os.rename = boom
+    # crash during the FIRST build's publish → nothing visible
+    os.replace = boom
     try:
         try:
             dd.build_lsh_index(df, path)
         except RuntimeError:
             pass
     finally:
-        os.rename = real_rename
-    assert not os.path.exists(path)  # nothing half-published
-    assert "hit" in calls
+        os.replace = real_replace
+    assert calls["hit"] == 1
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        dd.read_lsh_index(spark, path)
     # retry publishes cleanly and is readable
     out = dd.build_lsh_index(df, path)
-    assert out.count() == 2
+    assert out.count() == 3
+
+    # replay-duplicate rows, then a compaction that crashes at the swap:
+    # the live index is untouched and still readable (5 rows incl. dups)
+    dd.append_lsh_index(df.filter("doc_id = 0"), path)
+    dd.append_lsh_index(df.filter("doc_id = 0"), path)
+    assert dd.read_lsh_index(spark, path).count() == 5
+    os.replace = boom
+    try:
+        with _pytest.raises(RuntimeError):
+            dd.compact_lsh_index(spark, path)
+    finally:
+        os.replace = real_replace
+    assert dd.read_lsh_index(spark, path).count() == 5  # previous gen intact
+    # recovery: re-run compaction — duplicates collapse, publish lands
+    stats = dd.compact_lsh_index(spark, path)
+    assert stats["rows_after"] == 3
+    assert dd.read_lsh_index(spark, path).count() == 3
 
 
 def test_unigram_logprob_hand_computed(spark):
