@@ -250,6 +250,11 @@ HEADLINE = [
     "winsorized_stats",
     "abc_classification",
     "neyman_stratified_sample",
+    # round-8 additions (quality_train_score trains EAGERLY at
+    # construction — timer spans the 32 GD jobs, like dedup_clusters)
+    "quality_train_score",
+    "ivf_recluster_audit",
+    "entity_blocking_audit",
 ]
 
 

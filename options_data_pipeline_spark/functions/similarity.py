@@ -771,6 +771,81 @@ def build_kmeans_index(
     return assignments, cents
 
 
+def append_kmeans_index(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Append a new vector batch into a stored learned-IVF index (the
+    daily-increment path `append_lsh_index` gives the dedup index,
+    mirrored here for ANN): assign the batch to the index's STORED
+    centroids — no retrain, no corpus re-read — and land the rows
+    cell-partitioned beside the existing files. Returns rows appended.
+
+    The appended index is IDENTICAL to a one-shot build of (corpus ∪
+    batch) under the same centroids (assignment is a pure per-row
+    function of the stored centroid table), so every search — probes,
+    scores, ranking — returns exactly what the full rebuild would;
+    unchanged cells' files are not touched at all. What appending does
+    NOT do is retrain: distribution drift shows up as cell imbalance,
+    which `ivf_recluster_audit` turns into a per-cell verdict —
+    retraining (overwrite=True rebuild) is the rebalance path.
+
+    Replay discipline: appended rows are deterministic, but ANN top-k
+    is NOT duplicate-insensitive (a replayed duplicate can occupy two
+    of the k slots), so drive appends exactly-once per batch (the WAL
+    sink's ledger pattern) — unlike the LSH index, whose candidate
+    ``distinct`` makes replay harmless."""
+    import os
+
+    corpus_dir = os.path.join(path, "corpus")
+    cent_dir = os.path.join(path, "centroids")
+    if not os.path.isdir(corpus_dir):
+        raise FileNotFoundError(
+            f"append_kmeans_index: no index at {path!r} — build_kmeans_index first"
+        )
+    spark = batch.sparkSession
+    cent_rows = spark.read.parquet(cent_dir).collect()
+    cents = [r.centroid for r in sorted(cent_rows, key=lambda r: r.cell)]
+    assigned = with_cell(batch, cents, vec_col=vec_col).select(
+        F.col(id_col), F.col(vec_col), F.col("cell")
+    )
+    assigned.write.mode("append").partitionBy("cell").parquet(corpus_dir)
+    return assigned.count()
+
+
+def append_pq_index(
+    batch: DataFrame,
+    path: str,
+    books: list[list[list[float]]] | None = None,
+    cents: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Append a new vector batch into a stored IVF-PQ code table:
+    encode the batch with the SAME deterministic codebooks/centroids
+    the build used and land the m-byte codes cell-partitioned beside
+    the existing files. Returns rows appended. Same contract as
+    :func:`append_kmeans_index`: byte-identical to the one-shot build
+    over (corpus ∪ batch) — `pq_adc_topk_from_codes` searches the
+    union with no rebuild — and exactly-once appends are the caller's
+    discipline (top-k is duplicate-sensitive)."""
+    import os
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        raise FileNotFoundError(
+            f"append_pq_index: no index at {path!r} — build_pq_index first"
+        )
+    cents = cents if cents is not None else fixed_centroids()
+    enc = pq_encode(
+        with_cell(batch, cents, vec_col=vec_col),
+        books, id_col, vec_col, extra_cols=("cell",),
+    )
+    enc.write.mode("append").partitionBy("cell").parquet(path)
+    return enc.count()
+
+
 def pq_adc_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -1,0 +1,92 @@
+"""URL canonicalization — the Dolma/Common-Crawl-style normalizer that
+closes the last common dedup key (content ✓ near-dup ✓ span ✓ URL):
+two fetches of the same page under cosmetic URL variants must collapse
+to ONE canonical key before exact dedup.
+
+Rules (the CC-net/Dolma consensus set):
+
+1. scheme and host lowercased;
+2. a leading ``www.`` host label dropped;
+3. default ports stripped (``:80`` for http, ``:443`` for https —
+   non-default ports are MEANINGFUL and survive);
+4. the fragment dropped (never sent to the server);
+5. tracking query parameters dropped (``utm_*``, ``gclid``,
+   ``fbclid``) with the remaining params kept IN ORDER (no resort —
+   param order can be semantic); an emptied query drops its ``?``;
+6. trailing slashes stripped from the path.
+
+Everything is native Column arithmetic (regexp_extract / regexp_replace
+/ filter / array_join) with an exact DuckDB mirror — no UDF, fully
+codegen'd, so the canonicalizer runs at scan speed over 100 TB of
+fetch logs. Idempotent by construction (property-tested): canonical
+output contains no www., no default port, no fragment, no tracking
+params, no trailing slash — every rule is a fixpoint."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tracking params dropped by rule 5 — mirrored in the oracle SQL
+TRACKING_RE = "^(utm_[^=]*|gclid|fbclid)(=.*)?$"
+
+
+def canonical_url(url: Column | str) -> Column:
+    """The canonical form of ``url`` per the module contract."""
+    u = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(u, r"^([^:/?#]+)://", 1))
+    hostport = F.lower(F.regexp_extract(u, r"^[^:/?#]+://([^/?#]*)", 1))
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, r":\d+$", ""), r"^www\.", ""
+    )
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(u, r"^[^:/?#]+://[^/?#]*([^?#]*)", 1), r"/+$", ""
+    )
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_RE),
+    )
+    qpart = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        qpart,
+    )
+
+
+#: DuckDB mirror of :func:`canonical_url` over a column expression —
+#: kept next to the Column version so the two rule sets cannot drift.
+def canonical_url_sql(expr: str) -> str:
+    return f"""concat(
+  lower(regexp_extract({expr}, '^([^:/?#]+)://', 1)),
+  '://',
+  regexp_replace(regexp_replace(
+    lower(regexp_extract({expr}, '^[^:/?#]+://([^/?#]*)', 1)),
+    ':[0-9]+$', ''), '^www\\.', ''),
+  CASE WHEN regexp_extract(lower(regexp_extract({expr}, '^[^:/?#]+://([^/?#]*)', 1)), ':([0-9]+)$', 1) <> ''
+        AND NOT (lower(regexp_extract({expr}, '^([^:/?#]+)://', 1)) = 'http'
+                 AND regexp_extract(lower(regexp_extract({expr}, '^[^:/?#]+://([^/?#]*)', 1)), ':([0-9]+)$', 1) = '80')
+        AND NOT (lower(regexp_extract({expr}, '^([^:/?#]+)://', 1)) = 'https'
+                 AND regexp_extract(lower(regexp_extract({expr}, '^[^:/?#]+://([^/?#]*)', 1)), ':([0-9]+)$', 1) = '443')
+       THEN concat(':', regexp_extract(lower(regexp_extract({expr}, '^[^:/?#]+://([^/?#]*)', 1)), ':([0-9]+)$', 1))
+       ELSE '' END,
+  regexp_replace(regexp_extract({expr}, '^[^:/?#]+://[^/?#]*([^?#]*)', 1), '/+$', ''),
+  CASE WHEN len(list_filter(string_split(regexp_extract({expr}, '\\?([^#]*)', 1), '&'),
+                p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid)(=.*)?$'))) > 0
+       THEN concat('?', array_to_string(
+              list_filter(string_split(regexp_extract({expr}, '\\?([^#]*)', 1), '&'),
+                          p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid)(=.*)?$')), '&'))
+       ELSE '' END
+)"""

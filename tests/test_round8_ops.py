@@ -92,3 +92,192 @@ def test_part_er_hot_token_cap_drops_key_not_recall(spark, tmp_path):
     assert a.n_capped_keys == 1  # "hot" (df = 71 > 64)
     assert a.postings_dropped == 71
     assert a.max_rep_df == 71
+
+
+# ------------------------------------------------- vector index maintenance
+
+
+def test_append_kmeans_index_equals_oneshot(spark, tmp_path):
+    """Appending a batch with the STORED centroids yields an index
+    byte-equivalent to the one-shot build of (base ∪ batch) under the
+    same centroids: assignments identical, probed searches identical —
+    including over unchanged cells."""
+    from options_data_pipeline_spark.functions.similarity import (
+        append_kmeans_index,
+        build_kmeans_index,
+        centroid_top_cells,
+        cosine_topk_partitioned,
+        with_cell,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter("vec_id % 10 < 9")
+    batch = emb.filter("vec_id % 10 = 9")
+    path = str(tmp_path / "kidx")
+    _, cents = build_kmeans_index(base, path)
+    n = append_kmeans_index(batch, path)
+    assert n == batch.count() > 0
+
+    stored = spark.read.parquet(f"{path}/corpus")
+    ref = with_cell(emb, cents).select("vec_id", "embedding", "cell")
+    assert {(r.vec_id, r.cell) for r in stored.select("vec_id", "cell").collect()} == {
+        (r.vec_id, r.cell) for r in ref.select("vec_id", "cell").collect()
+    }
+
+    def probe(corpus):
+        qp = (
+            emb.filter("vec_id < 5")
+            .select(
+                "vec_id",
+                "embedding",
+                centroid_top_cells("embedding", cents, 2).alias("probes"),
+            )
+            .select("vec_id", "embedding", F.explode("probes").alias("cell"))
+        )
+        return sorted(
+            map(tuple, cosine_topk_partitioned(qp, corpus, k=5, cell_col="cell").collect())
+        )
+
+    assert probe(stored.select("vec_id", "embedding", "cell")) == probe(ref)
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        append_kmeans_index(batch, str(tmp_path / "missing"))
+
+
+def test_append_pq_index_equals_oneshot(spark, tmp_path):
+    """PQ-code append with the build's deterministic codebooks equals
+    the one-shot encode of the union — codes, cells, recon errors."""
+    from options_data_pipeline_spark.functions.similarity import (
+        append_pq_index,
+        build_pq_index,
+        fixed_centroids,
+        pq_encode,
+        with_cell,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter("vec_id % 10 < 9")
+    batch = emb.filter("vec_id % 10 = 9")
+    path = str(tmp_path / "pqidx")
+    build_pq_index(base, path)
+    n = append_pq_index(batch, path)
+    assert n == batch.count() > 0
+
+    stored = spark.read.parquet(path)
+    oneshot = pq_encode(
+        with_cell(emb, fixed_centroids()), extra_cols=("cell",)
+    )
+    cols = ["vec_id", "cell", "code_0", "code_1", "code_2", "code_3", "recon_err"]
+    got = {tuple(r) for r in stored.select(*cols).collect()}
+    exp = {tuple(r) for r in oneshot.select(*cols).collect()}
+    assert got == exp
+
+
+# ------------------------------------------------- trained quality classifier
+
+
+def test_quality_train_learns_planted_signal(spark, tmp_path):
+    """GD must rediscover the planted diversity boundary: on a corpus
+    where half the docs repeat one token (y=0) and half are fully
+    distinct (y=1), the trained scores separate the classes and keep
+    tracks the label."""
+    import pandas as pd
+
+    from options_data_pipeline_spark.functions.quality_train import (
+        quality_train_score,
+    )
+
+    vocab = [f"word{i}" for i in range(40)]
+    rows = []
+    for d in range(60):
+        if d % 2 == 0:  # low quality: one token repeated 40x
+            text = " ".join([vocab[d % 40]] * 40)
+        else:  # high quality: 40 distinct tokens, rotated start
+            text = " ".join(vocab[d % 40:] + vocab[: d % 40])
+        rows.append((d, text))
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = quality_train_score(docs).collect()
+    pos = [r.score for r in out if r.label == 1]
+    neg = [r.score for r in out if r.label == 0]
+    assert pos and neg
+    assert min(pos) > max(neg)  # full separation on the planted corpus
+    acc = sum((r.score > 0.5) == (r.label == 1) for r in out) / len(out)
+    assert acc == 1.0
+
+
+def test_quality_train_trajectory_deterministic(spark):
+    """Two trainings over the same corpus produce bit-identical weights
+    (zero init, fixed iterations, order-free DECIMAL gradient sums)."""
+    from options_data_pipeline_spark.functions.quality_train import (
+        quality_features,
+        quality_train,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    feats = quality_features(docs).localCheckpoint(eager=True)
+    w1 = quality_train(feats, iters=4)
+    w2 = quality_train(feats.repartition(7), iters=4)  # different layout
+    assert w1 == w2
+
+
+# ------------------------------------------------------ URL canonicalization
+
+
+def test_canonical_url_rules(spark):
+    """Each documented rule, one fixture per rule, plus the
+    non-default-port and non-tracking-param survivals."""
+    from options_data_pipeline_spark.functions.url import canonical_url
+
+    cases = [
+        ("HTTPS://WWW.Example.COM/Path", "https://example.com/Path"),
+        ("http://example.com:80/a", "http://example.com/a"),
+        ("https://example.com:443/a", "https://example.com/a"),
+        ("https://example.com:8443/a", "https://example.com:8443/a"),
+        ("https://example.com/a#frag", "https://example.com/a"),
+        ("https://example.com/a/", "https://example.com/a"),
+        ("https://example.com/a///", "https://example.com/a"),
+        (
+            "https://example.com/a?utm_source=x&id=7&fbclid=z",
+            "https://example.com/a?id=7",
+        ),
+        ("https://example.com/a?utm_source=x", "https://example.com/a"),
+        (
+            "https://example.com/a?b=2&a=1",  # param ORDER preserved
+            "https://example.com/a?b=2&a=1",
+        ),
+    ]
+    df = spark.createDataFrame(cases, "url string, expected string")
+    out = df.select("url", "expected", canonical_url("url").alias("got")).collect()
+    for r in out:
+        assert r.got == r.expected, (r.url, r.got, r.expected)
+
+
+def test_canonical_url_idempotent_property(spark):
+    """hypothesis: canonical(canonical(u)) == canonical(u) over randomly
+    composed URLs (every rule is a fixpoint)."""
+    from hypothesis import given, settings, strategies as st
+
+    from options_data_pipeline_spark.functions.url import canonical_url
+
+    scheme = st.sampled_from(["http", "HTTP", "https", "HTTPS"])
+    host = st.sampled_from(
+        ["www.Site.com", "site.com", "A.B.ORG", "www.x.net:443", "x.net:8080"]
+    )
+    path = st.sampled_from(["", "/", "/a", "/a/b", "/a/b/", "/a//"])
+    query = st.sampled_from(
+        ["", "?id=1", "?utm_source=x", "?utm_a=1&k=2", "?k=2&utm_b=3&j=4"]
+    )
+    frag = st.sampled_from(["", "#x", "#a-b"])
+
+    @settings(max_examples=30, deadline=None)
+    @given(scheme, host, path, query, frag)
+    def check(s, h, p, q, f):
+        u = f"{s}://{h}{p}{q}{f}"
+        df = spark.createDataFrame([(u,)], "url string")
+        once = df.select(canonical_url("url").alias("c1"))
+        twice = once.select("c1", canonical_url("c1").alias("c2")).collect()[0]
+        assert twice.c2 == twice.c1, (u, twice.c1, twice.c2)
+
+    check()

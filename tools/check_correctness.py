@@ -97,6 +97,12 @@ SF01_SUBSET = [
     "winsorized_stats",
     # cumulative-share boundaries (and bucket occupancy) move with volume
     "abc_classification",
+    # round 8: the GD trajectory is a function of the corpus (every
+    # gradient sum shifts with volume), and the recluster verdicts are
+    # occupancy-share comparisons
+    "quality_train_score",
+    "ivf_recluster_audit",
+    "entity_blocking_audit",
 ]
 
 
