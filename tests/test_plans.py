@@ -1169,3 +1169,38 @@ def test_containment_recall_audit_dual_arm_exchange_ceiling(spark, qs):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
     assert count_exchanges(df) <= 22  # both arms, attributed — see docstring
+
+
+def test_url_canonical_dedup_one_shuffle_codegen(spark, qs):
+    """The canonicalizer is pure string arithmetic inside codegen; dedup
+    is ONE hash-agg shuffle at canonical-URL grain (+ load_table's
+    documents spread repartition) — exact_dedup's posture on a
+    different key. No joins at all; runtime subexpression elimination
+    collapses the repeated URL chain inside the single codegen'd
+    Project."""
+    df = qs["url_canonical_dedup"](spark, SF)
+    plan = physical_plan(df)
+    assert count_exchanges(df) <= 2
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_quality_train_score_inference_is_narrow_map(spark, qs):
+    """After the eager GD loop (32 driver-collected 1-row aggs at
+    construction), the returned INFERENCE plan is one narrow projection
+    over the checkpointed feature table — no join, no shuffle, no
+    Python."""
+    df = qs["quality_train_score"](spark, SF)
+    plan = physical_plan(df)
+    assert count_exchanges(df) == 0
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_ivf_recluster_audit_report_sized(spark, qs):
+    """One assignment map + one (is_new, cell) agg + k-row scaffold:
+    the only nested-loop is the broadcast 1-row totals crossJoin."""
+    df = qs["ivf_recluster_audit"](spark, SF)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

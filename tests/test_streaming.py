@@ -2023,3 +2023,85 @@ def test_cdc_time_travel_reads_previous_version(spark, tmpdir):
     assert prev == after_1  # exactly the pre-merge-2 state
     now = {r.k: r for r in cdc_snapshot_read(spark, snap).collect()}
     assert now[1].last_v == 7.0  # and the current one moved on
+
+
+def test_streaming_hll_rollup_matches_batch_query(spark, tmpdir):
+    """Stream the sf0.001 events through the foreachBatch MAX-merge in
+    several micro-batches; the rollup answered from STORED REGISTERS
+    ONLY must equal the registry batch query's merged arm exactly —
+    same n_days, bit-identical hll_merged (register MAX is associative,
+    so micro-batch partitioning loses nothing; the batch query proves
+    the same algebra in-query as merge_exact)."""
+    from options_data_pipeline_spark import registry
+    from options_data_pipeline_spark.sources.tables import load_table
+    from options_data_pipeline_spark.streaming.hll_stream import (
+        hll_registers_read,
+        hll_rollup_report,
+        streaming_hll_rollup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, "events", sf).select("event_type", "ts", "user_id")
+    src = os.path.join(tmpdir, "hll_src")
+    store = os.path.join(tmpdir, "hll_store")
+    ck = os.path.join(tmpdir, "hll_ck")
+    ev.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)  # several micro-batches
+        .parquet(src)
+    )
+    q = streaming_hll_rollup(stream, store, ck).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.symbol: r
+        for r in hll_rollup_report(hll_registers_read(spark, store)).collect()
+    }
+    want = {
+        r.symbol: r
+        for r in registry.queries()["hll_segment_rollup"](spark, sf).collect()
+    }
+    assert set(got) == set(want) and got
+    for s in got:
+        assert got[s].n_days == want[s].n_days
+        assert got[s].hll_merged == want[s].hll_merged  # bit-identical
+
+
+def test_hll_merge_batch_replay_is_fixpoint(spark, tmpdir):
+    """MAX is idempotent: re-merging the same micro-batch (at-least-once
+    foreachBatch after a crash) reports changed == 0 and leaves the
+    registers AND the report unchanged — no ledger, no sequence
+    columns (the replay-writes-0 contract of the drift monitor)."""
+    from options_data_pipeline_spark.streaming.hll_stream import (
+        hll_merge_batch,
+        hll_registers_read,
+        hll_rollup_report,
+    )
+
+    base = datetime(2024, 1, 1, 9, 0)
+    schema = "event_type string, ts timestamp, user_id bigint"
+    store = os.path.join(tmpdir, "store")
+    b1 = spark.createDataFrame(
+        [("click", base, 1), ("click", base, 2), ("view", base, 1)], schema
+    )
+    b2 = spark.createDataFrame(
+        [("click", base + timedelta(days=1), 2), ("click", base, 3)], schema
+    )
+    r1 = hll_merge_batch(b1, store)
+    assert r1["changed"] == r1["registers"] > 0  # first publish: all new
+    r2 = hll_merge_batch(b2, store)
+    assert r2["changed"] > 0
+    first = sorted(map(tuple, hll_rollup_report(
+        hll_registers_read(spark, store)).collect()))
+    r3 = hll_merge_batch(b2, store)  # replay
+    assert r3["changed"] == 0  # replay writes nothing new
+    assert r3["registers"] == r2["registers"]
+    replay = sorted(map(tuple, hll_rollup_report(
+        hll_registers_read(spark, store)).collect()))
+    assert first == replay
+    assert {t[0] for t in first} == {"click", "view"}
+    click = [t for t in first if t[0] == "click"][0]
+    assert click[1] == 2  # n_days

@@ -97,6 +97,8 @@ BNLJ_OK = {
     "half_life_engagement",
     # broadcast 1-row allocation denominator onto the 5-row rate table
     "neyman_stratified_sample",
+    # round 8: broadcast 1-row (tb, tn) totals onto the 8-cell scaffold
+    "ivf_recluster_audit",
 }
 
 
