@@ -652,20 +652,38 @@ def band_bucket_cols() -> list:
 def _lsh_current(path: str) -> str | None:
     """Resolve the published index generation under ``path`` via the
     shared ``_CURRENT`` pointer (cdc_stream's helper — the one atomic
-    publish primitive every store in this repo uses)."""
-    from ..streaming.cdc_stream import _current_version_dir
+    publish primitive every store in this repo uses).
 
-    return _current_version_dir(path)
+    A pre-round-8 FLAT layout (parquet files + _SUCCESS directly at
+    ``path``, no pointer) is migrated in place: its data files move
+    into a ``v_0`` generation dir and the pointer is published — no
+    silent full rebuild, no stale root files left un-GC'd.
+
+    Writer contract (same as the CDC/bitmap/drift stores): build,
+    append, and compaction are SINGLE-WRITER maintenance operations —
+    ``_publish_version``'s GC removes superseded ``v_*`` dirs, so two
+    concurrent maintainers of one index path could GC each other's
+    in-flight generation. Readers are always safe (the pointer swap is
+    atomic); writers must be serialized by the caller."""
+    from ..streaming.cdc_stream import _current_version_dir, _publish_version
+
+    cur = _current_version_dir(path)
+    if cur is None and os.path.exists(os.path.join(path, "_SUCCESS")):
+        vdir = _lsh_next_version_dir(path)  # v_0: no pointer yet
+        os.makedirs(vdir)
+        for name in os.listdir(path):
+            if name.endswith(".parquet") or name == "_SUCCESS":
+                os.rename(os.path.join(path, name), os.path.join(vdir, name))
+        _publish_version(path, vdir)
+        cur = _current_version_dir(path)
+    return cur
 
 
 def _lsh_next_version_dir(path: str) -> str:
-    """Name the next generation dir ``v_<seq>-<hex>`` beside the current
-    one (cdc_stream's naming convention, so seq ordering is recoverable)."""
-    import uuid
+    """Next generation dir — cdc_stream's shared convention."""
+    from ..streaming.cdc_stream import _next_version_dir
 
-    cur = _lsh_current(path)
-    seq = 0 if cur is None else int(os.path.basename(cur).split("-")[0][2:]) + 1
-    return os.path.join(path, f"v_{seq}-{uuid.uuid4().hex[:8]}")
+    return _next_version_dir(path)
 
 
 def read_lsh_index(spark, path: str) -> DataFrame:

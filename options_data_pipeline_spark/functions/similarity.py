@@ -810,9 +810,13 @@ def append_kmeans_index(
     cents = [r.centroid for r in sorted(cent_rows, key=lambda r: r.cell)]
     assigned = with_cell(batch, cents, vec_col=vec_col).select(
         F.col(id_col), F.col(vec_col), F.col("cell")
-    )
-    assigned.write.mode("append").partitionBy("cell").parquet(corpus_dir)
-    return assigned.count()
+    ).persist()
+    try:
+        n = assigned.count()  # materialize once: the write reads the cache
+        assigned.write.mode("append").partitionBy("cell").parquet(corpus_dir)
+    finally:
+        assigned.unpersist()
+    return n
 
 
 def append_pq_index(
@@ -841,9 +845,13 @@ def append_pq_index(
     enc = pq_encode(
         with_cell(batch, cents, vec_col=vec_col),
         books, id_col, vec_col, extra_cols=("cell",),
-    )
-    enc.write.mode("append").partitionBy("cell").parquet(path)
-    return enc.count()
+    ).persist()
+    try:
+        n = enc.count()  # materialize the encode once; the write reads the cache
+        enc.write.mode("append").partitionBy("cell").parquet(path)
+    finally:
+        enc.unpersist()
+    return n
 
 
 def pq_adc_topk(

@@ -48,7 +48,9 @@ def canonical_url(url: Column | str) -> Column:
     path = F.regexp_replace(
         F.regexp_extract(u, r"^[^:/?#]+://[^/?#]*([^?#]*)", 1), r"/+$", ""
     )
-    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    # query exists only when '?' PRECEDES any '#': RFC 3986 allows '?'
+    # inside fragments, and the fragment is dropped wholesale (rule 4)
+    query = F.regexp_extract(u, r"^[^#?]*\?([^#]*)", 1)
     kept = F.filter(
         F.split(query, "&"),
         lambda p: (p != "") & ~p.rlike(TRACKING_RE),
@@ -83,10 +85,10 @@ def canonical_url_sql(expr: str) -> str:
        THEN concat(':', regexp_extract(lower(regexp_extract({expr}, '^[^:/?#]+://([^/?#]*)', 1)), ':([0-9]+)$', 1))
        ELSE '' END,
   regexp_replace(regexp_extract({expr}, '^[^:/?#]+://[^/?#]*([^?#]*)', 1), '/+$', ''),
-  CASE WHEN len(list_filter(string_split(regexp_extract({expr}, '\\?([^#]*)', 1), '&'),
+  CASE WHEN len(list_filter(string_split(regexp_extract({expr}, '^[^#?]*\\?([^#]*)', 1), '&'),
                 p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid)(=.*)?$'))) > 0
        THEN concat('?', array_to_string(
-              list_filter(string_split(regexp_extract({expr}, '\\?([^#]*)', 1), '&'),
+              list_filter(string_split(regexp_extract({expr}, '^[^#?]*\\?([^#]*)', 1), '&'),
                           p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid)(=.*)?$')), '&'))
        ELSE '' END
 )"""

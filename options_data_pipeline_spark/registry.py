@@ -7589,10 +7589,12 @@ def _quality_gd_oracle() -> str:
 
 @register("quality_train_score", _quality_gd_oracle())
 def q_quality_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEARNED quality classifier, trained IN-ENGINE: 6 iterations of
-    batch gradient descent on the rational-squash squared error over
-    the corpus's own (length, char-density, lexical-diversity)
-    features, then one codegen'd inference map — the fastText-filter
+    """LEARNED quality classifier, trained IN-ENGINE: 32 fixed steps of
+    batch gradient descent (the logistic-regression update g = (p−y)·x
+    under the rational squash — see quality_train.py for why the
+    squared-error gradient was rejected) over the corpus's own
+    (length, char-density, lexical-diversity) centered features, then
+    one codegen'd inference map — the fastText-filter
     rung that completes heuristic (gopher_quality) → linear-literal
     (quality_linear_score) → TRAINED. The DuckDB oracle replays the
     full GD trajectory as an unrolled CTE chain (the

@@ -33,12 +33,11 @@ never touching raw events — the same plan shape the batch operator pins.
 from __future__ import annotations
 
 import os
-import uuid
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .cdc_stream import _current_version_dir, _publish_version
+from .cdc_stream import _current_version_dir, _next_version_dir, _publish_version
 
 
 def batch_bitmap_segments(
@@ -87,12 +86,7 @@ def bitmap_merge_batch(
             .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
         )
     os.makedirs(store_path, exist_ok=True)
-    seq_no = (
-        0
-        if current is None
-        else int(os.path.basename(current).split("-")[0][2:]) + 1
-    )
-    version_dir = os.path.join(store_path, f"v_{seq_no}-{uuid.uuid4().hex[:8]}")
+    version_dir = _next_version_dir(store_path)
     seg.write.mode("overwrite").parquet(version_dir)
     _publish_version(store_path, version_dir)
     return spark.read.parquet(version_dir).count()

@@ -71,6 +71,15 @@ def _current_version_dir(snapshot_path: str) -> str | None:
     return d if name and os.path.isdir(d) else None
 
 
+def _next_version_dir(store_path: str) -> str:
+    """Name the next generation dir ``v_<seq>-<hex>`` beside the current
+    one — the single definition of the version-dir convention every
+    pointer-published store (CDC, bitmap, HLL, LSH) shares."""
+    cur = _current_version_dir(store_path)
+    seq = 0 if cur is None else int(os.path.basename(cur).split("-")[0][2:]) + 1
+    return os.path.join(store_path, f"v_{seq}-{uuid.uuid4().hex[:8]}")
+
+
 def _publish_version(snapshot_path: str, version_dir: str) -> None:
     """Atomically repoint ``_CURRENT`` at ``version_dir`` (tmp file +
     os.replace — the one atomic primitive a filesystem gives us), then
@@ -150,10 +159,7 @@ def cdc_merge_batch(
         keep_deletes=True,  # tombstone retention — see module docstring
     ).drop("n_changes", "n_deletes")
     os.makedirs(snapshot_path, exist_ok=True)
-    seq_no = 0 if current is None else int(os.path.basename(current).split("-")[0][2:]) + 1
-    version_dir = os.path.join(
-        snapshot_path, f"v_{seq_no}-{uuid.uuid4().hex[:8]}"
-    )
+    version_dir = _next_version_dir(snapshot_path)
     # new version written BESIDE the current one (which the plan still
     # reads) — no self-overwrite hazard, no driver materialization
     snap.write.mode("overwrite").parquet(version_dir)

@@ -38,12 +38,11 @@ discipline applied to sketch state instead of indicator state.
 from __future__ import annotations
 
 import os
-import uuid
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .cdc_stream import _current_version_dir, _publish_version
+from .cdc_stream import _current_version_dir, _next_version_dir, _publish_version
 
 
 def batch_hll_registers(
@@ -124,12 +123,7 @@ def hll_merge_batch(
         merged = regs
         changed = None  # first publish: everything is new
     os.makedirs(store_path, exist_ok=True)
-    seq_no = (
-        0
-        if current is None
-        else int(os.path.basename(current).split("-")[0][2:]) + 1
-    )
-    version_dir = os.path.join(store_path, f"v_{seq_no}-{uuid.uuid4().hex[:8]}")
+    version_dir = _next_version_dir(store_path)
     merged.write.mode("overwrite").parquet(version_dir)
     _publish_version(store_path, version_dir)
     n = spark.read.parquet(version_dir).count()

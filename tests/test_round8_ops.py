@@ -236,6 +236,8 @@ def test_canonical_url_rules(spark):
         ("https://example.com:443/a", "https://example.com/a"),
         ("https://example.com:8443/a", "https://example.com:8443/a"),
         ("https://example.com/a#frag", "https://example.com/a"),
+        # RFC 3986: '?' inside a fragment is fragment text, not a query
+        ("https://example.com/a#sec?page=2", "https://example.com/a"),
         ("https://example.com/a/", "https://example.com/a"),
         ("https://example.com/a///", "https://example.com/a"),
         (

@@ -979,3 +979,42 @@ def test_partitioned_bloom_matches_single_and_scales_capacity(spark):
         r.might_contain for r in bloom_might_contain(absent, single).collect()
     )
     assert fp_part <= 30 and fp_single >= 250, (fp_part, fp_single)
+
+
+def test_lsh_index_flat_layout_migrates_in_place(spark, tmp_path):
+    """A pre-round-8 FLAT index (parquet + _SUCCESS at the root, no
+    pointer) is adopted into a v_0 generation on first touch — no
+    silent rebuild, no stale root files."""
+    import os
+
+    from options_data_pipeline_spark.functions import dedupe as dd
+
+    df = docs_df(spark, ["alpha text here", "beta text there"])
+    path = str(tmp_path / "idx")
+    # build a signature table the OLD way: parquet directly at path
+    from options_data_pipeline_spark.functions.dedupe import (
+        MINHASH_PARAMS,
+        band_bucket_cols,
+        minhash_signatures_wide,
+    )
+
+    wide = minhash_signatures_wide(df, "text", 5)
+    idx = wide.select(
+        "doc_id", *[f"mh{j}" for j in range(len(MINHASH_PARAMS))],
+        *band_bucket_cols(),
+    )
+    idx.write.mode("overwrite").parquet(path)
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+
+    out = dd.read_lsh_index(spark, path)  # triggers migration
+    assert out.count() == 2
+    assert os.path.exists(os.path.join(path, "_CURRENT"))
+    root_parquet = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert not root_parquet  # moved into the generation dir
+    # a build over the migrated path is a no-op read-back (write-once)
+    again = dd.build_lsh_index(docs_df(spark, ["other corpus"]), path)
+    assert again.count() == 2
+    # appends + compaction work on the migrated index
+    dd.append_lsh_index(df.filter("doc_id = 0"), path)
+    stats = dd.compact_lsh_index(spark, path)
+    assert stats["rows_after"] == 2
