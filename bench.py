@@ -255,6 +255,8 @@ HEADLINE = [
     "quality_train_score",
     "ivf_recluster_audit",
     "entity_blocking_audit",
+    "quality_holdout_eval",
+    "content_chunk_dedup",
 ]
 
 

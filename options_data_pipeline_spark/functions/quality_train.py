@@ -141,10 +141,64 @@ def quality_train_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_gd_oracle(iters: int = ITERS, lr: float = LR) -> str:
+def quality_holdout_eval(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """TRAIN/TEST discipline for the learned filter: fit on the 90%
+    train split (doc_id % 10 < 9 — the repo's standard split key),
+    score the HELD-OUT 10%, and report the integer-exact confusion
+    matrix plus accuracy / precision / recall / F1 — the
+    generalization audit a production quality filter ships with
+    (training-set accuracy alone rewards memorization; the planted
+    label here is a pure feature function, so held-out performance
+    measures the GD fit, not leakage). Rate divisions are single
+    exactly-rounded double ops with zero-denominator guards; counts
+    are BIGINT."""
+    feats = quality_features(docs, text_col).localCheckpoint(eager=True)
+    train = feats.filter(F.col("doc_id") % 10 < 9)
+    test = feats.filter(F.col("doc_id") % 10 == 9)
+    w = quality_train(train)
+    z = _z(w)
+    a = F.lit(1.0) + F.abs(z)
+    score = F.lit(0.5) + F.lit(0.5) * (z / a)
+    pred = (score > F.lit(0.5)).cast("long")
+    cm = test.select(pred.alias("pred"), "y").agg(
+        F.sum(F.when((F.col("pred") == 1) & (F.col("y") == 1), 1).otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when((F.col("pred") == 1) & (F.col("y") == 0), 1).otherwise(0)).cast("long").alias("fp"),
+        F.sum(F.when((F.col("pred") == 0) & (F.col("y") == 0), 1).otherwise(0)).cast("long").alias("tn"),
+        F.sum(F.when((F.col("pred") == 0) & (F.col("y") == 1), 1).otherwise(0)).cast("long").alias("fn"),
+    )
+    n_train = train.count()
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double"),
+    )
+    rec = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fn")).cast("double"),
+    )
+    n_test = (F.col("tp") + F.col("fp") + F.col("tn") + F.col("fn")).cast("long")
+    return cm.select(
+        F.lit(n_train).cast("long").alias("n_train"),
+        n_test.alias("n_test"),
+        "tp", "fp", "tn", "fn",
+        ((F.col("tp") + F.col("tn")).cast("double") / n_test.cast("double")).alias("accuracy"),
+        prec.alias("precision"),
+        rec.alias("recall"),
+        F.when(
+            prec.isNotNull() & rec.isNotNull() & (prec + rec > 0),
+            F.lit(2.0) * (prec * rec) / (prec + rec),
+        ).alias("f1"),
+    )
+
+
+def quality_gd_oracle(
+    iters: int = ITERS, lr: float = LR, holdout: bool = False
+) -> str:
     """The unrolled-trajectory DuckDB oracle: one gradient CTE + one
     update CTE per GD step, replaying quality_train bit-for-bit, then
-    the inference projection under the final weights."""
+    either the inference projection under the final weights
+    (``holdout=False`` — quality_train_score's twin) or the held-out
+    confusion matrix + rates (``holdout=True`` — quality_holdout_eval's
+    twin: GD runs over the 90% split, metrics over the 10%)."""
     head = r"""WITH f AS MATERIALIZED (
   SELECT doc_id,
          CAST(n_tokens AS DOUBLE) / 256.0 - 0.25 AS x1,
@@ -162,6 +216,10 @@ def quality_gd_oracle(iters: int = ITERS, lr: float = LR) -> str:
 ),
 w0 AS (SELECT 0.0::DOUBLE AS wb, 0.0::DOUBLE AS w1,
               0.0::DOUBLE AS w2, 0.0::DOUBLE AS w3)"""
+    if holdout:
+        head += """,
+ftrain AS MATERIALIZED (SELECT * FROM f WHERE doc_id % 10 < 9)"""
+    train_src = "ftrain" if holdout else "f"
     step = """,
 g{t} AS MATERIALIZED (
   SELECT CAST(sum(CAST(round(g, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sb,
@@ -174,8 +232,8 @@ g{t} AS MATERIALIZED (
     FROM (
       SELECT y, x1, x2, x3,
              0.5 + 0.5 * (z / (1.0 + abs(z))) AS p, z
-      FROM (SELECT f.*, ((wb + w1 * x1) + w2 * x2) + w3 * x3 AS z
-            FROM f, w{t})
+      FROM (SELECT {train_src}.*, ((wb + w1 * x1) + w2 * x2) + w3 * x3 AS z
+            FROM {train_src}, w{t})
     )
   )
 ),
@@ -184,8 +242,41 @@ w{t1} AS MATERIALIZED (
          w2 - {lr} * (s2 / n) AS w2, w3 - {lr} * (s3 / n) AS w3
   FROM w{t}, g{t}
 )"""
-    body = "".join(step.format(t=t, t1=t + 1, lr=lr) for t in range(iters))
-    tail = f"""
+    body = "".join(
+        step.format(t=t, t1=t + 1, lr=lr, train_src=train_src)
+        for t in range(iters)
+    )
+    if holdout:
+        tail = f"""
+,cm AS (
+  SELECT CAST(sum(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         CAST(sum(CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM (
+    SELECT y,
+           CAST(0.5 + 0.5 * (z / (1.0 + abs(z))) > 0.5 AS BIGINT) AS pred
+    FROM (SELECT f.*, ((wb + w1 * x1) + w2 * x2) + w3 * x3 AS z
+          FROM f, w{iters})
+    WHERE doc_id % 10 = 9
+  )
+),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS n_train FROM ftrain)
+SELECT n_train, tp + fp + tn + fn AS n_test, tp, fp, tn, fn,
+       CAST(tp + tn AS DOUBLE) / CAST(tp + fp + tn + fn AS DOUBLE) AS accuracy,
+       CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+       CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
+       CASE WHEN (tp + fp > 0) AND (tp + fn > 0)
+             AND (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+                  + CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)) > 0
+            THEN 2.0 * ((CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
+                        * (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)))
+                 / (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+                    + CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))
+       END AS f1
+FROM cm, nt"""
+    else:
+        tail = f"""
 SELECT doc_id, y AS label,
        0.5 + 0.5 * (z / (1.0 + abs(z))) AS score,
        0.5 + 0.5 * (z / (1.0 + abs(z))) > 0.5 AS keep

@@ -1062,3 +1062,124 @@ def repetition_char_stats(
         .alias(f"dup_{dup_n}gram_char_frac")
     )
     return out.select(*sel)
+
+
+def content_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    divisor: int = 64,
+) -> DataFrame:
+    """(doc_id, chunks array<string>) — the content-defined chunking of
+    each document (see :func:`content_chunk_stats` for the contract):
+    cut after position i iff md5(text[i : i+k]) % divisor == 0 over the
+    casefolded whitespace-collapsed text.
+
+    Shape: positions EXPLODE so the gram md5 runs inside whole-stage
+    codegen, boundary survivors (~1/divisor of positions) regroup at
+    doc grain, and the slicing transform runs over the (tiny) edges
+    array. The first cut computed the hash inside a higher-order
+    ``transform`` lambda — Catalyst interprets lambda bodies, and the
+    measured ×100 cost was 2781 s vs 15.9 s for this explode shape (175×): the
+    md5-in-interpreted-HOF trap, now pinned by the ×100 probe row."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), "\\s+", " ")
+    d = docs.select("doc_id", norm.alias("t")).select(
+        "doc_id",
+        "t",
+        F.length("t").alias("n"),
+        F.greatest(F.length("t") - F.lit(k - 1), F.lit(0)).alias("m"),
+    )
+    # Spark's sequence(1, 0) DESCENDS to [1, 0] — guard the short-text case
+    pos = d.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.expr("CASE WHEN m >= 1 THEN sequence(1, m) ELSE array() END")
+        ).alias("i"),
+    )
+    bounds = (
+        pos.filter(
+            F.expr(
+                f"conv(substring(md5(substring(t, i, {k})), 1, 8), 16, 10)"
+                f" % {divisor} = 0"
+            )
+        )
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("i")).alias("bpos"))
+    )
+    return (
+        d.join(bounds, "doc_id", "left")
+        .select(
+            "doc_id",
+            "t",
+            F.concat(
+                F.array(F.lit(0)),
+                F.coalesce(F.col("bpos"), F.expr("array()")),
+                F.array(F.col("n")),
+            ).alias("edges"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(1, size(edges) - 1),"
+                " j -> substring(t, element_at(edges, j) + 1,"
+                " element_at(edges, j + 1) - element_at(edges, j)))"
+            ).alias("chunks"),
+        )
+    )
+
+
+def content_chunk_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    divisor: int = 64,
+) -> DataFrame:
+    """CONTENT-DEFINED CHUNKING dedup report — the storage-dedup rung of
+    the dedup family (rsync / LBFS / FastCDC lineage): cut every
+    document at positions where the rolling k-gram hash ≡ 0 (mod
+    ``divisor``), fingerprint the chunks, and report how much of the
+    corpus is REDUNDANT AT CHUNK GRAIN. Unlike shingle/minhash near-dup
+    (which asks "are these documents similar?"), chunk dedup asks "how
+    many bytes do I actually need to store/transfer?" — boundaries are
+    content-defined, so an insertion early in a document shifts only
+    the chunk it lands in, not every downstream boundary (the
+    fixed-size-block failure CDC exists to avoid).
+
+    Stateless boundary rule (the parallelizable simplification of
+    FastCDC's min/max-gated gear hash): position i is a cut iff
+    md5(normalized_text[i : i+k]) % divisor == 0 — per-position
+    independent, so chunking is a pure per-row array computation
+    (transform + filter + slice; NO explode until the chunk-grain
+    dedup agg) and the expected chunk length is ``divisor`` chars.
+    md5-derived hashing keeps it bit-reproducible in DuckDB.
+
+    Output (single corpus row): n_docs, n_chunks, n_distinct_chunks,
+    chars_total, chars_unique, dedup_ratio (unique/total — the storage
+    factor), avg_copies. One corpus-linear map + ONE chunk-grain
+    shuffle; chunk text never leaves the fingerprint agg."""
+    chunked = content_chunks(docs, text_col, k, divisor)
+    ch = chunked.select(F.explode("chunks").alias("chunk")).select(
+        F.md5(F.col("chunk")).alias("fp"), F.length("chunk").alias("len")
+    )
+    per_fp = ch.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.max("len").alias("chunk_len"),  # identical fp => identical len
+    )
+    # every doc emits >= 1 chunk, so doc count == chunked row count —
+    # column pruning drops the whole chunk transform from this arm
+    docs_n = chunked.agg(F.count(F.lit(1)).alias("n_docs"))
+    return per_fp.agg(
+        F.sum("n_copies").cast("long").alias("n_chunks"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chunks"),
+        F.sum(F.col("n_copies") * F.col("chunk_len")).cast("long").alias("chars_total"),
+        F.sum("chunk_len").cast("long").alias("chars_unique"),
+    ).crossJoin(F.broadcast(docs_n)).select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "n_chunks",
+        "n_distinct_chunks",
+        "chars_total",
+        "chars_unique",
+        (F.col("chars_unique").cast("double") / F.col("chars_total").cast("double")).alias("dedup_ratio"),
+        (F.col("n_chunks").cast("double") / F.col("n_distinct_chunks").cast("double")).alias("avg_copies"),
+    )

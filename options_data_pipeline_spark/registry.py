@@ -6188,6 +6188,64 @@ def q_ivf_recluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "content_chunk_dedup",
+    r"""WITH d AS (
+  SELECT doc_id,
+         regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+  FROM documents
+),
+pre AS (
+  SELECT doc_id, t, length(t) AS n,
+         greatest(length(t) - 7, 0) AS m
+  FROM d
+),
+edged AS (
+  SELECT doc_id, t, n,
+         list_concat(list_concat([0],
+           list_filter(
+             list_transform(CASE WHEN m >= 1 THEN generate_series(1, m)
+                                 ELSE [] END,
+               i -> CASE WHEN CAST(concat('0x', substr(md5(substr(t, i, 8)), 1, 8)) AS BIGINT) % 64 = 0
+                    THEN i ELSE -1 END),
+             x -> x > 0)),
+           [n]) AS edges
+  FROM pre
+),
+ch AS (
+  SELECT doc_id, md5(chunk) AS fp, length(chunk) AS len
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(edges) - 1),
+             j -> substr(t, edges[j] + 1, edges[j + 1] - edges[j]))) AS chunk
+    FROM edged
+  )
+),
+per_fp AS (
+  SELECT fp, count(*) AS n_copies, max(len) AS chunk_len FROM ch GROUP BY 1
+),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM ch)
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(sum(n_copies) AS BIGINT) AS n_chunks,
+       CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+       CAST(sum(n_copies * chunk_len) AS BIGINT) AS chars_total,
+       CAST(sum(chunk_len) AS BIGINT) AS chars_unique,
+       CAST(sum(chunk_len) AS DOUBLE) / CAST(sum(n_copies * chunk_len) AS DOUBLE) AS dedup_ratio,
+       CAST(sum(n_copies) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_copies
+FROM per_fp, nd GROUP BY n_docs""",
+)
+def q_content_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking storage-dedup report (rsync/LBFS/FastCDC
+    family) — see functions/text.py::content_chunk_stats for the
+    boundary rule, the shift-resistance argument, and the scale shape
+    (per-row array chunking, ONE chunk-grain shuffle). Completes the
+    dedup family's storage axis next to exact (doc grain), near-dup
+    (signature grain), span (n-gram grain), and URL (key grain)."""
+    from .functions.text import content_chunk_stats
+
+    return content_chunk_stats(load_table(spark, "documents", sf_dir))
+
+
 def _url_dedup_oracle() -> str:
     from .functions.url import canonical_url_sql
 
@@ -7612,6 +7670,26 @@ def q_quality_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.quality_train import quality_train_score
 
     return quality_train_score(load_table(spark, "documents", sf_dir))
+
+
+def _quality_holdout_oracle() -> str:
+    from .functions.quality_train import quality_gd_oracle
+
+    return quality_gd_oracle(holdout=True)
+
+
+@register("quality_holdout_eval", _quality_holdout_oracle())
+def q_quality_holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERALIZATION audit of the trained quality filter: GD fits on
+    the 90% split (doc_id % 10 < 9), the held-out 10% yields the
+    integer-exact confusion matrix and accuracy/precision/recall/F1 —
+    the train/test discipline `quality_train_score`'s training-set
+    numbers don't give you (see functions/quality_train.py::
+    quality_holdout_eval). The oracle replays the train-split GD
+    trajectory and the held-out metrics in one unrolled CTE chain."""
+    from .functions.quality_train import quality_holdout_eval
+
+    return quality_holdout_eval(load_table(spark, "documents", sf_dir))
 
 
 @register(

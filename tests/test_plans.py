@@ -1204,3 +1204,19 @@ def test_ivf_recluster_audit_report_sized(spark, qs):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_content_chunk_dedup_single_chunk_shuffle(spark, qs):
+    """Chunking is a per-row array computation; the only data-sized
+    exchanges are the boundary-survivor regroup (the md5 runs in
+    whole-stage codegen BEFORE it — the interpreted-HOF shape measured
+    2781 s at ×100 vs 15.9 s for this one), the doc-grain bounds join
+    (broadcast at this SF; co-partitioned SMJ at scale is structural),
+    the chunk-fingerprint agg, and the pruned doc-count arm."""
+    df = qs["content_chunk_dedup"](spark, SF)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # the gram hash must sit in a codegen'd Filter, not a HOF lambda
+    assert "transform(sequence(1, m)" not in plan
+    assert count_exchanges(df) <= 7

@@ -283,3 +283,64 @@ def test_canonical_url_idempotent_property(spark):
         assert twice.c2 == twice.c1, (u, twice.c1, twice.c2)
 
     check()
+
+
+# --------------------------------------------- content-defined chunking dedup
+
+
+def test_content_chunks_shift_resistance(spark):
+    """The CDC property fixed-size blocks lack: inserting one character
+    near the front of a document changes only the chunk it lands in —
+    every chunk after the next content-defined boundary is an
+    IDENTICAL string, so chunk-level dedup still collapses the shared
+    tail (rsync's reason to exist)."""
+    import hashlib
+
+    from options_data_pipeline_spark.functions.text import content_chunks
+
+    base = " ".join(
+        hashlib.md5(str(i).encode()).hexdigest() for i in range(40)
+    )  # ~1300 chars of stable pseudo-random content
+    edited = base[:5] + "x" + base[5:]  # one insertion near the front
+    df = spark.createDataFrame([(0, base), (1, edited)], "doc_id long, text string")
+    out = {r.doc_id: r.chunks for r in content_chunks(df).collect()}
+    a, b = out[0], out[1]
+    assert len(a) > 5  # the fixture actually chunks
+    shared = set(a) & set(b)
+    # all but the first boundary-straddling chunk(s) survive the edit
+    assert len(shared) >= len(a) - 2
+    assert a[-1] == b[-1]  # identical tails chunk identically
+    # reassembly invariant: chunks concatenate back to the normalized text
+    assert "".join(a) == base and "".join(b) == edited
+
+
+def test_content_chunks_short_and_empty_docs(spark):
+    """Docs shorter than the gram size yield exactly one chunk (the
+    whole text); the sequence(1,0)-descends guard is load-bearing."""
+    from options_data_pipeline_spark.functions.text import content_chunks
+
+    df = spark.createDataFrame(
+        [(0, "tiny"), (1, "exactly8"), (2, "a bigger text that still makes one or more chunks")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.chunks for r in content_chunks(df).collect()}
+    assert out[0] == ["tiny"]
+    assert out[1] == ["exactly8"]
+    assert "".join(out[2]) == "a bigger text that still makes one or more chunks"
+
+
+def test_quality_holdout_eval_consistency(spark):
+    """Confusion-matrix cells partition the held-out split, and the
+    learned filter generalizes on the planted label (accuracy well
+    above the majority-class rate)."""
+    from options_data_pipeline_spark import registry
+
+    r = registry.queries()["quality_holdout_eval"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert r.tp + r.fp + r.tn + r.fn == r.n_test > 0
+    assert r.n_train > r.n_test
+    majority = max(r.tp + r.fn, r.fp + r.tn) / r.n_test
+    assert r.accuracy >= 0.8 and r.accuracy > majority  # learned, not prior
+    if r.precision is not None and r.recall is not None and (r.precision + r.recall) > 0:
+        assert abs(r.f1 - 2 * r.precision * r.recall / (r.precision + r.recall)) < 1e-12

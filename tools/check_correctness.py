@@ -103,6 +103,9 @@ SF01_SUBSET = [
     "quality_train_score",
     "ivf_recluster_audit",
     "entity_blocking_audit",
+    # holdout metrics and chunk-boundary density both shift with volume
+    "quality_holdout_eval",
+    "content_chunk_dedup",
 ]
 
 
