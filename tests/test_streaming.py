@@ -2105,3 +2105,72 @@ def test_hll_merge_batch_replay_is_fixpoint(spark, tmpdir):
     assert {t[0] for t in first} == {"click", "view"}
     click = [t for t in first if t[0] == "click"][0]
     assert click[1] == 2  # n_days
+
+
+def test_streaming_chunk_store_matches_batch_report(spark, tmpdir):
+    """Stream sf0.001 documents through the foreachBatch SET-UNION in
+    several micro-batches; the unique-content report from the STORE
+    ALONE must equal the batch query's n_distinct_chunks/chars_unique
+    over the full corpus (set union is order/partitioning-free)."""
+    from options_data_pipeline_spark import registry
+    from options_data_pipeline_spark.sources.tables import load_table
+    from options_data_pipeline_spark.streaming.chunk_stream import (
+        chunk_store_read,
+        chunk_store_report,
+        streaming_chunk_store,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, "documents", sf).select("doc_id", "text")
+    src = os.path.join(tmpdir, "cs_src")
+    store = os.path.join(tmpdir, "cs_store")
+    ck = os.path.join(tmpdir, "cs_ck")
+    docs.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_chunk_store(stream, store, ck).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = chunk_store_report(chunk_store_read(spark, store)).collect()[0]
+    want = registry.queries()["content_chunk_dedup"](spark, sf).collect()[0]
+    assert got.n_distinct_chunks == want.n_distinct_chunks
+    assert got.chars_unique == want.chars_unique
+
+
+def test_chunk_store_merge_replay_reports_zero_new(spark, tmpdir):
+    """SET-UNION is idempotent: re-merging the same micro-batch reports
+    new_chunks == new_bytes == 0 and leaves the store unchanged; a
+    batch overlapping a prior one pays only its genuinely new bytes —
+    the incremental-backup question answered per batch."""
+    from options_data_pipeline_spark.streaming.chunk_stream import (
+        chunk_store_merge,
+        chunk_store_read,
+    )
+
+    store = os.path.join(tmpdir, "store")
+    schema = "doc_id long, text string"
+    b1 = spark.createDataFrame(
+        [(0, "shared stable content that chunks deterministically " * 4)],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [
+            (1, "shared stable content that chunks deterministically " * 4),
+            (2, "entirely new material never seen in the prior batch " * 4),
+        ],
+        schema,
+    )
+    r1 = chunk_store_merge(b1, store)
+    assert r1["new_chunks"] == r1["chunks"] > 0
+    r2 = chunk_store_merge(b2, store)
+    assert 0 < r2["new_chunks"] < r2["chunks"]  # only doc 2's chunks are new
+    first = sorted(map(tuple, chunk_store_read(spark, store).collect()))
+    r3 = chunk_store_merge(b2, store)  # replay
+    assert r3["new_chunks"] == 0 and r3["new_bytes"] == 0
+    assert r3["chunks"] == r2["chunks"]
+    assert sorted(map(tuple, chunk_store_read(spark, store).collect())) == first
