@@ -292,7 +292,9 @@ PINNED_BUDGETS = {
     "cosine_topk_ivf": 0.83, "embedding_near_dup": 0.64,
     "part_triangle_counts": 11.49, "dedup_clusters": 8.12,
     "ivf_kmeans_multiprobe": 5.53, "simhash_wide_pairs": 5.83,
-    "cdc_apply": 0.64, "bm25_rank": 3.36,
+    # re-based r8: solo warm floor 0.56-0.97 s — the old 0.64 line (1.6x
+    # a lucky 0.4 s recording) flapped on sub-second noise; 1.6 x 0.56
+    "cdc_apply": 0.90, "bm25_rank": 3.36,
     # round-8 additions (1.6× the BENCH_r07 recordings)
     "part_entity_resolution": 5.5,   # re-based: two-tier warm 3.4 s
     "dedup_canonical": 8.05,
