@@ -257,6 +257,7 @@ HEADLINE = [
     "entity_blocking_audit",
     "quality_holdout_eval",
     "content_chunk_dedup",
+    "backoff_heldout_logprob",
 ]
 
 

@@ -10378,6 +10378,153 @@ def q_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "backoff_heldout_logprob",
+    r"""WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts FROM documents
+),
+big AS (
+  SELECT doc_id, ts[i] AS a, ts[i+1] AS b
+  FROM toks, unnest(generate_series(1, len(ts) - 1)) AS t(i)
+  WHERE len(ts) >= 2
+),
+train_big AS (SELECT a, b FROM big WHERE doc_id % 100 < 2),
+cnt AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM train_big GROUP BY 1, 2
+),
+first_cnt AS (
+  SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM cnt GROUP BY 1
+),
+uni AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c_tok
+  FROM (SELECT unnest(ts) AS tok FROM toks WHERE doc_id % 100 < 2)
+  GROUP BY 1
+),
+tot AS (SELECT CAST(sum(c_tok) AS BIGINT) AS n FROM uni),
+lm AS (
+  SELECT c.a, c.b,
+         CAST(round(ln(CAST(c.c_ab AS DOUBLE) / f.c_a), 6) AS DECIMAL(20,6)) AS logp
+  FROM cnt c JOIN first_cnt f ON f.a = c.a
+),
+held AS (SELECT doc_id, a, b FROM big WHERE doc_id % 10 = 9),
+scored AS (
+  SELECT h.doc_id,
+         CASE WHEN lm.logp IS NOT NULL THEN lm.logp
+              WHEN u.c_tok IS NOT NULL THEN
+                CAST(round(ln(0.4 * (CAST(u.c_tok AS DOUBLE) / tot.n)), 6)
+                     AS DECIMAL(20,6))
+         END AS logp,
+         CASE WHEN lm.logp IS NULL AND u.c_tok IS NOT NULL THEN 1 ELSE 0 END
+           AS is_backoff,
+         CASE WHEN lm.logp IS NULL AND u.c_tok IS NULL THEN 1 ELSE 0 END
+           AS is_oov
+  FROM held h
+  LEFT JOIN lm ON lm.a = h.a AND lm.b = h.b
+  LEFT JOIN uni u ON u.tok = h.b
+  CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(is_backoff) AS BIGINT) AS n_backoff,
+       CAST(sum(is_oov) AS BIGINT) AS n_oov_dropped,
+       CAST(sum(logp) AS DOUBLE) AS sum_logprob,
+       CAST(sum(logp) AS DOUBLE) / (count(*) - sum(is_oov)) AS avg_logprob
+FROM scored GROUP BY doc_id""",
+)
+def q_backoff_heldout_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STUPID BACKOFF held-out scoring (Brants et al. 2007 — the
+    web-scale LM smoothing that needs no discount tuning): the bigram
+    LM trains on a SPARSE 2% sample (doc_id % 100 < 2 — a sampled LM
+    is exactly the regime backoff exists for; a 90% LM on this small
+    vocabulary sees every bigram and the backoff branch would be dead
+    code at the gate: measured 1243 backoff hits + 1 OOV at sf0.01
+    under the 2% LM vs 0 under 90%), and the HELD-OUT 10%
+    (doc_id % 10 = 9, disjoint) is scored with
+    p(b|a) = c(ab)/c(a·) when the bigram was seen, else
+    α·c(b)/N with α = 0.4 from the train unigram counts; bigrams whose
+    continuation token is itself unseen are dropped AND counted
+    (n_oov_dropped — a real OOV-rate readout per doc). This is the
+    missing smoothing rung of the LM-quality family: `unigram_logprob`
+    and `bigram_logprob` score the corpus under ITSELF (every n-gram
+    seen — backoff can never fire), which is fine for redundancy
+    screens but not for scoring NEW data; here the backoff path is
+    genuinely exercised (n_backoff rides the output).
+
+    Float discipline: both branches are 6-dp-grid ln of a single
+    exact-count division (the unigram branch's 0.4·(c/N) is one
+    multiply on the quotient, mirrored verbatim), DECIMAL sums,
+    edge-cast doubles. Scale shape: LM + unigram table are
+    vocab-bounded broadcast dims; the held-out score is two broadcast
+    joins + one doc-grain hash agg."""
+    toks = load_table(spark, "documents", sf_dir).selectExpr(
+        "doc_id", "regexp_extract_all(lower(text), '\\\\S+', 0) AS ts"
+    )
+    big = toks.filter(F.expr("size(ts) >= 2")).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ts) - 1),"
+                " i -> struct(element_at(ts, i) AS a, element_at(ts, i + 1) AS b))"
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.a", "g.b")
+    train_big = big.filter(F.col("doc_id") % 100 < 2)
+    cnt = train_big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    first_cnt = cnt.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    uni = (
+        toks.filter(F.col("doc_id") % 100 < 2)
+        .select(F.explode("ts").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c_tok"))
+    )
+    tot = uni.agg(F.sum("c_tok").cast("long").alias("n"))
+    lm = cnt.join(first_cnt, "a").select(
+        "a",
+        "b",
+        F.round(F.log(F.col("c_ab").cast("double") / F.col("c_a")), 6)
+        .cast("decimal(20,6)")
+        .alias("logp"),
+    )
+    held = big.filter(F.col("doc_id") % 10 == 9)
+    backoff_logp = (
+        F.round(
+            F.log(
+                F.lit(0.4) * (F.col("c_tok").cast("double") / F.col("n"))
+            ),
+            6,
+        ).cast("decimal(20,6)")
+    )
+    scored = (
+        held.join(F.broadcast(lm), ["a", "b"], "left")
+        .join(F.broadcast(uni.withColumnRenamed("tok", "b")), "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.when(F.col("logp").isNotNull(), F.col("logp"))
+            .when(F.col("c_tok").isNotNull(), backoff_logp)
+            .alias("lp"),
+            F.when(
+                F.col("logp").isNull() & F.col("c_tok").isNotNull(), F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .alias("is_backoff"),
+            F.when(F.col("logp").isNull() & F.col("c_tok").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_oov"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("is_backoff").cast("long").alias("n_backoff"),
+        F.sum("is_oov").cast("long").alias("n_oov_dropped"),
+        F.sum("lp").cast("double").alias("sum_logprob"),
+        (
+            F.sum("lp").cast("double")
+            / (F.count(F.lit(1)) - F.sum("is_oov")).cast("double")
+        ).alias("avg_logprob"),
+    )
+
+
+@register(
     "bigram_logprob",
     r"""WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts FROM documents

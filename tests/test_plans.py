@@ -1220,3 +1220,14 @@ def test_content_chunk_dedup_single_chunk_shuffle(spark, qs):
     # the gram hash must sit in a codegen'd Filter, not a HOF lambda
     assert "transform(sequence(1, m)" not in plan
     assert count_exchanges(df) <= 7
+
+
+def test_backoff_heldout_broadcasts_lm(spark, qs):
+    """Both model tables (bigram LM, unigram counts) broadcast onto the
+    held-out bigram stream; the only nested loop is the 1-row total-N
+    crossJoin — the fact side never shuffles for a join."""
+    df = qs["backoff_heldout_logprob"](spark, SF)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

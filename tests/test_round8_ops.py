@@ -344,3 +344,29 @@ def test_quality_holdout_eval_consistency(spark):
     assert r.accuracy >= 0.8 and r.accuracy > majority  # learned, not prior
     if r.precision is not None and r.recall is not None and (r.precision + r.recall) > 0:
         assert abs(r.f1 - 2 * r.precision * r.recall / (r.precision + r.recall)) < 1e-12
+
+
+# --------------------------------------------------- stupid backoff LM rung
+
+
+def test_backoff_heldout_exercises_all_three_branches(spark):
+    """At the gate SF the sparse 2% LM must actually FIRE the backoff
+    branch (and see >= 1 OOV drop) — dead smoothing code is the thing
+    this test forbids; and every per-doc logprob stays negative."""
+    from pyspark.sql import functions as F
+
+    from options_data_pipeline_spark import registry
+
+    df = registry.queries()["backoff_heldout_logprob"](
+        spark, "/root/testdata/sf0.01"
+    )
+    tot = df.agg(
+        F.sum("n_bigrams").alias("nb"),
+        F.sum("n_backoff").alias("bo"),
+        F.sum("n_oov_dropped").alias("oov"),
+        F.max("avg_logprob").alias("mx"),
+    ).collect()[0]
+    assert tot.bo > 0  # backoff genuinely exercised
+    assert tot.oov >= 1  # the OOV-drop path too
+    assert 0 < tot.bo < tot.nb  # ...but the seen branch dominates
+    assert tot.mx < 0  # log-probabilities

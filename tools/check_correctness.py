@@ -106,6 +106,8 @@ SF01_SUBSET = [
     # holdout metrics and chunk-boundary density both shift with volume
     "quality_holdout_eval",
     "content_chunk_dedup",
+    # backoff-branch frequency is a pure LM-coverage (volume) effect
+    "backoff_heldout_logprob",
 ]
 
 

@@ -99,6 +99,8 @@ BNLJ_OK = {
     "neyman_stratified_sample",
     # round 8: broadcast 1-row (tb, tn) totals onto the 8-cell scaffold
     "ivf_recluster_audit",
+    # broadcast 1-row train-unigram total N onto the held-out score join
+    "backoff_heldout_logprob",
 }
 
 
