@@ -101,6 +101,8 @@ BNLJ_OK = {
     "ivf_recluster_audit",
     # broadcast 1-row train-unigram total N onto the held-out score join
     "backoff_heldout_logprob",
+    # broadcast 1-row doc-count arm onto the 1-row chunk-dedup report
+    "content_chunk_dedup",
 }
 
 
