@@ -258,6 +258,7 @@ HEADLINE = [
     "quality_holdout_eval",
     "content_chunk_dedup",
     "backoff_heldout_logprob",
+    "url_canonical_dedup",  # r8 query, first benched r9
 ]
 
 
@@ -311,6 +312,19 @@ PINNED_BUDGETS = {
     "rp_lsh_near_dup": 4.08,
     "winnow_overlap": 3.84,
     "simhash_near_pairs": 3.50,
+    # round-9 additions: the round-8 queries (1.6× their BENCH_r08
+    # recordings; sub-second recordings floored at 0.9 — the cdc_apply
+    # lesson) plus the two unpinned r7→r8 drifters, so the #1/#2 suite
+    # costs and the drift outliers are all drift-bounded
+    "quality_holdout_eval": 12.4,
+    "quality_train_score": 10.7,
+    "backoff_heldout_logprob": 4.25,
+    "content_chunk_dedup": 3.45,
+    "bloom_prefilter_stats": 3.26,
+    "embedding_drift": 2.54,
+    "ivf_recluster_audit": 1.46,
+    "entity_blocking_audit": 0.9,
+    "url_canonical_dedup": 2.95,  # first recording r9: solo warm 1.85 s
 }
 
 

@@ -20,6 +20,7 @@ All built-in Column expressions — no Python UDFs.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -669,13 +670,35 @@ def _lsh_current(path: str) -> str | None:
 
     cur = _current_version_dir(path)
     if cur is None and os.path.exists(os.path.join(path, "_SUCCESS")):
-        vdir = _lsh_next_version_dir(path)  # v_0: no pointer yet
+        # Crash-atomic migration: the pointer swap is the SOLE commit
+        # point. Files are HARD-LINKED (not moved) into a staging dir
+        # with a DETERMINISTIC name, so a crash before publish leaves
+        # the flat layout fully intact and the retry discards the
+        # partial staging dir instead of minting a fresh generation
+        # (an os.rename-per-file loop would split rows between the
+        # orphaned staging dir and the root, and the retry's new
+        # generation would silently drop the orphaned half).
+        vdir = os.path.join(path, "v_0-migrate")
+        if os.path.isdir(vdir):
+            shutil.rmtree(vdir)  # partial staging from a crashed attempt
         os.makedirs(vdir)
         for name in os.listdir(path):
             if name.endswith(".parquet") or name == "_SUCCESS":
-                os.rename(os.path.join(path, name), os.path.join(vdir, name))
+                os.link(os.path.join(path, name), os.path.join(vdir, name))
         _publish_version(path, vdir)
         cur = _current_version_dir(path)
+    if cur is not None:
+        # Post-commit cleanup (idempotent, crash-safe to repeat): drop
+        # flat-layout root files already committed into the current
+        # generation — same inode, because the migration hard-linked
+        # them. Root files that are NOT in the generation are left
+        # untouched (they belong to someone else, never this migration).
+        for name in os.listdir(path):
+            if not (name.endswith(".parquet") or name == "_SUCCESS"):
+                continue
+            p, q = os.path.join(path, name), os.path.join(cur, name)
+            if os.path.isfile(p) and os.path.exists(q) and os.path.samefile(p, q):
+                os.remove(p)
     return cur
 
 
@@ -724,7 +747,12 @@ def build_lsh_index(
     generation is written beside any live one and becomes visible only
     at the single ``os.replace`` of the pointer file, so a crash at ANY
     point leaves either no index (first build) or the previous
-    generation fully readable — readers never see half-state."""
+    generation fully readable — readers never see half-state.
+
+    SINGLE-WRITER: build/append/compact on one index path must be
+    serialized by the caller — ``_publish_version``'s GC removes
+    superseded ``v_*`` dirs, so two concurrent maintainers could GC
+    each other's in-flight generation. Readers are always safe."""
     from ..streaming.cdc_stream import _publish_version
 
     spark = docs.sparkSession
@@ -806,7 +834,11 @@ def append_lsh_index(
     Appends land INSIDE the published generation dir (Spark's job-commit
     protocol makes the parquet append itself all-or-nothing); the
     ``_CURRENT`` pointer is untouched, so a crashed append can never
-    unpublish the index."""
+    unpublish the index.
+
+    SINGLE-WRITER: serialize with any concurrent build/compact on the
+    same path (see :func:`build_lsh_index`) — a concurrent compaction's
+    publish-and-GC could drop files this append just wrote."""
     cur = _lsh_current(path)
     if cur is None:
         raise FileNotFoundError(
@@ -854,6 +886,11 @@ def compact_lsh_index(
     (stored rows, tombstones, filter), so re-running yields
     byte-identical output. Probe results over surviving docs are
     UNCHANGED — compaction only removes rows probes must not match.
+
+    SINGLE-WRITER: serialize with any concurrent build/append on the
+    same path (see :func:`build_lsh_index`) — the post-swap GC removes
+    every non-current ``v_*`` dir, including another writer's
+    in-flight generation.
 
     Returns {"rows_before", "rows_after", "files_before", "files_after"}.
     """

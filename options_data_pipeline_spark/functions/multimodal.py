@@ -380,8 +380,11 @@ def parse_mp3_frames(payload: bytes) -> list[dict]:
         size = 0
         for b in payload[6:10]:  # syncsafe: 7 bits per byte
             size = (size << 7) | (b & 0x7F)
-        if payload[5] & 0x10:  # footer flag: 10-byte ID3v2.4 footer
-            size += 10         # follows the tag and is NOT in the size
+        if payload[3] == 4 and payload[5] & 0x10:
+            # footer flag is defined only in ID3v2.4 (payload[3] is the
+            # tag major version); in v2.2/v2.3 bit 0x10 is undefined and
+            # skipping 10 extra bytes could swallow the first frame header
+            size += 10  # 10-byte footer follows the tag, NOT in the size
         i = 10 + size
     frames: list[dict] = []
     n = len(payload)

@@ -267,6 +267,28 @@ def test_mp3_id3v24_footer_flag_skipped():
     assert [round(f["energy"]) for f in frames] == [15, 25]
 
 
+def test_mp3_id3v23_ignores_footer_bit():
+    """The footer flag exists only in ID3v2.4: a v2.3 tag with bit 0x10
+    set (undefined there) must NOT trigger the 10-byte skip — doing so
+    would land inside the first frame header and swallow it, shifting
+    every offset despite byte-resync."""
+    from options_data_pipeline_spark.functions.multimodal import (
+        make_mp3,
+        parse_mp3_frames,
+    )
+
+    body = make_mp3([15, 25])  # frames only, no tag
+    tag = b"\x00" * 24
+    size = len(tag)
+    header = b"ID3" + bytes([3, 0, 0x10,  # v2.3 with the undefined bit set
+                             (size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                             (size >> 7) & 0x7F, size & 0x7F])
+    frames = parse_mp3_frames(header + tag + body)
+    assert len(frames) == 2  # first frame NOT swallowed
+    assert frames[0]["offset"] == 10 + size  # no phantom footer skip
+    assert [round(f["energy"]) for f in frames] == [15, 25]
+
+
 def test_mp3_fingerprint_bands_contract(spark):
     """MP3 fingerprint shares the ahash/audio band contract: identical
     streams → identical bands; a re-tagged copy (different ID3, same

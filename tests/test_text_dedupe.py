@@ -1018,3 +1018,79 @@ def test_lsh_index_flat_layout_migrates_in_place(spark, tmp_path):
     dd.append_lsh_index(df.filter("doc_id = 0"), path)
     stats = dd.compact_lsh_index(spark, path)
     assert stats["rows_after"] == 2
+
+
+def _flat_lsh_layout(spark, tmp_path, name="idx"):
+    """Build a pre-round-8 FLAT signature table (parquet + _SUCCESS at
+    the root, no pointer) and return (path, expected_row_count)."""
+    from options_data_pipeline_spark.functions.dedupe import (
+        MINHASH_PARAMS,
+        band_bucket_cols,
+        minhash_signatures_wide,
+    )
+
+    df = docs_df(spark, ["alpha text here", "beta text there", "gamma body"])
+    path = str(tmp_path / name)
+    wide = minhash_signatures_wide(df, "text", 5)
+    idx = wide.select(
+        "doc_id", *[f"mh{j}" for j in range(len(MINHASH_PARAMS))],
+        *band_bucket_cols(),
+    )
+    idx.repartition(3).write.mode("overwrite").parquet(path)
+    return path, 3
+
+
+def test_lsh_migration_crash_before_publish_loses_nothing(spark, tmp_path):
+    """Crash mid-migration (staging dir holds only SOME files, pointer
+    never written): the flat layout is still fully intact because files
+    are hard-linked, not moved — the retry discards the partial staging
+    dir and migrates ALL rows. This is the round-8 os.rename-per-file
+    loss window, closed."""
+    import os
+
+    from options_data_pipeline_spark.functions import dedupe as dd
+
+    path, n = _flat_lsh_layout(spark, tmp_path)
+    parquets = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+    assert len(parquets) >= 2
+    # simulate a crash after linking ONE file into staging, before publish
+    stale = os.path.join(path, "v_0-migrate")
+    os.makedirs(stale)
+    os.link(os.path.join(path, parquets[0]), os.path.join(stale, parquets[0]))
+    assert not os.path.exists(os.path.join(path, "_CURRENT"))
+
+    out = dd.read_lsh_index(spark, path)  # retry: discard staging, redo
+    assert out.count() == n  # every row survived the crash window
+    cur = os.path.join(
+        path, open(os.path.join(path, "_CURRENT")).read().strip()
+    )
+    gen_parquets = sorted(f for f in os.listdir(cur) if f.endswith(".parquet"))
+    assert gen_parquets == parquets  # complete generation, not the partial one
+    assert not [f for f in os.listdir(path) if f.endswith(".parquet")]
+
+
+def test_lsh_migration_crash_after_publish_cleans_lazily(spark, tmp_path):
+    """Crash after the pointer swap but before root-file cleanup: the
+    published generation is complete (readers fine); the next touch
+    removes the committed (same-inode) root leftovers and leaves any
+    FOREIGN root file untouched."""
+    import os
+
+    from options_data_pipeline_spark.functions import dedupe as dd
+
+    path, n = _flat_lsh_layout(spark, tmp_path)
+    cur = dd._lsh_current(path)  # full migration incl. cleanup
+    assert cur is not None
+    gen_parquets = [f for f in os.listdir(cur) if f.endswith(".parquet")]
+    # simulate the crash window: re-create a committed root leftover...
+    leftover = gen_parquets[0]
+    os.link(os.path.join(cur, leftover), os.path.join(path, leftover))
+    # ...and a foreign root file that is NOT part of the generation
+    foreign = os.path.join(path, "part-foreign-00000.parquet")
+    with open(foreign, "wb") as f:
+        f.write(b"not ours")
+
+    assert dd._lsh_current(path) == cur  # idempotent re-touch
+    assert not os.path.exists(os.path.join(path, leftover))  # cleaned
+    assert os.path.exists(foreign)  # never deletes what it didn't commit
+    assert dd.read_lsh_index(spark, path).count() == n
