@@ -259,6 +259,13 @@ HEADLINE = [
     "content_chunk_dedup",
     "backoff_heldout_logprob",
     "url_canonical_dedup",  # r8 query, first benched r9
+    # round-9 additions (verdict/seed/retrain run EAGERLY at
+    # construction — timer spans the three driver-coordinated jobs)
+    "ivf_recluster_repair",
+    "substring_cut_list",
+    # mirror-descent runs EAGERLY at construction (timer spans the
+    # 8+2 driver-coordinated jobs, like quality_train_score)
+    "doremi_mixture_weights",
 ]
 
 
@@ -325,6 +332,9 @@ PINNED_BUDGETS = {
     "ivf_recluster_audit": 1.46,
     "entity_blocking_audit": 0.9,
     "url_canonical_dedup": 2.95,  # first recording r9: solo warm 1.85 s
+    "ivf_recluster_repair": 3.95,  # first recording r9: solo warm 2.45 s
+    "substring_cut_list": 2.45,  # first recording r9: solo warm 1.52 s
+    "doremi_mixture_weights": 5.4,  # first recording r9: solo warm 3.36 s
 }
 
 

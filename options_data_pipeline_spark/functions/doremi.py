@@ -1,0 +1,141 @@
+"""DoReMi-lite: in-engine domain-mixture weight optimization by
+multiplicative-weights mirror descent over per-domain EXCESS LOSSES —
+the training-mixture move of DoReMi (Xie et al. 2023), reduced to what
+an analytics engine can compute exactly without training a proxy model:
+
+* the per-domain unigram LM stands in for the proxy/reference pair —
+  the REFERENCE loss of domain d is its own entropy
+  ``H_d = −Σ_t p̂_d(t)·ln p̂_d(t)`` (the floor any mixture can reach on
+  d), and the CURRENT loss is the cross-entropy of d under the mixture
+  LM ``L_d(w) = −Σ_t p̂_d(t)·ln p_mix(t)`` with
+  ``p_mix = Σ_d w_d·p̂_d``;
+* the excess ``max(0, L_d − H_d) = KL(p̂_d ‖ p_mix)`` is exactly
+  DoReMi's "how much headroom the current mixture leaves on d" signal:
+  domains the mixture underserves carry positive excess and GAIN
+  weight, and as w tilts toward d, p_mix → p̂_d and the excess
+  self-limits — the loop genuinely iterates;
+* the update is the exp-free multiplicative-weights step
+  ``u_d = w_d·(1 + η·excess_d)``, then simplex renormalization — the
+  first-order form of the exponentiated-gradient step, chosen exactly
+  like quality_train's rational squash: no transcendental whose last
+  ulp differs across engines (ln appears only under the 6-dp snap).
+
+Float-determinism contract (the quality_train discipline, verbatim):
+every ln is snapped to the 6-dp grid; every product entering a sum is
+rounded half-away to the 12-dp grid and summed as DECIMAL(38,12) —
+order-free, so the 1000-executor sum equals the single-threaded oracle
+sum exactly; η = 0.5 (power of two — the multiply is exact); the
+driver-side update mirrors the oracle's CTE arithmetic op for op
+(exact DECIMAL subtraction for the excess, correctly-rounded
+decimal→double casts, one double division per weight, ROUND_HALF_UP
+quantization = F.round = SQL round). The whole trajectory is a pure
+function of the corpus; the DuckDB oracle replays it as an unrolled
+MATERIALIZED CTE chain (one mixture CTE + one loss CTE + one update
+CTE per step).
+
+Scale shape: ONE corpus tokenization builds the (source, token, p̂)
+model table (one token-grain shuffle, map-side combined), which is
+localCheckpointed; every iteration is one (token)-grain agg over the
+MODEL (vocab×domains rows — millions, never the corpus) plus one
+domain-grain agg — the corpus is never re-read. The driver holds k
+doubles (k = |domains|). Reference analogue: none — extension track
+(SURVEY §2.10), the mixture rung above `temperature_mixture`'s
+α-heuristic and `dsir_weights`' importance sampling.
+"""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: fixed optimization configuration — part of the cross-engine contract
+ITERS = 8
+ETA = 0.5  # power of two: the excess multiply is exact
+
+_G12 = Decimal("1e-12")
+
+
+def _q12(x: float) -> Decimal:
+    """Driver-side twin of F.round(col, 12): exact binary expansion of
+    the double, quantized half-away to the 12-dp grid — BigDecimal
+    semantics, bit-compatible with the engine's rounding."""
+    return Decimal(x).quantize(_G12, rounding=ROUND_HALF_UP)
+
+
+def domain_token_model(
+    docs: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """(source, tok, p) — each domain's exact unigram distribution
+    (p = c/N_d, one correctly-rounded IEEE division). One token-grain
+    shuffle; this is the ONLY pass that touches the corpus."""
+    toks = docs.select(
+        F.col(source_col).alias("source"),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '\\\\S+', 0)")
+        ).alias("tok"),
+    )
+    cnt = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    nd = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    return cnt.join(nd, "source").select(
+        "source", "tok", (F.col("c").cast("double") / F.col("n").cast("double")).alias("p")
+    )
+
+
+def _neg_xent(model: DataFrame, pm_col) -> DataFrame:
+    """Σ_t p̂_d(t)·ln(q(t)) per domain, on the grids: ln snapped to 6 dp,
+    each product to 12 dp, DECIMAL(38,12) sum (order-free). The negative
+    cross-entropy; callers negate."""
+    term = F.round(F.col("p") * F.round(F.log(pm_col), 6), 12).cast(
+        "decimal(38,12)"
+    )
+    return model.groupBy("source").agg(F.sum(term).alias("lneg"))
+
+
+def doremi_trajectory(
+    model: DataFrame, iters: int = ITERS, eta: float = ETA
+) -> tuple[dict[str, float], dict[str, Decimal], dict[str, Decimal]]:
+    """Run the fixed-iteration mirror-descent loop over a (source, tok,
+    p) model table. Returns (final weights, final-mixture excess per
+    domain as exact DECIMAL, domain entropies H_d as exact DECIMAL —
+    negated lneg). The per-iteration Spark job is the module-docstring
+    shape; the driver update mirrors the oracle bit for bit."""
+    hneg = {
+        r["source"]: r["lneg"]
+        for r in _neg_xent(model, F.col("p")).collect()
+    }
+    sources = sorted(hneg)
+    k = len(sources)
+    w = {s: 1.0 / k for s in sources}
+
+    def mix_loss(weights: dict[str, float]) -> dict[str, Decimal]:
+        wmap = F.create_map(
+            *[F.lit(x) for s in sources for x in (s, weights[s])]
+        )
+        term = F.round(wmap[F.col("source")] * F.col("p"), 12).cast(
+            "decimal(38,12)"
+        )
+        pm = model.groupBy("tok").agg(F.sum(term).alias("pm"))
+        return {
+            r["source"]: r["lneg"]
+            for r in _neg_xent(
+                model.join(pm, "tok"), F.col("pm").cast("double")
+            ).collect()
+        }
+
+    for _ in range(iters):
+        lneg = mix_loss(w)
+        u = {}
+        for s in sources:
+            ex = hneg[s] - lneg[s]  # exact DECIMAL: KL(p̂_d ‖ p_mix) on grid
+            ex_f = float(max(ex, Decimal(0)))
+            u[s] = _q12(w[s] * (1.0 + eta * ex_f))
+        z = sum(u.values())  # exact DECIMAL sum — order-free
+        w = {s: float(_q12(float(u[s]) / float(z))) for s in sources}
+
+    final_lneg = mix_loss(w)
+    excess = {
+        s: max(hneg[s] - final_lneg[s], Decimal(0)) for s in sources
+    }
+    return w, excess, {s: -hneg[s] for s in sources}

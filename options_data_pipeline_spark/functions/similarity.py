@@ -234,7 +234,9 @@ def _dot_sql(a: str, b: str) -> str:
     return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (a, x) -> a + x)"
 
 
-def _score_entries_sql(vec_col: str, cents: list[list[float]]) -> str:
+def _score_entries_sql(
+    vec_col: str, cents: list[list[float]], ids: list[int] | None = None
+) -> str:
     """SQL text for the per-centroid score array
     ``array(named_struct('score', |c|² − 2·v·c, 'cell', i), ...)``.
 
@@ -244,27 +246,37 @@ def _score_entries_sql(vec_col: str, cents: list[list[float]]) -> str:
     r3 `ivf_multiprobe_topk` bench regression once the timer started
     spanning construction. Each dot product is written once per entry
     (the old fold evaluated it twice, once for the comparison and once
-    for the kept score)."""
+    for the kept score).
+
+    ``ids`` labels entry i with ``ids[i]`` instead of the enumeration
+    index — the restricted-subset form (e.g. assigning only to the
+    FLAGGED cells during a recluster repair, where entry order and cell
+    id diverge)."""
     v = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
     parts = []
     for ci, c in enumerate(cents):
         arr = "array(" + ",".join(_sql_double(x) for x in c) + ")"
         c2 = _sql_double(sum(x * x for x in c))
+        cid = ci if ids is None else int(ids[ci])
         parts.append(
-            f"named_struct('score', {c2} - 2.0D * {_dot_sql(v, arr)}, 'cell', {ci})"
+            f"named_struct('score', {c2} - 2.0D * {_dot_sql(v, arr)}, 'cell', {cid})"
         )
     return "array(" + ",".join(parts) + ")"
 
 
-def centroid_argmin(vec_col: str, cents: list[list[float]]) -> Column:
+def centroid_argmin(
+    vec_col: str, cents: list[list[float]], ids: list[int] | None = None
+) -> Column:
     """Nearest-centroid id for column ``vec_col`` (a column NAME — the
     whole expression is rendered as one SQL string, see
     :func:`_score_entries_sql`). Squared distance ``|c|² − 2·v·c`` (|v|²
     is constant per row); ``array_min`` over struct<score,cell> compares
     field-by-field, so ties go to the lower cell id — matching the
     oracle's first-occurrence ``list_position`` / ``list_sort``
-    semantics."""
-    return F.expr(f"array_min({_score_entries_sql(vec_col, cents)}).cell")
+    semantics. ``ids`` relabels the entries for subset assignment (ties
+    still go to the lower cell ID, not the lower entry index — same rule
+    as a (score, cell)-ordered row_number)."""
+    return F.expr(f"array_min({_score_entries_sql(vec_col, cents, ids)}).cell")
 
 
 def centroid_top_cells(
@@ -696,6 +708,39 @@ def build_pq_index(
     return spark.read.parquet(path)
 
 
+def _kmeans_current(path: str) -> str | None:
+    """Resolve the live generation of a learned-IVF index: the dir that
+    holds ``corpus/`` + ``centroids/``.
+
+    Two layouts coexist. A fresh :func:`build_kmeans_index` publishes the
+    LEGACY single-root layout (``path/corpus``, ``path/centroids`` — one
+    atomic rename of the whole root). :func:`repair_kmeans_index`
+    publishes GENERATIONS (``path/v_<n>-<hex>/{corpus,centroids}`` +
+    atomic ``_CURRENT`` pointer — the cdc_stream scheme), because a
+    repair must replace an index that already exists, which a root
+    rename cannot do atomically. The pointer, when present, wins; root
+    dirs it shadows are lazily GC'd (their healthy-cell files live on as
+    hard links inside the generation, so this never loses data).
+
+    SINGLE-WRITER, same contract as the LSH index: concurrent
+    build/append/repair on one path must be serialized by the caller."""
+    import os
+    import shutil
+
+    from ..streaming.cdc_stream import _current_version_dir
+
+    cur = _current_version_dir(path)
+    if cur is not None:
+        for stale in ("corpus", "centroids"):
+            p = os.path.join(path, stale)
+            if os.path.isdir(p):  # superseded legacy root (crashed cleanup)
+                shutil.rmtree(p, ignore_errors=True)
+        return cur
+    if os.path.isdir(os.path.join(path, "corpus")):
+        return path  # legacy single-root layout
+    return None
+
+
 def build_kmeans_index(
     vectors: DataFrame,
     path: str,
@@ -733,11 +778,10 @@ def build_kmeans_index(
     import uuid
 
     spark = vectors.sparkSession
-    corpus_dir = os.path.join(path, "corpus")
-    cent_dir = os.path.join(path, "centroids")
     if overwrite and os.path.isdir(path):
         shutil.rmtree(path)
-    if not os.path.isdir(corpus_dir):
+    cur = _kmeans_current(path)
+    if cur is None:
         if os.path.isdir(path):
             # root exists without corpus/: a pre-single-rename layout (or
             # foreign dir) — never silently read mismatched halves
@@ -765,8 +809,9 @@ def build_kmeans_index(
             os.rename(staged, path)  # ONE atomic publish of both assets
         except OSError:
             shutil.rmtree(staged, ignore_errors=True)  # lost the race
-    assignments = spark.read.parquet(corpus_dir)
-    cent_rows = spark.read.parquet(cent_dir).collect()
+        cur = _kmeans_current(path)
+    assignments = spark.read.parquet(os.path.join(cur, "corpus"))
+    cent_rows = spark.read.parquet(os.path.join(cur, "centroids")).collect()
     cents = [r.centroid for r in sorted(cent_rows, key=lambda r: r.cell)]
     return assignments, cents
 
@@ -799,12 +844,13 @@ def append_kmeans_index(
     ``distinct`` makes replay harmless."""
     import os
 
-    corpus_dir = os.path.join(path, "corpus")
-    cent_dir = os.path.join(path, "centroids")
-    if not os.path.isdir(corpus_dir):
+    cur = _kmeans_current(path)
+    if cur is None:
         raise FileNotFoundError(
             f"append_kmeans_index: no index at {path!r} — build_kmeans_index first"
         )
+    corpus_dir = os.path.join(cur, "corpus")
+    cent_dir = os.path.join(cur, "centroids")
     spark = batch.sparkSession
     cent_rows = spark.read.parquet(cent_dir).collect()
     cents = [r.centroid for r in sorted(cent_rows, key=lambda r: r.cell)]
@@ -817,6 +863,275 @@ def append_kmeans_index(
     finally:
         assigned.unpersist()
     return n
+
+
+def audit_kmeans_index(spark, path: str, hot_factor: int = 2) -> DataFrame:
+    """Index-health verdicts over a STORED learned-IVF index — the
+    `ivf_recluster_audit` rule applied to the on-disk layout (where the
+    cell is already a column, so there is no assignment map at all):
+    one cell-grain count agg + a k-row scaffold. Per cell:
+
+    * ``hot`` — occupancy above ``hot_factor``/k of the corpus (the
+      skew-join hazard: one probe reads a disproportionate partition);
+    * ``empty`` — a centroid serving nothing (wasted probe budget);
+    * ``needs_recluster`` — hot OR empty: the rows
+      :func:`repair_kmeans_index` keys its retrain on.
+
+    The stored index carries no base/increment marker, so the audit
+    registry query's ``drifted`` verdict is not computable here — pass
+    externally-derived drifted cells to ``repair_kmeans_index(cells=…)``
+    instead."""
+    import os
+
+    cur = _kmeans_current(path)
+    if cur is None:
+        raise FileNotFoundError(f"audit_kmeans_index: no index at {path!r}")
+    corpus = spark.read.parquet(os.path.join(cur, "corpus"))
+    k = spark.read.parquet(os.path.join(cur, "centroids")).count()
+    counts = corpus.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vecs"))
+    tot = counts.agg(F.sum("n_vecs").cast("long").alias("total"))
+    scaffold = spark.range(k).select(F.col("id").cast("int").alias("cell"))
+    full = scaffold.join(counts, "cell", "left").select(
+        "cell", F.coalesce(F.col("n_vecs"), F.lit(0)).cast("long").alias("n_vecs")
+    )
+    hot = F.lit(k) * F.col("n_vecs") > F.lit(hot_factor) * F.col("total")
+    empty = F.col("n_vecs") == 0
+    return full.crossJoin(F.broadcast(tot)).select(
+        F.col("cell").cast("bigint").alias("cell"),
+        "n_vecs",
+        hot.alias("hot"),
+        empty.alias("empty"),
+        (hot | empty).alias("needs_recluster"),
+    )
+
+
+def reseed_empty_centroids(
+    members: DataFrame,
+    n_seeds: int,
+    anchor_cents: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic empty-cluster re-seeding (the classical k-means
+    repair): return the ``n_seeds`` member vectors FARTHEST from their
+    nearest anchor centroid — farthest-first, ties toward the lower id —
+    so each dead centroid lands inside the mass it is supposed to
+    relieve instead of staying wherever drift stranded it. Ranking needs
+    the TRUE squared distance ``|v|² + min(|c|² − 2v·c)`` (the |v|² term
+    an argmin can drop matters when comparing across vectors). One
+    narrow map + a top-m sort (m ≤ k); driver holds m×dim doubles."""
+    entries = _score_entries_sql(vec_col, anchor_cents)
+    score = F.expr(f"array_min({entries}).score") + dot_col(vec_col, vec_col)
+    rows = (
+        members.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            score.alias("_sc"),
+        )
+        .orderBy(F.col("_sc").desc(), F.col("_id"))
+        .limit(int(n_seeds))
+        .collect()
+    )
+    return [list(r["_v"]) for r in rows]
+
+
+def retrain_flagged_centroids(
+    members: DataFrame,
+    flagged: list[int],
+    init_cents: list[list[float]],
+    round_dp: int | None = 9,
+    vec_col: str = "embedding",
+) -> dict[int, list[float]]:
+    """ONE joint Lloyd step restricted to the flagged subspace: assign
+    the flagged cells' members to the nearest FLAGGED centroid (init =
+    the stored centroids of those cells; strict-< first-wins toward the
+    lower cell id), then re-estimate each flagged centroid as the
+    ``round_dp``-grid mean of its assignees — a memberless flagged cell
+    (``empty`` verdict, or a hot cell that lost the whole contest)
+    keeps its stored centroid. Healthy cells are never touched, so the
+    step can only move mass BETWEEN flagged cells — exactly the local
+    rebalance the audit's verdict asks for, without a global retrain.
+
+    Driver holds ≤k×dim doubles; the one Spark job is a narrow
+    assignment map over the flagged members plus a cell-grain
+    64-column avg (map-side combined) — the `kmeans_centroids`
+    iteration shape on a corpus subset. The grid (9 dp) keeps the
+    retrained centroids ENGINE-EXACT for the DuckDB oracle twin, same
+    argument as the full Lloyd's trajectory."""
+    flagged = [int(c) for c in flagged]
+    cents = [init_cents[c] for c in flagged]
+    dim = len(cents[0])
+    mean = lambda d: F.avg(f"d{d}")  # noqa: E731
+    if round_dp is not None:
+        mean = lambda d: F.round(F.avg(f"d{d}"), round_dp)  # noqa: E731
+    v = F.col(vec_col).cast("array<double>")
+    means = (
+        members.select(
+            centroid_argmin(vec_col, cents, ids=flagged).alias("rcell"),
+            *[v[d].alias(f"d{d}") for d in range(dim)],
+        )
+        .groupBy("rcell")
+        .agg(*[mean(d).alias(f"d{d}") for d in range(dim)])
+        .collect()
+    )
+    out = {c: init_cents[c] for c in flagged}
+    for r in means:
+        out[r["rcell"]] = [r[f"d{d}"] for d in range(dim)]
+    return out
+
+
+def repair_kmeans_index(
+    spark,
+    path: str,
+    cells: list[int] | None = None,
+    round_dp: int | None = 9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """RECLUSTER EXECUTION — act on the audit's verdict: retrain ONLY
+    the flagged cells (``cells``, or :func:`audit_kmeans_index`'s
+    ``needs_recluster`` rows when omitted), reassign under the merged
+    centroid table, rewrite ONLY the cells whose membership changed,
+    hard-link every untouched cell's files into the new generation, and
+    publish via the versioned-dir + atomic ``_CURRENT`` pointer scheme
+    (cdc_stream's ``_publish_version``) — the same crash discipline as
+    `compact_lsh_index`: a crash at ANY point before the pointer swap
+    leaves the live index fully readable; superseded generations are
+    GC'd only after the swap.
+
+    The retrain is :func:`retrain_flagged_centroids` (one joint Lloyd
+    step over the flagged subspace), preceded by
+    :func:`reseed_empty_centroids` for stored-EMPTY flagged cells — a
+    dead centroid keeps no members to pull it anywhere, so it is
+    re-seeded at the flagged member farthest from the surviving flagged
+    centroids before the step (classical k-means empty-cluster repair;
+    without it the `empty` verdict could never clear). When EVERY
+    flagged cell is empty the largest cell is drafted into the flagged
+    set as the donor. The reassignment is GLOBAL — one
+    narrow argmin map over the corpus, no shuffle — because moving a
+    centroid can also capture members of healthy cells; the INVARIANT
+    after repair is the same one `build_kmeans_index` establishes:
+    every vector sits in its argmin cell under the published centroid
+    table, so a probe against the repaired index returns exactly what
+    a one-shot build under the same centroids would (parity-tested).
+    The REWRITE, however, touches only cells that gained or lost
+    members: at 100 TB a drift repair re-writes a handful of hot
+    partitions, never the corpus.
+
+    SINGLE-WRITER (see :func:`_kmeans_current`). Returns a report:
+    ``{"flagged_cells", "rows_moved", "cells_rewritten",
+    "cells_linked", "generation"}``; when nothing is flagged the index
+    is untouched and ``generation`` is None."""
+    import os
+
+    from ..streaming.cdc_stream import _next_version_dir, _publish_version
+
+    cur = _kmeans_current(path)
+    if cur is None:
+        raise FileNotFoundError(f"repair_kmeans_index: no index at {path!r}")
+    corpus_dir = os.path.join(cur, "corpus")
+    corpus = spark.read.parquet(corpus_dir)
+    cent_rows = spark.read.parquet(os.path.join(cur, "centroids")).collect()
+    cents = [r.centroid for r in sorted(cent_rows, key=lambda r: r.cell)]
+    k = len(cents)
+    if cells is None:
+        verdicts = audit_kmeans_index(spark, path).collect()
+        cells = [int(r.cell) for r in verdicts if r.needs_recluster]
+    flagged = sorted(int(c) for c in cells)
+    if not flagged:
+        return {
+            "flagged_cells": [],
+            "cells_reseeded": [],
+            "rows_moved": 0,
+            "cells_rewritten": [],
+            "cells_linked": sorted(
+                int(d.split("=", 1)[1])
+                for d in os.listdir(corpus_dir)
+                if d.startswith("cell=")
+            ),
+            "generation": None,
+        }
+    counts = {
+        int(r["cell"]): r["n"]
+        for r in corpus.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    empty_flagged = sorted(c for c in flagged if counts.get(c, 0) == 0)
+    if not any(counts.get(c, 0) for c in flagged) and empty_flagged:
+        # only-empty verdict: no flagged member to re-seed from, so the
+        # LARGEST cell donates mass (rebalancing a dead centroid has to
+        # move rows from somewhere; the biggest cell is where the mass
+        # concentrated). Deterministic: max count, ties to lower cell id.
+        largest = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        flagged = sorted(set(flagged) | {int(largest)})
+    members = corpus.filter(F.col("cell").isin(flagged))
+    init = list(cents)
+    nonempty_flagged = [c for c in flagged if counts.get(c, 0) > 0]
+    if empty_flagged and nonempty_flagged:
+        seeds = reseed_empty_centroids(
+            members,
+            len(empty_flagged),
+            [cents[c] for c in nonempty_flagged],
+            id_col,
+            vec_col,
+        )
+        for c, vec in zip(empty_flagged, seeds):  # fewer seeds than empties
+            init[c] = vec                         # leaves the rest stored
+    retrained = retrain_flagged_centroids(members, flagged, init, round_dp, vec_col)
+    cprime = [retrained.get(c, init[c]) for c in range(k)]
+
+    # global re-check: one narrow map; collect only the (old, new) cell
+    # pairs of MOVED rows (≤k² report-sized rows) to find affected cells
+    rechecked = corpus.withColumn("cell_new", centroid_argmin(vec_col, cprime))
+    moved = (
+        rechecked.filter(F.col("cell_new") != F.col("cell"))
+        .groupBy("cell", "cell_new")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    affected = set(flagged)
+    rows_moved = 0
+    for r in moved:
+        affected.add(int(r["cell"]))
+        affected.add(int(r["cell_new"]))
+        rows_moved += r["n"]
+
+    vdir = _next_version_dir(path)
+    aff_list = sorted(affected)
+    (
+        rechecked.filter(F.col("cell_new").isin(aff_list))
+        .select(F.col(id_col), F.col(vec_col), F.col("cell_new").cast("int").alias("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(vdir, "corpus"))
+    )
+    linked = []
+    for d in os.listdir(corpus_dir):
+        if not d.startswith("cell="):
+            continue
+        cid = int(d.split("=", 1)[1])
+        if cid in affected:
+            continue
+        src = os.path.join(corpus_dir, d)
+        dst = os.path.join(vdir, "corpus", d)
+        os.makedirs(dst, exist_ok=True)
+        for name in os.listdir(src):
+            os.link(os.path.join(src, name), os.path.join(dst, name))
+        linked.append(cid)
+    cent_df = spark.createDataFrame(
+        [(ci, c) for ci, c in enumerate(cprime)], "cell int, centroid array<double>"
+    )
+    cent_df.coalesce(1).write.mode("overwrite").parquet(os.path.join(vdir, "centroids"))
+    _publish_version(path, vdir)
+    if cur == path:  # superseded legacy root: post-commit cleanup
+        _kmeans_current(path)
+    return {
+        "flagged_cells": flagged,
+        "cells_reseeded": empty_flagged if nonempty_flagged else [],
+        "rows_moved": rows_moved,
+        "cells_rewritten": aff_list,
+        "cells_linked": sorted(linked),
+        "generation": os.path.basename(vdir),
+    }
 
 
 def append_pq_index(

@@ -14,7 +14,7 @@ are IO-bound, exactly where they should be.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Stopword marker lists for the n-gram/stopword language-ID heuristic.
@@ -636,6 +636,110 @@ def span_dedup_stats(
         .withColumn(
             "shared_fraction",
             F.col("n_shared_spans").cast("double") / F.col("n_spans").cast("double"),
+        )
+    )
+
+
+def span_cut_list(
+    docs: DataFrame,
+    min_tokens: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT-SUBSTRING dedup cut list (the suffix-array-style
+    training-data dedup of Lee et al. 2022, re-expressed gram-wise for
+    a distributed engine): per document, the MAXIMAL token ranges
+    covered by at least one ``min_tokens``-gram that also occurs
+    verbatim in ANOTHER document — the byte-range-shaped output a
+    dedup pipeline actually applies (``span_dedup_stats`` counts
+    duplicated spans; this emits the cuts). Output: one row per cut,
+    ``(doc_id, start_tok, end_tok, n_tokens)`` with ``start_tok``
+    0-based inclusive and ``end_tok`` exclusive, so reassembly is
+    ``tokens[:start] ++ tokens[end:]`` per cut in order.
+
+    Semantics: a SLIDING K-gram (every position, not the non-overlapping
+    windows of `span_dedup_stats`) is 'duplicated' when it occurs in >1
+    DISTINCT document; a token is covered when any duplicated gram
+    spans it; cuts are the maximal runs of covered tokens (overlapping
+    and ADJACENT gram intervals merge — two cuts are always separated
+    by ≥1 uncovered token, which is what makes them maximal). This is
+    the standard scalable over-approximation of true suffix-array
+    substring dedup: every duplicated substring of ≥K tokens is fully
+    covered, and a covered run may stitch together distinct duplicated
+    sources (documented contract).
+
+    Shape at 100 TB — no suffix array, no pairwise doc join:
+    1. one explode to sliding-gram grain; the gram TEXT dies on the map
+       side (rows shuffle as the 60-bit md5 key, the span_dedup_stats
+       discipline, hashed at row grain in WHOLE-STAGE CODEGEN — the
+       round-8 HOF-lambda lesson);
+    2. ONE (gram, doc)-grain agg carrying the doc's position list (map-
+       side partial collapses within-doc repeats before the shuffle),
+       then the distinct-doc count as a count-only window over the
+       aggregated gram grain — the corpus is scanned and exploded
+       EXACTLY ONCE (the first cut hung an agg and a join off the
+       explode with different shuffle keys, evaluating the
+       tokenize+explode subtree twice — the same double-scan the
+       span_dedup_stats rewrite removed; measured ×100: 49.1 s two-scan
+       vs 43.1 s this shape — the gram-build itself dominates, see
+       below);
+    3. positions of duplicated grams explode back out of the (gram,
+       doc) rows — no join against a key set at all;
+    4. the island merge runs per doc over DUPLICATED positions ONLY (a
+       sparse subset), one doc-grain window shuffle: ``lag``-gap break
+       + running-sum island id + min/max per island — the
+       gaps-and-islands fold, O(dup positions), never O(text).
+
+    Cost envelope: sliding grams materialize K× the token volume of
+    `span_dedup_stats`' non-overlapping windows (every token sits in up
+    to K grams) — that is the price of position-exact cuts and it
+    dominates the runtime: ×100 (500k docs) measured 43.1 s vs
+    span_dedup's 15.4 s, i.e. 2.8× wall for 8× gram volume, linear in
+    total tokens."""
+    k = int(min_tokens)
+    toks = f"regexp_extract_all(lower({text_col}), '\\\\S+', 0)"
+    grams = (
+        f"CASE WHEN size({toks}) >= {k} THEN "
+        f"transform(sequence(0, size({toks}) - {k}),"
+        f" p -> array_join(slice({toks}, p + 1, {k}), ' '))"
+        f" ELSE array() END"
+    )
+    pos_grams = docs.select(
+        "doc_id", F.posexplode(F.expr(grams)).alias("pos", "gram_text")
+    ).select(
+        "doc_id",
+        "pos",
+        F.expr(
+            "cast(conv(substring(md5(gram_text), 1, 15), 16, 10) as bigint)"
+        ).alias("gram_key"),
+    )
+    gd = pos_grams.groupBy("gram_key", "doc_id").agg(
+        F.collect_list("pos").alias("ps")
+    )
+    wk = Window.partitionBy("gram_key")
+    dup_pos = (
+        gd.withColumn("gram_doc_count", F.count(F.lit(1)).over(wk))
+        .filter(F.col("gram_doc_count") > 1)
+        .select("doc_id", F.explode("ps").alias("pos"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.lag("pos").over(w).isNull() | (F.col("pos") > F.lag("pos").over(w) + k),
+        1,
+    ).otherwise(0)
+    islands = dup_pos.withColumn("brk", brk).withColumn(
+        "island", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("start_tok"),
+            (F.max("pos") + k).cast("long").alias("end_tok"),
+        )
+        .select(
+            "doc_id",
+            "start_tok",
+            "end_tok",
+            (F.col("end_tok") - F.col("start_tok")).cast("long").alias("n_tokens"),
         )
     )
 

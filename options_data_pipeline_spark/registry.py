@@ -3913,6 +3913,197 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "substring_cut_list",
+    """WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, k AS pos,
+         CAST(concat('0x', substr(md5(array_to_string(toks[k+1 : k+8], ' ')), 1, 15)) AS BIGINT) AS gk
+  FROM d, unnest(CASE WHEN len(toks) >= 8
+                 THEN generate_series(0, len(toks) - 8) ELSE [] END) t(k)
+),
+occ AS (SELECT doc_id, gk FROM g GROUP BY doc_id, gk),
+sd AS (SELECT gk FROM occ GROUP BY gk HAVING count(*) > 1),
+dup AS (SELECT g.doc_id, g.pos FROM g JOIN sd USING (gk)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8
+              THEN 1 ELSE 0 END AS brk
+  FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+isl2 AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS start_tok,
+       CAST(max(pos) + 8 AS BIGINT) AS end_tok,
+       CAST(max(pos) + 8 - min(pos) AS BIGINT) AS n_tokens
+FROM isl2 GROUP BY doc_id, island""",
+)
+def q_substring_cut_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING dedup CUT LIST — the round-8 verdict's missing
+    rung between span COUNTING (`span_dedup`) and doc-grain removal:
+    per document, the maximal token ranges covered by sliding 8-grams
+    that also occur verbatim in another document, i.e. which ranges a
+    training-data dedup pass should remove (Lee et al. 2022's
+    suffix-array dedup, re-expressed gram-wise — see
+    functions/text.py::span_cut_list for the coverage semantics, the
+    over-approximation contract, and the no-suffix-array 100 TB shape).
+    Oracle = the same gram-run logic: sliding grams → 60-bit keys →
+    distinct-doc>1 filter → gaps-and-islands merge; integer-exact."""
+    from .functions.text import span_cut_list
+
+    docs = load_table(spark, "documents", sf_dir)
+    return span_cut_list(docs, min_tokens=8)
+
+
+def _doremi_oracle(iters: int = 8, eta: float = 0.5) -> str:
+    """DuckDB twin of the DoReMi-lite trajectory, unrolled one
+    (mixture, loss, update) CTE triple per step — the quality-GD oracle
+    discipline: MATERIALIZED model/mixture CTEs (each is referenced by
+    the next step AND the final report; non-materialized they inline
+    exponentially), 6-dp ln snap, 12-dp DECIMAL term grid, exact
+    DECIMAL excess subtraction, double update arithmetic mirroring the
+    driver op for op (see functions/doremi.py)."""
+    stages = [
+        """toks AS MATERIALIZED (
+  SELECT source, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+  FROM documents
+),
+cnt AS MATERIALIZED (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2
+),
+nd AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+ph AS MATERIALIZED (
+  SELECT cnt.source, cnt.tok, cnt.c::DOUBLE / nd.n::DOUBLE AS p
+  FROM cnt JOIN nd USING (source)
+),
+hh AS MATERIALIZED (
+  SELECT source,
+         sum(CAST(round(p * round(ln(p), 6), 12) AS DECIMAL(38,12))) AS hneg
+  FROM ph GROUP BY 1
+),
+w0 AS (
+  SELECT source, 1.0 / (SELECT CAST(count(*) AS DOUBLE) FROM nd) AS w FROM nd
+)"""
+    ]
+    for t in range(iters):
+        stages.append(f"""pm{t} AS MATERIALIZED (
+  SELECT tok, sum(CAST(round(w{t}.w * ph.p, 12) AS DECIMAL(38,12))) AS pm
+  FROM ph JOIN w{t} USING (source) GROUP BY tok
+),
+l{t} AS MATERIALIZED (
+  SELECT ph.source,
+         sum(CAST(round(ph.p * round(ln(CAST(pm{t}.pm AS DOUBLE)), 6), 12)
+             AS DECIMAL(38,12))) AS lneg
+  FROM ph JOIN pm{t} USING (tok) GROUP BY 1
+),
+u{t} AS MATERIALIZED (
+  SELECT hh.source,
+         round(w{t}.w * (1.0 + {eta} * CAST(greatest(hh.hneg - l{t}.lneg,
+               CAST(0 AS DECIMAL(38,12))) AS DOUBLE)), 12) AS u
+  FROM hh JOIN l{t} USING (source) JOIN w{t} USING (source)
+),
+z{t} AS (SELECT sum(CAST(u AS DECIMAL(38,12))) AS z FROM u{t}),
+w{t + 1} AS MATERIALIZED (
+  SELECT source, round(u / CAST((SELECT z FROM z{t}) AS DOUBLE), 12) AS w
+  FROM u{t}
+)""")
+    T = iters
+    stages.append(f"""pmF AS MATERIALIZED (
+  SELECT tok, sum(CAST(round(w{T}.w * ph.p, 12) AS DECIMAL(38,12))) AS pm
+  FROM ph JOIN w{T} USING (source) GROUP BY tok
+),
+lF AS MATERIALIZED (
+  SELECT ph.source,
+         sum(CAST(round(ph.p * round(ln(CAST(pmF.pm AS DOUBLE)), 6), 12)
+             AS DECIMAL(38,12))) AS lneg
+  FROM ph JOIN pmF USING (tok) GROUP BY 1
+),
+diag AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(regexp_extract_all(lower(text), '\\S+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY 1
+),
+tt AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM diag)""")
+    body = ",\n".join(stages)
+    return f"""WITH {body}
+SELECT d.source, d.n_docs, d.n_tokens,
+       d.n_tokens::DOUBLE / tt.t::DOUBLE AS base_share,
+       CAST(-hh.hneg AS DOUBLE) AS entropy,
+       CAST(greatest(hh.hneg - lF.lneg, CAST(0 AS DECIMAL(38,12))) AS DOUBLE)
+         AS excess,
+       w{T}.w AS weight
+FROM diag d
+JOIN hh USING (source)
+JOIN lF USING (source)
+JOIN w{T} USING (source)
+CROSS JOIN tt"""
+
+
+@register("doremi_mixture_weights", _doremi_oracle())
+def q_doremi_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-lite domain-mixture optimization (round-8 verdict item 4):
+    8 steps of multiplicative-weights mirror descent over per-domain
+    excess losses ``KL(p̂_d ‖ p_mix)`` under the in-engine unigram LM —
+    the training-mixture rung above `temperature_mixture`'s α-heuristic
+    and `dsir_weights`' importance sampling. Output, one row per
+    domain: (source, n_docs, n_tokens, base_share, entropy, excess,
+    weight) — ``weight`` is the optimized sampling share, ``excess``
+    the residual KL under the FINAL mixture (how underserved the
+    domain still is), ``entropy`` the domain's own-LM floor.
+
+    Runs EAGERLY at construction (the quality-GD driver-coordinated
+    pattern: 8 + 2 small jobs over the localCheckpointed vocab-grain
+    model table, ONE corpus tokenization total; the driver holds k=20
+    doubles); the returned frame joins the k-row weight scaffold to
+    lazy per-domain corpus diagnostics. Engine-exactness: every grid /
+    DECIMAL / update op is mirrored in the unrolled oracle — see
+    functions/doremi.py for the contract and `_doremi_oracle` for the
+    replay. 12-dp term grid bounds the corpus scale it stays exact at
+    (w·p̂ must exceed 5e-13); a 100 TB deployment widens the DECIMAL
+    scale, same knob as every gridded query here."""
+    from .functions.doremi import domain_token_model, doremi_trajectory
+
+    docs = load_table(spark, "documents", sf_dir)
+    model = domain_token_model(docs).localCheckpoint(eager=True)
+    w, excess, entropy = doremi_trajectory(model)
+    scaffold = spark.createDataFrame(
+        [(s, float(entropy[s]), float(excess[s]), w[s]) for s in sorted(w)],
+        "source string, entropy double, excess double, weight double",
+    )
+    toks = f"regexp_extract_all(lower(text), '\\\\S+', 0)"
+    diag = (
+        docs.select("source", F.expr(f"size({toks})").cast("long").alias("ntok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ntok").cast("long").alias("n_tokens"),
+        )
+    )
+    tt = diag.agg(F.sum("n_tokens").cast("long").alias("t"))
+    return (
+        diag.crossJoin(F.broadcast(tt))
+        .join(F.broadcast(scaffold), "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            (F.col("n_tokens").cast("double") / F.col("t").cast("double")).alias(
+                "base_share"
+            ),
+            "entropy",
+            "excess",
+            "weight",
+        )
+    )
+
+
+@register(
     "vwap_5m",
     """WITH t AS (
   SELECT event_type AS symbol,
@@ -6185,6 +6376,259 @@ def q_ivf_recluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         hot.alias("hot"),
         empty.alias("empty"),
         (drifted | hot | empty).alias("needs_recluster"),
+    )
+
+
+def _ivf_repair_oracle(k: int = 8, dim: int = 64, round_dp: int = 9) -> str:
+    """DuckDB twin of the recluster REPAIR plan: the audit's verdict CTEs,
+    then deterministic empty-cell re-seeding (farthest flagged member from
+    the surviving flagged centroids, ties to lower vid; seed i → empty
+    cell i ascending), ONE joint Lloyd step over the flagged subspace
+    (means on the 9-dp grid — the engine-exactness argument of
+    `_ivf_kmeans_oracle`), then a GLOBAL reassignment under the merged
+    centroid table and per-cell movement accounting. Data-dependent
+    centroids force the join form (row_number over member × centroid,
+    ORDER BY score, cell = Spark's array_min struct tie-break); the
+    fixed stored centroids stay Python-computed literals like every
+    other IVF oracle."""
+    from .functions.similarity import fixed_centroids
+
+    cents = fixed_centroids(k, dim)
+    scores = ",\n      ".join(
+        f"{sum(x * x for x in c)!r} - 2.0*list_dot_product(v, ["
+        + ", ".join(repr(x) for x in c)
+        + "])"
+        for c in cents
+    )
+    cent_rows = ",\n    ".join(
+        f"({ci}, [" + ", ".join(repr(x) for x in c) + "]::DOUBLE[])"
+        for ci, c in enumerate(cents)
+    )
+    return f"""WITH v AS (
+  SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings
+),
+assigned AS (
+  SELECT vid, v, vid % 10 = 9 AS is_new,
+         CAST(list_position([{scores}], list_min([{scores}])) - 1 AS BIGINT) AS cell
+  FROM v
+),
+c AS (
+  SELECT cell,
+         CAST(sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS n_base,
+         CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+  FROM assigned GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_base) AS BIGINT) AS tb, CAST(sum(n_new) AS BIGINT) AS tn FROM c
+),
+full_c AS (
+  SELECT s.cell, coalesce(c.n_base, 0) AS n_base, coalesce(c.n_new, 0) AS n_new
+  FROM (SELECT CAST(i AS BIGINT) AS cell FROM range({k}) t(i)) s
+  LEFT JOIN c USING (cell)
+),
+verd AS (
+  SELECT cell,
+         (n_new * tb > 2 * n_base * tn) OR ({k} * (n_base + n_new) > 2 * (tb + tn))
+           OR (n_base + n_new = 0) AS flagged,
+         n_base + n_new = 0 AS is_empty
+  FROM full_c, tot
+),
+cent_t(cell, c) AS (VALUES
+    {cent_rows}),
+pool AS (
+  SELECT a.vid, a.v FROM assigned a JOIN verd USING (cell) WHERE verd.flagged
+),
+anchors AS (
+  SELECT ct.cell, ct.c FROM cent_t ct JOIN verd USING (cell)
+  WHERE verd.flagged AND NOT verd.is_empty
+),
+empty_f AS (
+  SELECT cell, row_number() OVER (ORDER BY cell) AS rn
+  FROM verd WHERE flagged AND is_empty
+),
+seed_rank AS (
+  SELECT vid, v, row_number() OVER (ORDER BY sc DESC, vid) AS rn FROM (
+    SELECT p.vid, p.v,
+           list_dot_product(p.v, p.v)
+           + min(list_dot_product(a.c, a.c) - 2.0 * list_dot_product(p.v, a.c)) AS sc
+    FROM pool p CROSS JOIN anchors a
+    GROUP BY p.vid, p.v
+  )
+),
+seeds AS (SELECT e.cell, sr.v FROM empty_f e JOIN seed_rank sr USING (rn)),
+step_cents AS (
+  SELECT f.cell, coalesce(s.v, ct.c) AS c
+  FROM (SELECT cell FROM verd WHERE flagged) f
+  JOIN cent_t ct USING (cell)
+  LEFT JOIN seeds s USING (cell)
+),
+lstep AS (
+  SELECT vid, v, cell FROM (
+    SELECT p.vid, p.v, sc.cell,
+           row_number() OVER (PARTITION BY p.vid
+             ORDER BY list_dot_product(sc.c, sc.c)
+                      - 2.0 * list_dot_product(p.v, sc.c), sc.cell) AS rn
+    FROM pool p CROSS JOIN step_cents sc
+  ) WHERE rn = 1
+),
+mu AS (
+  SELECT cell, d, round(avg(v[d + 1]), {round_dp}) AS m
+  FROM lstep CROSS JOIN range({dim}) t(d) GROUP BY cell, d
+),
+retrained AS (
+  SELECT sc.cell, coalesce(n.c, sc.c) AS c
+  FROM step_cents sc
+  LEFT JOIN (SELECT cell, list(m ORDER BY d) AS c FROM mu GROUP BY cell) n USING (cell)
+),
+cprime AS (
+  SELECT vr.cell, coalesce(r.c, ct.c) AS c
+  FROM verd vr JOIN cent_t ct USING (cell) LEFT JOIN retrained r USING (cell)
+),
+rec AS (
+  SELECT a.vid, a.cell AS cell_old, x.cell AS cell_new
+  FROM assigned a JOIN (
+    SELECT vid, cell FROM (
+      SELECT a2.vid, cp.cell,
+             row_number() OVER (PARTITION BY a2.vid
+               ORDER BY list_dot_product(cp.c, cp.c)
+                        - 2.0 * list_dot_product(a2.v, cp.c), cp.cell) AS rn
+      FROM assigned a2 CROSS JOIN cprime cp
+    ) WHERE rn = 1
+  ) x USING (vid)
+),
+o AS (
+  SELECT cell_old AS cell, count(*) AS n_before,
+         sum(CASE WHEN cell_new <> cell_old THEN 1 ELSE 0 END) AS moved_out
+  FROM rec GROUP BY 1
+),
+i AS (
+  SELECT cell_new AS cell, count(*) AS n_after,
+         sum(CASE WHEN cell_new <> cell_old THEN 1 ELSE 0 END) AS moved_in
+  FROM rec GROUP BY 1
+)
+SELECT vr.cell, vr.flagged,
+       coalesce(vr.cell IN (SELECT cell FROM seeds), FALSE) AS reseeded,
+       CAST(coalesce(o.n_before, 0) AS BIGINT) AS n_before,
+       CAST(coalesce(i.n_after, 0) AS BIGINT) AS n_after,
+       CAST(coalesce(i.moved_in, 0) AS BIGINT) AS moved_in,
+       CAST(coalesce(o.moved_out, 0) AS BIGINT) AS moved_out
+FROM verd vr LEFT JOIN o USING (cell) LEFT JOIN i USING (cell)"""
+
+
+@register("ivf_recluster_repair", _ivf_repair_oracle())
+def q_ivf_recluster_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECLUSTER EXECUTION twin — the decide→repair half the round-8
+    verdict asked for on top of `ivf_recluster_audit`'s verdict layer:
+    compute the flagged set under the same base/increment rule, re-seed
+    stored-EMPTY flagged centroids at the flagged members farthest from
+    the surviving flagged centroids (classical k-means empty-cluster
+    repair — without it the `empty` verdict can never clear), run ONE
+    joint Lloyd step over the flagged subspace (9-dp grid means, the
+    engine-exactness discipline of every learned-IVF query), then
+    reassign GLOBALLY under the merged centroid table and report the
+    movement per cell: (cell, flagged, reseeded, n_before, n_after,
+    moved_in, moved_out) — the integer-exact ledger of what the repair
+    moved and where.
+
+    The verdict/seed/retrain stages run EAGERLY at construction (three
+    report-sized collects — the `quality_train_score` driver-coordinated
+    pattern: the driver holds ≤k×dim doubles, never corpus rows); the
+    returned frame is the movement report: two narrow argmin maps + two
+    cell-grain aggs + a k-row scaffold join. The filesystem twin —
+    rewrite only affected cells, hard-link the rest, atomic `_CURRENT`
+    publish — is `functions/similarity.py::repair_kmeans_index`,
+    parity/crash/re-audit-pinned in tests/test_round9_ops.py (its
+    largest-cell donor escalation cannot fire under this scenario's
+    audit rule, so the twin omits it). Reference parity: none — the
+    reference has no vector index; extension track (SURVEY §2.10)."""
+    from .functions.similarity import (
+        centroid_argmin,
+        fixed_centroids,
+        reseed_empty_centroids,
+        retrain_flagged_centroids,
+    )
+
+    k, dim = 8, 64
+    cents = fixed_centroids(k, dim)
+    emb = load_table(spark, "embeddings", sf_dir)
+    assigned = emb.select(
+        "vec_id",
+        "embedding",
+        (F.col("vec_id") % 10 == 9).alias("is_new"),
+        centroid_argmin("embedding", cents).alias("cell"),
+    )
+    # verdicts (eager, k rows): same integer cross-multiplication rule as
+    # ivf_recluster_audit
+    counts = {
+        int(r["cell"]): (r["n_base"], r["n_new"])
+        for r in assigned.groupBy("cell")
+        .agg(
+            F.sum(F.when(F.col("is_new"), 0).otherwise(1)).cast("long").alias("n_base"),
+            F.sum(F.when(F.col("is_new"), 1).otherwise(0)).cast("long").alias("n_new"),
+        )
+        .collect()
+    }
+    tb = sum(v[0] for v in counts.values())
+    tn = sum(v[1] for v in counts.values())
+    flagged, empty_flagged = [], []
+    for c in range(k):
+        nb, nn = counts.get(c, (0, 0))
+        drifted = nn * tb > 2 * nb * tn
+        hot = k * (nb + nn) > 2 * (tb + tn)
+        empty = nb + nn == 0
+        if drifted or hot or empty:
+            flagged.append(c)
+            if empty:
+                empty_flagged.append(c)
+    nonempty_flagged = [c for c in flagged if c not in empty_flagged]
+    init = list(cents)
+    reseeded_cells: list[int] = []
+    cprime = init
+    if nonempty_flagged:
+        pool = assigned.filter(F.col("cell").isin(flagged))
+        if empty_flagged:
+            seeds = reseed_empty_centroids(
+                pool,
+                len(empty_flagged),
+                [cents[c] for c in nonempty_flagged],
+                id_col="vec_id",
+                vec_col="embedding",
+            )
+            for c, s in zip(empty_flagged, seeds):
+                init[c] = s
+                reseeded_cells.append(c)
+        retrained = retrain_flagged_centroids(pool, flagged, init, 9, "embedding")
+        cprime = [retrained.get(c, init[c]) for c in range(k)]
+    # movement report (lazy): one more argmin map, two cell-grain aggs
+    re = assigned.select(
+        F.col("cell").alias("cell_old"),
+        centroid_argmin("embedding", cprime).alias("cell_new"),
+    )
+    moved = (F.col("cell_new") != F.col("cell_old")).cast("long")
+    o = re.groupBy("cell_old").agg(
+        F.count(F.lit(1)).cast("long").alias("n_before"),
+        F.sum(moved).cast("long").alias("moved_out"),
+    )
+    i = re.groupBy("cell_new").agg(
+        F.count(F.lit(1)).cast("long").alias("n_after"),
+        F.sum(moved).cast("long").alias("moved_in"),
+    )
+    scaffold = spark.createDataFrame(
+        [(c, c in flagged, c in reseeded_cells) for c in range(k)],
+        "cell int, flagged boolean, reseeded boolean",
+    )
+    return (
+        scaffold.join(o, scaffold.cell == o.cell_old, "left")
+        .join(i, scaffold.cell == i.cell_new, "left")
+        .select(
+            F.col("cell").cast("bigint").alias("cell"),
+            "flagged",
+            "reseeded",
+            F.coalesce(F.col("n_before"), F.lit(0)).cast("long").alias("n_before"),
+            F.coalesce(F.col("n_after"), F.lit(0)).cast("long").alias("n_after"),
+            F.coalesce(F.col("moved_in"), F.lit(0)).cast("long").alias("moved_in"),
+            F.coalesce(F.col("moved_out"), F.lit(0)).cast("long").alias("moved_out"),
+        )
     )
 
 

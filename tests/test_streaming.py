@@ -2174,3 +2174,116 @@ def test_chunk_store_merge_replay_reports_zero_new(spark, tmpdir):
     assert r3["new_chunks"] == 0 and r3["new_bytes"] == 0
     assert r3["chunks"] == r2["chunks"]
     assert sorted(map(tuple, chunk_store_read(spark, store).collect())) == first
+
+
+def test_streaming_quality_score_matches_batch(spark, tmpdir):
+    """Train-batch / serve-streaming parity: publish weights trained on
+    the full sf0.001 corpus, stream the same docs through the
+    foreachBatch scorer in several micro-batches, and the stored scores
+    must be BIT-IDENTICAL to `quality_train_score`'s batch output (same
+    corpus -> same GD trajectory -> same weights; scoring is the same
+    fixed-parenthesization squash on both paths)."""
+    from options_data_pipeline_spark import registry
+    from options_data_pipeline_spark.sources.tables import load_table
+    from options_data_pipeline_spark.streaming.quality_stream import (
+        publish_quality_weights,
+        streaming_quality_score,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, "documents", sf).select("doc_id", "text")
+    model = os.path.join(tmpdir, "q_model")
+    store = os.path.join(tmpdir, "q_store")
+    src = os.path.join(tmpdir, "q_src")
+    ck = os.path.join(tmpdir, "q_ck")
+    publish_quality_weights(docs, model)
+    docs.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_quality_score(stream, model, store, ck).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.doc_id: (r.label, r.score, r.keep)
+        for r in spark.read.parquet(store).collect()
+    }
+    want = {
+        r.doc_id: (r.label, r.score, r.keep)
+        for r in registry.queries()["quality_train_score"](spark, sf).collect()
+    }
+    assert got == want and got  # bit-identical scores, every doc present
+
+
+def test_quality_score_merge_replay_writes_zero(spark, tmpdir):
+    """SET-UNION on (doc_id, weight_version): a replayed micro-batch
+    appends 0 rows; an overlapping batch pays only its new docs."""
+    from options_data_pipeline_spark.streaming.quality_stream import (
+        publish_quality_weights,
+        quality_score_merge_batch,
+    )
+
+    schema = "doc_id long, text string"
+    corpus = spark.createDataFrame(
+        [(i, f"token{i} alpha beta gamma delta " * (2 + i % 3)) for i in range(8)],
+        schema,
+    )
+    model = os.path.join(tmpdir, "model")
+    store = os.path.join(tmpdir, "store")
+    publish_quality_weights(corpus, model)
+    b1 = corpus.filter("doc_id < 4")
+    b2 = corpus.filter("doc_id >= 3")  # overlaps b1 on doc 3
+    r1 = quality_score_merge_batch(b1, model, store)
+    assert r1["appended"] == r1["scored"] == 4
+    r2 = quality_score_merge_batch(b2, model, store)
+    assert r2["scored"] == 5 and r2["appended"] == 4  # doc 3 deduped
+    before = sorted(map(tuple, spark.read.parquet(store).collect()))
+    r3 = quality_score_merge_batch(b2, model, store)  # full replay
+    assert r3["appended"] == 0
+    assert sorted(map(tuple, spark.read.parquet(store).collect())) == before
+
+
+def test_quality_weight_version_pinning(spark, tmpdir):
+    """Scored rows are pinned to the weight version they were scored
+    under: a retrain republishes a NEW version through the atomic
+    pointer, subsequent batches score under it (and are NOT deduped
+    against the old version's rows), and the old rows keep their
+    version — mixed-version stores stay auditable."""
+    from options_data_pipeline_spark.streaming.quality_stream import (
+        publish_quality_weights,
+        quality_score_merge_batch,
+        read_quality_weights,
+    )
+
+    schema = "doc_id long, text string"
+    corpus_a = spark.createDataFrame(
+        [(i, f"alpha{i} beta gamma " * (1 + i % 4)) for i in range(6)], schema
+    )
+    # different corpus -> different GD trajectory -> different weights
+    corpus_b = spark.createDataFrame(
+        [(i, f"x{i} " + "dup dup dup dup " * (1 + i % 2)) for i in range(6)], schema
+    )
+    model = os.path.join(tmpdir, "model")
+    store = os.path.join(tmpdir, "store")
+    p1 = publish_quality_weights(corpus_a, model)
+    batch = corpus_a.filter("doc_id < 3")
+    r1 = quality_score_merge_batch(batch, model, store)
+    assert r1["weight_version"] == p1["version"] and r1["appended"] == 3
+
+    p2 = publish_quality_weights(corpus_b, model)
+    assert p2["version"] != p1["version"]
+    assert p2["weights"] != p1["weights"]
+    w_now, v_now = read_quality_weights(spark, model)
+    assert (w_now, v_now) == (p2["weights"], p2["version"])
+
+    r2 = quality_score_merge_batch(batch, model, store)  # same docs, new weights
+    assert r2["weight_version"] == p2["version"] and r2["appended"] == 3
+    rows = spark.read.parquet(store).collect()
+    by_version = {}
+    for r in rows:
+        by_version.setdefault(r.weight_version, set()).add(r.doc_id)
+    assert by_version == {p1["version"]: {0, 1, 2}, p2["version"]: {0, 1, 2}}

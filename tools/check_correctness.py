@@ -108,6 +108,15 @@ SF01_SUBSET = [
     "content_chunk_dedup",
     # backoff-branch frequency is a pure LM-coverage (volume) effect
     "backoff_heldout_logprob",
+    # round 9: the flagged set, the seed ranking, and every Lloyd-step
+    # mean are functions of corpus occupancy — the whole repair
+    # trajectory recomposes with volume
+    "ivf_recluster_repair",
+    # cut boundaries are a pure cross-doc-duplication (volume) effect
+    "substring_cut_list",
+    # the mixture trajectory is a function of every domain's unigram
+    # distribution — vocab coverage (and thus every KL) shifts with volume
+    "doremi_mixture_weights",
 ]
 
 
