@@ -266,6 +266,8 @@ HEADLINE = [
     # mirror-descent runs EAGERLY at construction (timer spans the
     # 8+2 driver-coordinated jobs, like quality_train_score)
     "doremi_mixture_weights",
+    "substring_dedup_apply",
+    "doremi_mixture_sample",
 ]
 
 
@@ -335,6 +337,8 @@ PINNED_BUDGETS = {
     "ivf_recluster_repair": 3.95,  # first recording r9: solo warm 2.45 s
     "substring_cut_list": 2.45,  # first recording r9: solo warm 1.52 s
     "doremi_mixture_weights": 5.4,  # first recording r9: solo warm 3.36 s
+    "substring_dedup_apply": 3.45,  # first recording r9: solo warm 2.14 s
+    "doremi_mixture_sample": 7.8,  # first recording r9: solo warm 4.88 s
 }
 
 

@@ -55,6 +55,7 @@ ITERS = 8
 ETA = 0.5  # power of two: the excess multiply is exact
 
 _G12 = Decimal("1e-12")
+_G9 = Decimal("1e-9")
 
 
 def _q12(x: float) -> Decimal:
@@ -62,6 +63,11 @@ def _q12(x: float) -> Decimal:
     the double, quantized half-away to the 12-dp grid — BigDecimal
     semantics, bit-compatible with the engine's rounding."""
     return Decimal(x).quantize(_G12, rounding=ROUND_HALF_UP)
+
+
+def _q9(x: float) -> Decimal:
+    """Driver-side twin of F.round(col, 9) — the centroid/share grid."""
+    return Decimal(x).quantize(_G9, rounding=ROUND_HALF_UP)
 
 
 def domain_token_model(

@@ -744,6 +744,57 @@ def span_cut_list(
     )
 
 
+def apply_cut_list(
+    docs: DataFrame,
+    min_tokens: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """APPLY the substring-dedup cut list — the execute half of the
+    decide→repair pair (:func:`span_cut_list` decides; this removes):
+    per document, drop every token covered by a cut and report
+    ``(doc_id, n_tokens, n_cut_tokens, n_cuts, kept_text)`` where
+    ``kept_text`` is the surviving tokens rejoined — what actually
+    lands in the training set.
+
+    Shape: the cut list aggregates to ≤1 row per affected doc (an array
+    of (start, end) structs — cuts per doc are few by construction, so
+    the array is small), broadcast-joins back onto the corpus, and the
+    removal is ONE narrow map: a positional ``filter`` HOF testing each
+    token index against the doc's cut array. The lambda is interpreted
+    (the round-8 codegen lesson), but its body is integer compares
+    against a handful of ranges — O(tokens·cuts_per_doc) arithmetic,
+    NOT per-element hashing, which is where the 175× interpreted-HOF
+    cliff lived; unaffected docs carry a NULL cut array and skip the
+    filter entirely via a coalesce."""
+    cuts = span_cut_list(docs, min_tokens, text_col)
+    per_doc = cuts.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("start_tok", "end_tok"))
+        ).alias("cut_arr"),
+        F.sum("n_tokens").cast("long").alias("n_cut_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_cuts"),
+    )
+    toks = f"regexp_extract_all(lower({text_col}), '\\\\S+', 0)"
+    kept = (
+        f"array_join(filter({toks}, (t, i) -> NOT exists(cut_arr,"
+        f" c -> i >= c.start_tok AND i < c.end_tok)), ' ')"
+    )
+    return (
+        docs.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.expr(f"size({toks})").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_cut_tokens"), F.lit(0)).cast("long").alias(
+                "n_cut_tokens"
+            ),
+            F.coalesce(F.col("n_cuts"), F.lit(0)).cast("long").alias("n_cuts"),
+            F.when(F.col("cut_arr").isNull(), F.expr(f"array_join({toks}, ' ')"))
+            .otherwise(F.expr(kept))
+            .alias("kept_text"),
+        )
+    )
+
+
 def unigram_logprob_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-doc average unigram log-probability under the corpus's OWN
     unigram LM — the CCNet/kenlm-style perplexity proxy for quality

@@ -3960,14 +3960,84 @@ def q_substring_cut_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_cut_list(docs, min_tokens=8)
 
 
-def _doremi_oracle(iters: int = 8, eta: float = 0.5) -> str:
+@register(
+    "substring_dedup_apply",
+    """WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, k AS pos,
+         CAST(concat('0x', substr(md5(array_to_string(toks[k+1 : k+8], ' ')), 1, 15)) AS BIGINT) AS gk
+  FROM d, unnest(CASE WHEN len(toks) >= 8
+                 THEN generate_series(0, len(toks) - 8) ELSE [] END) t(k)
+),
+occ AS (SELECT doc_id, gk FROM g GROUP BY doc_id, gk),
+sd AS (SELECT gk FROM occ GROUP BY gk HAVING count(*) > 1),
+dup AS (SELECT g.doc_id, g.pos FROM g JOIN sd USING (gk)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8
+              THEN 1 ELSE 0 END AS brk
+  FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+isl2 AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+),
+cl AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e,
+         max(pos) + 8 - min(pos) AS n
+  FROM isl2 GROUP BY doc_id, island
+),
+ca AS (
+  SELECT doc_id, list(struct_pack(s := s, e := e) ORDER BY s) AS cut_arr,
+         CAST(sum(n) AS BIGINT) AS n_cut_tokens,
+         CAST(count(*) AS BIGINT) AS n_cuts
+  FROM cl GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.toks) AS BIGINT) AS n_tokens,
+       CAST(coalesce(ca.n_cut_tokens, 0) AS BIGINT) AS n_cut_tokens,
+       CAST(coalesce(ca.n_cuts, 0) AS BIGINT) AS n_cuts,
+       CASE WHEN ca.doc_id IS NULL THEN array_to_string(d.toks, ' ')
+            -- coalesce: DuckDB's array_to_string([]) is NULL, Spark's
+            -- array_join([]) is '' — a fully-cut doc keeps empty text
+            ELSE coalesce(array_to_string(list_filter(d.toks,
+              (t, i) -> len(list_filter(ca.cut_arr,
+                c -> i - 1 >= c.s AND i - 1 < c.e)) = 0), ' '), '')
+       END AS kept_text
+FROM d LEFT JOIN ca USING (doc_id)""",
+)
+def q_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE the substring-dedup cut list (`substring_cut_list`
+    decides; this removes): per document, drop every token the cut list
+    covers and emit the surviving text plus the removal ledger —
+    (doc_id, n_tokens, n_cut_tokens, n_cuts, kept_text). See
+    functions/text.py::apply_cut_list for the join shape and the
+    interpreted-HOF cost argument (integer compares per token, never
+    per-element hashing). Oracle = the cut-list CTE chain + the same
+    positional list_filter; kept text is compared VERBATIM, so the
+    reassembly itself is hash-checked at the gate."""
+    from .functions.text import apply_cut_list
+
+    docs = load_table(spark, "documents", sf_dir)
+    return apply_cut_list(docs, min_tokens=8)
+
+
+def _doremi_oracle(
+    iters: int = 8, eta: float = 0.5, tail: tuple[str, str] | None = None
+) -> str:
     """DuckDB twin of the DoReMi-lite trajectory, unrolled one
     (mixture, loss, update) CTE triple per step — the quality-GD oracle
     discipline: MATERIALIZED model/mixture CTEs (each is referenced by
     the next step AND the final report; non-materialized they inline
     exponentially), 6-dp ln snap, 12-dp DECIMAL term grid, exact
     DECIMAL excess subtraction, double update arithmetic mirroring the
-    driver op for op (see functions/doremi.py)."""
+    driver op for op (see functions/doremi.py). ``tail`` =
+    (extra_ctes, final_select) with ``{T}`` standing for the final
+    weight CTE's index — the sample twin swaps in its rate/verdict
+    report over the same trajectory."""
     stages = [
         """toks AS MATERIALIZED (
   SELECT source, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
@@ -4013,6 +4083,11 @@ w{t + 1} AS MATERIALIZED (
   FROM u{t}
 )""")
     T = iters
+    if tail is not None:
+        tail_ctes, final_select = tail
+        stages.append(tail_ctes.format(T=T))
+        body = ",\n".join(stages)
+        return f"WITH {body}\n{final_select.format(T=T)}"
     stages.append(f"""pmF AS MATERIALIZED (
   SELECT tok, sum(CAST(round(w{T}.w * ph.p, 12) AS DECIMAL(38,12))) AS pm
   FROM ph JOIN w{T} USING (source) GROUP BY tok
@@ -4099,6 +4174,100 @@ def q_doremi_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy",
             "excess",
             "weight",
+        )
+    )
+
+
+_DOREMI_SAMPLE_TAIL = (
+    """dd AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1
+),
+ndt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nt FROM dd),
+ratio AS (
+  SELECT dd.source, dd.n_docs, w{T}.w AS w,
+         w{T}.w / (dd.n_docs::DOUBLE / (SELECT nt FROM ndt)::DOUBLE) AS r
+  FROM dd JOIN w{T} USING (source)
+),
+mx AS (SELECT max(r) AS m FROM ratio),
+rates AS (
+  SELECT source, n_docs, w, round(r / (SELECT m FROM mx), 9) AS rate FROM ratio
+),
+kept AS (
+  SELECT d2.source, count(*) AS n_kept
+  FROM documents d2 JOIN rates USING (source)
+  WHERE CAST(concat('0x', substr(md5(concat('doremi:', CAST(d2.doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+        < CAST(floor(rates.rate * 4294967296.0) AS BIGINT)
+  GROUP BY 1
+)""",
+    """SELECT rates.source, rates.n_docs, rates.w AS weight, rates.rate,
+       CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept
+FROM rates LEFT JOIN kept USING (source)""",
+)
+
+
+@register("doremi_mixture_sample", _doremi_oracle(tail=_DOREMI_SAMPLE_TAIL))
+def q_doremi_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the optimized mixture (`doremi_mixture_weights` decides;
+    this samples): per-domain deterministic downsampling rates that
+    REALIZE the DoReMi weights without upsampling — rate_d ∝ w_d /
+    base_share_d, normalized so the most-upweighted domain keeps
+    everything (the standard downsample-only realization), then the
+    salted-hash keep verdict every sampler in functions/sampling.py
+    uses (md5("doremi:"+doc_id) — re-runs and corpus growth never move
+    a doc across the keep boundary). Output per domain: (source,
+    n_docs, weight, rate, n_kept) with n_kept the integer-exact count
+    of surviving docs — the verdict column the gate hash checks doc by
+    doc. Weighs by DOC share (the sampling unit is the doc; the weight
+    query's token-share diagnostic remains the distribution view).
+
+    Same eager-trajectory construction as the weight query (the
+    train-twice-by-design convention of the quality pair); the oracle
+    is the full unrolled mirror-descent chain plus rate/verdict CTEs.
+    One count agg + one hash-verdict agg over the corpus at report
+    time; rates are a k-row broadcast."""
+    from .functions.doremi import _q9, domain_token_model, doremi_trajectory
+
+    docs = load_table(spark, "documents", sf_dir)
+    model = domain_token_model(docs).localCheckpoint(eager=True)
+    w, _, _ = doremi_trajectory(model)
+    counts = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    nt = sum(counts.values())
+    ratio = {s: w[s] / (counts[s] / float(nt)) for s in w}
+    mx = max(ratio.values())
+    rate = {s: float(_q9(ratio[s] / mx)) for s in w}
+    scaffold = spark.createDataFrame(
+        [(s, counts[s], w[s], rate[s]) for s in sorted(w)],
+        "source string, n_docs long, weight double, rate double",
+    )
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("doremi:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+    )
+    kept = (
+        docs.join(F.broadcast(scaffold.select("source", "rate")), "source")
+        .filter(h < F.floor(F.col("rate") * F.lit(4294967296.0)).cast("long"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+    )
+    return (
+        scaffold.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "weight",
+            "rate",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
         )
     )
 

@@ -1222,6 +1222,51 @@ def test_content_chunk_dedup_single_chunk_shuffle(spark, qs):
     assert count_exchanges(df) <= 7
 
 
+def test_substring_cut_list_single_corpus_scan(spark, qs):
+    """The cut list reads the corpus EXACTLY ONCE: positions ride the
+    (gram, doc)-grain agg and the distinct-doc count is a count-only
+    window over the aggregated grain — a second FileScan here means the
+    explode subtree regressed to the two-consumer shape (49.1 s vs
+    43.1 s at ×100). Exchange ceiling: gram agg, gram-key window
+    repartition, doc-grain island window, island agg."""
+    df = qs["substring_cut_list"](spark, SF)
+    plan = physical_plan(df)
+    assert len(read_schemas(df)) == 1  # one corpus scan, ever
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert count_exchanges(df) <= 4
+
+
+def test_ivf_recluster_repair_report_sized(spark, qs):
+    """The movement report is two cell-grain aggs over constant-folded
+    argmin maps plus a k-row broadcast scaffold — no sort-merge join,
+    no cartesian, no Python, and the corpus is scanned at most twice
+    (once per movement arm)."""
+    df = qs["ivf_recluster_repair"](spark, SF)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert len(read_schemas(df)) <= 2
+    assert count_exchanges(df) <= 4
+
+
+def test_doremi_report_is_model_sized(spark, qs):
+    """The returned frame is domain diagnostics + the broadcast k-row
+    weight scaffold; the only nested loop is the broadcast 1-row
+    total-tokens normalizer. (The optimization itself ran at
+    construction over the localCheckpointed vocab-grain model — never
+    re-reads the corpus at report time beyond the diagnostics scans.)"""
+    df = qs["doremi_mixture_weights"](spark, SF)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert has_broadcast_join(df)  # the k-row scaffold join
+    assert len(read_schemas(df)) <= 2
+    assert count_exchanges(df) <= 5
+
+
 def test_backoff_heldout_broadcasts_lm(spark, qs):
     """Both model tables (bigram LM, unigram counts) broadcast onto the
     held-out bigram stream; the only nested loop is the 1-row total-N

@@ -262,6 +262,44 @@ def test_span_cut_list_reassembly_properties(spark):
             assert s2 > e1  # disjoint, with >=1 kept token between cuts
 
 
+def test_apply_cut_list_reassembles_kept_text(spark):
+    """apply_cut_list executes the cuts: kept_text equals the Python
+    mirror's reassembly (tokens outside every cut, order preserved),
+    the ledger is arithmetic-consistent, a doc duplicated IN FULL keeps
+    empty text, and untouched docs pass through verbatim."""
+    from options_data_pipeline_spark.functions.text import apply_cut_list
+
+    block = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    texts = {
+        0: "u1 u2 u3 " + block + " v1 v2",
+        1: block + " w1 w2 w3 w4",
+        2: "unique text q1 q2 q3 q4 q5 q6 q7 q8 q9",
+        3: block,  # duplicated in full -> fully cut
+        4: block,
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id bigint, text string"
+    )
+    got = {r.doc_id: r for r in apply_cut_list(docs, min_tokens=8).collect()}
+    mirror_cuts = _cut_list_mirror(texts)
+    for did, t in texts.items():
+        toks = t.lower().split()
+        cut = sorted((s, e) for d, s, e in mirror_cuts if d == did)
+        kept = [
+            tok
+            for i, tok in enumerate(toks)
+            if not any(s <= i < e for s, e in cut)
+        ]
+        r = got[did]
+        assert r.kept_text == " ".join(kept)
+        assert r.n_tokens == len(toks)
+        assert r.n_cuts == len(cut)
+        assert r.n_cut_tokens == sum(e - s for s, e in cut)
+        assert r.n_tokens - r.n_cut_tokens == len(kept)
+    assert got[3].kept_text == "" and got[3].n_cut_tokens == got[3].n_tokens
+    assert got[2].kept_text == texts[2].lower()
+
+
 def test_doremi_planted_skew_upweights_underserved_domain(spark):
     """A domain whose token distribution sits far from the mixture
     (disjoint vocabulary -> large KL(p̂_d ‖ p_mix)) must GAIN weight;
@@ -287,6 +325,33 @@ def test_doremi_planted_skew_upweights_underserved_domain(spark):
     assert all(v > 0 for v in w.values())
     # the planted outlier still carries the largest residual excess
     assert excess["srcC"] > excess["srcA"] and excess["srcC"] > excess["srcB"]
+
+
+def test_doremi_mixture_sample_realizes_weights(spark):
+    """The sampling rung: rates realize the optimized weights by
+    downsampling only (rate ∝ weight / base_share, max rate = 1), keep
+    verdicts are deterministic salted hashes, and n_kept ≤ n_docs with
+    the full-rate domain keeping everything."""
+    from options_data_pipeline_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r.source: r for r in
+            registry.queries()["doremi_mixture_sample"](spark, sf).collect()}
+    rows2 = {r.source: r for r in
+             registry.queries()["doremi_mixture_sample"](spark, sf).collect()}
+    assert {s: tuple(r) for s, r in rows.items()} == {
+        s: tuple(r) for s, r in rows2.items()
+    }  # deterministic end to end
+    assert all(0 < r.rate <= 1.0 for r in rows.values())
+    top = max(rows.values(), key=lambda r: r.rate)
+    assert top.rate == 1.0 and top.n_kept == top.n_docs  # downsample-only
+    assert all(r.n_kept <= r.n_docs for r in rows.values())
+    # weights from the sibling query line up with the rates' ordering
+    w = {r.source: r.weight for r in
+         registry.queries()["doremi_mixture_weights"](spark, sf).collect()}
+    hi = max(w, key=w.get)
+    lo = min(w, key=w.get)
+    assert rows[hi].rate >= rows[lo].rate
 
 
 def test_doremi_identical_domains_stay_uniform_and_deterministic(spark):

@@ -117,6 +117,10 @@ SF01_SUBSET = [
     # the mixture trajectory is a function of every domain's unigram
     # distribution — vocab coverage (and thus every KL) shifts with volume
     "doremi_mixture_weights",
+    # kept text recomposes with the cut boundaries (volume effect above)
+    "substring_dedup_apply",
+    # rates inherit the mixture trajectory's volume sensitivity
+    "doremi_mixture_sample",
 ]
 
 

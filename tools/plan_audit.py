@@ -103,6 +103,9 @@ BNLJ_OK = {
     "backoff_heldout_logprob",
     # broadcast 1-row doc-count arm onto the 1-row chunk-dedup report
     "content_chunk_dedup",
+    # round 9: broadcast 1-row total-tokens normalizer onto the 20-row
+    # domain diagnostics (the k-row weight scaffold is also broadcast)
+    "doremi_mixture_weights",
 }
 
 
