@@ -268,6 +268,11 @@ HEADLINE = [
     "doremi_mixture_weights",
     "substring_dedup_apply",
     "doremi_mixture_sample",
+    # min-of-2 makes the recorded number the warm probe-only cost
+    # (run 1 builds the write-once gram index)
+    "substring_cut_list_incremental",
+    "hybrid_rrf_retrieval",
+    "decontamination_cut_list",
 ]
 
 
@@ -339,6 +344,9 @@ PINNED_BUDGETS = {
     "doremi_mixture_weights": 5.4,  # first recording r9: solo warm 3.36 s
     "substring_dedup_apply": 3.45,  # first recording r9: solo warm 2.14 s
     "doremi_mixture_sample": 7.8,  # first recording r9: solo warm 4.88 s
+    "substring_cut_list_incremental": 3.0,  # first recording r9: warm probe 1.86 s
+    "hybrid_rrf_retrieval": 4.0,  # first recording r9: solo warm 2.50 s
+    "decontamination_cut_list": 2.05,  # first recording r9: solo warm 1.26 s
 }
 
 

@@ -696,22 +696,7 @@ def span_cut_list(
     span_dedup's 15.4 s, i.e. 2.8× wall for 8× gram volume, linear in
     total tokens."""
     k = int(min_tokens)
-    toks = f"regexp_extract_all(lower({text_col}), '\\\\S+', 0)"
-    grams = (
-        f"CASE WHEN size({toks}) >= {k} THEN "
-        f"transform(sequence(0, size({toks}) - {k}),"
-        f" p -> array_join(slice({toks}, p + 1, {k}), ' '))"
-        f" ELSE array() END"
-    )
-    pos_grams = docs.select(
-        "doc_id", F.posexplode(F.expr(grams)).alias("pos", "gram_text")
-    ).select(
-        "doc_id",
-        "pos",
-        F.expr(
-            "cast(conv(substring(md5(gram_text), 1, 15), 16, 10) as bigint)"
-        ).alias("gram_key"),
-    )
+    pos_grams = sliding_pos_grams(docs, k, text_col)
     gd = pos_grams.groupBy("gram_key", "doc_id").agg(
         F.collect_list("pos").alias("ps")
     )
@@ -721,6 +706,40 @@ def span_cut_list(
         .filter(F.col("gram_doc_count") > 1)
         .select("doc_id", F.explode("ps").alias("pos"))
     )
+    return merge_covered_positions(dup_pos, k)
+
+
+def sliding_pos_grams(
+    docs: DataFrame, k: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, pos, gram_key) — every sliding k-gram as its 60-bit
+    md5-derived key, hashed at ROW grain after the posexplode so the
+    md5 runs in whole-stage codegen (the round-8 interpreted-HOF
+    lesson); the gram text never survives the map side. Shared by the
+    self-contained cut list and the stored gram index."""
+    toks = f"regexp_extract_all(lower({text_col}), '\\\\S+', 0)"
+    grams = (
+        f"CASE WHEN size({toks}) >= {k} THEN "
+        f"transform(sequence(0, size({toks}) - {k}),"
+        f" p -> array_join(slice({toks}, p + 1, {k}), ' '))"
+        f" ELSE array() END"
+    )
+    return docs.select(
+        "doc_id", F.posexplode(F.expr(grams)).alias("pos", "gram_text")
+    ).select(
+        "doc_id",
+        "pos",
+        F.expr(
+            "cast(conv(substring(md5(gram_text), 1, 15), 16, 10) as bigint)"
+        ).alias("gram_key"),
+    )
+
+
+def merge_covered_positions(dup_pos: DataFrame, k: int) -> DataFrame:
+    """Gaps-and-islands fold over (doc_id, pos) rows of duplicated
+    grams: lag-gap break + running-sum island id + min/max per island →
+    maximal (start_tok, end_tok exclusive, n_tokens) cuts. One doc-grain
+    window shuffle over the SPARSE duplicated subset."""
     w = Window.partitionBy("doc_id").orderBy("pos")
     brk = F.when(
         F.lag("pos").over(w).isNull() | (F.col("pos") > F.lag("pos").over(w) + k),
@@ -792,6 +811,274 @@ def apply_cut_list(
             .otherwise(F.expr(kept))
             .alias("kept_text"),
         )
+    )
+
+
+def build_gram_index(
+    docs: DataFrame,
+    path: str,
+    min_tokens: int = 8,
+    text_col: str = "text",
+    overwrite: bool = False,
+) -> DataFrame:
+    """Write-once GRAM INDEX for INCREMENTAL substring dedup — the
+    stored-index deployment path `build_lsh_index` gives the near-dup
+    grain, provided here for the exact-substring grain: one row per
+    DISTINCT (gram_key, doc_id) pair, persisted as parquet under the
+    versioned-dir + atomic ``_CURRENT`` pointer scheme every index in
+    this repo shares. At 100 TB you tokenize the corpus exactly once at
+    build time; every subsequent batch computes ITS OWN cut list
+    against the stored pairs (:func:`incremental_cut_list`) without
+    re-tokenizing a byte of corpus text.
+
+    Storage honesty: distinct doc-grams ≈ one row of two longs per
+    corpus token (minus within-doc repeats) — the index IS the corpus
+    at gram grain, the same storage class as the LSH signature table's
+    per-doc rows; what it buys is that probes touch only the rows whose
+    gram_key matches the batch (a keyed join), never corpus text.
+
+    SINGLE-WRITER, same contract as every pointer-published store."""
+    import os
+
+    from ..streaming.cdc_stream import (
+        _current_version_dir,
+        _next_version_dir,
+        _publish_version,
+    )
+
+    spark = docs.sparkSession
+    if overwrite and os.path.isdir(path):
+        import shutil
+
+        shutil.rmtree(path)
+    cur = _current_version_dir(path)
+    if cur is None:
+        pairs = (
+            sliding_pos_grams(docs, int(min_tokens), text_col)
+            .select("gram_key", "doc_id")
+            .distinct()
+        )
+        os.makedirs(path, exist_ok=True)
+        vdir = _next_version_dir(path)
+        pairs.write.mode("overwrite").parquet(vdir)
+        _publish_version(path, vdir)
+        cur = _current_version_dir(path)
+    return spark.read.parquet(cur)
+
+
+def read_gram_index(spark, path: str) -> DataFrame:
+    """The published (gram_key, doc_id) pairs. Raises FileNotFoundError
+    when nothing has been published at ``path``."""
+    from ..streaming.cdc_stream import _current_version_dir
+
+    cur = _current_version_dir(path)
+    if cur is None:
+        raise FileNotFoundError(
+            f"read_gram_index: no published index at {path!r} — build_gram_index first"
+        )
+    return spark.read.parquet(cur)
+
+
+def merge_gram_index(
+    batch: DataFrame,
+    path: str,
+    min_tokens: int = 8,
+    text_col: str = "text",
+) -> dict:
+    """SET-UNION merge of a new batch's doc-gram pairs into the stored
+    index: tokenize ONLY the batch, left-anti the stored pairs (the
+    store side is pre-filtered to the batch's gram keys, so the
+    anti-join never scans unrelated index rows), append only the
+    genuinely new pairs INSIDE the published generation (Spark's
+    job-commit protocol makes the append all-or-nothing; the pointer is
+    untouched, so a crashed merge can never unpublish). Returns
+    {"pairs": batch pair count, "new_pairs": appended}; a replayed
+    batch reports new_pairs == 0 — the replay-writes-0 fixpoint of the
+    idempotent-merge store family (this store's algebra is SET-UNION,
+    like the chunk store). SINGLE-WRITER with build/compaction."""
+    from ..streaming.cdc_stream import _current_version_dir
+
+    cur = _current_version_dir(path)
+    if cur is None:
+        raise FileNotFoundError(
+            f"merge_gram_index: no index at {path!r} — build_gram_index first"
+        )
+    spark = batch.sparkSession
+    pairs = (
+        sliding_pos_grams(batch, int(min_tokens), text_col)
+        .select("gram_key", "doc_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    stored = spark.read.parquet(cur)
+    touched = stored.join(
+        pairs.select("gram_key").distinct().hint("shuffle_hash"), "gram_key"
+    )
+    fresh = pairs.join(
+        touched, ["gram_key", "doc_id"], "left_anti"
+    ).localCheckpoint(eager=True)
+    n_new = fresh.count()
+    if n_new:
+        fresh.write.mode("append").parquet(cur)
+    return {"pairs": pairs.count(), "new_pairs": n_new}
+
+
+def incremental_cut_list(
+    batch: DataFrame,
+    index: DataFrame,
+    min_tokens: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Cut list of a NEW batch against a stored corpus gram index —
+    the incremental twin of :func:`span_cut_list`: per batch doc, the
+    maximal token ranges covered by grams that are duplicated across
+    the UNION of (indexed corpus ∪ batch). Exactly equal to the
+    self-contained cut list over the union restricted to batch docs
+    (parity-tested), but only the batch is ever tokenized.
+
+    Shape: batch grams → batch-key set → the index is FILTERED to
+    matching keys before anything else (a keyed hash join — at 1000-
+    executor scale the batch key set is the small side), the union's
+    per-gram distinct-doc count is computed over that touched subset
+    only, and the island merge runs over the batch's duplicated
+    positions. Cost is O(batch tokens + touched index rows), never
+    O(corpus)."""
+    k = int(min_tokens)
+    pos_grams = sliding_pos_grams(batch, k, text_col).localCheckpoint(eager=True)
+    batch_pairs = pos_grams.select("gram_key", "doc_id").distinct()
+    keys = batch_pairs.select("gram_key").distinct()
+    touched = index.join(keys.hint("shuffle_hash"), "gram_key").select(
+        "gram_key", "doc_id"
+    )
+    union_pairs = touched.unionByName(batch_pairs).distinct()
+    dup_keys = (
+        union_pairs.groupBy("gram_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .select("gram_key")
+    )
+    dup_pos = pos_grams.join(dup_keys, "gram_key").select("doc_id", "pos")
+    return merge_covered_positions(dup_pos, k)
+
+
+def compact_gram_index(
+    spark,
+    path: str,
+    tombstones: DataFrame | None = None,
+    rows_per_file: int = 4_000_000,
+) -> dict:
+    """Maintenance pass for the incremental gram index — the
+    `compact_lsh_index` discipline applied to the (gram_key, doc_id)
+    store a year of :func:`merge_gram_index` appends grows unboundedly
+    in files:
+
+    1. drop TOMBSTONED docs (left-anti on ``tombstones.doc_id`` — a doc
+       deleted from the corpus must stop counting toward gram
+       duplication, or probes over-cut against ghosts);
+    2. merge small append files: rewrite at ``ceil(n/rows_per_file)``
+       files, hash-partitioned and sorted by gram_key (deterministic
+       bytes, and probes join on gram_key so the sort co-locates keys).
+
+    Publish = versioned dir + atomic ``_CURRENT`` swap: a crash
+    anywhere before the swap leaves the live index readable.
+    Replay-idempotent (the surviving set is a pure function of stored
+    rows + tombstones). SINGLE-WRITER with build/merge.
+
+    Returns {"rows_before", "rows_after", "files_before",
+    "files_after"}."""
+    import math
+    import os
+
+    from ..streaming.cdc_stream import (
+        _current_version_dir,
+        _next_version_dir,
+        _publish_version,
+    )
+
+    cur = _current_version_dir(path)
+    if cur is None:
+        raise FileNotFoundError(f"compact_gram_index: no index at {path!r}")
+    files_before = sum(1 for f in os.listdir(cur) if f.endswith(".parquet"))
+    idx = spark.read.parquet(cur)
+    rows_before = idx.count()
+    live = idx
+    if tombstones is not None:
+        live = live.join(
+            F.broadcast(tombstones.select("doc_id").distinct()),
+            "doc_id",
+            "left_anti",
+        )
+    rows_after = live.count()
+    n_files = max(1, math.ceil(rows_after / rows_per_file))
+    vdir = _next_version_dir(path)
+    (
+        live.repartition(n_files, "gram_key")
+        .sortWithinPartitions("gram_key", "doc_id")
+        .write.mode("overwrite")
+        .parquet(vdir)
+    )
+    _publish_version(path, vdir)
+    files_after = sum(1 for f in os.listdir(vdir) if f.endswith(".parquet"))
+    return {
+        "rows_before": rows_before,
+        "rows_after": rows_after,
+        "files_before": files_before,
+        "files_after": files_after,
+    }
+
+
+def contamination_cut_list(
+    train: DataFrame,
+    evalset: DataFrame,
+    min_tokens: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Span-level benchmark DECONTAMINATION — the surgical form of the
+    doc-rank filter :func:`decontamination_hits`: instead of scoring
+    whole training docs by eval collisions, emit the exact token ranges
+    a dedup pass should cut (maximal runs covered by any ``min_tokens``-
+    gram that occurs ANYWHERE in the eval set) — eval leakage is
+    removed, the rest of the document survives into training. Same
+    output contract as :func:`span_cut_list` (start inclusive, end
+    exclusive, reassembly via :func:`apply_cut_list`'s positional
+    filter).
+
+    Shape: eval suites are small by nature, so the eval gram-key set
+    BROADCASTS (the `decontamination_hits` precedent); the train side
+    is one narrow gram map + broadcast semi-join + the sparse island
+    merge — no train-side index, no shuffle wider than the covered
+    positions."""
+    k = int(min_tokens)
+    eval_keys = (
+        sliding_pos_grams(evalset, k, text_col).select("gram_key").distinct()
+    )
+    dup_pos = (
+        sliding_pos_grams(train, k, text_col)
+        .join(F.broadcast(eval_keys), "gram_key")
+        .select("doc_id", "pos")
+    )
+    return merge_covered_positions(dup_pos, k)
+
+
+def streaming_gram_index(
+    stream: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    min_tokens: int = 8,
+    text_col: str = "text",
+):
+    """Wire a document stream into the gram index:
+    ``streaming_gram_index(...).start()`` + the checkpoint gives
+    exactly-once index state (idempotent SET-UNION merge ×
+    at-least-once foreachBatch — the chunk-store composition)."""
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        merge_gram_index(batch, path, min_tokens, text_col)
+
+    return (
+        stream.writeStream.foreachBatch(write)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
     )
 
 

@@ -327,6 +327,124 @@ def test_doremi_planted_skew_upweights_underserved_domain(spark):
     assert excess["srcC"] > excess["srcA"] and excess["srcC"] > excess["srcB"]
 
 
+def test_gram_index_incremental_cut_parity(spark, tmp_path):
+    """The incremental cut list against the stored gram index equals
+    the self-contained cut list over (corpus ∪ batch) restricted to
+    batch docs — same rows, same boundaries — without the probe ever
+    tokenizing corpus text (it only joins the index)."""
+    from options_data_pipeline_spark.functions.text import (
+        build_gram_index,
+        incremental_cut_list,
+        span_cut_list,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter("doc_id % 10 < 9")
+    batch = docs.filter("doc_id % 10 = 9")
+    idx = build_gram_index(corpus, str(tmp_path / "gidx"))
+    got = sorted(map(tuple, incremental_cut_list(batch, idx).collect()))
+    want = sorted(
+        map(tuple, span_cut_list(docs).filter("doc_id % 10 = 9").collect())
+    )
+    assert got == want
+
+
+def test_contamination_cut_list_planted_leak(spark):
+    """Span decontamination cuts exactly the eval-shared ranges: a
+    train doc embedding an eval 6-token phrase loses precisely that
+    span (4-gram coverage = the phrase's full extent), clean train docs
+    emit nothing, and eval-internal duplication alone never cuts."""
+    from options_data_pipeline_spark.functions.text import contamination_cut_list
+
+    leak = "secret eval phrase tokens here now"
+    evalset = spark.createDataFrame(
+        [(0, "eval intro " + leak + " eval outro"), (1, "other eval text entirely")],
+        "doc_id bigint, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (100, "t1 t2 t3 " + leak + " t4 t5"),
+            (101, "clean training doc with no leakage at all"),
+            (102, leak),  # the whole doc is leaked
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r.doc_id, r.start_tok, r.end_tok)
+        for r in contamination_cut_list(train, evalset, min_tokens=4).collect()
+    }
+    assert got == {(100, 3, 9), (102, 0, 6)}
+
+
+def test_merge_gram_index_replay_writes_zero(spark, tmp_path):
+    """SET-UNION on (gram_key, doc_id): a replayed merge appends 0
+    pairs; an overlapping batch pays only its genuinely new pairs; the
+    merged store equals a one-shot build over the union."""
+    from options_data_pipeline_spark.functions.text import (
+        build_gram_index,
+        merge_gram_index,
+        read_gram_index,
+    )
+
+    schema = "doc_id long, text string"
+    base = spark.createDataFrame(
+        [(0, "a b c d e f g h i j"), (1, "k l m n o p q r s t")], schema
+    )
+    b1 = spark.createDataFrame(
+        [(2, "a b c d e f g h extra tail")], schema  # shares doc-0 grams
+    )
+    path = str(tmp_path / "gidx")
+    build_gram_index(base, path)
+    r1 = merge_gram_index(b1, path)
+    assert 0 < r1["new_pairs"] == r1["pairs"]  # new doc: all pairs new
+    before = sorted(map(tuple, read_gram_index(spark, path).collect()))
+    r2 = merge_gram_index(b1, path)  # full replay
+    assert r2["new_pairs"] == 0
+    assert sorted(map(tuple, read_gram_index(spark, path).collect())) == before
+    oneshot = build_gram_index(
+        base.unionByName(b1), str(tmp_path / "gidx2")
+    )
+    assert sorted(map(tuple, oneshot.collect())) == before
+
+
+def test_compact_gram_index_tombstones_and_files(spark, tmp_path):
+    """Compaction merges merge-appended small files, drops tombstoned
+    docs' pairs (so probes stop counting ghosts: a batch sharing text
+    only with the deleted doc gets NO cuts afterwards), and publishes
+    through the pointer — live index readable throughout."""
+    from options_data_pipeline_spark.functions.text import (
+        build_gram_index,
+        compact_gram_index,
+        incremental_cut_list,
+        merge_gram_index,
+        read_gram_index,
+    )
+
+    schema = "doc_id long, text string"
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    base = spark.createDataFrame([(0, shared + " base tail")], schema)
+    extra = spark.createDataFrame([(1, "totally different words one two three four five")], schema)
+    path = str(tmp_path / "gidx")
+    build_gram_index(base, path)
+    merge_gram_index(extra, path)
+    batch = spark.createDataFrame([(50, shared + " probe tail")], schema)
+    assert incremental_cut_list(batch, read_gram_index(spark, path)).count() == 1
+
+    tomb = spark.createDataFrame([(0,)], "doc_id long")
+    stats = compact_gram_index(spark, path, tombstones=tomb)
+    assert stats["rows_after"] < stats["rows_before"]
+    idx = read_gram_index(spark, path)
+    assert idx.filter("doc_id = 0").count() == 0
+    assert idx.filter("doc_id = 1").count() > 0
+    # the ghost no longer induces cuts
+    assert incremental_cut_list(batch, idx).count() == 0
+    # replay-idempotent
+    stats2 = compact_gram_index(spark, path, tombstones=tomb)
+    assert stats2["rows_after"] == stats["rows_after"]
+
+
 def test_doremi_mixture_sample_realizes_weights(spark):
     """The sampling rung: rates realize the optimized weights by
     downsampling only (rate ∝ weight / base_share, max rate = 1), keep

@@ -2287,3 +2287,41 @@ def test_quality_weight_version_pinning(spark, tmpdir):
     for r in rows:
         by_version.setdefault(r.weight_version, set()).add(r.doc_id)
     assert by_version == {p1["version"]: {0, 1, 2}, p2["version"]: {0, 1, 2}}
+
+
+def test_streaming_gram_index_matches_oneshot_build(spark, tmpdir):
+    """Stream documents through the foreachBatch SET-UNION gram merge
+    in several micro-batches (index seeded from the first slice); the
+    final store's (gram_key, doc_id) set equals a one-shot build over
+    the full corpus — set union is order/partitioning-free."""
+    from options_data_pipeline_spark.functions.text import (
+        build_gram_index,
+        read_gram_index,
+        streaming_gram_index,
+    )
+    from options_data_pipeline_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, "documents", sf).select("doc_id", "text")
+    seed = docs.filter("doc_id < 10")
+    rest = docs.filter("doc_id >= 10")
+    path = os.path.join(tmpdir, "g_store")
+    src = os.path.join(tmpdir, "g_src")
+    ck = os.path.join(tmpdir, "g_ck")
+    build_gram_index(seed, path)
+    rest.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(rest.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_gram_index(stream, path, ck).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(map(tuple, read_gram_index(spark, path).collect()))
+    want = sorted(
+        map(tuple, build_gram_index(docs, os.path.join(tmpdir, "g_ref")).collect())
+    )
+    assert got == want and got

@@ -121,6 +121,12 @@ SF01_SUBSET = [
     "substring_dedup_apply",
     # rates inherit the mixture trajectory's volume sensitivity
     "doremi_mixture_sample",
+    # batch-vs-corpus duplication is a pure volume effect
+    "substring_cut_list_incremental",
+    # both arms' rankings (and thus the fused top list) shift with corpus
+    "hybrid_rrf_retrieval",
+    # train×eval gram collisions are a pure volume effect
+    "decontamination_cut_list",
 ]
 
 

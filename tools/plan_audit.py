@@ -106,6 +106,9 @@ BNLJ_OK = {
     # round 9: broadcast 1-row total-tokens normalizer onto the 20-row
     # domain diagnostics (the k-row weight scaffold is also broadcast)
     "doremi_mixture_weights",
+    # broadcast 1-row query vector onto the dense-arm corpus scan (and
+    # the 1-row corpus stats onto the BM25 term rows) — both bounded
+    "hybrid_rrf_retrieval",
 }
 
 
