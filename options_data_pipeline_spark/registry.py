@@ -4371,7 +4371,10 @@ def q_doremi_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
     )
     return (
-        scaffold.join(kept, "source", "left")
+        # kept is a ≤k-row domain agg, but its post-agg size estimate is
+        # opaque to Spark — hint it broadcast or the 20-row scaffold join
+        # falls back to a SortMergeJoin (plan-pinned)
+        scaffold.join(F.broadcast(kept), "source", "left")
         .select(
             "source",
             "n_docs",

@@ -1267,6 +1267,25 @@ def test_doremi_report_is_model_sized(spark, qs):
     assert count_exchanges(df) <= 5
 
 
+def test_round9_execution_rungs_stay_clean(spark, qs):
+    """Apply / incremental / decon / sample: no cartesian, no Python,
+    no sort-merge join anywhere (the sample's ≤k-row kept agg is
+    broadcast-hinted — unhinted it regressed to SMJ against the 20-row
+    scaffold), and the cut-applying join is broadcast at gate SF."""
+    for name, max_ex in [
+        ("substring_dedup_apply", 5),
+        ("substring_cut_list_incremental", 6),
+        ("decontamination_cut_list", 4),
+        ("doremi_mixture_sample", 3),
+    ]:
+        df = qs[name](spark, SF)
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "SortMergeJoin" not in plan, name
+        assert count_exchanges(df) <= max_ex, name
+
+
 def test_backoff_heldout_broadcasts_lm(spark, qs):
     """Both model tables (bigram LM, unigram counts) broadcast onto the
     held-out bigram stream; the only nested loop is the 1-row total-N
