@@ -1,0 +1,190 @@
+"""Index-LIFECYCLE soak: drive the two incremental index families
+through many maintenance cycles and assert their invariants after every
+step — the multi-generation torture the single-shot unit tests can't
+give (each publish GCs older generations; dozens of publishes shake out
+pointer/GC interactions, append-vs-compact interleavings, and repair
+convergence).
+
+Gram index (exact-substring dedup), per cycle:
+  merge a fresh doc batch (SET-UNION) → replay the SAME batch (must
+  append 0) → probe an overlapping batch and CHECK PARITY against the
+  self-contained span_cut_list over everything merged so far → every
+  3rd cycle compact with a tombstone for the oldest batch's docs and
+  re-check parity against the surviving corpus.
+
+Learned-IVF index (ANN), per cycle:
+  append a drifted vector batch (stored centroids, no retrain) → audit
+  → if flagged, repair (re-seed + joint Lloyd step + global reassign +
+  hard-linked publish) → assert the stored assignment equals a
+  one-shot assignment under the PUBLISHED centroids (the build
+  invariant), the pointer resolves, and at most 2 generations remain
+  (publish GC keeps current + previous).
+
+Usage: python tools/index_soak.py [cycles]           (default 6)
+Prints one JSON line {"cycles": N, "gram": {...}, "ivf": {...},
+"seconds": s}; exits nonzero on any invariant violation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from options_data_pipeline_spark.functions.similarity import (  # noqa: E402
+    _kmeans_current,
+    append_kmeans_index,
+    audit_kmeans_index,
+    build_kmeans_index,
+    repair_kmeans_index,
+    with_cell,
+)
+from options_data_pipeline_spark.functions.text import (  # noqa: E402
+    build_gram_index,
+    compact_gram_index,
+    incremental_cut_list,
+    merge_gram_index,
+    read_gram_index,
+    span_cut_list,
+)
+from options_data_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def _docs(spark, ids, texts):
+    return spark.createDataFrame(list(zip(ids, texts)), "doc_id long, text string")
+
+
+def soak_gram(spark, cycles: int, workdir: str) -> dict:
+    path = os.path.join(workdir, "gram_idx")
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    corpus_rows: dict[int, str] = {0: shared + " seed tail zero"}
+    build_gram_index(_docs(spark, [0], [corpus_rows[0]]), path)
+    stats = {"merges": 0, "replays_zero": 0, "parity_checks": 0, "compactions": 0}
+    batch_ids: list[list[int]] = [[0]]
+    for c in range(1, cycles + 1):
+        base = 100 * c
+        ids = [base, base + 1]
+        texts = [
+            shared + f" cycle{c} suffix one",
+            f"unique{c} words nobody else uses in cycle {c} ever at all",
+        ]
+        batch = _docs(spark, ids, texts)
+        r1 = merge_gram_index(batch, path)
+        assert r1["new_pairs"] > 0, f"cycle {c}: merge appended nothing"
+        stats["merges"] += 1
+        r2 = merge_gram_index(batch, path)
+        assert r2["new_pairs"] == 0, f"cycle {c}: replay appended {r2['new_pairs']}"
+        stats["replays_zero"] += 1
+        for i, t in zip(ids, texts):
+            corpus_rows[i] = t
+        batch_ids.append(ids)
+
+        # probe parity: a fresh overlapping probe batch vs the
+        # self-contained cut list over (merged corpus ∪ probe)
+        probe = _docs(spark, [9000 + c], [shared + f" probe{c} tail"])
+        got = sorted(
+            map(tuple, incremental_cut_list(probe, read_gram_index(spark, path)).collect())
+        )
+        everything = _docs(
+            spark,
+            list(corpus_rows) + [9000 + c],
+            list(corpus_rows.values()) + [shared + f" probe{c} tail"],
+        )
+        want = sorted(
+            map(
+                tuple,
+                span_cut_list(everything).filter(F.col("doc_id") == 9000 + c).collect(),
+            )
+        )
+        assert got == want, f"cycle {c}: parity {got} != {want}"
+        stats["parity_checks"] += 1
+
+        if c % 3 == 0 and len(batch_ids) > 1:
+            dead = batch_ids.pop(1)  # tombstone the oldest post-seed batch
+            tomb = spark.createDataFrame([(i,) for i in dead], "doc_id long")
+            compact_gram_index(spark, path, tombstones=tomb)
+            for i in dead:
+                corpus_rows.pop(i, None)
+            idx = read_gram_index(spark, path)
+            assert idx.filter(F.col("doc_id").isin(dead)).count() == 0
+            stats["compactions"] += 1
+        gens = [d for d in os.listdir(path) if d.startswith("v_")]
+        assert 1 <= len(gens) <= 2, f"cycle {c}: {len(gens)} generations"
+    return stats
+
+
+def soak_ivf(spark, cycles: int, workdir: str) -> dict:
+    path = os.path.join(workdir, "kidx")
+    dim = 4
+
+    def vecs(rows):
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    base = [(i, [0.05 * i, 0.0, 0.0, 0.0]) for i in range(6)]
+    base += [(10 + i, [10.0 + 0.05 * i, 0.0, 0.0, 0.0]) for i in range(6)]
+    build_kmeans_index(vecs(base), path, k=3, iters=1)
+    stats = {"appends": 0, "repairs": 0, "noops": 0}
+    next_id = 100
+    for c in range(1, cycles + 1):
+        # drift: a new mass appears far from every current centroid
+        center = 20.0 + 7.0 * c
+        batch = [(next_id + j, [center + 0.05 * j, 0.0, 0.0, 0.0]) for j in range(8)]
+        next_id += 8
+        append_kmeans_index(vecs(batch), path)
+        stats["appends"] += 1
+        verdicts = audit_kmeans_index(spark, path).collect()
+        if any(r.needs_recluster for r in verdicts):
+            report = repair_kmeans_index(spark, path)
+            assert report["generation"] is not None
+            stats["repairs"] += 1
+        else:
+            stats["noops"] += 1
+        # build invariant after every cycle: stored assignment equals the
+        # one-shot assignment under the PUBLISHED centroid table
+        cur = _kmeans_current(path)
+        stored = spark.read.parquet(os.path.join(cur, "corpus"))
+        cents = [
+            r.centroid
+            for r in sorted(
+                spark.read.parquet(os.path.join(cur, "centroids")).collect(),
+                key=lambda r: r.cell,
+            )
+        ]
+        ref = with_cell(stored.select("vec_id", "embedding"), cents)
+        got = {(r.vec_id, r.cell) for r in stored.select("vec_id", "cell").collect()}
+        want = {(r.vec_id, r.cell) for r in ref.select("vec_id", "cell").collect()}
+        assert got == want, f"cycle {c}: assignment invariant broken"
+        gens = [d for d in os.listdir(path) if d.startswith("v_")]
+        assert len(gens) <= 2, f"cycle {c}: {len(gens)} generations survived GC"
+    return stats
+
+
+def main() -> int:
+    cycles = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    spark = get_spark("index-soak")
+    workdir = tempfile.mkdtemp(prefix="index_soak_")
+    t0 = time.perf_counter()
+    try:
+        gram = soak_gram(spark, cycles, workdir)
+        ivf = soak_ivf(spark, cycles, workdir)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    out = {
+        "cycles": cycles,
+        "gram": gram,
+        "ivf": ivf,
+        "seconds": round(time.perf_counter() - t0, 1),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
