@@ -1038,6 +1038,11 @@ def repair_kmeans_index(
         verdicts = audit_kmeans_index(spark, path).collect()
         cells = [int(r.cell) for r in verdicts if r.needs_recluster]
     flagged = sorted(int(c) for c in cells)
+    if flagged and (flagged[0] < 0 or flagged[-1] >= k):
+        raise ValueError(
+            f"repair_kmeans_index: flagged cells {flagged} outside the "
+            f"index's 0..{k - 1} cell range"
+        )
     if not flagged:
         return {
             "flagged_cells": [],
@@ -1131,6 +1136,45 @@ def repair_kmeans_index(
         "cells_rewritten": aff_list,
         "cells_linked": sorted(linked),
         "generation": os.path.basename(vdir),
+    }
+
+
+def repair_kmeans_index_until_clean(
+    spark,
+    path: str,
+    max_rounds: int = 4,
+    round_dp: int | None = 9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Operational wrapper: repair → re-audit → repair until the audit
+    reports no ``needs_recluster`` cell or ``max_rounds`` is spent —
+    the one-call "make the index healthy" an operator (or a scheduler
+    firing on the audit) actually wants. One joint Lloyd step per round
+    moves mass between flagged cells; a genuinely multi-modal drift can
+    need a few rounds (each is one flagged-member agg + one narrow
+    reassignment map — never a full retrain). Returns
+    {"rounds": [per-round repair reports], "clean": bool} — ``clean``
+    False after ``max_rounds`` means the residual skew is data (k too
+    small for the mass layout), which is the ``overwrite=True`` full
+    rebuild's job, not more local repair."""
+    rounds = []
+    for _ in range(max_rounds):
+        verdicts = audit_kmeans_index(spark, path).collect()
+        flagged = [int(r.cell) for r in verdicts if r.needs_recluster]
+        if not flagged:
+            return {"rounds": rounds, "clean": True}
+        report = repair_kmeans_index(
+            spark, path, cells=flagged, round_dp=round_dp,
+            id_col=id_col, vec_col=vec_col,
+        )
+        rounds.append(report)
+        if report["rows_moved"] == 0:
+            break  # fixpoint: more rounds cannot change anything
+    verdicts = audit_kmeans_index(spark, path).collect()
+    return {
+        "rounds": rounds,
+        "clean": not any(r.needs_recluster for r in verdicts),
     }
 
 

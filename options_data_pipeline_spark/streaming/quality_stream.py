@@ -107,7 +107,13 @@ def quality_score_merge_batch(
     """Score one micro-batch with the STORED weights and append only the
     (doc_id, weight_version) pairs the store has not seen — the
     SET-UNION merge. Returns {"scored", "appended", "weight_version"};
-    a full replay reports appended == 0."""
+    a full replay reports appended == 0.
+
+    SINGLE-WRITER per store: foreachBatch serializes batches within one
+    query, but two INDEPENDENT streams scoring into one store_path could
+    both anti-join against the same pre-state and append duplicate rows
+    — point concurrent pipelines at separate stores (or one shared
+    query)."""
     spark = batch.sparkSession
     w, version = read_quality_weights(spark, model_path)
     scored = score_with_weights(batch, w, text_col).withColumn(

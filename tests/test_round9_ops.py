@@ -102,6 +102,27 @@ def test_repair_kmeans_index_rebalances_and_publishes(spark, tmp_path):
     assert spark.read.parquet(os.path.join(cur, "corpus")).count() == 15
 
 
+def test_repair_until_clean_converges_and_validates(spark, tmp_path):
+    """The operational loop: on the planted dead cell ONE round clears
+    the audit; a healthy index reports clean with zero rounds; flagged
+    cells outside the index's range are rejected."""
+    from options_data_pipeline_spark.functions.similarity import (
+        build_kmeans_index,
+        repair_kmeans_index,
+        repair_kmeans_index_until_clean,
+    )
+
+    vecs = _planted_vectors(spark)
+    path = str(tmp_path / "kidx")
+    build_kmeans_index(vecs, path, k=3, iters=0)
+    out = repair_kmeans_index_until_clean(spark, path)
+    assert out["clean"] and len(out["rounds"]) == 1
+    again = repair_kmeans_index_until_clean(spark, path)
+    assert again == {"rounds": [], "clean": True}  # already healthy
+    with pytest.raises(ValueError, match="outside"):
+        repair_kmeans_index(spark, path, cells=[7])
+
+
 def test_repair_noop_when_healthy(spark, tmp_path):
     """Nothing flagged -> the index is not touched at all: no pointer,
     no new generation, legacy layout intact."""

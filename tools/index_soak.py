@@ -43,7 +43,7 @@ from options_data_pipeline_spark.functions.similarity import (  # noqa: E402
     append_kmeans_index,
     audit_kmeans_index,
     build_kmeans_index,
-    repair_kmeans_index,
+    repair_kmeans_index_until_clean,
     with_cell,
 )
 from options_data_pipeline_spark.functions.text import (  # noqa: E402
@@ -141,9 +141,10 @@ def soak_ivf(spark, cycles: int, workdir: str) -> dict:
         stats["appends"] += 1
         verdicts = audit_kmeans_index(spark, path).collect()
         if any(r.needs_recluster for r in verdicts):
-            report = repair_kmeans_index(spark, path)
-            assert report["generation"] is not None
-            stats["repairs"] += 1
+            out = repair_kmeans_index_until_clean(spark, path)
+            assert out["rounds"], "flagged audit but repair ran 0 rounds"
+            stats["repairs"] += len(out["rounds"])
+            stats["converged"] = stats.get("converged", 0) + int(out["clean"])
         else:
             stats["noops"] += 1
         # build invariant after every cycle: stored assignment equals the
