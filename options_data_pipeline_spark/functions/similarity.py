@@ -1007,7 +1007,11 @@ def repair_kmeans_index(
     centroids before the step (classical k-means empty-cluster repair;
     without it the `empty` verdict could never clear). When EVERY
     flagged cell is empty the largest cell is drafted into the flagged
-    set as the donor. The reassignment is GLOBAL — one
+    set as the donor; conversely, HOT flags with NO empty partner draft
+    the smallest healthy cell as a re-seeded RECIPIENT — a lone hot
+    cell holding two separated masses is otherwise a fixpoint (its mean
+    moves, nothing reassigns; the until-clean loop drafts one recipient
+    per round until occupancy clears). The reassignment is GLOBAL — one
     narrow argmin map over the corpus, no shuffle — because moving a
     centroid can also capture members of healthy cells; the INVARIANT
     after repair is the same one `build_kmeans_index` establishes:
@@ -1068,19 +1072,47 @@ def repair_kmeans_index(
         # concentrated). Deterministic: max count, ties to lower cell id.
         largest = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))[0]
         flagged = sorted(set(flagged) | {int(largest)})
+    anchor_cells = [c for c in flagged if counts.get(c, 0) > 0]
+    reseed_cells = list(empty_flagged)
+    if not reseed_cells and anchor_cells:
+        # HOT cell(s) with no empty partner: the flagged subspace has
+        # only loaded centroids, so the joint step cannot shed mass
+        # (one hot cell holding two separated masses is a fixpoint —
+        # its mean moves, nothing reassigns). Draft the SMALLEST
+        # healthy cell as a RECIPIENT and re-seed it inside the hot
+        # mass (farthest-member rule): the step then splits the mass
+        # between the hot centroid and the recipient. Deterministic:
+        # min count, ties to the lower cell id. Iterating (the
+        # until-clean loop) drafts one recipient per round until the
+        # occupancy verdicts clear.
+        healthy = [c for c in range(k) if c not in flagged]
+        if healthy:
+            recipient = min(healthy, key=lambda c: (counts.get(c, 0), c))
+            flagged = sorted(set(flagged) | {recipient})
+            reseed_cells = [recipient]
     members = corpus.filter(F.col("cell").isin(flagged))
     init = list(cents)
-    nonempty_flagged = [c for c in flagged if counts.get(c, 0) > 0]
-    if empty_flagged and nonempty_flagged:
+    if reseed_cells and anchor_cells:
+        # seeds are ranked over the ANCHOR cells' members ONLY: a
+        # drafted recipient's own members are in the flagged pool and
+        # (being far from the hot mass by construction) would win the
+        # farthest-member contest, re-seeding the recipient exactly
+        # where it already was — a no-op fixpoint. For stored-empty
+        # slots the restriction changes nothing (empty cells have no
+        # members to exclude).
+        anchor_members = corpus.filter(F.col("cell").isin(anchor_cells))
         seeds = reseed_empty_centroids(
-            members,
-            len(empty_flagged),
-            [cents[c] for c in nonempty_flagged],
+            anchor_members,
+            len(reseed_cells),
+            [cents[c] for c in anchor_cells],
             id_col,
             vec_col,
         )
-        for c, vec in zip(empty_flagged, seeds):  # fewer seeds than empties
-            init[c] = vec                         # leaves the rest stored
+        for c, vec in zip(reseed_cells, seeds):  # fewer seeds than slots
+            init[c] = vec                        # leaves the rest stored
+        reseed_cells = reseed_cells[: len(seeds)]
+    else:
+        reseed_cells = []
     retrained = retrain_flagged_centroids(members, flagged, init, round_dp, vec_col)
     cprime = [retrained.get(c, init[c]) for c in range(k)]
 
@@ -1131,7 +1163,7 @@ def repair_kmeans_index(
         _kmeans_current(path)
     return {
         "flagged_cells": flagged,
-        "cells_reseeded": empty_flagged if nonempty_flagged else [],
+        "cells_reseeded": reseed_cells,
         "rows_moved": rows_moved,
         "cells_rewritten": aff_list,
         "cells_linked": sorted(linked),
@@ -1142,7 +1174,7 @@ def repair_kmeans_index(
 def repair_kmeans_index_until_clean(
     spark,
     path: str,
-    max_rounds: int = 4,
+    max_rounds: int | None = None,
     round_dp: int | None = 9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -1152,12 +1184,21 @@ def repair_kmeans_index_until_clean(
     the one-call "make the index healthy" an operator (or a scheduler
     firing on the audit) actually wants. One joint Lloyd step per round
     moves mass between flagged cells; a genuinely multi-modal drift can
-    need a few rounds (each is one flagged-member agg + one narrow
-    reassignment map — never a full retrain). Returns
+    need several rounds — each re-seed/recipient placement relieves one
+    mode, so ``max_rounds`` defaults to k (there are at most k
+    placements to make; each round is one flagged-member agg + one
+    narrow reassignment map — never a full retrain). Returns
     {"rounds": [per-round repair reports], "clean": bool} — ``clean``
     False after ``max_rounds`` means the residual skew is data (k too
     small for the mass layout), which is the ``overwrite=True`` full
     rebuild's job, not more local repair."""
+    import os
+
+    if max_rounds is None:
+        cur = _kmeans_current(path)
+        if cur is None:
+            raise FileNotFoundError(f"repair_kmeans_index_until_clean: no index at {path!r}")
+        max_rounds = spark.read.parquet(os.path.join(cur, "centroids")).count()
     rounds = []
     for _ in range(max_rounds):
         verdicts = audit_kmeans_index(spark, path).collect()

@@ -123,6 +123,41 @@ def test_repair_until_clean_converges_and_validates(spark, tmp_path):
         repair_kmeans_index(spark, path, cells=[7])
 
 
+def test_repair_splits_lone_hot_cell_via_recipient(spark, tmp_path):
+    """A hot cell holding TWO separated masses with no empty partner
+    was a repair fixpoint (one flagged centroid -> its mean moves,
+    nothing reassigns, rows_moved == 0). The recipient rule drafts the
+    smallest healthy cell, re-seeds it inside the hot mass, and the
+    joint step splits the masses — the audit clears."""
+    from options_data_pipeline_spark.functions.similarity import (
+        append_kmeans_index,
+        audit_kmeans_index,
+        build_kmeans_index,
+        repair_kmeans_index_until_clean,
+    )
+
+    def vecs(rows):
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    base = [(i, [0.05 * i, 0.0, 0.0, 0.0]) for i in range(6)]
+    base += [(10 + i, [10.0 + 0.05 * i, 0.0, 0.0, 0.0]) for i in range(6)]
+    path = str(tmp_path / "kidx")
+    build_kmeans_index(vecs(base), path, k=3, iters=1)
+    # drift: a new mass lands in the cell already holding the 10-cluster
+    append_kmeans_index(
+        vecs([(100 + j, [27.0 + 0.05 * j, 0.0, 0.0, 0.0]) for j in range(8)]), path
+    )
+    before = {r.cell: r for r in audit_kmeans_index(spark, path).collect()}
+    assert any(r.hot for r in before.values())
+    assert not any(r.empty for r in before.values())  # the stall precondition
+
+    out = repair_kmeans_index_until_clean(spark, path)
+    assert out["clean"], out
+    assert any(r["cells_reseeded"] for r in out["rounds"])  # recipient drafted
+    after = audit_kmeans_index(spark, path).collect()
+    assert not any(r.needs_recluster for r in after)
+
+
 def test_repair_noop_when_healthy(spark, tmp_path):
     """Nothing flagged -> the index is not touched at all: no pointer,
     no new generation, legacy layout intact."""

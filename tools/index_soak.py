@@ -131,6 +131,7 @@ def soak_ivf(spark, cycles: int, workdir: str) -> dict:
     base += [(10 + i, [10.0 + 0.05 * i, 0.0, 0.0, 0.0]) for i in range(6)]
     build_kmeans_index(vecs(base), path, k=3, iters=1)
     stats = {"appends": 0, "repairs": 0, "noops": 0}
+    k_cur = 3
     next_id = 100
     for c in range(1, cycles + 1):
         # drift: a new mass appears far from every current centroid
@@ -144,7 +145,30 @@ def soak_ivf(spark, cycles: int, workdir: str) -> dict:
             out = repair_kmeans_index_until_clean(spark, path)
             assert out["rounds"], "flagged audit but repair ran 0 rounds"
             stats["repairs"] += len(out["rounds"])
-            stats["converged"] = stats.get("converged", 0) + int(out["clean"])
+            if out["clean"]:
+                stats["converged"] = stats.get("converged", 0) + 1
+            else:
+                # the documented escalation: residual skew after local
+                # repair is DATA — the drift keeps adding separated
+                # modes, so k itself is too small. The remedy is a full
+                # retrain at a GROWN k (doubled, capped), from the
+                # stored corpus; the audit after it must clear.
+                cur = _kmeans_current(path)
+                corpus = spark.read.parquet(os.path.join(cur, "corpus")).select(
+                    "vec_id", "embedding"
+                ).localCheckpoint(eager=True)
+                k_cur = min(12, 2 * k_cur)
+                build_kmeans_index(corpus, path, k=k_cur, iters=3, overwrite=True)
+                stats["rebuilds"] = stats.get("rebuilds", 0) + 1
+                # the grown-k rebuild's first-k-by-id init lands inside
+                # one mass, so fresh capacity starts DEAD (empty flags)
+                # — the re-seed repair is precisely the cure: rebuild
+                # grows capacity, repair places it. The composition is
+                # the full remedy and must converge.
+                post = repair_kmeans_index_until_clean(spark, path)
+                stats["clean_after_rebuild"] = stats.get(
+                    "clean_after_rebuild", 0
+                ) + int(post["clean"])
         else:
             stats["noops"] += 1
         # build invariant after every cycle: stored assignment equals the
