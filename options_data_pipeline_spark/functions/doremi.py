@@ -123,12 +123,37 @@ def doremi_trajectory(
             "decimal(38,12)"
         )
         pm = model.groupBy("tok").agg(F.sum(term).alias("pm"))
-        return {
-            r["source"]: r["lneg"]
-            for r in _neg_xent(
-                model.join(pm, "tok"), F.col("pm").cast("double")
-            ).collect()
-        }
+        # fail-loud underflow guard: when every w_d·p_d(t) term rounds
+        # to 0 on the 12-dp grid, p_mix(t) = 0 and F.log(0) is NULL —
+        # Spark's sum would SILENTLY drop the term (wrong excess) while
+        # the DuckDB oracle's ln(0) poisons the cast and errors. Count
+        # the underflows in the SAME per-source aggregate (no extra
+        # job) and raise, so the documented 5e-13 scale bound fails
+        # loudly on the engine side exactly like the oracle side.
+        pmd = F.col("pm").cast("double")
+        xterm = F.round(F.col("p") * F.round(F.log(pmd), 6), 12).cast(
+            "decimal(38,12)"
+        )
+        rows = (
+            model.join(pm, "tok")
+            .groupBy("source")
+            .agg(
+                F.sum(xterm).alias("lneg"),
+                F.sum(
+                    F.when(F.col("pm") <= 0, F.lit(1)).otherwise(F.lit(0))
+                ).alias("n_underflow"),
+            )
+            .collect()
+        )
+        n_bad = sum(int(r["n_underflow"] or 0) for r in rows)
+        if n_bad:
+            raise ValueError(
+                f"doremi_trajectory: p_mix underflowed the 12-dp grid to 0 "
+                f"for {n_bad} (source, tok) terms — ln(0) would silently "
+                f"drop cross-entropy mass; rescale the corpus or coarsen "
+                f"the vocab before re-weighting"
+            )
+        return {r["source"]: r["lneg"] for r in rows}
 
     for _ in range(iters):
         lneg = mix_loss(w)

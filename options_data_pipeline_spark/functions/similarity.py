@@ -1070,6 +1070,18 @@ def repair_kmeans_index(
         # LARGEST cell donates mass (rebalancing a dead centroid has to
         # move rows from somewhere; the biggest cell is where the mass
         # concentrated). Deterministic: max count, ties to lower cell id.
+        if not counts:
+            # zero-row corpus: every cell is flagged empty and there is
+            # no donor anywhere — repairing moves nothing. Raise a
+            # descriptive error instead of max()-on-empty's bare
+            # ValueError; the caller either seeded the index wrong or
+            # compacted every vector away.
+            raise ValueError(
+                f"repair_kmeans_index: index at {path!r} has a zero-row "
+                f"corpus — every cell is empty and no cell can donate "
+                f"mass to re-seed from; rebuild the index over a "
+                f"non-empty corpus instead of repairing"
+            )
         largest = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))[0]
         flagged = sorted(set(flagged) | {int(largest)})
     anchor_cells = [c for c in flagged if counts.get(c, 0) > 0]

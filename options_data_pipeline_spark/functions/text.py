@@ -795,8 +795,15 @@ def apply_cut_list(
     (the round-8 codegen lesson), but its body is integer compares
     against a handful of ranges — O(tokens·cuts_per_doc) arithmetic,
     NOT per-element hashing, which is where the 175× interpreted-HOF
-    cliff lived; unaffected docs carry a NULL cut array and skip the
-    filter entirely via a coalesce."""
+    cliff lived.
+
+    Byte preservation (the Lee et al. 2022 suffix-array dedup keeps
+    original bytes outside cut ranges): a doc with NO cuts returns its
+    ``text_col`` VERBATIM — original casing, spacing, everything. Only
+    CUT docs are token-normalized (lowercased, whitespace-collapsed
+    token re-join), because cuts are decided at lowercased-token grain
+    and reassembly happens in that space; this residual normalization
+    of the cut minority is the documented contract."""
     cuts = span_cut_list(docs, min_tokens, text_col)
     per_doc = cuts.groupBy("doc_id").agg(
         F.sort_array(
@@ -819,7 +826,7 @@ def apply_cut_list(
                 "n_cut_tokens"
             ),
             F.coalesce(F.col("n_cuts"), F.lit(0)).cast("long").alias("n_cuts"),
-            F.when(F.col("cut_arr").isNull(), F.expr(f"array_join({toks}, ' ')"))
+            F.when(F.col("cut_arr").isNull(), F.col(text_col))
             .otherwise(F.expr(kept))
             .alias("kept_text"),
         )

@@ -3963,7 +3963,8 @@ def q_substring_cut_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "substring_dedup_apply",
     """WITH d AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks FROM documents
+  SELECT doc_id, text, regexp_extract_all(lower(text), '\\S+') AS toks
+  FROM documents
 ),
 g AS (
   SELECT doc_id, k AS pos,
@@ -4000,7 +4001,9 @@ SELECT d.doc_id,
        CAST(len(d.toks) AS BIGINT) AS n_tokens,
        CAST(coalesce(ca.n_cut_tokens, 0) AS BIGINT) AS n_cut_tokens,
        CAST(coalesce(ca.n_cuts, 0) AS BIGINT) AS n_cuts,
-       CASE WHEN ca.doc_id IS NULL THEN array_to_string(d.toks, ' ')
+       CASE WHEN ca.doc_id IS NULL THEN d.text
+            -- uncut docs keep ORIGINAL bytes verbatim (Lee et al. 2022
+            -- discipline); cut docs are token-normalized by contract.
             -- coalesce: DuckDB's array_to_string([]) is NULL, Spark's
             -- array_join([]) is '' — a fully-cut doc keeps empty text
             ELSE coalesce(array_to_string(list_filter(d.toks,
@@ -4016,9 +4019,11 @@ def q_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, n_tokens, n_cut_tokens, n_cuts, kept_text). See
     functions/text.py::apply_cut_list for the join shape and the
     interpreted-HOF cost argument (integer compares per token, never
-    per-element hashing). Oracle = the cut-list CTE chain + the same
-    positional list_filter; kept text is compared VERBATIM, so the
-    reassembly itself is hash-checked at the gate."""
+    per-element hashing) and the byte-preservation contract (uncut docs
+    keep ORIGINAL text verbatim; only cut docs are token-normalized).
+    Oracle = the cut-list CTE chain + the same positional list_filter;
+    kept text is compared VERBATIM, so the reassembly itself is
+    hash-checked at the gate."""
     from .functions.text import apply_cut_list
 
     docs = load_table(spark, "documents", sf_dir)

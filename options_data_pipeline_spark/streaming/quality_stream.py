@@ -28,8 +28,13 @@ SET-UNION on an append-only keyed set.
 
 Scale shape: the micro-batch pays one narrow feature/score map over its
 own rows plus one anti-join keyed on (doc_id, weight_version) against
-the stored table — at 1000-executor scale the batch side is the small
-side of that join and broadcasts; stored rows are never rewritten.
+the stored table — and the stored side is PRE-FILTERED to the batch's
+doc_ids first (a keyed semi-join, the `merge_gram_index` discipline), so
+per-batch cost is O(batch + matching stored rows), never O(store).
+Spark cannot build the left side of a LEFT ANTI join, so without the
+pre-filter every micro-batch would scan and shuffle the unboundedly
+growing store; after it, the anti-join's build side is bounded by the
+batch and broadcasts. Stored rows are never rewritten.
 """
 
 from __future__ import annotations
@@ -98,6 +103,23 @@ def score_with_weights(
     )
 
 
+def _fresh_against_store(scored: DataFrame, seen: DataFrame) -> DataFrame:
+    """The merge's dedupe join, O(batch) not O(store): pre-filter the
+    stored (doc_id, weight_version) side to the batch's doc_ids with a
+    keyed semi-join (the `merge_gram_index` gram-key discipline — Spark
+    cannot build the LEFT side of a LEFT ANTI join, so anti-joining the
+    raw store would scan and shuffle the whole unboundedly-growing
+    table every micro-batch), then LEFT ANTI against that bounded
+    subset — ≤ batch-size × versions-seen rows, which broadcasts."""
+    batch_ids = scored.select("doc_id").distinct()
+    seen_touched = seen.join(
+        batch_ids.hint("shuffle_hash"), "doc_id", "left_semi"
+    )
+    return scored.join(
+        F.broadcast(seen_touched), ["doc_id", "weight_version"], "left_anti"
+    )
+
+
 def quality_score_merge_batch(
     batch: DataFrame,
     model_path: str,
@@ -121,9 +143,7 @@ def quality_score_merge_batch(
     )
     if os.path.exists(os.path.join(store_path, "_SUCCESS")):
         seen = spark.read.parquet(store_path).select("doc_id", "weight_version")
-        fresh = scored.join(
-            seen, ["doc_id", "weight_version"], "left_anti"
-        )
+        fresh = _fresh_against_store(scored, seen)
     else:
         fresh = scored
     # materialize once: the anti-join must be resolved against the store

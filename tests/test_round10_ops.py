@@ -1,0 +1,86 @@
+"""Round-10 hardening: the ADVICE r09 items — fail-loud DoReMi grid
+underflow, descriptive empty-corpus repair error, O(batch)-not-O(store)
+quality-score merge join — plus the round's new index-backed rungs."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_doremi_underflow_raises_not_silently_drops(spark):
+    """When every w_d*p_d(t) rounds to 0 on the 12-dp grid, p_mix(t)=0
+    and F.log(0) is NULL — the sum would silently drop the term. The
+    guard raises instead (the oracle's ln(0) errors; the engine must
+    fail loudly too, not drift below the documented 5e-13 bound)."""
+    from options_data_pipeline_spark.functions.doremi import doremi_trajectory
+
+    # tok 'z' has p = 4e-13 in both sources: w*p = 2e-13 rounds to 0 at
+    # 12 dp for each source, so p_mix('z') underflows to exactly 0
+    model = spark.createDataFrame(
+        [
+            ("a", "x", 0.9999999999996),
+            ("a", "z", 4.0e-13),
+            ("b", "y", 0.9999999999996),
+            ("b", "z", 4.0e-13),
+        ],
+        "source string, tok string, p double",
+    )
+    with pytest.raises(ValueError, match="underflowed the 12-dp grid"):
+        doremi_trajectory(model, iters=1)
+
+
+def test_doremi_healthy_model_still_runs(spark):
+    """Guard does not fire on a healthy model (no underflow)."""
+    from options_data_pipeline_spark.functions.doremi import doremi_trajectory
+
+    model = spark.createDataFrame(
+        [("a", "x", 0.7), ("a", "y", 0.3), ("b", "x", 0.2), ("b", "y", 0.8)],
+        "source string, tok string, p double",
+    )
+    w, excess, entropy = doremi_trajectory(model, iters=2)
+    assert abs(sum(w.values()) - 1.0) < 1e-9
+
+
+def test_repair_kmeans_index_empty_corpus_descriptive_error(spark, tmp_path):
+    """A zero-row corpus flags every cell empty with no donor anywhere:
+    repair raises a DESCRIPTIVE error, not max()-on-empty's bare
+    ValueError."""
+    from options_data_pipeline_spark.functions.similarity import (
+        repair_kmeans_index,
+    )
+
+    path = str(tmp_path / "kidx_empty")
+    # legacy single-root layout, hand-built: schema-bearing EMPTY corpus
+    spark.createDataFrame(
+        [], "vec_id bigint, embedding array<double>, cell int"
+    ).write.parquet(os.path.join(path, "corpus"))
+    spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 1.0])], "cell int, centroid array<double>"
+    ).write.parquet(os.path.join(path, "centroids"))
+    with pytest.raises(ValueError, match="zero-row corpus"):
+        repair_kmeans_index(spark, path, cells=[0, 1])
+
+
+def test_quality_merge_join_is_store_prefiltered_broadcast_anti(spark):
+    """The score-store dedupe join must be O(batch), not O(store): the
+    stored side is semi-join pre-filtered to the batch's doc_ids and
+    the anti-join builds (broadcasts) that bounded subset — never a
+    full-store shuffle."""
+    from options_data_pipeline_spark.streaming.quality_stream import (
+        _fresh_against_store,
+    )
+
+    scored = spark.createDataFrame(
+        [(1, "v_1"), (2, "v_1")], "doc_id bigint, weight_version string"
+    )
+    seen = spark.createDataFrame(
+        [(1, "v_1"), (9, "v_1")], "doc_id bigint, weight_version string"
+    )
+    fresh = _fresh_against_store(scored, seen)
+    plan = fresh._jdf.queryExecution().executedPlan().toString()
+    # anti side: broadcast build of the pre-filtered store
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # pre-filter: the store is semi-reduced by the batch key set
+    assert "LeftSemi" in plan
+    assert [r.doc_id for r in fresh.collect()] == [2]

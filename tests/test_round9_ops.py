@@ -332,6 +332,8 @@ def test_apply_cut_list_reassembles_kept_text(spark):
         2: "unique text q1 q2 q3 q4 q5 q6 q7 q8 q9",
         3: block,  # duplicated in full -> fully cut
         4: block,
+        # uncut AND unnormalized: casing + double spaces must survive
+        5: "Mixed  CASE   uncut r1 r2 r3 r4 r5 r6",
     }
     docs = spark.createDataFrame(
         [(i, t) for i, t in texts.items()], "doc_id bigint, text string"
@@ -347,13 +349,18 @@ def test_apply_cut_list_reassembles_kept_text(spark):
             if not any(s <= i < e for s, e in cut)
         ]
         r = got[did]
-        assert r.kept_text == " ".join(kept)
+        if cut:
+            assert r.kept_text == " ".join(kept)
+        else:
+            # byte-preservation contract: uncut docs pass through VERBATIM
+            assert r.kept_text == t
         assert r.n_tokens == len(toks)
         assert r.n_cuts == len(cut)
         assert r.n_cut_tokens == sum(e - s for s, e in cut)
         assert r.n_tokens - r.n_cut_tokens == len(kept)
     assert got[3].kept_text == "" and got[3].n_cut_tokens == got[3].n_tokens
-    assert got[2].kept_text == texts[2].lower()
+    assert got[2].kept_text == texts[2]
+    assert got[5].kept_text == texts[5]
 
 
 def test_doremi_planted_skew_upweights_underserved_domain(spark):
