@@ -347,6 +347,8 @@ PINNED_BUDGETS = {
     "substring_cut_list_incremental": 3.0,  # first recording r9: warm probe 1.86 s
     "hybrid_rrf_retrieval": 4.0,  # first recording r9: solo warm 2.50 s
     "decontamination_cut_list": 2.05,  # first recording r9: solo warm 1.26 s
+    # round-10 additions, pinned on creation (1.6× first solo warm)
+    "substring_cut_list_skew_robust": 3.96,  # r10: solo warm 2.48 s
 }
 
 

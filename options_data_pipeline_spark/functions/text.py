@@ -644,6 +644,7 @@ def span_cut_list(
     docs: DataFrame,
     min_tokens: int = 8,
     text_col: str = "text",
+    skew_robust: bool = False,
 ) -> DataFrame:
     """EXACT-SUBSTRING dedup cut list (the suffix-array-style
     training-data dedup of Lee et al. 2022, re-expressed gram-wise for
@@ -708,17 +709,58 @@ def span_cut_list(
     # Skew boundary, stated honestly: a window partition cannot be
     # AQE-split, so ONE pathological boilerplate gram shared by D docs
     # puts D skinny (gram, doc, positions) rows on one task — linear in
-    # D and count-only (no pair blowup; 10⁶-doc boilerplate ≈ seconds),
-    # but a corpus with 10⁸-doc boilerplate should pre-filter such
-    # grams (they are cut everywhere by definition) or switch this one
-    # step to the agg+join form and pay the second scan.
+    # D and count-only (no pair blowup; 10⁶-doc boilerplate ≈ seconds).
+    # For corpora with 10⁸-doc boilerplate, ``skew_robust=True`` turns
+    # the documented mitigation into code: the distinct-doc count moves
+    # from the un-splittable window to an AQE-SPLITTABLE hash aggregate
+    # (map-side partial — a mega-gram's D rows partial-collapse across
+    # every map task) + a dup-key pre-filter JOIN, where a skewed probe
+    # partition is exactly what AQE's OptimizeSkewedJoin splits. Pure
+    # optimization: the emitted cuts are identical either way (the
+    # registry twin shares `substring_cut_list`'s oracle and the gate
+    # hash-checks the equivalence); the cost is one extra skinny
+    # gram-grain exchange, so the window form stays the default for
+    # healthy corpora (measured 6.9 s vs 9.7 s at an 800k-doc text
+    # plant, where the 32-way tokenize+md5 dominates and masks any
+    # straggler). On the dup-detection stage in isolation — where the
+    # 100 TB hazard actually lives — the ordering inverts and widens
+    # with the hot gram: 3.0→2.5 s at 2M holders, 8.4→5.9 s at 8M
+    # (tools/skew_stress.py --boilerplate). A broadcast pre-mark of
+    # the ≥F-doc boiler keys was measured too and rejected: the boiler
+    # set rides a broadcast SUBQUERY, whose subtree cannot reuse the
+    # main plan's gd exchange, so the corpus gram build ran 3×
+    # (4.5 s vs window 1.9 s at a 200k-doc plant).
+    detect = _dup_positions_agg_join if skew_robust else _dup_positions_window
+    return merge_covered_positions(detect(gd), k)
+
+
+def _dup_positions_window(gd: DataFrame) -> DataFrame:
+    """Duplicated-gram positions via the count-only window — the
+    default: fastest on healthy corpora (one exchange, no join), but a
+    window partition cannot be AQE-split, so a mega-boilerplate gram's
+    D rows land on ONE task."""
     wk = Window.partitionBy("gram_key")
-    dup_pos = (
+    return (
         gd.withColumn("gram_doc_count", F.count(F.lit(1)).over(wk))
         .filter(F.col("gram_doc_count") > 1)
         .select("doc_id", F.explode("ps").alias("pos"))
     )
-    return merge_covered_positions(dup_pos, k)
+
+
+def _dup_positions_agg_join(gd: DataFrame) -> DataFrame:
+    """Duplicated-gram positions via hash-aggregate + dup-key join —
+    the ``skew_robust=True`` plan: map-side partials collapse a
+    mega-boilerplate gram across every task, and the probe-side join
+    partition is exactly what AQE's OptimizeSkewedJoin splits."""
+    dup_keys = (
+        gd.groupBy("gram_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .select("gram_key")
+    )
+    return gd.join(dup_keys.hint("shuffle_hash"), "gram_key").select(
+        "doc_id", F.explode("ps").alias("pos")
+    )
 
 
 def sliding_pos_grams(

@@ -3912,9 +3912,7 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup_stats(docs, span_tokens=8)
 
 
-@register(
-    "substring_cut_list",
-    """WITH d AS (
+_SUBSTRING_CUT_SQL = """WITH d AS (
   SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks FROM documents
 ),
 g AS (
@@ -3941,7 +3939,12 @@ SELECT doc_id,
        CAST(min(pos) AS BIGINT) AS start_tok,
        CAST(max(pos) + 8 AS BIGINT) AS end_tok,
        CAST(max(pos) + 8 - min(pos) AS BIGINT) AS n_tokens
-FROM isl2 GROUP BY doc_id, island""",
+FROM isl2 GROUP BY doc_id, island"""
+
+
+@register(
+    "substring_cut_list",
+    _SUBSTRING_CUT_SQL,
 )
 def q_substring_cut_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT-SUBSTRING dedup CUT LIST — the round-8 verdict's missing
@@ -3958,6 +3961,28 @@ def q_substring_cut_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return span_cut_list(docs, min_tokens=8)
+
+
+@register("substring_cut_list_skew_robust", _SUBSTRING_CUT_SQL)
+def q_substring_cut_list_skew_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`substring_cut_list` with the BOILERPLATE-SKEW-ROBUST plan on
+    (skew_robust=True) — the round-9 verdict's window-skew mitigation
+    as code instead of prose: the distinct-doc count moves from the
+    un-splittable count-only window (ONE mega-boilerplate gram shared
+    by 10⁸ docs = 10⁸ rows on one task) to an AQE-splittable hash
+    aggregate + dup-key pre-filter join, where map-side partials
+    collapse the hot gram across every task and OptimizeSkewedJoin
+    splits any skewed probe partition. PURE optimization — identical
+    cuts either way, so this twin shares `substring_cut_list`'s oracle
+    verbatim and the gate hash-checks the equivalence; the planted
+    mega-boilerplate window-degrades/join-flat measurement lives in
+    tools/skew_stress.py --boilerplate. See
+    functions/text.py::span_cut_list for the plan and the measured
+    broadcast-pre-mark rejection."""
+    from .functions.text import span_cut_list
+
+    docs = load_table(spark, "documents", sf_dir)
+    return span_cut_list(docs, min_tokens=8, skew_robust=True)
 
 
 @register(

@@ -62,6 +62,53 @@ def test_repair_kmeans_index_empty_corpus_descriptive_error(spark, tmp_path):
         repair_kmeans_index(spark, path, cells=[0, 1])
 
 
+def test_span_cut_list_skew_robust_parity(spark):
+    """skew_robust=True (agg + AQE-splittable dup-key join) emits
+    exactly the cuts of the default count-only-window path — pure plan
+    swap, pinned row-for-row on a corpus with shared blocks, full-doc
+    dups, and uncut docs."""
+    from options_data_pipeline_spark.functions.text import span_cut_list
+
+    block = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    texts = {
+        0: "u1 u2 u3 " + block + " v1 v2",
+        1: block + " w1 w2 w3 w4",
+        2: "unique text q1 q2 q3 q4 q5 q6 q7 q8 q9",
+        3: block,
+        4: block,
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id bigint, text string"
+    )
+    key = ["doc_id", "start_tok", "end_tok", "n_tokens"]
+    base = sorted(tuple(r) for r in span_cut_list(docs, 8).select(key).collect())
+    robust = sorted(
+        tuple(r)
+        for r in span_cut_list(docs, 8, skew_robust=True).select(key).collect()
+    )
+    assert base == robust and len(base) > 0
+
+
+def test_span_cut_list_skew_robust_plan_has_no_gram_window(spark):
+    """The skew_robust plan must carry NO window over gram_key — the
+    whole point is that dup detection is aggregate+join (AQE-splittable)
+    there; the only window left is the doc-grain island merge."""
+    from options_data_pipeline_spark.functions.text import span_cut_list
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f g h i"), (1, "a b c d e f g h j")],
+        "doc_id bigint, text string",
+    )
+    plan = (
+        span_cut_list(docs, 8, skew_robust=True)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    windows = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert all("gram_key" not in ln for ln in windows), windows
+
+
 def test_quality_merge_join_is_store_prefiltered_broadcast_anti(spark):
     """The score-store dedupe join must be O(batch), not O(store): the
     stored side is semi-join pre-filtered to the batch's doc_ids and

@@ -127,6 +127,9 @@ SF01_SUBSET = [
     "hybrid_rrf_retrieval",
     # train×eval gram collisions are a pure volume effect
     "decontamination_cut_list",
+    # round 10: same volume sensitivity as substring_cut_list (identical
+    # semantics, skew-robust plan)
+    "substring_cut_list_skew_robust",
 ]
 
 

@@ -1,4 +1,6 @@
-"""Giant-basket skew stress for the co-purchase edge build: append ONE
+"""Planted-skew stresses.
+
+1. Giant-basket skew for the co-purchase edge build: append ONE
 synthetic degenerate mega-order (10k distinct parts in a single
 l_orderkey) to sf0.1's lineitem and run the graph family on top.
 
@@ -10,6 +12,26 @@ large basket, and the audit query reports exactly what was dropped.
 
 Usage: python tools/skew_stress.py [basket_size] [query ...]
 Prints one JSON line with the audit row and per-query seconds.
+
+2. Mega-boilerplate skew for the substring cut list's dup-detection
+stage: plant a synthetic gram-grain table — ONE boilerplate gram held
+by N docs plus N unique background grams — and time the two REAL
+detection paths of `span_cut_list` (`_dup_positions_window` vs
+`_dup_positions_agg_join`) through the island merge. The stage is
+stressed in ISOLATION because in an end-to-end run the tokenize+md5
+gram build (flat, 32-way parallel) dominates wall time locally and
+masks the straggler; at 100 TB the hot partition is 10⁸ rows and the
+masking inverts. The window path puts all N mega rows on one
+un-splittable task; the agg+join path partial-aggregates the mega key
+map-side and lets AQE's OptimizeSkewedJoin split the probe partition —
+the run lowers the skew thresholds (8 MB / factor 2) to trigger at
+local scale what the default 256 MB threshold triggers on a cluster.
+Both paths' cut outputs are checked identical (pure optimization; the
+registry twin `substring_cut_list_skew_robust` hash-checks equivalence
+on real text against the shared oracle).
+
+Usage: python tools/skew_stress.py --boilerplate [n_docs ...]
+Prints one JSON line with per-size timings for both paths.
 """
 
 from __future__ import annotations
@@ -28,6 +50,66 @@ from pyspark.sql import functions as F  # noqa: E402
 from options_data_pipeline_spark import registry  # noqa: E402
 from options_data_pipeline_spark.session import get_spark  # noqa: E402
 from options_data_pipeline_spark.sources.tables import load_table  # noqa: E402
+
+
+def boilerplate_main() -> None:
+    sizes = [int(a) for a in sys.argv[2:]] or [2_000_000, 8_000_000]
+    from options_data_pipeline_spark.functions.text import (
+        _dup_positions_agg_join,
+        _dup_positions_window,
+        merge_covered_positions,
+    )
+
+    spark = get_spark("skew-stress-boilerplate")
+    # simulate the cluster's 256 MB skew trigger at local row volumes
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m"
+    )
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+    report: dict[str, dict] = {}
+    try:
+        for n in sizes:
+            # gram-grain plant: gram_key 0 is the mega-boilerplate gram
+            # (held once by each of n docs, at position 3), every other
+            # row a unique background gram — so the window path's
+            # gram_key=0 partition is n rows on one task, while the
+            # agg+join path partial-collapses it map-side and splits
+            # the probe.
+            mega = spark.range(n).select(
+                F.lit(0).alias("gram_key"),
+                F.col("id").alias("doc_id"),
+                F.array(F.lit(3)).cast("array<int>").alias("ps"),
+            )
+            bg = spark.range(n).select(
+                (F.col("id") + 1).alias("gram_key"),
+                F.col("id").alias("doc_id"),
+                F.array(F.lit(20)).cast("array<int>").alias("ps"),
+            )
+            gd = mega.unionByName(bg).repartition(32).localCheckpoint(eager=True)
+            row = {}
+            sums = {}
+            for label, detect in (
+                ("window_path", _dup_positions_window),
+                ("agg_join_path", _dup_positions_agg_join),
+            ):
+                times = []
+                for i in range(3):  # run 0 = warmup, record min of 2
+                    t0 = time.perf_counter()
+                    cuts = merge_covered_positions(detect(gd), 8)
+                    agg = cuts.agg(
+                        F.count(F.lit(1)).alias("n_cuts"),
+                        F.sum("n_tokens").alias("cut_tokens"),
+                    ).collect()[0]
+                    times.append(time.perf_counter() - t0)
+                row[label] = round(min(times[1:]), 3)
+                sums[label] = (agg["n_cuts"], agg["cut_tokens"])
+            assert sums["window_path"] == sums["agg_join_path"], sums
+            assert sums["window_path"][0] == n  # one cut per mega-holder doc
+            report[str(n)] = row
+        print(json.dumps({"mega_gram_holders": sizes, "sizes": report}))
+    finally:
+        spark.stop()
 
 
 def main() -> None:
@@ -91,4 +173,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--boilerplate":
+        boilerplate_main()
+    else:
+        main()
