@@ -349,6 +349,7 @@ PINNED_BUDGETS = {
     "decontamination_cut_list": 2.05,  # first recording r9: solo warm 1.26 s
     # round-10 additions, pinned on creation (1.6× first solo warm)
     "substring_cut_list_skew_robust": 3.96,  # r10: solo warm 2.48 s
+    "decontamination_cut_list_indexed": 1.8,  # r10: solo warm 1.12 s
 }
 
 

@@ -1121,6 +1121,107 @@ def contamination_cut_list(
     return merge_covered_positions(dup_pos, k)
 
 
+def build_pos_gram_index(
+    docs: DataFrame,
+    path: str,
+    min_tokens: int = 4,
+    text_col: str = "text",
+    overwrite: bool = False,
+) -> DataFrame:
+    """Write-once POSITIONED gram index — the decontamination-serving
+    twin of :func:`build_gram_index`: one row per (gram_key, doc_id)
+    pair CARRYING the pair's token-position list, persisted under the
+    shared versioned-dir + atomic ``_CURRENT`` pointer scheme. The
+    plain gram index answers "is this gram duplicated?" (enough for
+    batch-side cuts, where the batch re-tokenizes itself); span-level
+    DECONTAMINATION needs cuts in the INDEXED corpus's own docs, so the
+    probe must recover *where* each colliding gram sits without
+    re-tokenizing a byte of corpus text — that is what the stored
+    position lists buy. Storage honesty: positions add one int per
+    corpus gram occurrence on top of the pair rows — the same storage
+    class as the pair index itself (the index is the corpus at gram
+    grain either way); rows are hash-partitioned and sorted by
+    gram_key so a keyed probe co-locates.
+
+    Default ``min_tokens=4`` — the decontamination gram size
+    (`decontamination_hits`' GPT-3 §C convention), not substring
+    dedup's 8. SINGLE-WRITER, same contract as every pointer store."""
+    import os
+
+    from ..streaming.cdc_stream import (
+        _current_version_dir,
+        _next_version_dir,
+        _publish_version,
+    )
+
+    spark = docs.sparkSession
+    if overwrite and os.path.isdir(path):
+        import shutil
+
+        shutil.rmtree(path)
+    cur = _current_version_dir(path)
+    if cur is None:
+        gd = (
+            sliding_pos_grams(docs, int(min_tokens), text_col)
+            .groupBy("gram_key", "doc_id")
+            .agg(F.sort_array(F.collect_list("pos")).alias("ps"))
+        )
+        os.makedirs(path, exist_ok=True)
+        vdir = _next_version_dir(path)
+        gd.repartition(32, "gram_key").sortWithinPartitions(
+            "gram_key", "doc_id"
+        ).write.mode("overwrite").parquet(vdir)
+        _publish_version(path, vdir)
+        cur = _current_version_dir(path)
+    return spark.read.parquet(cur)
+
+
+def read_pos_gram_index(spark, path: str) -> DataFrame:
+    """The published (gram_key, doc_id, ps) rows. Raises
+    FileNotFoundError when nothing has been published at ``path``."""
+    from ..streaming.cdc_stream import _current_version_dir
+
+    cur = _current_version_dir(path)
+    if cur is None:
+        raise FileNotFoundError(
+            f"read_pos_gram_index: no published index at {path!r} — "
+            f"build_pos_gram_index first"
+        )
+    return spark.read.parquet(cur)
+
+
+def contamination_cut_list_indexed(
+    index: DataFrame,
+    evalset: DataFrame,
+    min_tokens: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Span-level decontamination served from the STORED positioned
+    gram index — the round-9 verdict's index-backed rung: a NEW eval
+    suite costs O(eval grams + touched index rows), never a
+    train-corpus re-scan. Exactly :func:`contamination_cut_list` over
+    the corpus the index was built from (parity-tested; the registry
+    twin shares `decontamination_cut_list`'s oracle).
+
+    Shape: the eval suite is small by nature, so its distinct gram-key
+    set BROADCASTS; the stored index is one keyed semi-reduction
+    (broadcast hash join — no shuffle of index rows), and the colliding
+    pairs' position lists explode straight into the island merge. The
+    train corpus's text is never read, never tokenized — the index was
+    paid for once at build time and every subsequent eval suite
+    (benchmarks are published monthly; corpora are rebuilt rarely)
+    probes it for the cost of its own grams."""
+    k = int(min_tokens)
+    eval_keys = (
+        sliding_pos_grams(evalset, k, text_col).select("gram_key").distinct()
+    )
+    dup_pos = (
+        index.join(F.broadcast(eval_keys), "gram_key")
+        .select("doc_id", F.explode("ps").alias("pos"))
+    )
+    return merge_covered_positions(dup_pos, k)
+
+
 def streaming_gram_index(
     stream: DataFrame,
     path: str,

@@ -109,6 +109,74 @@ def test_span_cut_list_skew_robust_plan_has_no_gram_window(spark):
     assert all("gram_key" not in ln for ln in windows), windows
 
 
+def _contam_corpus(spark):
+    """Train docs 10..14 + eval docs 0..1; train doc 10 embeds eval
+    doc 0's 4-gram run, train 11 embeds a full eval doc, train 12 is
+    clean, 13/14 share a block with EACH OTHER only (not eval — must
+    NOT be cut)."""
+    leak = "the quick brown fox jumps over lazy dogs"
+    rows = [
+        (0, leak + " eval tail one"),
+        (1, "completely different benchmark prompt here today"),
+        (10, "pre1 pre2 " + leak + " post1 post2"),
+        (11, "completely different benchmark prompt here today plus extra"),
+        (12, "clean training document with no overlap at all"),
+        (13, "shared train block aa bb cc dd ee ff"),
+        (14, "shared train block aa bb cc dd ee ff gg"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_contamination_cut_list_indexed_parity(spark, tmp_path):
+    """Index-backed decontamination == the self-contained form, row for
+    row: cuts recovered from STORED position lists, train text never
+    re-read at probe time; train-only duplication must not leak in."""
+    from options_data_pipeline_spark.functions.text import (
+        build_pos_gram_index,
+        contamination_cut_list,
+        contamination_cut_list_indexed,
+    )
+
+    docs = _contam_corpus(spark)
+    train = docs.filter(F.col("doc_id") >= 10)
+    evalset = docs.filter(F.col("doc_id") < 10)
+    self_contained = sorted(
+        tuple(r) for r in contamination_cut_list(train, evalset, 4).collect()
+    )
+    idx = build_pos_gram_index(train, str(tmp_path / "pgidx"), min_tokens=4)
+    indexed = sorted(
+        tuple(r)
+        for r in contamination_cut_list_indexed(idx, evalset, 4).collect()
+    )
+    assert indexed == self_contained and len(indexed) > 0
+    cut_docs = {t[0] for t in indexed}
+    assert 10 in cut_docs and 11 in cut_docs
+    assert 13 not in cut_docs and 14 not in cut_docs  # train-only dup
+
+
+def test_pos_gram_index_publish_read_and_idempotent_build(spark, tmp_path):
+    from options_data_pipeline_spark.functions.text import (
+        build_pos_gram_index,
+        read_pos_gram_index,
+    )
+
+    path = str(tmp_path / "pgidx")
+    with pytest.raises(FileNotFoundError, match="no published index"):
+        read_pos_gram_index(spark, path)
+    docs = _contam_corpus(spark)
+    n1 = build_pos_gram_index(docs, path, min_tokens=4).count()
+    # second build is a no-op read of the published generation
+    n2 = build_pos_gram_index(docs, path, min_tokens=4).count()
+    assert n1 == n2 == read_pos_gram_index(spark, path).count() > 0
+    row = (
+        read_pos_gram_index(spark, path)
+        .filter(F.col("doc_id") == 11)
+        .limit(1)
+        .collect()[0]
+    )
+    assert list(row.ps) == sorted(row.ps)
+
+
 def test_quality_merge_join_is_store_prefiltered_broadcast_anti(spark):
     """The score-store dedupe join must be O(batch), not O(store): the
     stored side is semi-join pre-filtered to the batch's doc_ids and

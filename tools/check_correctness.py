@@ -130,6 +130,8 @@ SF01_SUBSET = [
     # round 10: same volume sensitivity as substring_cut_list (identical
     # semantics, skew-robust plan)
     "substring_cut_list_skew_robust",
+    # train×eval collisions recomposed from the stored positioned index
+    "decontamination_cut_list_indexed",
 ]
 
 
