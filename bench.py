@@ -350,6 +350,8 @@ PINNED_BUDGETS = {
     # round-10 additions, pinned on creation (1.6× first solo warm)
     "substring_cut_list_skew_robust": 3.96,  # r10: solo warm 2.48 s
     "decontamination_cut_list_indexed": 1.8,  # r10: solo warm 1.12 s
+    "bm25_rank_indexed": 2.0,  # r10: solo warm 1.27 s
+    "hybrid_rrf_retrieval_indexed": 2.75,  # r10: solo warm 1.71 s
 }
 
 

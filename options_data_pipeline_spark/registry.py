@@ -11009,6 +11009,76 @@ def q_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bm25_index_path(sf_dir: str) -> str:
+    return _vector_index_path(sf_dir, "bm25_index", source="documents.parquet")
+
+
+_BM25_QUERY_TERMS = ["spark", "join", "window", "stream"]
+
+
+@register("bm25_rank_indexed", _ORACLES["bm25_rank"])
+def q_bm25_rank_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from the STORED stats artifact (round-9 verdict item
+    4): postings/df/(n_docs,total_len) are published ONCE as a
+    versioned store (functions/retrieval.py — the quality-weight
+    publish discipline), and this query scores `bm25_rank`'s fixed
+    4-term query entirely from it: term set broadcasts into a postings
+    semi-reduction, df rows broadcast, avgdl derives from the stored
+    exact ints — O(query terms + touched postings), no corpus-grain
+    tokenize/agg at serve time. Bit-identical scoring expressions
+    (parity-tested), so the oracle is `bm25_rank`'s verbatim and the
+    gate hash-checks store-served == recomputed. min-of-2 bench
+    convention: run 1 pays the write-once index build, the recorded
+    number is the warm serve."""
+    from .functions.retrieval import bm25_score_indexed, build_bm25_index
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    build_bm25_index(docs, _bm25_index_path(sf_dir))
+    return bm25_score_indexed(spark, _bm25_index_path(sf_dir), _BM25_QUERY_TERMS)
+
+
+@register("hybrid_rrf_retrieval_indexed", _ORACLES["hybrid_rrf_retrieval"])
+def q_hybrid_rrf_retrieval_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`hybrid_rrf_retrieval` with the SPARSE ARM served from the
+    stored BM25 stats artifact — the deployment shape: the postings/df/
+    stats store answers the BM25 top-20 in O(query), the dense arm is
+    the same brute cosine as the self-contained form (its stored-index
+    twin is `ivf_kmeans_multiprobe_indexed`'s territory), and the RRF
+    fusion is the shared ≤20×≤20 full outer. Oracle =
+    `hybrid_rrf_retrieval`'s verbatim; ranks are integer-exact so the
+    hash pins arm parity end to end."""
+    from .functions.retrieval import (
+        bm25_score_indexed,
+        build_bm25_index,
+        rrf_fuse,
+        top_ranks,
+    )
+    from .functions.similarity import dot_col, norm_col
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    build_bm25_index(docs, _bm25_index_path(sf_dir))
+    bm = bm25_score_indexed(spark, _bm25_index_path(sf_dir), _BM25_QUERY_TERMS)
+    sr = top_ranks(bm, "bm25", 20)
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding", norm_col("embedding").alias("nrm")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), F.col("nrm").alias("qn")
+    )
+    dn = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (dot_col("qe", "embedding") / (F.col("qn") * F.col("nrm"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    dr = top_ranks(dn, "cosine", 20)
+    return rrf_fuse(sr, dr)
+
+
 @register(
     "user_first_paths",
     """WITH ev AS (

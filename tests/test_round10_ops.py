@@ -177,6 +177,104 @@ def test_pos_gram_index_publish_read_and_idempotent_build(spark, tmp_path):
     assert list(row.ps) == sorted(row.ps)
 
 
+def _bm25_corpus(spark, extra=()):
+    rows = [
+        (0, "spark join window stream spark"),
+        (1, "spark sql engine with window functions"),
+        (2, "totally unrelated text about cooking"),
+        (3, "stream stream stream join"),
+        (4, "a longer document that mentions spark once among many many other words"),
+    ] + list(extra)
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_bm25_indexed_parity_with_in_query_stats(spark, tmp_path):
+    """Store-served BM25 == in-query-stats BM25, bit for bit: same
+    doc set, same n_matched, same 6-dp-grid score sums."""
+    from options_data_pipeline_spark.functions.retrieval import (
+        _corpus_stats,
+        bm25_score_indexed,
+        build_bm25_index,
+    )
+
+    docs = _bm25_corpus(spark)
+    path = str(tmp_path / "bm25")
+    build_bm25_index(docs, path)
+    served = {
+        r.doc_id: (r.n_matched, r.bm25)
+        for r in bm25_score_indexed(
+            spark, path, ["spark", "join", "window", "stream"]
+        ).collect()
+    }
+    # in-query twin: the exact q_bm25_rank formulas over the same corpus
+    postings, df, stats = _corpus_stats(docs)
+    qt = spark.createDataFrame(
+        [("spark",), ("join",), ("window",), ("stream",)], "tok string"
+    )
+    touched = postings.join(F.broadcast(qt), "tok")
+    st = stats.select(
+        F.col("n_docs").alias("n"),
+        (F.col("total_len").cast("double") / F.col("n_docs").cast("double")).alias(
+            "avgdl"
+        ),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n").cast("double") - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tfp = (F.col("tf").cast("double") * F.lit(2.2)) / (
+        F.col("tf").cast("double")
+        + F.lit(1.2)
+        * (F.lit(0.25) + F.lit(0.75) * F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    recomputed = {
+        r.doc_id: (r.n_matched, r.bm25)
+        for r in touched.join(F.broadcast(df.join(qt, "tok")), "tok")
+        .crossJoin(F.broadcast(st))
+        .select("doc_id", F.round(idf * tfp, 6).cast("decimal(20,6)").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.sum("s").cast("double").alias("bm25"),
+        )
+        .collect()
+    }
+    assert served == recomputed and len(served) == 4  # doc 2 matches nothing
+
+
+def test_bm25_index_version_pinning_and_replay(spark, tmp_path):
+    """Scores are pinned to the PUBLISHED stats generation: a replayed
+    build is a no-op (same version, same scores); a republish after
+    corpus growth swaps the pointer and the served ranking moves."""
+    from options_data_pipeline_spark.functions.retrieval import (
+        bm25_score_indexed,
+        build_bm25_index,
+        publish_bm25_index,
+        read_bm25_index,
+    )
+
+    docs = _bm25_corpus(spark)
+    path = str(tmp_path / "bm25")
+    r1 = build_bm25_index(docs, path)
+    s1 = {r.doc_id: r.bm25 for r in bm25_score_indexed(spark, path, ["spark"]).collect()}
+    r2 = build_bm25_index(docs, path)  # replay: no new version
+    assert r2["version"] == r1["version"]
+    s2 = {r.doc_id: r.bm25 for r in bm25_score_indexed(spark, path, ["spark"]).collect()}
+    assert s2 == s1
+    # corpus grows (many new docs without 'spark' -> idf of 'spark' rises)
+    grown = _bm25_corpus(
+        spark, extra=[(10 + i, f"filler doc number {i}") for i in range(20)]
+    )
+    r3 = publish_bm25_index(grown, path)
+    assert r3["version"] != r1["version"]
+    assert r3["n_docs"] == r1["n_docs"] + 20
+    _, _, _, live = read_bm25_index(spark, path)
+    assert live == r3["version"]
+    s3 = {r.doc_id: r.bm25 for r in bm25_score_indexed(spark, path, ["spark"]).collect()}
+    assert set(s3) == set(s1) and all(s3[d] > s1[d] for d in s1)
+
+
 def test_quality_merge_join_is_store_prefiltered_broadcast_anti(spark):
     """The score-store dedupe join must be O(batch), not O(store): the
     stored side is semi-join pre-filtered to the batch's doc_ids and

@@ -132,6 +132,10 @@ SF01_SUBSET = [
     "substring_cut_list_skew_robust",
     # train×eval collisions recomposed from the stored positioned index
     "decontamination_cut_list_indexed",
+    # stored-stats BM25: df/avgdl (and thus every score and rank) shift
+    # with corpus volume, served or recomputed
+    "bm25_rank_indexed",
+    "hybrid_rrf_retrieval_indexed",
 ]
 
 
