@@ -83,6 +83,16 @@ def domain_token_model(
         ).alias("tok"),
     )
     cnt = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return model_from_counts(cnt)
+
+
+def model_from_counts(cnt: DataFrame) -> DataFrame:
+    """(source, tok, c) exact counts → (source, tok, p) model — the
+    one division of `domain_token_model`, shared with the streaming
+    twin, which maintains the counts incrementally and recomposes p
+    from them (exact ints in, identical IEEE division out — that is
+    what makes stream-maintained and batch-computed trajectories
+    bit-equal)."""
     nd = cnt.groupBy("source").agg(F.sum("c").alias("n"))
     return cnt.join(nd, "source").select(
         "source", "tok", (F.col("c").cast("double") / F.col("n").cast("double")).alias("p")

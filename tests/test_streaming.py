@@ -2325,3 +2325,113 @@ def test_streaming_gram_index_matches_oneshot_build(spark, tmpdir):
         map(tuple, build_gram_index(docs, os.path.join(tmpdir, "g_ref")).collect())
     )
     assert got == want and got
+
+
+def _mixture_docs(spark):
+    """3-domain corpus with planted skew (domain c is token-uniform
+    and far from the others), small enough for exact driver mirrors."""
+    rows = []
+    for i in range(6):
+        rows.append((i, "a", "common common words here " * (1 + i % 2)))
+    for i in range(6, 12):
+        rows.append((i, "b", "common words also shared text " * (1 + i % 3)))
+    for i in range(12, 18):
+        rows.append((i, "c", f"rare{i} unique{i} outlier{i} tok{i}"))
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_streaming_mixture_weights_matches_batch(spark, tmpdir):
+    """Stream the corpus in micro-batches through the incremental count
+    store; the final published weights must be BIT-IDENTICAL to the
+    batch trajectory over the same corpus (exact int counts -> same
+    IEEE division -> same gridded mirror descent)."""
+    from options_data_pipeline_spark.functions.doremi import (
+        domain_token_model,
+        doremi_trajectory,
+    )
+    from options_data_pipeline_spark.streaming.mixture_stream import (
+        read_mixture_weights,
+        streaming_mixture_weights,
+    )
+
+    docs = _mixture_docs(spark)
+    store = os.path.join(tmpdir, "m_store")
+    model = os.path.join(tmpdir, "m_model")
+    src = os.path.join(tmpdir, "m_src")
+    ck = os.path.join(tmpdir, "m_ck")
+    docs.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_mixture_weights(stream, store, model, ck).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got, _ = read_mixture_weights(spark, model)
+    want, _, _ = doremi_trajectory(domain_token_model(docs))
+    assert got == want  # bit-identical, not approximately
+
+
+def test_mixture_ingest_replay_and_crash_dir(spark, tmpdir):
+    """Batch-keyed idempotent commit: a replayed batch_id rewrites the
+    same delta (appended_tokens == 0, model unchanged); a crashed dir
+    (no _SUCCESS) is invisible to readers."""
+    from options_data_pipeline_spark.streaming.mixture_stream import (
+        mixture_ingest_batch,
+        read_mixture_model,
+    )
+
+    docs = _mixture_docs(spark)
+    store = os.path.join(tmpdir, "m_store")
+    b0 = docs.filter("doc_id < 9")
+    b1 = docs.filter("doc_id >= 9")
+    r0 = mixture_ingest_batch(b0, 0, store)
+    r1 = mixture_ingest_batch(b1, 1, store)
+    assert r0["appended_tokens"] == r0["tokens"] > 0
+    assert r1["appended_tokens"] == r1["tokens"] > 0
+    before = sorted(map(tuple, read_mixture_model(spark, store).collect()))
+    rr = mixture_ingest_batch(b1, 1, store)  # replay
+    assert rr["appended_tokens"] == 0 and rr["tokens"] == r1["tokens"]
+    assert sorted(map(tuple, read_mixture_model(spark, store).collect())) == before
+    # crash injection: a batch dir without _SUCCESS must not count
+    crash = os.path.join(store, "deltas", "batch_id=9")
+    os.makedirs(crash)
+    with open(os.path.join(crash, "part-orphan.parquet"), "wb") as f:
+        f.write(b"torn")
+    assert sorted(map(tuple, read_mixture_model(spark, store).collect())) == before
+
+
+def test_mixture_compaction_and_version_pinning(spark, tmpdir):
+    """Compaction folds deltas into one generation with an unchanged
+    model; weight republish after more data swaps the pointer and the
+    new version is what readers see (old versions stay on disk for the
+    publish discipline's crash window)."""
+    from options_data_pipeline_spark.streaming.mixture_stream import (
+        compact_mixture_model,
+        mixture_ingest_batch,
+        publish_mixture_weights,
+        read_mixture_model,
+        read_mixture_weights,
+    )
+
+    docs = _mixture_docs(spark)
+    store = os.path.join(tmpdir, "m_store")
+    model = os.path.join(tmpdir, "m_model")
+    mixture_ingest_batch(docs.filter("doc_id < 9"), 0, store)
+    p1 = publish_mixture_weights(spark, store, model)
+    w1, v1 = read_mixture_weights(spark, model)
+    assert (w1, v1) == (p1["weights"], p1["version"])
+    mixture_ingest_batch(docs.filter("doc_id >= 9"), 1, store)
+    before = sorted(map(tuple, read_mixture_model(spark, store).collect()))
+    rep = compact_mixture_model(spark, store)
+    assert rep["folded_deltas"] == 2
+    assert sorted(map(tuple, read_mixture_model(spark, store).collect())) == before
+    assert not os.listdir(os.path.join(store, "deltas"))
+    p2 = publish_mixture_weights(spark, store, model)
+    w2, v2 = read_mixture_weights(spark, model)
+    assert v2 == p2["version"] != v1
+    assert w2 != w1  # domain c arrived in batch 1 -> trajectory moved
+    assert abs(sum(w2.values()) - 1.0) < 1e-9
