@@ -191,6 +191,98 @@ def soak_ivf(spark, cycles: int, workdir: str) -> dict:
     return stats
 
 
+def hotcell_main() -> int:
+    """×100 adversarial repair soak (round-9 verdict item 6): the
+    two-mass hot-cell FIXPOINT case — one cell holding two separated
+    masses, where a plain joint Lloyd step stalls (the mean moves,
+    nothing reassigns) and the recipient-drafting repair must split the
+    masses — at 200k vectors. Records rounds-to-clean against the ≤k
+    drafting bound, plus the build invariant (stored assignment ==
+    one-shot argmin under the published centroids) and the ≤2-generation
+    GC invariant, all at scale.
+
+    Usage: python tools/index_soak.py --hotcell [n_base] [n_drift]
+    (defaults 200_000 / 60_000). Prints one JSON line."""
+    n_base = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
+    n_drift = int(sys.argv[3]) if len(sys.argv) > 3 else 60_000
+    k = 8
+    spark = get_spark("index-soak-hotcell")
+    workdir = tempfile.mkdtemp(prefix="index_soak_hot_")
+    path = os.path.join(workdir, "kidx")
+    t0 = time.perf_counter()
+    try:
+        per = n_base // k
+        # base: k tight clusters at x = 10c (deterministic jitter)
+        base = spark.range(n_base).selectExpr(
+            "id AS vec_id",
+            f"array(10.0 * cast(id % {k} as double) + 0.00001 * cast(id div {k} as double),"
+            " 0.0d, 0.0d, 0.0d) AS embedding",
+        )
+        build_kmeans_index(base, path, k=k, iters=2)
+        # drift: a SECOND mass lands far beyond cluster k-1, assigned to
+        # its cell (nearest centroid) -> one hot cell, two masses, no
+        # empty partner anywhere: the drafting fixpoint, at scale
+        drift = spark.range(n_drift).selectExpr(
+            f"id + {n_base} AS vec_id",
+            f"array(95.0 + 0.00001 * cast(id as double), 0.0d, 0.0d, 0.0d) AS embedding",
+        )
+        append_kmeans_index(drift, path)
+        before = audit_kmeans_index(spark, path).collect()
+        hot = [int(r.cell) for r in before if r.hot]
+        assert hot, "plant failed: no hot cell"
+        assert not any(r.empty for r in before), "plant failed: empty partner exists"
+
+        out = repair_kmeans_index_until_clean(spark, path)
+        rounds = len(out["rounds"])
+        assert out["clean"], f"not clean after {rounds} rounds"
+        assert rounds <= k, f"rounds {rounds} exceeded the <=k drafting bound"
+
+        # build invariant at scale, checked distributed (no driver sets)
+        cur = _kmeans_current(path)
+        stored = spark.read.parquet(os.path.join(cur, "corpus"))
+        cents = [
+            r.centroid
+            for r in sorted(
+                spark.read.parquet(os.path.join(cur, "centroids")).collect(),
+                key=lambda r: r.cell,
+            )
+        ]
+        ref = with_cell(stored.select("vec_id", "embedding"), cents).select(
+            "vec_id", F.col("cell").alias("ref_cell")
+        )
+        mism = (
+            stored.select("vec_id", "cell")
+            .join(ref, "vec_id")
+            .filter(F.col("cell") != F.col("ref_cell"))
+            .count()
+        )
+        assert mism == 0, f"{mism} rows off the one-shot assignment"
+        gens = [d for d in os.listdir(path) if d.startswith("v_")]
+        assert len(gens) <= 2, f"{len(gens)} generations survived GC"
+        after = audit_kmeans_index(spark, path).collect()
+        assert not any(r.needs_recluster for r in after)
+        print(
+            json.dumps(
+                {
+                    "n_base": n_base,
+                    "n_drift": n_drift,
+                    "k": k,
+                    "hot_cells_before": hot,
+                    "rounds_to_clean": rounds,
+                    "rounds_bound": k,
+                    "rows_moved": sum(r["rows_moved"] for r in out["rounds"]),
+                    "assignment_mismatches": 0,
+                    "generations": len(gens),
+                    "seconds": round(time.perf_counter() - t0, 1),
+                }
+            )
+        )
+        return 0
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+        spark.stop()
+
+
 def main() -> int:
     cycles = int(sys.argv[1]) if len(sys.argv) > 1 else 6
     spark = get_spark("index-soak")
@@ -212,4 +304,6 @@ def main() -> int:
 
 
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--hotcell":
+        raise SystemExit(hotcell_main())
     raise SystemExit(main())
