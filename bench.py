@@ -352,6 +352,7 @@ PINNED_BUDGETS = {
     "decontamination_cut_list_indexed": 1.8,  # r10: solo warm 1.12 s
     "bm25_rank_indexed": 2.0,  # r10: solo warm 1.27 s
     "hybrid_rrf_retrieval_indexed": 2.75,  # r10: solo warm 1.71 s
+    "decontamination_apply": 2.8,  # r10: solo warm 1.75 s
 }
 
 

@@ -846,7 +846,22 @@ def apply_cut_list(
     token re-join), because cuts are decided at lowercased-token grain
     and reassembly happens in that space; this residual normalization
     of the cut minority is the documented contract."""
-    cuts = span_cut_list(docs, min_tokens, text_col)
+    return apply_cuts(docs, span_cut_list(docs, min_tokens, text_col), text_col)
+
+
+def apply_cuts(
+    docs: DataFrame,
+    cuts: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """EXECUTE any cut list against its corpus — the shared apply half
+    for every cut-producing decide step (:func:`span_cut_list`,
+    :func:`incremental_cut_list`, :func:`contamination_cut_list`,
+    :func:`contamination_cut_list_indexed` all emit the same
+    ``(doc_id, start_tok, end_tok, n_tokens)`` contract; this removes).
+    Join shape, cost argument, and the byte-preservation contract are
+    :func:`apply_cut_list`'s (which is now this function composed with
+    `span_cut_list`)."""
     per_doc = cuts.groupBy("doc_id").agg(
         F.sort_array(
             F.collect_list(F.struct("start_tok", "end_tok"))

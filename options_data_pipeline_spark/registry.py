@@ -4174,6 +4174,79 @@ def _pos_gram_index_path(sf_dir: str) -> str:
     )
 
 
+_DECONTAM_APPLY_SQL = """WITH d AS (
+  SELECT doc_id, text, regexp_extract_all(lower(text), '\\S+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, k AS pos,
+         CAST(concat('0x', substr(md5(array_to_string(toks[k+1 : k+4], ' ')), 1, 15)) AS BIGINT) AS gk
+  FROM d, unnest(CASE WHEN len(toks) >= 4
+                 THEN generate_series(0, len(toks) - 4) ELSE [] END) t(k)
+),
+ek AS (SELECT DISTINCT gk FROM g WHERE doc_id < 25),
+dup AS (
+  SELECT g.doc_id, g.pos FROM g JOIN ek USING (gk) WHERE g.doc_id >= 25
+),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 4
+              THEN 1 ELSE 0 END AS brk
+  FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+isl2 AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+),
+cl AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e,
+         max(pos) + 4 - min(pos) AS n
+  FROM isl2 GROUP BY doc_id, island
+),
+ca AS (
+  SELECT doc_id, list(struct_pack(s := s, e := e) ORDER BY s) AS cut_arr,
+         CAST(sum(n) AS BIGINT) AS n_cut_tokens,
+         CAST(count(*) AS BIGINT) AS n_cuts
+  FROM cl GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.toks) AS BIGINT) AS n_tokens,
+       CAST(coalesce(ca.n_cut_tokens, 0) AS BIGINT) AS n_cut_tokens,
+       CAST(coalesce(ca.n_cuts, 0) AS BIGINT) AS n_cuts,
+       CASE WHEN ca.doc_id IS NULL THEN d.text
+            ELSE coalesce(array_to_string(list_filter(d.toks,
+              (t, i) -> len(list_filter(ca.cut_arr,
+                c -> i - 1 >= c.s AND i - 1 < c.e)) = 0), ' '), '')
+       END AS kept_text
+FROM d LEFT JOIN ca USING (doc_id)
+WHERE d.doc_id >= 25"""
+
+
+@register("decontamination_apply", _DECONTAM_APPLY_SQL)
+def q_decontamination_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE the decontamination cut list — the apply half that
+    closes the eval-leakage decide→execute loop (`decontamination`
+    ranks leaky docs, `decontamination_cut_list` decides the exact
+    ranges, THIS removes them): per training doc (doc_id ≥ 25), drop
+    every token covered by an eval-collision cut and emit the surviving
+    text plus the removal ledger — what actually ships to training
+    after benchmark decontamination. The apply step is the SHARED
+    `apply_cuts` (functions/text.py) every cut family uses: cuts
+    aggregate to ≤1 row per affected doc, broadcast back, one positional
+    filter map; uncut docs keep ORIGINAL bytes verbatim. Oracle = the
+    decontamination cut CTE chain + the same positional list_filter;
+    kept text hash-checked verbatim at the gate."""
+    from .functions.text import apply_cuts, contamination_cut_list
+
+    docs = load_table(spark, "documents", sf_dir)
+    train = docs.filter(F.col("doc_id") >= 25)
+    cuts = contamination_cut_list(
+        train, docs.filter(F.col("doc_id") < 25), min_tokens=4
+    )
+    return apply_cuts(train, cuts)
+
+
 @register("decontamination_cut_list_indexed", _DECONTAM_CUT_SQL)
 def q_decontamination_cut_list_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INDEX-BACKED span decontamination — the round-9 verdict's rung:

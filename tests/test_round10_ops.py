@@ -177,6 +177,31 @@ def test_pos_gram_index_publish_read_and_idempotent_build(spark, tmp_path):
     assert list(row.ps) == sorted(row.ps)
 
 
+def test_apply_cuts_executes_decontamination_cut_list(spark):
+    """The shared apply half executes an eval-collision cut list: the
+    leaked block vanishes from kept_text, train-only duplication
+    survives (not an eval collision), uncut docs pass through with
+    original bytes."""
+    from options_data_pipeline_spark.functions.text import (
+        apply_cuts,
+        contamination_cut_list,
+    )
+
+    docs = _contam_corpus(spark)
+    train = docs.filter(F.col("doc_id") >= 10)
+    evalset = docs.filter(F.col("doc_id") < 10)
+    cuts = contamination_cut_list(train, evalset, 4)
+    got = {r.doc_id: r for r in apply_cuts(train, cuts).collect()}
+    assert set(got) == {10, 11, 12, 13, 14}  # every train doc ledgered
+    assert "quick brown fox" not in got[10].kept_text
+    assert got[10].kept_text.startswith("pre1 pre2") and got[10].n_cuts == 1
+    assert got[11].n_cut_tokens > 0  # full eval doc embedded -> cut
+    # clean + train-only-dup docs: untouched, ORIGINAL bytes
+    for d in (12, 13, 14):
+        assert got[d].kept_text == docs.filter(F.col("doc_id") == d).collect()[0].text
+        assert got[d].n_cuts == 0
+
+
 def _bm25_corpus(spark, extra=()):
     rows = [
         (0, "spark join window stream spark"),

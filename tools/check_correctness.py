@@ -136,6 +136,8 @@ SF01_SUBSET = [
     # with corpus volume, served or recomputed
     "bm25_rank_indexed",
     "hybrid_rrf_retrieval_indexed",
+    # kept text recomposes with the eval-collision cut boundaries
+    "decontamination_apply",
 ]
 
 
