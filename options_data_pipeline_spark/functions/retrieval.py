@@ -128,6 +128,107 @@ def build_bm25_index(docs: DataFrame, path: str, text_col: str = "text") -> dict
     }
 
 
+def merge_bm25_index(batch: DataFrame, path: str, text_col: str = "text") -> dict:
+    """Incremental SET-UNION merge of NEW documents into the stored
+    index, published as a new version — the `merge_gram_index`
+    discipline adapted to a store whose df/stats are DERIVED sums:
+
+    1. the batch alone is tokenized; its doc_ids anti-join the stored
+       postings' doc set (stored side PRE-FILTERED to the batch's ids —
+       the O(batch)-not-O(store) rule), so a replayed batch contributes
+       nothing and an overlapping batch contributes only its new docs;
+    2. the fresh docs' postings land as an APPEND inside the new
+       version's postings dir (old files HARD-LINKED, not copied — the
+       repair_kmeans_index publish trick: at 100 TB the untouched
+       posting files must not be rewritten to add a day's docs);
+    3. df merges vocab-grain (full outer sum of the stored df with the
+       fresh docs' df delta — vocabulary rows, never corpus rows) and
+       the 2-int stats row adds the fresh doc count and token mass;
+    4. one atomic pointer swap publishes postings+df+stats TOGETHER —
+       a crash anywhere leaves the previous version fully consistent.
+
+    Exact ints all the way down, so an incremental merge equals a full
+    rebuild over the union BIT FOR BIT (parity-tested). Returns
+    {"version", "fresh_docs", "n_docs", "total_len"}; a full replay
+    reports fresh_docs == 0 and publishes NO new version."""
+    spark = batch.sparkSession
+    cur = _current_version_dir(path)
+    if cur is None:
+        raise FileNotFoundError(
+            f"merge_bm25_index: no index at {path!r} — build_bm25_index first"
+        )
+    stored_postings = spark.read.parquet(os.path.join(cur, "postings"))
+    batch_ids = batch.select("doc_id").distinct()
+    seen = (
+        stored_postings.select("doc_id")
+        .join(batch_ids.hint("shuffle_hash"), "doc_id", "left_semi")
+        .distinct()
+    )
+    fresh_docs = batch.join(F.broadcast(seen), "doc_id", "left_anti")
+    n_fresh = fresh_docs.count()
+    s = spark.read.parquet(os.path.join(cur, "stats")).collect()[0]
+    if n_fresh == 0:
+        return {
+            "version": os.path.basename(cur),
+            "fresh_docs": 0,
+            "n_docs": s["n_docs"],
+            "total_len": s["total_len"],
+        }
+    postings_d, df_d, stats_d = _corpus_stats(fresh_docs, text_col)
+    vdir = _next_version_dir(path)
+    pdir = os.path.join(vdir, "postings")
+    os.makedirs(pdir, exist_ok=True)
+    for fn in os.listdir(os.path.join(cur, "postings")):
+        if fn.endswith(".parquet"):
+            os.link(os.path.join(cur, "postings", fn), os.path.join(pdir, fn))
+    postings_d.write.mode("append").parquet(pdir)
+    stored_df = spark.read.parquet(os.path.join(cur, "df"))
+    merged_df = (
+        stored_df.withColumnRenamed("df", "df_a")
+        .join(df_d.withColumnRenamed("df", "df_b"), "tok", "full_outer")
+        .select(
+            "tok",
+            (
+                F.coalesce(F.col("df_a"), F.lit(0))
+                + F.coalesce(F.col("df_b"), F.lit(0))
+            ).cast("long").alias("df"),
+        )
+    )
+    merged_df.repartition(4, "tok").sortWithinPartitions("tok").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(vdir, "df"))
+    d = stats_d.collect()[0]
+    spark.createDataFrame(
+        [(s["n_docs"] + d["n_docs"], s["total_len"] + d["total_len"])],
+        "n_docs long, total_len long",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(vdir, "stats"))
+    _publish_version(path, vdir)
+    return {
+        "version": os.path.basename(vdir),
+        "fresh_docs": n_fresh,
+        "n_docs": s["n_docs"] + d["n_docs"],
+        "total_len": s["total_len"] + d["total_len"],
+    }
+
+
+def streaming_bm25_index(
+    stream: DataFrame, path: str, checkpoint_dir: str, text_col: str = "text"
+):
+    """Wire a document stream into the BM25 store:
+    ``streaming_bm25_index(...).start()`` + the checkpoint gives
+    exactly-once postings (doc-keyed SET-UNION merge × at-least-once
+    foreachBatch) with df/stats republished consistently per batch."""
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        merge_bm25_index(batch, path, text_col)
+
+    return (
+        stream.writeStream.foreachBatch(write)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+
+
 def read_bm25_index(spark, path: str):
     """(postings, df, stats, version) at the published pointer. Raises
     FileNotFoundError when nothing has been published."""

@@ -300,6 +300,74 @@ def test_bm25_index_version_pinning_and_replay(spark, tmp_path):
     assert set(s3) == set(s1) and all(s3[d] > s1[d] for d in s1)
 
 
+def test_bm25_incremental_merge_equals_rebuild(spark, tmp_path):
+    """merge_bm25_index over a doc batch == a full rebuild over the
+    union, BIT FOR BIT: postings row set, df table, stats ints, and the
+    served scores for a live query all identical; a replayed batch
+    publishes nothing."""
+    from options_data_pipeline_spark.functions.retrieval import (
+        bm25_score_indexed,
+        build_bm25_index,
+        merge_bm25_index,
+        read_bm25_index,
+    )
+
+    docs = _bm25_corpus(spark)
+    first = docs.filter("doc_id < 3")
+    rest = docs.filter("doc_id >= 2")  # overlaps doc 2
+    inc_path = str(tmp_path / "bm25_inc")
+    ref_path = str(tmp_path / "bm25_ref")
+    build_bm25_index(first, inc_path)
+    r = merge_bm25_index(rest, inc_path)
+    assert r["fresh_docs"] == 2  # doc 2 already indexed
+    build_bm25_index(docs, ref_path)
+    for sub in (0, 1, 2):  # postings, df, stats
+        got = sorted(map(tuple, read_bm25_index(spark, inc_path)[sub].collect()))
+        want = sorted(map(tuple, read_bm25_index(spark, ref_path)[sub].collect()))
+        assert got == want, f"store part {sub} diverged"
+    terms = ["spark", "join", "window", "stream"]
+    s_inc = sorted(map(tuple, bm25_score_indexed(spark, inc_path, terms).collect()))
+    s_ref = sorted(map(tuple, bm25_score_indexed(spark, ref_path, terms).collect()))
+    assert s_inc == s_ref
+    # full replay: nothing fresh, NO new version published
+    v_before = read_bm25_index(spark, inc_path)[3]
+    rr = merge_bm25_index(rest, inc_path)
+    assert rr["fresh_docs"] == 0 and rr["version"] == v_before
+
+
+def test_streaming_bm25_index_matches_oneshot(spark, tmp_path):
+    """Stream docs through the foreachBatch merge in micro-batches; the
+    final store serves the same scores as a one-shot build."""
+    from options_data_pipeline_spark.functions.retrieval import (
+        bm25_score_indexed,
+        build_bm25_index,
+        streaming_bm25_index,
+    )
+
+    docs = _bm25_corpus(spark)
+    path = str(tmp_path / "bm25_s")
+    ref = str(tmp_path / "bm25_sref")
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    build_bm25_index(docs.filter("doc_id = 0"), path)
+    docs.filter("doc_id > 0").repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_bm25_index(stream, path, ck).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    build_bm25_index(docs, ref)
+    terms = ["spark", "join", "window", "stream"]
+    got = sorted(map(tuple, bm25_score_indexed(spark, path, terms).collect()))
+    want = sorted(map(tuple, bm25_score_indexed(spark, ref, terms).collect()))
+    assert got == want and got
+
+
 def test_quality_merge_join_is_store_prefiltered_broadcast_anti(spark):
     """The score-store dedupe join must be O(batch), not O(store): the
     stored side is semi-join pre-filtered to the batch's doc_ids and

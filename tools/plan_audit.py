@@ -54,6 +54,8 @@ BNLJ_OK = {
     "histogram_quantile_sketch",  # 1-row global min/max bin normalizer
     "dau_wau_mau",  # bounded day×bitmap-bucket scaffold (gap_fill family)
     "bm25_rank",  # 1-row corpus avgdl/N stats normalizer
+    "bm25_rank_indexed",  # the SAME 1-row stats normalizer, store-served
+    "hybrid_rrf_retrieval_indexed",  # same stats row via the sparse arm
     # bounded scaffold: symbols × day-window sequence
     "gap_fill",
     # broadcast 1-ROW bloom filter crossJoined onto the probe side (the
