@@ -1191,6 +1191,59 @@ def build_pos_gram_index(
     return spark.read.parquet(cur)
 
 
+def merge_pos_gram_index(
+    batch: DataFrame,
+    path: str,
+    min_tokens: int = 4,
+    text_col: str = "text",
+) -> dict:
+    """SET-UNION merge of NEW docs' positioned gram rows into the
+    stored index — `merge_gram_index`'s discipline at (gram_key,
+    doc_id, ps) grain, so a GROWING train corpus keeps its
+    decontamination index fresh without ever re-tokenizing old docs:
+    tokenize ONLY the batch, drop docs the index already holds (stored
+    doc set PRE-FILTERED to the batch's ids before the anti-join),
+    append the rest INSIDE the published generation (Spark's job-commit
+    protocol makes the append all-or-nothing; the pointer is untouched,
+    so a crashed merge can never unpublish). A doc's rows are a pure
+    function of the doc, so doc-grain dedup IS set-union here. Returns
+    {"batch_docs", "fresh_docs", "new_rows"}; a replay reports
+    fresh_docs == 0. SINGLE-WRITER with build."""
+    from ..streaming.cdc_stream import _current_version_dir
+
+    cur = _current_version_dir(path)
+    if cur is None:
+        raise FileNotFoundError(
+            f"merge_pos_gram_index: no index at {path!r} — "
+            f"build_pos_gram_index first"
+        )
+    spark = batch.sparkSession
+    stored = spark.read.parquet(cur)
+    batch_ids = batch.select("doc_id").distinct()
+    seen = (
+        stored.select("doc_id")
+        .join(batch_ids.hint("shuffle_hash"), "doc_id", "left_semi")
+        .distinct()
+    )
+    fresh = batch.join(F.broadcast(seen), "doc_id", "left_anti")
+    n_fresh = fresh.count()
+    n_rows = 0
+    if n_fresh:
+        rows = (
+            sliding_pos_grams(fresh, int(min_tokens), text_col)
+            .groupBy("gram_key", "doc_id")
+            .agg(F.sort_array(F.collect_list("pos")).alias("ps"))
+            .localCheckpoint(eager=True)
+        )
+        n_rows = rows.count()
+        rows.write.mode("append").parquet(cur)
+    return {
+        "batch_docs": batch_ids.count(),
+        "fresh_docs": n_fresh,
+        "new_rows": n_rows,
+    }
+
+
 def read_pos_gram_index(spark, path: str) -> DataFrame:
     """The published (gram_key, doc_id, ps) rows. Raises
     FileNotFoundError when nothing has been published at ``path``."""

@@ -368,6 +368,39 @@ def test_streaming_bm25_index_matches_oneshot(spark, tmp_path):
     assert got == want and got
 
 
+def test_merge_pos_gram_index_parity_and_replay(spark, tmp_path):
+    """Growing the train corpus through the positioned-index merge
+    keeps indexed decontamination exactly equal to the self-contained
+    form over the grown corpus; replay merges nothing."""
+    from options_data_pipeline_spark.functions.text import (
+        build_pos_gram_index,
+        contamination_cut_list,
+        contamination_cut_list_indexed,
+        merge_pos_gram_index,
+        read_pos_gram_index,
+    )
+
+    docs = _contam_corpus(spark)
+    train0 = docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") <= 12))
+    growth = docs.filter(F.col("doc_id") >= 12)  # overlaps doc 12
+    evalset = docs.filter(F.col("doc_id") < 10)
+    path = str(tmp_path / "pgidx")
+    build_pos_gram_index(train0, path, min_tokens=4)
+    r = merge_pos_gram_index(growth, path, min_tokens=4)
+    assert r["batch_docs"] == 3 and r["fresh_docs"] == 2  # doc 12 deduped
+    rr = merge_pos_gram_index(growth, path, min_tokens=4)  # replay
+    assert rr["fresh_docs"] == 0 and rr["new_rows"] == 0
+    idx = read_pos_gram_index(spark, path)
+    got = sorted(
+        tuple(r) for r in contamination_cut_list_indexed(idx, evalset, 4).collect()
+    )
+    train_all = docs.filter(F.col("doc_id") >= 10)
+    want = sorted(
+        tuple(r) for r in contamination_cut_list(train_all, evalset, 4).collect()
+    )
+    assert got == want and got
+
+
 def test_quality_merge_join_is_store_prefiltered_broadcast_anti(spark):
     """The score-store dedupe join must be O(batch), not O(store): the
     stored side is semi-join pre-filtered to the batch's doc_ids and
