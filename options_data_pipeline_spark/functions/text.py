@@ -718,20 +718,27 @@ def span_cut_list(
     # partition is exactly what AQE's OptimizeSkewedJoin splits. Pure
     # optimization: the emitted cuts are identical either way (the
     # registry twin shares `substring_cut_list`'s oracle and the gate
-    # hash-checks the equivalence); the cost is one extra skinny
-    # gram-grain exchange, so the window form stays the default for
-    # healthy corpora (measured 6.9 s vs 9.7 s at an 800k-doc text
-    # plant, where the 32-way tokenize+md5 dominates and masks any
-    # straggler). On the dup-detection stage in isolation — where the
-    # 100 TB hazard actually lives — the ordering inverts and widens
-    # with the hot gram: 3.0→2.5 s at 2M holders, 8.4→5.9 s at 8M
-    # (tools/skew_stress.py --boilerplate). A broadcast pre-mark of
-    # the ≥F-doc boiler keys was measured too and rejected: the boiler
-    # set rides a broadcast SUBQUERY, whose subtree cannot reuse the
-    # main plan's gd exchange, so the corpus gram build ran 3×
-    # (4.5 s vs window 1.9 s at a 200k-doc plant).
-    detect = _dup_positions_agg_join if skew_robust else _dup_positions_window
-    return merge_covered_positions(detect(gd), k)
+    # hash-checks the equivalence). The gram table MATERIALIZES once
+    # (eager localCheckpoint) because the agg+join's two consumers
+    # cannot share one exchange: column pruning strips the position
+    # lists from the counts branch, so its exchange canonicalizes
+    # differently and Spark would otherwise re-tokenize the corpus for
+    # it (measured: 2 FileScans, 0 ReusedExchange) — the materialized
+    # gd is the same bytes the stored gram INDEX keeps, paid per run
+    # here to stay self-contained. The window form stays the default
+    # for healthy corpora (no materialization, one exchange); on the
+    # dup-detection stage in isolation — where the 100 TB hazard
+    # actually lives — the agg+join wins and widens with the hot gram:
+    # 3.0→2.5 s at 2M holders, 8.4→5.9 s at 8M (tools/skew_stress.py
+    # --boilerplate). A broadcast pre-mark of the ≥F-doc boiler keys
+    # was measured too and rejected: the boiler set rides a broadcast
+    # SUBQUERY, whose subtree cannot reuse the main plan's gd exchange,
+    # so the corpus gram build ran 3× (4.5 s vs window 1.9 s at a
+    # 200k-doc plant).
+    if skew_robust:
+        gd = gd.localCheckpoint(eager=True)
+        return merge_covered_positions(_dup_positions_agg_join(gd), k)
+    return merge_covered_positions(_dup_positions_window(gd), k)
 
 
 def _dup_positions_window(gd: DataFrame) -> DataFrame:

@@ -1295,3 +1295,52 @@ def test_backoff_heldout_broadcasts_lm(spark, qs):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_indexed_serves_from_store_no_corpus_tokenize(spark, qs):
+    """The store-served BM25 plan reads the bm25_index artifact and
+    NEVER the documents table: a documents.parquet scan here means the
+    serve path regressed to corpus recompute. The only nested loop is
+    the 1-row stats broadcast (the bm25_rank-allowlisted normalizer)."""
+    df = qs["bm25_rank_indexed"](spark, SF)
+    plan = physical_plan(df)
+    assert "bm25_index" in plan
+    assert "documents.parquet" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_decontamination_indexed_scans_docs_once_for_eval_only(spark, qs):
+    """Index-backed decontamination reads documents.parquet exactly
+    ONCE (the eval arm's gram build); the train side comes from the
+    positioned index artifact. Two scans would mean the train re-scan
+    the index exists to remove."""
+    df = qs["decontamination_cut_list_indexed"](spark, SF)
+    plan = physical_plan(df)
+    assert "pos_gram_index" in plan
+    assert plan.count("documents.parquet") == 1
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_round10_rungs_stay_clean(spark, qs):
+    """Round-10 additions: no cartesian, no row-at-a-time Python, and
+    the cut-apply / fusion joins stay broadcast at gate SF (the
+    hybrid's ≤20×≤20 full outer may legitimately sort-merge, like the
+    self-contained form — excluded from the SMJ pin)."""
+    for name, max_ex in [
+        ("substring_cut_list_skew_robust", 5),
+        ("decontamination_apply", 5),
+    ]:
+        df = qs[name](spark, SF)
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "SortMergeJoin" not in plan, name
+        assert count_exchanges(df) <= max_ex, name
+    df = qs["hybrid_rrf_retrieval_indexed"](spark, SF)
+    plan = physical_plan(df)
+    assert "bm25_index" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
