@@ -273,6 +273,14 @@ HEADLINE = [
     "substring_cut_list_incremental",
     "hybrid_rrf_retrieval",
     "decontamination_cut_list",
+    # round 10 (min-of-2: run 1 pays the write-once index builds for
+    # the *_indexed rows; skew_robust pays its per-run gram
+    # materialization by design — the self-contained form)
+    "substring_cut_list_skew_robust",
+    "decontamination_cut_list_indexed",
+    "bm25_rank_indexed",
+    "hybrid_rrf_retrieval_indexed",
+    "decontamination_apply",
 ]
 
 
