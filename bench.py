@@ -281,6 +281,7 @@ HEADLINE = [
     "bm25_rank_indexed",
     "hybrid_rrf_retrieval_indexed",
     "decontamination_apply",
+    "dedup_clusters_incremental",
 ]
 
 
@@ -370,6 +371,7 @@ PINNED_BUDGETS = {
     "bm25_rank_indexed": 2.0,  # r10: solo warm 1.27 s
     "hybrid_rrf_retrieval_indexed": 2.75,  # r10: solo warm 1.71 s
     "decontamination_apply": 2.8,  # r10: solo warm 1.75 s
+    "dedup_clusters_incremental": 6.9,  # r10: solo warm 4.30 s
 }
 
 

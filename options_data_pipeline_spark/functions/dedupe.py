@@ -1227,3 +1227,201 @@ def containment_winnowed(
         F.count(F.lit(1)).alias("n"),
     )
     return _containment_verify(cand, arrs, threshold)
+
+
+_CLUSTER_PARTS = 64
+
+
+def build_cluster_map(
+    pairs: DataFrame, path: str, checkpoint_dir: str | None = None
+) -> DataFrame:
+    """Write-once CLUSTER MAP — the near-dup clustering result as a
+    maintained STORE instead of a per-run recompute: (doc_id, label)
+    for every doc in the candidate graph (label = min doc_id of the
+    component, `connected_components` contract; singletons absent =
+    self-labeled), persisted hash-partitioned by ``part =
+    pmod(hash(doc_id), 64)`` under the versioned-dir + atomic
+    ``_CURRENT`` pointer scheme. Partitioning by DOC hash — not label —
+    is what makes incremental maintenance cheap: a relabeled row keeps
+    its doc_id, hence its partition, so :func:`merge_cluster_map`
+    rewrites only partitions that hold touched rows and hard-links the
+    rest. At 100 TB the map is one skinny row per clustered doc; a
+    daily merge rewrites the partitions its batch touches, never the
+    corpus-wide map. SINGLE-WRITER, like every pointer store."""
+    from ..streaming.cdc_stream import (
+        _current_version_dir,
+        _next_version_dir,
+        _publish_version,
+    )
+
+    spark = pairs.sparkSession
+    cur = _current_version_dir(path)
+    if cur is None:
+        labels = connected_components_star(
+            pairs, checkpoint_dir=checkpoint_dir
+        ).withColumn("part", F.pmod(F.hash("doc_id"), F.lit(_CLUSTER_PARTS)))
+        os.makedirs(path, exist_ok=True)
+        vdir = _next_version_dir(path)
+        labels.write.mode("overwrite").partitionBy("part").parquet(vdir)
+        _publish_version(path, vdir)
+        cur = _current_version_dir(path)
+    return spark.read.parquet(cur).select("doc_id", "label")
+
+
+def read_cluster_map(spark, path: str) -> DataFrame:
+    """(doc_id, label) at the published pointer. Raises
+    FileNotFoundError when nothing has been published."""
+    from ..streaming.cdc_stream import _current_version_dir
+
+    cur = _current_version_dir(path)
+    if cur is None:
+        raise FileNotFoundError(
+            f"read_cluster_map: no published map at {path!r} — "
+            f"build_cluster_map first"
+        )
+    return spark.read.parquet(cur).select("doc_id", "label")
+
+
+def merge_cluster_map(new_pairs: DataFrame, path: str) -> dict:
+    """INCREMENTAL connected components — fold a batch of NEW candidate
+    edges (a new batch's LSH candidates: batch↔corpus and batch↔batch)
+    into the stored cluster map without recomputing CC over the full
+    graph. The classic component-graph contraction:
+
+    1. translate each new edge's endpoints to their CURRENT labels
+       (stored side PRE-FILTERED to the edges' endpoint ids — the
+       O(batch) rule; unknown endpoints are their own label);
+    2. run CC over the TRANSLATED edge set — a component-GRAIN graph,
+       batch-sized, never corpus-sized: old components enter as single
+       label nodes, so merging two million-doc clusters costs one edge;
+    3. the resulting (node → new_label) mapping relabels stored rows
+       whose label changed (labels broadcast — the changed-label set is
+       bounded by the batch's edge endpoints) and labels the batch's
+       new docs;
+    4. publish: rewrite ONLY the doc-hash partitions holding touched
+       rows, hard-link the rest, one atomic pointer swap.
+
+    Min-label contract is preserved exactly: an old label is the min of
+    its component, so the merged component's CC-min over {labels ∪ new
+    doc ids} IS the min doc_id of the merged membership — the merged
+    map equals a from-scratch CC over (old pairs ∪ new pairs),
+    parity-tested and oracle-checked by the registry twin. Replay (same
+    edges again) changes nothing and publishes nothing. Returns
+    {"relabeled", "new_docs", "parts_rewritten", "parts_linked",
+    "version"}."""
+    from ..streaming.cdc_stream import (
+        _current_version_dir,
+        _next_version_dir,
+        _publish_version,
+    )
+
+    spark = new_pairs.sparkSession
+    cur = _current_version_dir(path)
+    if cur is None:
+        raise FileNotFoundError(
+            f"merge_cluster_map: no map at {path!r} — build_cluster_map first"
+        )
+    stored = spark.read.parquet(cur)  # doc_id, label, part
+    edges = new_pairs.select("doc_a", "doc_b").distinct().localCheckpoint(eager=True)
+    endpoints = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(edges.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    known = stored.join(
+        endpoints.hint("shuffle_hash"), "doc_id", "left_semi"
+    ).select("doc_id", "label")
+    ka = known.select(F.col("doc_id").alias("doc_a"), F.col("label").alias("la"))
+    kb = known.select(F.col("doc_id").alias("doc_b"), F.col("label").alias("lb"))
+    comp_edges = (
+        edges.join(F.broadcast(ka), "doc_a", "left")
+        .join(F.broadcast(kb), "doc_b", "left")
+        .select(
+            F.coalesce("la", F.col("doc_a")).alias("doc_a"),
+            F.coalesce("lb", F.col("doc_b")).alias("doc_b"),
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+    )
+    if comp_edges.isEmpty():
+        return {
+            "relabeled": 0,
+            "new_docs": 0,
+            "parts_rewritten": [],
+            "parts_linked": _CLUSTER_PARTS,
+            "version": os.path.basename(cur),
+        }
+    # component-grain CC: nodes are old labels + new doc ids (batch-sized;
+    # star contraction so adversarial chain batches stay O(log n) rounds)
+    relab = connected_components_star(comp_edges).withColumnRenamed(
+        "doc_id", "node"
+    )
+    relab = relab.filter(F.col("node") != F.col("label")).localCheckpoint(
+        eager=True
+    )
+    # stored rows whose label must move (includes the old roots — they
+    # are their own label), plus the batch's genuinely new docs
+    upd = relab.select(F.col("node").alias("label"), F.col("label").alias("label_new"))
+    changed = stored.join(F.broadcast(upd), "label").select(
+        "doc_id", F.col("label_new").alias("label"), "part"
+    )
+    new_nodes = (
+        relab.select(F.col("node").alias("doc_id"), "label")
+        .unionByName(
+            # endpoints that kept their own min label but are new docs
+            endpoints.join(
+                relab.select(F.col("node").alias("doc_id")), "doc_id", "left_anti"
+            )
+            .join(known.select("doc_id"), "doc_id", "left_anti")
+            .join(
+                F.broadcast(
+                    relab.select(F.col("label").alias("doc_id")).distinct()
+                ),
+                "doc_id",
+                "left_semi",
+            )
+            .withColumn("label", F.col("doc_id")),
+        )
+        .join(stored.select("doc_id"), "doc_id", "left_anti")
+        .withColumn("part", F.pmod(F.hash("doc_id"), F.lit(_CLUSTER_PARTS)))
+    )
+    touched = changed.unionByName(new_nodes).localCheckpoint(eager=True)
+    n_relabel = changed.count()
+    n_new = new_nodes.count()
+    if n_relabel == 0 and n_new == 0:
+        return {
+            "relabeled": 0,
+            "new_docs": 0,
+            "parts_rewritten": [],
+            "parts_linked": _CLUSTER_PARTS,
+            "version": os.path.basename(cur),
+        }
+    aff = sorted(int(r["part"]) for r in touched.select("part").distinct().collect())
+    vdir = _next_version_dir(path)
+    rewrite = (
+        stored.filter(F.col("part").isin(aff))
+        .join(touched.select("doc_id"), "doc_id", "left_anti")
+        .unionByName(touched)
+        .filter(F.col("part").isin(aff))
+    )
+    rewrite.write.mode("overwrite").partitionBy("part").parquet(vdir)
+    linked = 0
+    for d in os.listdir(cur):
+        if not d.startswith("part="):
+            continue
+        pid = int(d.split("=", 1)[1])
+        if pid in aff:
+            continue
+        src = os.path.join(cur, d)
+        dst = os.path.join(vdir, d)
+        os.makedirs(dst, exist_ok=True)
+        for name in os.listdir(src):
+            os.link(os.path.join(src, name), os.path.join(dst, name))
+        linked += 1
+    _publish_version(path, vdir)
+    return {
+        "relabeled": n_relabel,
+        "new_docs": n_new,
+        "parts_rewritten": aff,
+        "parts_linked": linked,
+        "version": os.path.basename(vdir),
+    }

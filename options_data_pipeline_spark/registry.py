@@ -1244,6 +1244,53 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_docs(docs, minhash_lsh_candidates(docs))
 
 
+def _cluster_map_path(sf_dir: str) -> str:
+    return _vector_index_path(sf_dir, "cluster_map", source="documents.parquet")
+
+
+@register("dedup_clusters_incremental", _dedup_clusters_oracle())
+def q_dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL connected components — maintain the near-dup cluster
+    map as the corpus grows instead of recomputing CC over the full
+    candidate graph: the corpus split (doc_id % 10 < 9) builds a stored
+    (doc_id, label) map ONCE (doc-hash-partitioned, versioned pointer);
+    the batch (% 10 = 9) contributes its LSH candidate edges
+    (batch↔corpus from the STORED signature index — only the batch is
+    shingled — plus batch↔batch), which `merge_cluster_map` folds in at
+    component grain: translate edge endpoints to current labels, CC the
+    translated (batch-sized) graph, relabel only the affected stored
+    rows, rewrite only the doc-hash partitions they live in (hard-link
+    the rest). Merging two million-doc clusters costs ONE component
+    edge, never a corpus-wide CC. Oracle = `dedup_clusters`' recursive
+    min-reachability CTE over the FULL corpus, so the gate hash-checks
+    merged == from-scratch; a replayed merge changes nothing
+    (functions/dedupe.py::merge_cluster_map). min-of-2 bench: run 1
+    pays the one-time map+index builds; the recorded number is the
+    warm merge."""
+    from .functions.dedupe import (
+        build_cluster_map,
+        build_lsh_index,
+        incremental_lsh_candidates,
+        merge_cluster_map,
+        minhash_lsh_candidates,
+        read_cluster_map,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 10 < 9)
+    batch = docs.filter(F.col("doc_id") % 10 == 9)
+    path = _cluster_map_path(sf_dir)
+    build_cluster_map(minhash_lsh_candidates(corpus), path)
+    idx = build_lsh_index(corpus, _lsh_index_path(sf_dir))
+    new_pairs = (
+        incremental_lsh_candidates(batch, idx)
+        .select("doc_a", "doc_b")
+        .unionByName(minhash_lsh_candidates(batch))
+    )
+    merge_cluster_map(new_pairs, path)
+    return read_cluster_map(spark, path)
+
+
 @register("dedup_clusters", _dedup_clusters_oracle())
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering over the MinHash candidate graph to connected

@@ -401,6 +401,49 @@ def test_merge_pos_gram_index_parity_and_replay(spark, tmp_path):
     assert got == want and got
 
 
+def test_merge_cluster_map_bridges_components_and_replays_zero(spark, tmp_path):
+    """Incremental CC: a batch edge bridging two stored clusters
+    relabels BOTH to the merged min; a new doc that is its component's
+    min becomes the label; untouched partitions hard-link; a replayed
+    merge changes nothing and keeps the version."""
+    from options_data_pipeline_spark.functions.dedupe import (
+        build_cluster_map,
+        merge_cluster_map,
+        read_cluster_map,
+    )
+
+    pairs0 = spark.createDataFrame(
+        # cluster A = {10, 11, 12}; cluster B = {20, 21}; C = {30, 31}
+        [(10, 11), (11, 12), (20, 21), (30, 31)],
+        "doc_a bigint, doc_b bigint",
+    )
+    path = str(tmp_path / "cmap")
+    build_cluster_map(pairs0, path)
+    base = {r.doc_id: r.label for r in read_cluster_map(spark, path).collect()}
+    assert base == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30, 31: 30}
+
+    new_pairs = spark.createDataFrame(
+        # batch doc 100 bridges A and B; batch doc 5 joins C and IS its
+        # new min; batch pair (40, 41) is a brand-new component
+        [(12, 100), (100, 21), (5, 30), (40, 41)],
+        "doc_a bigint, doc_b bigint",
+    )
+    rep = merge_cluster_map(new_pairs, path)
+    got = {r.doc_id: r.label for r in read_cluster_map(spark, path).collect()}
+    assert got == {
+        10: 10, 11: 10, 12: 10, 20: 10, 21: 10, 100: 10,
+        30: 5, 31: 5, 5: 5,
+        40: 40, 41: 40,
+    }
+    assert rep["relabeled"] >= 4  # B's rows + C's rows moved
+    assert rep["new_docs"] == 4  # 100, 5, 40, 41
+    assert rep["parts_linked"] > 0  # untouched partitions hard-linked
+    rep2 = merge_cluster_map(new_pairs, path)  # replay
+    assert rep2["relabeled"] == 0 and rep2["new_docs"] == 0
+    assert rep2["version"] == rep["version"]
+    assert {r.doc_id: r.label for r in read_cluster_map(spark, path).collect()} == got
+
+
 def test_quality_merge_join_is_store_prefiltered_broadcast_anti(spark):
     """The score-store dedupe join must be O(batch), not O(store): the
     stored side is semi-join pre-filtered to the batch's doc_ids and

@@ -138,6 +138,8 @@ SF01_SUBSET = [
     "hybrid_rrf_retrieval_indexed",
     # kept text recomposes with the eval-collision cut boundaries
     "decontamination_apply",
+    # cluster membership (and thus every merged label) shifts with volume
+    "dedup_clusters_incremental",
 ]
 
 
