@@ -1,0 +1,109 @@
+"""Streaming CLUSTER-MAP maintenance — the keep-everything complement of
+`doc_ingest` (which drops near-dups at the door): every arriving doc is
+admitted, and the stored (doc_id, label) cluster map absorbs the batch's
+near-dup edges incrementally, so downstream consumers (the
+`dedup_canonical` keep rule, dedup-ratio dashboards, reprocessing jobs)
+always have a current component view without a corpus-wide CC recompute.
+
+Per micro-batch:
+ 1. FRESH docs = batch ids not yet in the stored signature index (the
+    index is the source of truth for "ingested"; its doc set is
+    PRE-FILTERED to the batch's ids — the O(batch) rule);
+ 2. the fresh docs' candidate edges = probe against the stored
+    signatures (`incremental_lsh_candidates` — only the batch is
+    shingled) ∪ within-batch pairs (`minhash_lsh_candidates`);
+ 3. `merge_cluster_map` folds the edges in at component grain;
+ 4. ONLY THEN do the fresh signatures append to the index.
+
+Step order is the crash window (the doc_ingest lesson, inverted for
+this store pair): the SIGNATURE APPEND is what makes a replayed batch
+report nothing fresh, so it must come LAST — merge-then-append means a
+crash between them replays as (same edges → merge no-op → append),
+while append-then-merge would replay as (nothing fresh → edges never
+merged): a PERMANENT cluster-map gap. Crash-injection-tested.
+
+Exactly-once composition: map merge is idempotent (same edges → no
+relabels → no publish), the signature append is at-least-once safe by
+design (duplicate signature rows cannot change probe results — probes
+end in a candidate-grain distinct), so checkpoint × replay converges.
+SINGLE-WRITER per (map, index) pair, like every store here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.dedupe import (
+    append_lsh_index,
+    incremental_lsh_candidates,
+    merge_cluster_map,
+    minhash_lsh_candidates,
+    read_lsh_index,
+)
+
+
+def cluster_ingest_batch(
+    batch: DataFrame,
+    map_path: str,
+    sig_path: str,
+    text_col: str = "text",
+) -> dict:
+    """Fold one batch into the (cluster map, signature index) pair.
+    Returns {"batch_docs", "fresh_docs", "relabeled", "new_cluster_docs",
+    "sig_rows_appended"}; a full replay reports fresh_docs == 0 and
+    touches neither store."""
+    spark = batch.sparkSession
+    idx = read_lsh_index(spark, sig_path)
+    batch_ids = batch.select("doc_id").distinct()
+    seen = idx.select("doc_id").join(
+        batch_ids.hint("shuffle_hash"), "doc_id", "left_semi"
+    ).distinct()
+    fresh = batch.join(F.broadcast(seen), "doc_id", "left_anti").localCheckpoint(
+        eager=True
+    )
+    n_fresh = fresh.count()
+    if n_fresh == 0:
+        return {
+            "batch_docs": batch_ids.count(),
+            "fresh_docs": 0,
+            "relabeled": 0,
+            "new_cluster_docs": 0,
+            "sig_rows_appended": 0,
+        }
+    new_pairs = (
+        incremental_lsh_candidates(fresh, idx, text_col)
+        .select("doc_a", "doc_b")
+        .unionByName(minhash_lsh_candidates(fresh, text_col))
+    )
+    rep = merge_cluster_map(new_pairs, map_path)
+    appended = append_lsh_index(fresh, sig_path, text_col)
+    return {
+        "batch_docs": batch_ids.count(),
+        "fresh_docs": n_fresh,
+        "relabeled": rep["relabeled"],
+        "new_cluster_docs": rep["new_docs"],
+        "sig_rows_appended": appended,
+    }
+
+
+def streaming_cluster_map(
+    stream: DataFrame,
+    map_path: str,
+    sig_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+):
+    """Wire a document stream into the cluster-map loop:
+    ``streaming_cluster_map(...).start()`` + the checkpoint gives an
+    always-current component view (idempotent component merge ×
+    replay-safe signature append × at-least-once foreachBatch)."""
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        cluster_ingest_batch(batch, map_path, sig_path, text_col)
+
+    return (
+        stream.writeStream.foreachBatch(write)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )

@@ -2435,3 +2435,115 @@ def test_mixture_compaction_and_version_pinning(spark, tmpdir):
     assert v2 == p2["version"] != v1
     assert w2 != w1  # domain c arrived in batch 1 -> trajectory moved
     assert abs(sum(w2.values()) - 1.0) < 1e-9
+
+
+def _cluster_docs(spark):
+    """Seed + growth corpus with cross-batch and within-batch near-dup
+    structure: docs 0/1 near-dup (seed), 10 near-dups doc 0 (batch),
+    11/12 near-dup each other only, 13 unique."""
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        (0, base + " k0"),
+        (1, base + " k1"),
+        (2, "completely different seed text q1 q2 q3 q4 q5 q6"),
+        (10, base + " k2"),
+        (11, "another shared block s1 s2 s3 s4 s5 s6 s7 s8"),
+        (12, "another shared block s1 s2 s3 s4 s5 s6 s7 s9"),
+        (13, "unique growth document with its own words only here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_streaming_cluster_map_matches_oneshot(spark, tmpdir):
+    """Stream growth docs through the cluster-map loop in micro-batches;
+    the final stored map equals a from-scratch CC over the full corpus's
+    candidate graph."""
+    from options_data_pipeline_spark.functions.dedupe import (
+        build_cluster_map,
+        build_lsh_index,
+        connected_components_star,
+        minhash_lsh_candidates,
+        read_cluster_map,
+    )
+    from options_data_pipeline_spark.streaming.cluster_stream import (
+        streaming_cluster_map,
+    )
+
+    docs = _cluster_docs(spark)
+    seed = docs.filter("doc_id < 10")
+    rest = docs.filter("doc_id >= 10")
+    map_path = os.path.join(tmpdir, "cmap")
+    sig_path = os.path.join(tmpdir, "sigs")
+    src = os.path.join(tmpdir, "c_src")
+    ck = os.path.join(tmpdir, "c_ck")
+    build_lsh_index(seed, sig_path)
+    build_cluster_map(minhash_lsh_candidates(seed), map_path)
+    rest.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(rest.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_cluster_map(stream, map_path, sig_path, ck).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(map(tuple, read_cluster_map(spark, map_path).collect()))
+    want = sorted(
+        map(
+            tuple,
+            connected_components_star(minhash_lsh_candidates(docs)).collect(),
+        )
+    )
+    assert got == want and got
+
+
+def test_cluster_ingest_replay_and_crash_window(spark, tmpdir):
+    """Replay touches neither store; a crash BETWEEN merge and append
+    (the designed window) replays to convergence — same edges, merge
+    no-op, append completes."""
+    from options_data_pipeline_spark.functions.dedupe import (
+        build_cluster_map,
+        build_lsh_index,
+        incremental_lsh_candidates,
+        merge_cluster_map,
+        minhash_lsh_candidates,
+        read_cluster_map,
+        read_lsh_index,
+    )
+    from options_data_pipeline_spark.streaming.cluster_stream import (
+        cluster_ingest_batch,
+    )
+
+    docs = _cluster_docs(spark)
+    seed = docs.filter("doc_id < 10")
+    b1 = docs.filter("doc_id >= 10 and doc_id < 12")
+    b2 = docs.filter("doc_id >= 12")
+    map_path = os.path.join(tmpdir, "cmap")
+    sig_path = os.path.join(tmpdir, "sigs")
+    build_lsh_index(seed, sig_path)
+    build_cluster_map(minhash_lsh_candidates(seed), map_path)
+
+    r1 = cluster_ingest_batch(b1, map_path, sig_path)
+    assert r1["fresh_docs"] == 2 and r1["sig_rows_appended"] == 2
+    rr = cluster_ingest_batch(b1, map_path, sig_path)  # full replay
+    assert rr["fresh_docs"] == 0 and rr["sig_rows_appended"] == 0
+    state = sorted(map(tuple, read_cluster_map(spark, map_path).collect()))
+
+    # crash injection: run b2's MERGE but not its append (the window)
+    idx = read_lsh_index(spark, sig_path)
+    pairs = (
+        incremental_lsh_candidates(b2, idx)
+        .select("doc_a", "doc_b")
+        .unionByName(minhash_lsh_candidates(b2))
+    )
+    merge_cluster_map(pairs, map_path)
+    # replayed ingest: b2 still fresh (no signatures) -> same edges,
+    # merge no-op, append completes -> converged state
+    r2 = cluster_ingest_batch(b2, map_path, sig_path)
+    assert r2["fresh_docs"] == 2 and r2["relabeled"] == 0
+    assert r2["sig_rows_appended"] == 2
+    got = sorted(map(tuple, read_cluster_map(spark, map_path).collect()))
+    assert got != state  # b2's cluster (11,12) landed exactly once
+    assert (11, 11) in got and (12, 11) in got
