@@ -282,6 +282,7 @@ HEADLINE = [
     "hybrid_rrf_retrieval_indexed",
     "decontamination_apply",
     "dedup_clusters_incremental",
+    "dedup_canonical_incremental",
 ]
 
 
@@ -372,6 +373,7 @@ PINNED_BUDGETS = {
     "hybrid_rrf_retrieval_indexed": 2.75,  # r10: solo warm 1.71 s
     "decontamination_apply": 2.8,  # r10: solo warm 1.75 s
     "dedup_clusters_incremental": 6.9,  # r10: solo warm 4.30 s
+    "dedup_canonical_incremental": 6.6,  # r10: solo warm 4.13 s
 }
 
 

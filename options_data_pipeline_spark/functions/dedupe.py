@@ -503,6 +503,20 @@ def canonical_docs(
     labels = connected_components_star(
         pairs, id_a="doc_a", id_b="doc_b", checkpoint_dir=checkpoint_dir
     )
+    return canonical_from_labels(docs, labels, text_col, id_col)
+
+
+def canonical_from_labels(
+    docs: DataFrame,
+    labels: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The keep rule alone, over a PRECOMPUTED (doc_id, label) map —
+    what a deployment runs against the MAINTAINED cluster-map store
+    (:func:`read_cluster_map`) instead of re-clustering: one narrow
+    doc-length scan + one label-grain shuffle, no CC. Contract matches
+    :func:`canonical_docs` (which is now CC composed with this)."""
     labeled = (
         docs.select(
             F.col(id_col).alias("doc_id"),

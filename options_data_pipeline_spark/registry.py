@@ -1248,6 +1248,25 @@ def _cluster_map_path(sf_dir: str) -> str:
     return _vector_index_path(sf_dir, "cluster_map", source="documents.parquet")
 
 
+@register("dedup_canonical_incremental", _dedup_canonical_oracle())
+def q_dedup_canonical_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup KEEP RULE served from the MAINTAINED cluster-map
+    store: `dedup_clusters_incremental` keeps the (doc_id, label) map
+    current as batches arrive; this query applies `dedup_canonical`'s
+    longest-doc-wins rule against the STORED map — one narrow
+    doc-length scan + one label-grain shuffle, NO connected-components
+    recompute (at ×100 the full CC is the 105.7 s term the store
+    removes; the keep rule itself is seconds). Oracle =
+    `dedup_canonical`'s verbatim, so the gate hash-checks
+    store-served == recomputed end to end;
+    functions/dedupe.py::canonical_from_labels."""
+    from .functions.dedupe import canonical_from_labels
+
+    labels = q_dedup_clusters_incremental(spark, sf_dir)
+    docs = load_table(spark, "documents", sf_dir)
+    return canonical_from_labels(docs, labels)
+
+
 @register("dedup_clusters_incremental", _dedup_clusters_oracle())
 def q_dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL connected components — maintain the near-dup cluster

@@ -140,6 +140,8 @@ SF01_SUBSET = [
     "decontamination_apply",
     # cluster membership (and thus every merged label) shifts with volume
     "dedup_clusters_incremental",
+    # the keep rule inherits the merged labels' volume sensitivity
+    "dedup_canonical_incremental",
 ]
 
 
