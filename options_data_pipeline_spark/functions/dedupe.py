@@ -1276,7 +1276,14 @@ def build_cluster_map(
         ).withColumn("part", F.pmod(F.hash("doc_id"), F.lit(_CLUSTER_PARTS)))
         os.makedirs(path, exist_ok=True)
         vdir = _next_version_dir(path)
-        labels.write.mode("overwrite").partitionBy("part").parquet(vdir)
+        if labels.isEmpty():
+            # a pairless corpus is a VALID map (every doc a singleton):
+            # partitionBy on zero rows writes no schema-bearing file and
+            # the read-back fails, so the empty generation lands as one
+            # footer-only parquet with the part column inline
+            labels.coalesce(1).write.mode("overwrite").parquet(vdir)
+        else:
+            labels.write.mode("overwrite").partitionBy("part").parquet(vdir)
         _publish_version(path, vdir)
         cur = _current_version_dir(path)
     return spark.read.parquet(cur).select("doc_id", "label")

@@ -466,3 +466,24 @@ def test_quality_merge_join_is_store_prefiltered_broadcast_anti(spark):
     # pre-filter: the store is semi-reduced by the batch key set
     assert "LeftSemi" in plan
     assert [r.doc_id for r in fresh.collect()] == [2]
+
+
+def test_cluster_map_empty_graph_then_grows(spark, tmp_path):
+    """A pairless corpus publishes a VALID empty map (every doc its own
+    singleton); the first real batch then merges normally."""
+    from options_data_pipeline_spark.functions.dedupe import (
+        build_cluster_map,
+        merge_cluster_map,
+        read_cluster_map,
+    )
+
+    path = str(tmp_path / "cmap_empty")
+    empty = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+    assert build_cluster_map(empty, path).count() == 0
+    assert read_cluster_map(spark, path).count() == 0
+    rep = merge_cluster_map(
+        spark.createDataFrame([(7, 3)], "doc_a bigint, doc_b bigint"), path
+    )
+    assert rep["new_docs"] == 2 and rep["relabeled"] == 0
+    got = {r.doc_id: r.label for r in read_cluster_map(spark, path).collect()}
+    assert got == {3: 3, 7: 3}

@@ -20,9 +20,21 @@ Learned-IVF index (ANN), per cycle:
   invariant), the pointer resolves, and at most 2 generations remain
   (publish GC keeps current + previous).
 
+BM25 stats store (round 10), per cycle:
+  merge a fresh doc batch (hard-linked postings publish, vocab-grain df
+  merge, int stats add) → replay the SAME batch (must publish nothing)
+  → served scores must equal a from-scratch rebuild over everything
+  merged so far.
+
+Cluster map + signature index pair (round 10), per cycle:
+  ingest a batch whose docs near-dup the previous cycle's (components
+  keep merging) → replay (must touch neither store) → the stored map
+  must equal a from-scratch CC over the full corpus's candidate graph.
+
 Usage: python tools/index_soak.py [cycles]           (default 6)
 Prints one JSON line {"cycles": N, "gram": {...}, "ivf": {...},
-"seconds": s}; exits nonzero on any invariant violation.
+"bm25": {...}, "cluster": {...}, "seconds": s}; exits nonzero on any
+invariant violation.
 """
 
 from __future__ import annotations
@@ -283,6 +295,115 @@ def hotcell_main() -> int:
         spark.stop()
 
 
+def soak_bm25(spark, cycles: int, workdir: str) -> dict:
+    """BM25 store, per cycle: merge a doc batch (hard-linked postings
+    publish) → replay (must publish nothing) → PARITY: served scores
+    for a live query equal a from-scratch rebuild over everything
+    merged so far, across all three store parts."""
+    from options_data_pipeline_spark.functions.retrieval import (
+        bm25_score_indexed,
+        build_bm25_index,
+        merge_bm25_index,
+    )
+
+    path = os.path.join(workdir, "bm25_idx")
+    terms = ["spark", "join", "window", "stream"]
+    corpus_rows: dict[int, str] = {
+        0: "spark join window stream seed doc",
+        1: "unrelated seed text with no query terms",
+    }
+    build_bm25_index(_docs(spark, list(corpus_rows), list(corpus_rows.values())), path)
+    stats = {"merges": 0, "replays_zero": 0, "parity_checks": 0}
+    for c in range(1, cycles + 1):
+        base = 100 * c
+        ids = [base, base + 1]
+        texts = [
+            f"spark stream cycle{c} words " + "pad " * (c % 3),
+            f"filler{c} document with join inside",
+        ]
+        batch = _docs(spark, ids, texts)
+        r1 = merge_bm25_index(batch, path)
+        assert r1["fresh_docs"] == 2, f"cycle {c}: merge saw {r1['fresh_docs']}"
+        stats["merges"] += 1
+        r2 = merge_bm25_index(batch, path)
+        assert r2["fresh_docs"] == 0 and r2["version"] == r1["version"]
+        stats["replays_zero"] += 1
+        for i, t in zip(ids, texts):
+            corpus_rows[i] = t
+        ref_path = os.path.join(workdir, f"bm25_ref_{c}")
+        build_bm25_index(
+            _docs(spark, list(corpus_rows), list(corpus_rows.values())), ref_path
+        )
+        got = sorted(map(tuple, bm25_score_indexed(spark, path, terms).collect()))
+        want = sorted(map(tuple, bm25_score_indexed(spark, ref_path, terms).collect()))
+        assert got == want, f"cycle {c}: served scores diverged from rebuild"
+        stats["parity_checks"] += 1
+        gens = [d for d in os.listdir(path) if d.startswith("v_")]
+        assert 1 <= len(gens) <= 2, f"cycle {c}: {len(gens)} generations"
+    return stats
+
+
+def soak_cluster(spark, cycles: int, workdir: str) -> dict:
+    """Cluster map + signature index pair, per cycle: ingest a batch
+    whose docs near-dup the PREVIOUS cycle's (so components keep
+    merging across cycles) → replay (must touch neither store) →
+    PARITY: the stored map equals a from-scratch CC over the full
+    corpus's candidate graph."""
+    from options_data_pipeline_spark.functions.dedupe import (
+        build_cluster_map,
+        build_lsh_index,
+        connected_components_star,
+        minhash_lsh_candidates,
+        read_cluster_map,
+    )
+    from options_data_pipeline_spark.streaming.cluster_stream import (
+        cluster_ingest_batch,
+    )
+
+    map_path = os.path.join(workdir, "cmap")
+    sig_path = os.path.join(workdir, "csigs")
+    block = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    corpus_rows: dict[int, str] = {
+        0: block + " seed zero",
+        1: "totally different seed words here q1 q2 q3 q4",
+    }
+    seed = _docs(spark, list(corpus_rows), list(corpus_rows.values()))
+    build_lsh_index(seed, sig_path)
+    build_cluster_map(minhash_lsh_candidates(seed), map_path)
+    stats = {"ingests": 0, "replays_zero": 0, "parity_checks": 0}
+    for c in range(1, cycles + 1):
+        base = 100 * c
+        ids = [base, base + 1]
+        texts = [
+            block + f" drift{c}",  # near-dups the shared block chain
+            f"cycle{c} unique island words w1 w2 w3 w4 w5",
+        ]
+        batch = _docs(spark, ids, texts)
+        r1 = cluster_ingest_batch(batch, map_path, sig_path)
+        assert r1["fresh_docs"] == 2, f"cycle {c}: {r1}"
+        stats["ingests"] += 1
+        r2 = cluster_ingest_batch(batch, map_path, sig_path)
+        assert r2["fresh_docs"] == 0, f"cycle {c}: replay ingested {r2}"
+        stats["replays_zero"] += 1
+        for i, t in zip(ids, texts):
+            corpus_rows[i] = t
+        everything = _docs(spark, list(corpus_rows), list(corpus_rows.values()))
+        got = sorted(map(tuple, read_cluster_map(spark, map_path).collect()))
+        want = sorted(
+            map(
+                tuple,
+                connected_components_star(
+                    minhash_lsh_candidates(everything)
+                ).collect(),
+            )
+        )
+        assert got == want, f"cycle {c}: map diverged from from-scratch CC"
+        stats["parity_checks"] += 1
+        gens = [d for d in os.listdir(map_path) if d.startswith("v_")]
+        assert 1 <= len(gens) <= 2, f"cycle {c}: {len(gens)} map generations"
+    return stats
+
+
 def main() -> int:
     cycles = int(sys.argv[1]) if len(sys.argv) > 1 else 6
     spark = get_spark("index-soak")
@@ -291,12 +412,16 @@ def main() -> int:
     try:
         gram = soak_gram(spark, cycles, workdir)
         ivf = soak_ivf(spark, cycles, workdir)
+        bm25 = soak_bm25(spark, cycles, workdir)
+        cluster = soak_cluster(spark, cycles, workdir)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
     out = {
         "cycles": cycles,
         "gram": gram,
         "ivf": ivf,
+        "bm25": bm25,
+        "cluster": cluster,
         "seconds": round(time.perf_counter() - t0, 1),
     }
     print(json.dumps(out))
