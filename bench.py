@@ -283,6 +283,7 @@ HEADLINE = [
     "decontamination_apply",
     "dedup_clusters_incremental",
     "dedup_canonical_incremental",
+    "dedup_cluster_stats",
 ]
 
 
@@ -379,6 +380,9 @@ PINNED_BUDGETS = {
     # merge path's eager localCheckpoints (the part_kcore spike class).
     # Pinned on the in-suite recording, the number the gate checks.
     "dedup_canonical_incremental": 23.9,
+    # same merge-path suite-position exposure as canonical_incremental:
+    # pinned 1.6x solo warm x the observed ~3.6x suite inflation factor
+    "dedup_cluster_stats": 22.0,  # r10: solo warm 3.79 s
 }
 
 

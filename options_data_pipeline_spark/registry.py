@@ -1248,6 +1248,61 @@ def _cluster_map_path(sf_dir: str) -> str:
     return _vector_index_path(sf_dir, "cluster_map", source="documents.parquet")
 
 
+def _dedup_cluster_stats_oracle() -> str:
+    return f"""SELECT CAST(d.n_docs AS BIGINT) AS n_docs,
+       CAST(sum(c.sz) AS BIGINT) AS n_clustered,
+       CAST(count(*) AS BIGINT) AS n_components,
+       CAST(max(c.sz) AS BIGINT) AS max_cluster,
+       CAST(sum(c.sz) - count(*) AS BIGINT) AS n_redundant,
+       CAST(sum(c.sz) - count(*) AS DOUBLE) / CAST(d.n_docs AS DOUBLE)
+         AS dup_fraction
+FROM (
+  SELECT label, count(*) AS sz FROM ({_dedup_clusters_oracle()}) GROUP BY label
+) c, (SELECT count(*) AS n_docs FROM documents) d
+GROUP BY d.n_docs"""
+
+
+@register("dedup_cluster_stats", _dedup_cluster_stats_oracle())
+def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-ratio DASHBOARD served from the maintained cluster map —
+    the number a curation team actually watches (what fraction of the
+    corpus is redundant, how big is the worst near-dup cloud): one row
+    (n_docs, n_clustered, n_components, max_cluster, n_redundant,
+    dup_fraction), where n_redundant = clustered docs minus components
+    (exactly the docs a keep-one-per-cluster pass drops) and
+    dup_fraction is its share of the corpus — integer-exact except the
+    one final division. Reads the map `dedup_clusters_incremental`
+    maintains (map == full CC, so the oracle is the recursive-CTE CC
+    aggregated to the same one row); the aggregation is label-grain
+    over the skinny stored map + one broadcast corpus count."""
+    labels = q_dedup_clusters_incremental(spark, sf_dir)
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
+    total = (
+        load_table(spark, "documents", sf_dir)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    return (
+        sizes.agg(
+            F.sum("sz").cast("long").alias("n_clustered"),
+            F.count(F.lit(1)).cast("long").alias("n_components"),
+            F.max("sz").cast("long").alias("max_cluster"),
+            (F.sum("sz") - F.count(F.lit(1))).cast("long").alias("n_redundant"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "n_docs",
+            "n_clustered",
+            "n_components",
+            "max_cluster",
+            "n_redundant",
+            (
+                F.col("n_redundant").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("dup_fraction"),
+        )
+    )
+
+
 @register("dedup_canonical_incremental", _dedup_canonical_oracle())
 def q_dedup_canonical_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The near-dup KEEP RULE served from the MAINTAINED cluster-map

@@ -142,6 +142,8 @@ SF01_SUBSET = [
     "dedup_clusters_incremental",
     # the keep rule inherits the merged labels' volume sensitivity
     "dedup_canonical_incremental",
+    # ratio/size stats are pure volume effects over the merged labels
+    "dedup_cluster_stats",
 ]
 
 
