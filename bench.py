@@ -386,6 +386,26 @@ PINNED_BUDGETS = {
 }
 
 
+def _clear_state(spark) -> None:
+    """Inter-query hygiene: drop accumulated cache/localCheckpoint state so
+    late-suite queries aren't measured under 200 queries' worth of RDD-cache
+    pressure (round 10: dedup_canonical_incremental recorded 14.9 s at
+    position 220-of-220 vs a 4.1-4.4 s solo floor — pure cache-pressure
+    inflation, which then inflated its pin to 23.9 s). clearCache drops
+    CacheManager entries; the gc.collect + JVM System.gc pair flushes py4j
+    finalizers and lets ContextCleaner reclaim localCheckpoint RDDs whose
+    Python wrappers are gone. Never force-unpersists live RDDs — a freed
+    localCheckpoint cannot be recomputed (dedupe.py:66)."""
+    spark.catalog.clearCache()
+    import gc
+
+    gc.collect()
+    try:
+        spark._jvm.System.gc()
+    except Exception:  # noqa: BLE001
+        pass
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -410,6 +430,10 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None or dt < best else best
         timings[name] = round(best, 3)
+        # clear AFTER both runs (not between them): the min-of-2 warm run
+        # legitimately reuses run 1's on-disk index artifacts and session
+        # caches; the hygiene target is cross-QUERY accumulation only
+        _clear_state(spark)
     total = round(sum(timings.values()), 3)
 
     # Full per-query map: its own (earlier) stdout line plus a file

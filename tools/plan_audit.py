@@ -50,6 +50,7 @@ BNLJ_OK = {
     "important_part_value",  # Q11 1-row global-total threshold crossJoin
     "cooccurrence_pmi",  # 1-row n_uni/n_big totals + the 50-row top-k list
     "ivf_cell_balance",  # 1-row corpus-total crossJoined onto 8 cell rows
+    "dedup_cluster_stats",  # 1-row corpus-count normalizer (registry dedup dashboard)
     "rfm_segments",  # 1-row max-orderdate crossJoined onto the customer dim
     "histogram_quantile_sketch",  # 1-row global min/max bin normalizer
     "dau_wau_mau",  # bounded day×bitmap-bucket scaffold (gap_fill family)
@@ -172,6 +173,31 @@ def main() -> int:
         "smj_queries": {n: s["smj"] for n, s in sorted(stats.items()) if s["smj"]},
     }
     print(json.dumps(summary))
+    # Round-close artifact: persist the audit result stamped with the tree
+    # state it ran against, so a query landing AFTER the last audit run is
+    # detectable (the round-10 slip: dedup_cluster_stats shipped in the
+    # final commit, after the last audit, leaving the committed "0 hard
+    # failures" claim stale). A clean close-out requires PLAN_AUDIT.json
+    # committed with git_dirty=false and query count == registry size.
+    import subprocess
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+            cwd=repo_root,
+        ).stdout.strip()
+        dirty = bool(
+            subprocess.run(
+                ["git", "status", "--porcelain"], capture_output=True,
+                text=True, cwd=repo_root,
+            ).stdout.strip()
+        )
+    except Exception:  # noqa: BLE001
+        head, dirty = "unknown", True
+    artifact = dict(summary, git_head=head, git_dirty=dirty)
+    with open(os.path.join(repo_root, "PLAN_AUDIT.json"), "w") as fh:
+        json.dump(artifact, fh, indent=2, sort_keys=True)
     spark.stop()
     return 1 if failures else 0
 
