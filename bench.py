@@ -284,6 +284,11 @@ HEADLINE = [
     "dedup_clusters_incremental",
     "dedup_canonical_incremental",
     "dedup_cluster_stats",
+    # round 11 (min-of-2: run 1 pays the write-once bucketed-table store
+    # for the bucketed_* rows — later sessions re-register metadata-only)
+    "bucketed_order_revenue",
+    "bucketed_orderkey_lookup",
+    "near_dup_threshold_sweep",
 ]
 
 
@@ -383,6 +388,11 @@ PINNED_BUDGETS = {
     # same merge-path suite-position exposure as canonical_incremental:
     # pinned 1.6x solo warm x the observed ~3.6x suite inflation factor
     "dedup_cluster_stats": 22.0,  # r10: solo warm 3.79 s
+    # round-11 additions, pinned on creation (1.6× solo warm median,
+    # sub-second recordings floored at 0.9 — the cdc_apply lesson)
+    "bucketed_order_revenue": 1.75,  # r11: solo warm median 1.09 s
+    "bucketed_orderkey_lookup": 0.9,  # r11: solo warm median 0.52 s
+    "near_dup_threshold_sweep": 2.8,  # r11: solo warm median 1.74 s
 }
 
 

@@ -32,6 +32,7 @@ import pandas as pd
 #: (band saturation, seed collision, quantile shift) shows up here
 #: first; the plain correctness gate runs only at sf0.01.
 SF01_SUBSET = [
+    "near_dup_threshold_sweep",  # r11: LSH-estimate policy curve
     "minhash_jaccard_estimate",
     "minhash_lsh",
     "rp_lsh_near_dup",
@@ -176,7 +177,16 @@ def value_hash(df: pd.DataFrame) -> str:
 
 def main() -> int:
     sf01_mode = "--sf01-subset" in sys.argv[1:]
-    if sf01_mode:
+    sf01_full = "--sf01-full" in sys.argv[1:]
+    if sf01_full:
+        # VERDICT r10 item 5: the FULL registry at sf0.1 (not just the
+        # curated scale-sensitive subset) — promotes "judged
+        # volume-insensitive" to "measured" for every query. Writes its
+        # own artifact; never touches CORRECTNESS_local.json (sf0.01) or
+        # CORRECTNESS_sf01.json (the per-round drift subset).
+        sf_dir = "/root/testdata/sf0.1"
+        only = set()
+    elif sf01_mode:
         sf_dir = "/root/testdata/sf0.1"
         only = set(SF01_SUBSET)
     else:
@@ -245,6 +255,12 @@ def main() -> int:
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     import json
     import os
+
+    if sf01_full:
+        with open("CORRECTNESS_sf01_full.json", "w") as f:
+            json.dump({"sf_dir": sf_dir, "results": results}, f, indent=1)
+        spark.stop()
+        return 1 if failures else 0
 
     if sf01_mode:
         # separate artifact: the sf0.1 drift sweep never collides with

@@ -51,6 +51,8 @@ BNLJ_OK = {
     "cooccurrence_pmi",  # 1-row n_uni/n_big totals + the 50-row top-k list
     "ivf_cell_balance",  # 1-row corpus-total crossJoined onto 8 cell rows
     "dedup_cluster_stats",  # 1-row corpus-count normalizer (registry dedup dashboard)
+    # round 11: 4-row threshold scaffold, broadcast non-equi (est >= t)
+    "near_dup_threshold_sweep",
     "rfm_segments",  # 1-row max-orderdate crossJoined onto the customer dim
     "histogram_quantile_sketch",  # 1-row global min/max bin normalizer
     "dau_wau_mau",  # bounded day×bitmap-bucket scaffold (gap_fill family)
