@@ -379,15 +379,15 @@ PINNED_BUDGETS = {
     "hybrid_rrf_retrieval_indexed": 2.75,  # r10: solo warm 1.71 s
     "decontamination_apply": 2.8,  # r10: solo warm 1.75 s
     "dedup_clusters_incremental": 6.9,  # r10: solo warm 4.30 s
-    # dedup_canonical_incremental: solo warm 4.1-4.4 s (stable across 3
-    # measurements), but the first IN-SUITE recording was 14.9 s — it
-    # runs last of 220 queries, where RDD-cache pressure inflates the
-    # merge path's eager localCheckpoints (the part_kcore spike class).
-    # Pinned on the in-suite recording, the number the gate checks.
-    "dedup_canonical_incremental": 23.9,
-    # same merge-path suite-position exposure as canonical_incremental:
-    # pinned 1.6x solo warm x the observed ~3.6x suite inflation factor
-    "dedup_cluster_stats": 22.0,  # r10: solo warm 3.79 s
+    # re-based r11 (VERDICT r10 item 3): the r10 pins (23.9 / 22.0) were
+    # 1.6× CACHE-PRESSURE-INFLATED end-of-suite recordings (14.9 s at
+    # position 220-of-220 vs a 3.2-3.8 s solo floor) and would have
+    # admitted a 5× real regression. bench.py now clears cache/checkpoint
+    # state between queries (_clear_state), so in-suite ≈ solo; pins are
+    # 1.6× the clean in-suite numbers (r10 committed bench_full: 3.66 /
+    # 4.11 s; r11 solo medians 3.27 / 3.41 s).
+    "dedup_canonical_incremental": 5.9,
+    "dedup_cluster_stats": 6.6,
     # round-11 additions, pinned on creation (1.6× solo warm median,
     # sub-second recordings floored at 0.9 — the cdc_apply lesson)
     "bucketed_order_revenue": 1.75,  # r11: solo warm median 1.09 s
