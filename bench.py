@@ -289,6 +289,8 @@ HEADLINE = [
     "bucketed_order_revenue",
     "bucketed_orderkey_lookup",
     "near_dup_threshold_sweep",
+    # min-of-2: run 1 pays the write-once full-corpus signature index
+    "near_dup_threshold_sweep_indexed",
 ]
 
 
@@ -393,6 +395,7 @@ PINNED_BUDGETS = {
     "bucketed_order_revenue": 1.75,  # r11: solo warm median 1.09 s
     "bucketed_orderkey_lookup": 0.9,  # r11: solo warm median 0.52 s
     "near_dup_threshold_sweep": 2.8,  # r11: solo warm median 1.74 s
+    "near_dup_threshold_sweep_indexed": 2.0,  # r11: solo warm median 1.23 s
 }
 
 

@@ -302,6 +302,37 @@ def minhash_jaccard_estimates(
     )
 
 
+def jaccard_estimates_from_index(idx: DataFrame) -> DataFrame:
+    """Candidate-pair Jaccard estimates computed ENTIRELY from a stored
+    signature index (build_lsh_index's doc_id + mh0..mh15 + b0..b3 rows)
+    — ZERO text reads: corpus-wide dedup-policy analysis (threshold
+    sweeps, dup-rate dashboards) over a 100 TB corpus touches only the
+    24-narrow-column index, never the text. Same (band, bucket)
+    self-join + signature-agreement estimator as
+    :func:`minhash_jaccard_estimates`, minus the shingle pipeline the
+    index already paid for at build time."""
+    m = len(MINHASH_PARAMS)
+    mh_cols = [f"mh{j}" for j in range(m)]
+    stack_args = ", ".join(f"{b}, b{b}" for b in range(LSH_BANDS))
+    banded = idx.selectExpr(
+        "doc_id", *mh_cols, f"stack({LSH_BANDS}, {stack_args}) as (band, bucket)"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    matches = sum(
+        (F.col(f"a.mh{j}") == F.col(f"b.mh{j}")).cast("int") for j in range(m)
+    )
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (matches / float(m)).alias("jaccard_est"),
+        )
+        .distinct()
+    )
+
+
 def connected_components(
     pairs: DataFrame, max_iters: int = 20, id_a: str = "doc_a", id_b: str = "doc_b"
 ) -> DataFrame:

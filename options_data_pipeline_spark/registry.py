@@ -14802,6 +14802,13 @@ def q_near_dup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.dedupe import minhash_jaccard_estimates
 
     est = minhash_jaccard_estimates(load_table(spark, "documents", sf_dir))
+    return _threshold_sweep_agg(spark, est)
+
+
+def _threshold_sweep_agg(spark: SparkSession, est: DataFrame) -> DataFrame:
+    """Shared sweep aggregation: right-join the 4-row threshold scaffold
+    so empty thresholds still report zeros (matches the oracle's LEFT
+    JOIN direction)."""
     th = spark.createDataFrame(
         [(0.25,), (0.5,), (0.75,), (1.0,)], "threshold double"
     )
@@ -14815,3 +14822,21 @@ def q_near_dup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct(F.greatest("doc_a", "doc_b")).alias("n_docs_flagged"),
         )
     )
+
+
+@register("near_dup_threshold_sweep_indexed", _near_dup_threshold_sweep_oracle())
+def q_near_dup_threshold_sweep_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME policy curve served from the STORED signature index —
+    zero text reads: at 100 TB, re-tuning the dedup threshold touches
+    the 24-narrow-column index, never the corpus (the store pays the
+    shingle pass once at build). Shares near_dup_threshold_sweep's
+    oracle verbatim: the index content is deterministic from the corpus,
+    so the served curve must hash-match the self-contained one. min-of-2
+    bench: run 1 pays the write-once full-corpus index build."""
+    from .functions.dedupe import build_lsh_index, jaccard_estimates_from_index
+
+    docs = load_table(spark, "documents", sf_dir)
+    idx = build_lsh_index(
+        docs, _vector_index_path(sf_dir, "lsh_index_full", source="documents.parquet")
+    )
+    return _threshold_sweep_agg(spark, jaccard_estimates_from_index(idx))

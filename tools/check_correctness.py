@@ -33,6 +33,7 @@ import pandas as pd
 #: first; the plain correctness gate runs only at sf0.01.
 SF01_SUBSET = [
     "near_dup_threshold_sweep",  # r11: LSH-estimate policy curve
+    "near_dup_threshold_sweep_indexed",  # r11: same curve, store-served
     "minhash_jaccard_estimate",
     "minhash_lsh",
     "rp_lsh_near_dup",

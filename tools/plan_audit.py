@@ -53,6 +53,7 @@ BNLJ_OK = {
     "dedup_cluster_stats",  # 1-row corpus-count normalizer (registry dedup dashboard)
     # round 11: 4-row threshold scaffold, broadcast non-equi (est >= t)
     "near_dup_threshold_sweep",
+    "near_dup_threshold_sweep_indexed",  # same scaffold, store-served
     "rfm_segments",  # 1-row max-orderdate crossJoined onto the customer dim
     "histogram_quantile_sketch",  # 1-row global min/max bin normalizer
     "dau_wau_mau",  # bounded day×bitmap-bucket scaffold (gap_fill family)
