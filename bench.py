@@ -291,6 +291,7 @@ HEADLINE = [
     "near_dup_threshold_sweep",
     # min-of-2: run 1 pays the write-once full-corpus signature index
     "near_dup_threshold_sweep_indexed",
+    "unimax_mixture",
 ]
 
 
@@ -396,6 +397,7 @@ PINNED_BUDGETS = {
     "bucketed_orderkey_lookup": 0.9,  # r11: solo warm median 0.52 s
     "near_dup_threshold_sweep": 2.8,  # r11: solo warm median 1.74 s
     "near_dup_threshold_sweep_indexed": 2.0,  # r11: solo warm median 1.23 s
+    "unimax_mixture": 1.4,  # r11: solo warm median 0.86 s
 }
 
 

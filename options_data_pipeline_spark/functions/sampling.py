@@ -272,3 +272,74 @@ def budget_sample(
             (F.col("cum_tokens") - F.col(tokens_col) < token_budget)
         )
     )
+
+
+def unimax_allocation(
+    lang_counts: DataFrame, frac: float = 0.6, cap: float = 2.0
+) -> DataFrame:
+    """UniMax language-sampling allocation (Chung et al. 2023): split a
+    token budget (``frac`` × corpus) across groups by waterfilling with a
+    per-group EPOCH CAP — groups small enough to hit cap×size are capped,
+    the remainder splits equally among the rest. Input: (lang, n) with n
+    as DOUBLE token counts. The sequential waterfill has a closed form:
+    sort ascending, k* = max{k : cap·n_k·(L−k) ≤ B − cumcap_k} (largest
+    capped prefix), everyone past k* gets the equal share — ONE window
+    pass over L group rows; no iteration, no collect. Parity with the
+    sequential greedy is pinned in tests/test_round11_ops.py."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("n", "lang")
+    ordered = lang_counts.select(
+        "lang",
+        "n",
+        F.row_number().over(w).alias("rn"),
+        F.sum(F.lit(cap) * F.col("n")).over(w).alias("cumcap"),
+    )
+    tot = lang_counts.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_langs")
+    )
+    marked = ordered.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n",
+        "rn",
+        "cumcap",
+        "n_langs",
+        (F.lit(frac) * F.col("total")).alias("budget"),
+        F.when(
+            F.lit(cap) * F.col("n") * (F.col("n_langs") - F.col("rn"))
+            <= F.lit(frac) * F.col("total") - F.col("cumcap"),
+            F.col("rn"),
+        )
+        .otherwise(F.lit(0))
+        .alias("k_cand"),
+    )
+    kstar = marked.agg(F.max("k_cand").alias("k"))
+    params = marked.select("n_langs", "budget").distinct()
+    level = (
+        kstar.crossJoin(F.broadcast(params))
+        .join(
+            F.broadcast(marked.select(F.col("rn").alias("k"), "cumcap")),
+            "k",
+            "left",
+        )
+        .select(
+            F.when(F.col("k") >= F.col("n_langs"), F.lit(0.0))
+            .when(F.col("k") == 0, F.col("budget") / F.col("n_langs"))
+            .otherwise(
+                (F.col("budget") - F.col("cumcap"))
+                / (F.col("n_langs") - F.col("k"))
+            )
+            .alias("share"),
+            "k",
+        )
+    )
+    alloc = F.when(
+        F.col("rn") <= F.col("k"), F.lit(cap) * F.col("n")
+    ).otherwise(F.col("share"))
+    return marked.crossJoin(F.broadcast(level)).select(
+        "lang",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.round(alloc, 3).alias("alloc_tokens"),
+        F.round(alloc / F.col("n"), 6).alias("epochs"),
+        (F.col("rn") <= F.col("k")).alias("capped"),
+    )

@@ -14840,3 +14840,63 @@ def q_near_dup_threshold_sweep_indexed(spark: SparkSession, sf_dir: str) -> Data
         docs, _vector_index_path(sf_dir, "lsh_index_full", source="documents.parquet")
     )
     return _threshold_sweep_agg(spark, jaccard_estimates_from_index(idx))
+
+
+@register(
+    "unimax_mixture",
+    r"""WITH lang_counts AS (
+  SELECT lang, CAST(SUM(len(regexp_extract_all(lower(text), '\S+'))) AS DOUBLE) AS n
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT sum(n) AS total, count(*) AS n_langs FROM lang_counts),
+ordered AS (
+  SELECT lang, n,
+         row_number() OVER (ORDER BY n, lang) AS rn,
+         sum(2.0 * n) OVER (ORDER BY n, lang) AS cumcap
+  FROM lang_counts
+),
+marked AS (
+  SELECT o.*, t.n_langs, 0.6 * t.total AS budget,
+         CASE WHEN 2.0 * o.n * (t.n_langs - o.rn) <= 0.6 * t.total - o.cumcap
+              THEN o.rn ELSE 0 END AS k_cand
+  FROM ordered o CROSS JOIN tot t
+),
+kstar AS (SELECT max(k_cand) AS k FROM marked),
+level AS (
+  SELECT CASE WHEN k.k >= m.n_langs THEN 0.0
+              WHEN k.k = 0 THEN m.budget / m.n_langs
+              ELSE (m.budget - mk.cumcap) / (m.n_langs - k.k) END AS share,
+         k.k
+  FROM kstar k
+  CROSS JOIN (SELECT DISTINCT n_langs, budget FROM marked) m
+  LEFT JOIN marked mk ON mk.rn = k.k
+)
+SELECT m.lang,
+       CAST(m.n AS BIGINT) AS n_tokens,
+       round(CASE WHEN m.rn <= l.k THEN 2.0 * m.n ELSE l.share END, 3)
+         AS alloc_tokens,
+       round(CASE WHEN m.rn <= l.k THEN 2.0 * m.n ELSE l.share END / m.n, 6)
+         AS epochs,
+       m.rn <= l.k AS capped
+FROM marked m CROSS JOIN level l""",
+)
+def q_unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language-sampling allocation (Chung et al. 2023,
+    "UniMax: Fairer and More Effective Language Sampling"): distribute a
+    token budget (60% of the corpus) across languages by waterfilling
+    with a per-language EPOCH CAP (2.0) — small languages are capped at
+    cap×size, the remainder splits equally among the rest. The
+    sequential waterfill has the classic closed form: sort languages
+    ascending, k* = max{k : cap·n_k·(L−k) ≤ B − cumcap_k} (the largest
+    prefix that caps), everyone past k* gets the equal share — ONE
+    window pass over L language rows after a corpus token count; no
+    iteration, no collect. At 100 TB the only corpus-grain work is the
+    token-count agg; the waterfill itself is L rows."""
+    from .functions.sampling import unimax_allocation
+    from .functions.text import token_count_col
+
+    docs = load_table(spark, "documents", sf_dir)
+    lc = docs.groupBy("lang").agg(
+        F.sum(token_count_col()).cast("double").alias("n")
+    )
+    return unimax_allocation(lc, frac=0.6, cap=2.0)

@@ -219,3 +219,48 @@ def test_bucketed_store_reregisters_across_sessions(spark, tmp_path, monkeypatch
     j = bk.bucketed_join(spark, "/root/testdata/sf0.001")
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and plan.count("Bucketed: true") == 2
+
+
+@pytest.mark.parametrize(
+    "counts,frac,cap",
+    [
+        # mixed: tiny langs cap, big ones share
+        ({"aa": 10.0, "bb": 50.0, "cc": 1000.0, "dd": 5000.0}, 0.5, 2.0),
+        # budget ≥ cap×total: everyone caps, budget under-used
+        ({"aa": 10.0, "bb": 20.0}, 1.0, 0.3),
+        # budget so small nobody caps: pure equal split
+        ({"aa": 100.0, "bb": 200.0, "cc": 300.0}, 0.1, 2.0),
+        # single group
+        ({"only": 42.0}, 0.6, 2.0),
+    ],
+)
+def test_unimax_closed_form_matches_sequential_greedy(spark, counts, frac, cap):
+    """The one-window-pass waterfill must equal the published sequential
+    algorithm: ascending by size, each group gets
+    min(cap·n, remaining_budget / remaining_groups)."""
+    from options_data_pipeline_spark.functions.sampling import unimax_allocation
+
+    # sequential reference
+    budget = frac * sum(counts.values())
+    want = {}
+    remaining = budget
+    items = sorted(counts.items(), key=lambda kv: (kv[1], kv[0]))
+    for i, (lang, n) in enumerate(items):
+        a = min(cap * n, remaining / (len(items) - i))
+        want[lang] = a
+        remaining -= a
+
+    lc = spark.createDataFrame(
+        [(k, v) for k, v in counts.items()], "lang string, n double"
+    )
+    got = {
+        r.lang: r.alloc_tokens
+        for r in unimax_allocation(lc, frac=frac, cap=cap).collect()
+    }
+    assert set(got) == set(want)
+    for lang in want:
+        assert got[lang] == pytest.approx(want[lang], abs=1e-3), (
+            lang,
+            got,
+            want,
+        )

@@ -54,6 +54,8 @@ BNLJ_OK = {
     # round 11: 4-row threshold scaffold, broadcast non-equi (est >= t)
     "near_dup_threshold_sweep",
     "near_dup_threshold_sweep_indexed",  # same scaffold, store-served
+    # round 11: 1-row total/k*/level scaffolds in the waterfill closed form
+    "unimax_mixture",
     "rfm_segments",  # 1-row max-orderdate crossJoined onto the customer dim
     "histogram_quantile_sketch",  # 1-row global min/max bin normalizer
     "dau_wau_mau",  # bounded day×bitmap-bucket scaffold (gap_fill family)
