@@ -292,6 +292,9 @@ HEADLINE = [
     # min-of-2: run 1 pays the write-once full-corpus signature index
     "near_dup_threshold_sweep_indexed",
     "unimax_mixture",
+    # min-of-2: run 1 pays the write-once base build + the one delta
+    # ingest (replays append 0); run 2 records the merge-on-read serve
+    "bucketed_base_delta_revenue",
 ]
 
 
@@ -398,6 +401,7 @@ PINNED_BUDGETS = {
     "near_dup_threshold_sweep": 2.8,  # r11: solo warm median 1.74 s
     "near_dup_threshold_sweep_indexed": 2.0,  # r11: solo warm median 1.23 s
     "unimax_mixture": 1.4,  # r11: solo warm median 0.86 s
+    "bucketed_base_delta_revenue": 3.45,  # r11: solo warm median 2.14 s
 }
 
 

@@ -15,6 +15,8 @@ Float determinism rules (validated empirically, see tools/):
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -14900,3 +14902,53 @@ def q_unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(token_count_col()).cast("double").alias("n")
     )
     return unimax_allocation(lc, frac=0.6, cap=2.0)
+
+
+@register(
+    "bucketed_base_delta_revenue",
+    """SELECT o_orderpriority,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority""",
+)
+def q_bucketed_base_delta_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read serving over the BASE+DELTA store
+    (streaming/bucketed_stream.py): 90% of lineitem lives in the
+    bucketed base (exchange-free SMJ arm), the last 10% arrives as an
+    exactly-once manifest delta batch (broadcast-sized arm) — the union
+    must equal the plain join over ALL of lineitem, which is exactly
+    what the oracle computes. Repeated runs are no-ops: the base is
+    write-once, the delta batch replays to 0 appended rows. The row id
+    for manifest dedupe is an md5 over every column (full rows are
+    distinct; the id never crosses engines)."""
+    from .streaming.bucketed_stream import build_base, ingest_batch, serve_join
+
+    root = _vector_index_path(
+        sf_dir, "bucketed_base_delta", source="lineitem.parquet"
+    )
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    rid = F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in li.columns]))
+    li = li.select(
+        rid.alias("row_id"), "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    build_base(li.filter(F.col("l_orderkey") % 10 < 9), root, "l_orderkey")
+    ingest_batch(li.filter(F.col("l_orderkey") % 10 == 9), root, "row_id")
+    od = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    return (
+        serve_join(spark, root, "l_orderkey", "row_id", od, "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

@@ -1,0 +1,233 @@
+"""BASE + DELTA serving over the bucketed store — continuous ingestion
+with co-located joins (the merge-on-read lakehouse pattern).
+
+The write-once bucketed table (sources/bucketed.py) eliminates the
+per-run fact-fact shuffle, but a bucketed table cannot absorb a stream
+exactly-once: appends land as loose per-batch files and there is no
+atomic commit to make a replayed micro-batch a no-op. The classic
+answer (Hudi MOR, Iceberg+compaction) splits the store:
+
+ - **delta**: micro-batches append through the EXISTING manifest sink
+   (`manifest_append_batch` — id-grain anti-join against committed
+   segments, single manifest publish per batch, replay appends 0);
+ - **base**: the bucketed table, rebuilt by COMPACTION as a new
+   generation (versioned dir + the shared atomic `_CURRENT` pointer
+   swap), folding every delta row committed up to a pinned manifest
+   version;
+ - **serving**: base ∪ delta-after-compaction. Joins run per-arm: the
+   base arm is the exchange-free bucketed SortMergeJoin; the delta arm
+   is batch-sized and broadcasts. At 100 TB the big side never
+   re-shuffles and the streaming tail costs its own size.
+
+Crash windows:
+ - ingest: inherited from the manifest sink — a crashed segment is
+   invisible (manifest never published), a replayed batch anti-joins to
+   0 rows.
+ - compact: the new generation is written BESIDE the live one and
+   becomes visible only at the pointer `os.replace`; a crash before the
+   swap leaves the old base serving and a re-compact starts clean. The
+   `_COMPACTED_THROUGH` marker commits strictly AFTER the pointer: if
+   the crash lands between them, the next serve unions base (which
+   already holds rows ≤ V) with delta-after-OLD-marker — rows ≤ V would
+   appear twice, so `serve` drops delta rows already present in base by
+   id (the id anti-join is the replay-safe primitive throughout this
+   repo). Compacted delta segments are NOT expired: the manifest's
+   dedupe anti-join needs the full committed history to keep a
+   re-ingested id a no-op; storage GC is a retention decision
+   (`expire_snapshots`), not a correctness one.
+
+SINGLE-WRITER per store root, like every pointer store here.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .cdc_stream import _current_version_dir, _next_version_dir, _publish_version
+from .sink import manifest_append_batch, manifest_sink_read, manifest_versions
+
+_COMPACT_MARK = "_COMPACTED_THROUGH"
+
+
+def _delta_path(root: str) -> str:
+    return os.path.join(root, "delta")
+
+
+def _compacted_through(root: str) -> int:
+    try:
+        with open(os.path.join(root, _COMPACT_MARK)) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return -1
+
+
+def _write_compacted_through(root: str, version: int) -> None:
+    tmp = os.path.join(root, f".{_COMPACT_MARK}.{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(root, _COMPACT_MARK))
+
+
+def _table_name(root: str, gen_dir: str) -> str:
+    import hashlib
+
+    key = f"{os.path.abspath(root)}:{os.path.basename(gen_dir)}"
+    return "bdbase_" + hashlib.md5(key.encode()).hexdigest()[:10]
+
+
+def _register_base(spark: SparkSession, root: str, key: str, buckets: int) -> str:
+    """Session-catalog name for the CURRENT base generation, registering
+    the existing files with metadata-only DDL when this session hasn't
+    seen them (the sources/bucketed.py convention)."""
+    cur = _current_version_dir(root)
+    if cur is None:
+        raise FileNotFoundError(f"no base generation published under {root!r}")
+    name = _table_name(root, cur)
+    if not spark.catalog.tableExists(name):
+        schema = spark.read.parquet(cur).schema
+        cols_ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
+        )
+        spark.sql(
+            f"CREATE TABLE {name} ({cols_ddl}) USING parquet "
+            f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+            f"INTO {buckets} BUCKETS LOCATION '{cur}'"
+        )
+    return name
+
+
+def build_base(
+    df: DataFrame, root: str, key: str, buckets: int = 16
+) -> str:
+    """Write generation 0 of the bucketed base (no-op if one is already
+    published) and return its session table name."""
+    spark = df.sparkSession
+    if _current_version_dir(root) is None:
+        os.makedirs(root, exist_ok=True)
+        vdir = _next_version_dir(root)
+        name = _table_name(root, vdir)
+        (
+            df.write.bucketBy(buckets, key)
+            .sortBy(key)
+            .option("path", vdir)
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+        _publish_version(root, vdir)
+    return _register_base(spark, root, key, buckets)
+
+
+def ingest_batch(batch: DataFrame, root: str, id_col: str) -> int:
+    """Exactly-once micro-batch append into the delta arm (manifest sink:
+    replayed ids anti-join to 0). Returns rows actually appended."""
+    return manifest_append_batch(batch, _delta_path(root), id_col, prune_col=None)
+
+
+def _delta_after(spark: SparkSession, root: str, version: int) -> DataFrame | None:
+    """Committed delta rows in manifest versions > ``version`` (the
+    not-yet-compacted tail), or None when there are none."""
+    try:
+        manifests = manifest_versions(_delta_path(root))
+    except (FileNotFoundError, OSError):
+        return None
+    segs = [
+        os.path.join(_delta_path(root), "segments", m["segment"])
+        for m in manifests
+        if m.get("version", 0) > version
+    ]
+    if not segs:
+        return None
+    return spark.read.parquet(*segs)
+
+
+def serve(
+    spark: SparkSession, root: str, key: str, id_col: str, buckets: int = 16
+) -> DataFrame:
+    """The current fact view: bucketed base ∪ uncompacted delta tail.
+    The base arm keeps its bucketed scan (join it per-arm — see
+    `serve_join`); the anti-join on the ROW id (never the bucket key —
+    many fact rows legitimately share a join key) guards the compact
+    crash window (pointer swapped, marker not yet — rows ≤ V present in
+    BOTH arms)."""
+    base = spark.table(_register_base(spark, root, key, buckets))
+    tail = _delta_after(spark, root, _compacted_through(root))
+    if tail is None:
+        return base
+    tail = _guard_tail(tail, base, id_col)
+    return base.unionByName(tail)
+
+
+def _guard_tail(tail: DataFrame, base: DataFrame, id_col: str) -> DataFrame:
+    """Drop tail rows whose id already landed in base (the
+    pointer-swapped-marker-not-yet crash window). The tail is
+    batch-sized, so it is the build side; the base probe is an id-column
+    scan, shuffle_hash to avoid a mis-estimated broadcast of the base."""
+    return tail.select(*base.columns).join(
+        base.select(id_col).hint("shuffle_hash"), id_col, "left_anti"
+    )
+
+
+def serve_join(
+    spark: SparkSession,
+    root: str,
+    key: str,
+    id_col: str,
+    dim: DataFrame,
+    dim_key: str,
+    buckets: int = 16,
+) -> DataFrame:
+    """Per-arm join: base ⨝ dim as the exchange-free bucketed SMJ, the
+    batch-sized delta tail ⨝ dim as a broadcast-friendly join, unioned.
+    This is the merge-on-read serving plan: the 100 TB arm never
+    re-shuffles, the streaming tail costs its own size."""
+    base = spark.table(_register_base(spark, root, key, buckets))
+    joined = base.hint("merge").join(dim, F.col(key) == F.col(dim_key))
+    tail = _delta_after(spark, root, _compacted_through(root))
+    if tail is None:
+        return joined
+    tail = _guard_tail(tail, base, id_col)
+    return joined.unionByName(
+        tail.join(dim, F.col(key) == F.col(dim_key))
+    )
+
+
+def compact(
+    spark: SparkSession, root: str, key: str, id_col: str, buckets: int = 16
+) -> dict:
+    """Fold the committed delta (as of a PINNED manifest version) into a
+    new bucketed base generation; atomic pointer swap, then the
+    compacted-through marker. Returns {"version", "rows", "generation"}.
+    Idempotent: no delta tail → no new generation."""
+    manifests = manifest_versions(_delta_path(root))
+    pin = max((m.get("version", 0) for m in manifests), default=-1)
+    done = _compacted_through(root)
+    if pin <= done:
+        return {
+            "version": done,
+            "rows": 0,
+            "generation": os.path.basename(_current_version_dir(root) or ""),
+        }
+    base = spark.table(_register_base(spark, root, key, buckets))
+    delta = manifest_sink_read(spark, _delta_path(root), at_version=pin)
+    merged = base.unionByName(_guard_tail(delta, base, id_col))
+    vdir = _next_version_dir(root)
+    name = _table_name(root, vdir)
+    if spark.catalog.tableExists(name):  # crashed prior attempt re-registered
+        spark.sql(f"DROP TABLE {name}")
+    (
+        merged.write.bucketBy(buckets, key)
+        .sortBy(key)
+        .option("path", vdir)
+        .mode("overwrite")
+        .saveAsTable(name)
+    )
+    n = spark.table(name).count()
+    _publish_version(root, vdir)
+    _write_compacted_through(root, pin)
+    return {"version": pin, "rows": n, "generation": os.path.basename(vdir)}

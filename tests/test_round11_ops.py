@@ -264,3 +264,101 @@ def test_unimax_closed_form_matches_sequential_greedy(spark, counts, frac, cap):
             got,
             want,
         )
+
+
+def _li(spark, rows):
+    return spark.createDataFrame(
+        rows, "row_id string, k bigint, v double"
+    )
+
+
+def test_base_delta_ingest_replay_and_compact_parity(spark, tmp_path):
+    """Exactly-once ingest (replay appends 0), serving equals base∪delta
+    before AND after compaction, compaction is idempotent, and the
+    compacted base keeps the exchange-free bucketed join plan."""
+    from options_data_pipeline_spark.streaming import bucketed_stream as bd
+
+    root = str(tmp_path / "bd")
+    base_rows = [(f"r{i}", i % 5, float(i)) for i in range(20)]
+    build = _li(spark, base_rows)
+    bd.build_base(build, root, "k", buckets=4)
+
+    b1 = _li(spark, [("n1", 1, 100.0), ("n2", 2, 200.0)])
+    assert bd.ingest_batch(b1, root, "row_id") == 2
+    assert bd.ingest_batch(b1, root, "row_id") == 0  # replay
+
+    def served():
+        return sorted(
+            map(tuple, bd.serve(spark, root, "k", "row_id").collect())
+        )
+
+    want = sorted(map(tuple, base_rows + [("n1", 1, 100.0), ("n2", 2, 200.0)]))
+    assert served() == want
+
+    rep = bd.compact(spark, root, "k", "row_id", buckets=4)
+    assert rep["rows"] == 22
+    assert served() == want  # unchanged by compaction
+    rep2 = bd.compact(spark, root, "k", "row_id", buckets=4)
+    assert rep2["rows"] == 0 and rep2["generation"] == rep["generation"]
+
+    # post-compact ingest lands in the tail and serves
+    b2 = _li(spark, [("n3", 3, 300.0)])
+    assert bd.ingest_batch(b2, root, "row_id") == 1
+    assert len(served()) == 23
+
+    # the compacted base joins exchange-free
+    name = bd._register_base(spark, root, "k", 4)
+    dim = spark.createDataFrame([(i, f"d{i}") for i in range(5)], "dk bigint, tag string")
+    j = spark.table(name).hint("merge").join(dim, F.col("k") == F.col("dk"))
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") == 1  # the base side scan
+
+
+def test_base_delta_compact_crash_before_pointer_swap(spark, tmp_path, monkeypatch):
+    """A crash after writing the new generation but BEFORE the pointer
+    swap leaves the old base serving and a re-compact succeeds cleanly."""
+    from options_data_pipeline_spark.streaming import bucketed_stream as bd
+
+    root = str(tmp_path / "bd_crash1")
+    bd.build_base(_li(spark, [("a", 0, 1.0)]), root, "k", buckets=2)
+    bd.ingest_batch(_li(spark, [("b", 1, 2.0)]), root, "row_id")
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected: crash before pointer swap")
+
+    monkeypatch.setattr(bd, "_publish_version", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        bd.compact(spark, root, "k", "row_id", buckets=2)
+    monkeypatch.undo()
+    got = sorted(map(tuple, bd.serve(spark, root, "k", "row_id").collect()))
+    assert got == [("a", 0, 1.0), ("b", 1, 2.0)]  # old base + delta tail
+    rep = bd.compact(spark, root, "k", "row_id", buckets=2)
+    assert rep["rows"] == 2
+    assert sorted(map(tuple, bd.serve(spark, root, "k", "row_id").collect())) == got
+
+
+def test_base_delta_compact_crash_between_pointer_and_marker(spark, tmp_path, monkeypatch):
+    """The nastier window: pointer swapped (new base already holds the
+    delta rows) but the compacted-through marker not yet written — the
+    tail then overlaps the base, and the id anti-join must keep serving
+    exact rows; the next compact repairs the marker."""
+    from options_data_pipeline_spark.streaming import bucketed_stream as bd
+
+    root = str(tmp_path / "bd_crash2")
+    bd.build_base(_li(spark, [("a", 0, 1.0)]), root, "k", buckets=2)
+    bd.ingest_batch(_li(spark, [("b", 1, 2.0)]), root, "row_id")
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected: crash before marker")
+
+    monkeypatch.setattr(bd, "_write_compacted_through", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        bd.compact(spark, root, "k", "row_id", buckets=2)
+    monkeypatch.undo()
+    got = sorted(map(tuple, bd.serve(spark, root, "k", "row_id").collect()))
+    assert got == [("a", 0, 1.0), ("b", 1, 2.0)]  # no duplicate "b"
+    rep = bd.compact(spark, root, "k", "row_id", buckets=2)  # marker repair
+    assert bd._compacted_through(root) >= 0
+    got2 = sorted(map(tuple, bd.serve(spark, root, "k", "row_id").collect()))
+    assert got2 == got
