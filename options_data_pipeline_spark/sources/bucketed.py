@@ -31,6 +31,27 @@ from pyspark.sql import DataFrame, SparkSession
 _BUCKETS = 16
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str = "symbol",
+    buckets: int = 8,
+    sort: bool = True,
+) -> None:
+    """Plain managed bucketed write (the original symbol-grain helper —
+    dedup reads, state reconciliation, candle↔candle joins bucket on
+    ``symbol``); the fact-store path below adds external locations and
+    cross-session re-registration on top."""
+    writer = df.write.mode("overwrite").bucketBy(buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    writer.format("parquet").saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)
+
+
 def _tag(sf_dir: str, buckets: int) -> str:
     # the store root participates so tests (or probes) pointing the store
     # elsewhere get distinct catalog names — the session catalog is shared
