@@ -231,3 +231,33 @@ def compact(
     _publish_version(root, vdir)
     _write_compacted_through(root, pin)
     return {"version": pin, "rows": n, "generation": os.path.basename(vdir)}
+
+
+def streaming_fact_ingest(
+    stream: DataFrame,
+    root: str,
+    key: str,
+    id_col: str,
+    checkpoint_dir: str,
+    compact_every: int | None = None,
+):
+    """Wire a fact stream into the base+delta store:
+    ``streaming_fact_ingest(...).start()`` + the checkpoint gives a
+    continuously-ingested fact whose serving view (`serve`/`serve_join`)
+    is always exact — exactly-once composition is the manifest sink's
+    (replayed micro-batches append 0). ``compact_every`` folds the delta
+    into a new bucketed base generation every N batches (the
+    maintain_every convention of manifest_foreach_batch_writer);
+    compaction is idempotent, so a replayed maintenance batch re-folds
+    to a no-op."""
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        ingest_batch(batch, root, id_col)
+        if compact_every and batch_id % compact_every == compact_every - 1:
+            compact(batch.sparkSession, root, key, id_col)
+
+    return (
+        stream.writeStream.foreachBatch(write)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )

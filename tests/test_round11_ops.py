@@ -362,3 +362,32 @@ def test_base_delta_compact_crash_between_pointer_and_marker(spark, tmp_path, mo
     assert bd._compacted_through(root) >= 0
     got2 = sorted(map(tuple, bd.serve(spark, root, "k", "row_id").collect()))
     assert got2 == got
+
+
+def test_streaming_fact_ingest_serves_exact_rows(spark, tmp_path):
+    """File-stream micro-batches flow through the manifest delta (with a
+    mid-stream compaction) and the serving view equals the batch union —
+    the streaming twin of the base+delta lifecycle."""
+    from options_data_pipeline_spark.streaming import bucketed_stream as bd
+
+    root = str(tmp_path / "bd_stream")
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    bd.build_base(_li(spark, [("base0", 0, 0.5)]), root, "k", buckets=2)
+
+    rows = [(f"s{i}", i % 3, float(i)) for i in range(6)]
+    _li(spark, rows).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("row_id string, k bigint, v double").parquet(
+        src
+    )
+    q = bd.streaming_fact_ingest(
+        stream, root, "k", "row_id", ck, compact_every=1
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(map(tuple, bd.serve(spark, root, "k", "row_id").collect()))
+    assert got == sorted(map(tuple, [("base0", 0, 0.5)] + rows))
+    # compaction ran: the current generation is not gen 0 and the tail is dry
+    assert bd._compacted_through(root) >= 0
