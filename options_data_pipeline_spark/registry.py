@@ -14939,7 +14939,7 @@ def q_bucketed_base_delta_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
         "o_orderkey", "o_orderpriority"
     )
     return (
-        serve_join(spark, root, "l_orderkey", "row_id", od, "o_orderkey")
+        serve_join(spark, root, "l_orderkey", od, "o_orderkey")
         .groupBy("o_orderpriority")
         .agg(
             F.countDistinct("o_orderkey").alias("n_orders"),

@@ -289,16 +289,16 @@ def test_base_delta_ingest_replay_and_compact_parity(spark, tmp_path):
 
     def served():
         return sorted(
-            map(tuple, bd.serve(spark, root, "k", "row_id").collect())
+            map(tuple, bd.serve(spark, root, "k").collect())
         )
 
     want = sorted(map(tuple, base_rows + [("n1", 1, 100.0), ("n2", 2, 200.0)]))
     assert served() == want
 
-    rep = bd.compact(spark, root, "k", "row_id", buckets=4)
+    rep = bd.compact(spark, root, "k", buckets=4)
     assert rep["rows"] == 22
     assert served() == want  # unchanged by compaction
-    rep2 = bd.compact(spark, root, "k", "row_id", buckets=4)
+    rep2 = bd.compact(spark, root, "k", buckets=4)
     assert rep2["rows"] == 0 and rep2["generation"] == rep["generation"]
 
     # post-compact ingest lands in the tail and serves
@@ -329,13 +329,13 @@ def test_base_delta_compact_crash_before_pointer_swap(spark, tmp_path, monkeypat
 
     monkeypatch.setattr(bd, "_publish_version", boom)
     with pytest.raises(RuntimeError, match="injected"):
-        bd.compact(spark, root, "k", "row_id", buckets=2)
+        bd.compact(spark, root, "k", buckets=2)
     monkeypatch.undo()
-    got = sorted(map(tuple, bd.serve(spark, root, "k", "row_id").collect()))
+    got = sorted(map(tuple, bd.serve(spark, root, "k").collect()))
     assert got == [("a", 0, 1.0), ("b", 1, 2.0)]  # old base + delta tail
-    rep = bd.compact(spark, root, "k", "row_id", buckets=2)
+    rep = bd.compact(spark, root, "k", buckets=2)
     assert rep["rows"] == 2
-    assert sorted(map(tuple, bd.serve(spark, root, "k", "row_id").collect())) == got
+    assert sorted(map(tuple, bd.serve(spark, root, "k").collect())) == got
 
 
 def test_base_delta_compact_crash_between_pointer_and_marker(spark, tmp_path, monkeypatch):
@@ -354,13 +354,13 @@ def test_base_delta_compact_crash_between_pointer_and_marker(spark, tmp_path, mo
 
     monkeypatch.setattr(bd, "_write_compacted_through", boom)
     with pytest.raises(RuntimeError, match="injected"):
-        bd.compact(spark, root, "k", "row_id", buckets=2)
+        bd.compact(spark, root, "k", buckets=2)
     monkeypatch.undo()
-    got = sorted(map(tuple, bd.serve(spark, root, "k", "row_id").collect()))
+    got = sorted(map(tuple, bd.serve(spark, root, "k").collect()))
     assert got == [("a", 0, 1.0), ("b", 1, 2.0)]  # no duplicate "b"
-    rep = bd.compact(spark, root, "k", "row_id", buckets=2)  # marker repair
+    rep = bd.compact(spark, root, "k", buckets=2)  # marker repair
     assert bd._compacted_through(root) >= 0
-    got2 = sorted(map(tuple, bd.serve(spark, root, "k", "row_id").collect()))
+    got2 = sorted(map(tuple, bd.serve(spark, root, "k").collect()))
     assert got2 == got
 
 
@@ -387,7 +387,7 @@ def test_streaming_fact_ingest_serves_exact_rows(spark, tmp_path):
         q.processAllAvailable()
     finally:
         q.stop()
-    got = sorted(map(tuple, bd.serve(spark, root, "k", "row_id").collect()))
+    got = sorted(map(tuple, bd.serve(spark, root, "k").collect()))
     assert got == sorted(map(tuple, [("base0", 0, 0.5)] + rows))
     # compaction ran: the current generation is not gen 0 and the tail is dry
     assert bd._compacted_through(root) >= 0
