@@ -42,6 +42,7 @@ def _timed(fn):
 
 def main() -> int:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    buckets = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("base-delta-probe")
     workdir = tempfile.mkdtemp(prefix="bd_probe_")
@@ -61,7 +62,8 @@ def main() -> int:
 
         build_s, _ = _timed(
             lambda: bd.build_base(
-                li.filter(F.col("l_orderkey") % 10 < 9), root, "l_orderkey"
+                li.filter(F.col("l_orderkey") % 10 < 9), root, "l_orderkey",
+                buckets=buckets,
             )
         )
         ingest_s, n_delta = _timed(
@@ -85,7 +87,7 @@ def main() -> int:
 
         mor_s, mor = _timed(
             lambda: _rev(
-                bd.serve_join(spark, root, "l_orderkey", od, "o_orderkey")
+                bd.serve_join(spark, root, "l_orderkey", od, "o_orderkey", buckets=buckets)
             ).collect()
         )
         mono_s, mono = _timed(
@@ -94,11 +96,11 @@ def main() -> int:
             ).collect()
         )
         compact_s, crep = _timed(
-            lambda: bd.compact(spark, root, "l_orderkey")
+            lambda: bd.compact(spark, root, "l_orderkey", buckets=buckets)
         )
         post_s, post = _timed(
             lambda: _rev(
-                bd.serve_join(spark, root, "l_orderkey", od, "o_orderkey")
+                bd.serve_join(spark, root, "l_orderkey", od, "o_orderkey", buckets=buckets)
             ).collect()
         )
 
@@ -108,6 +110,7 @@ def main() -> int:
         parity = _norm(mor) == _norm(mono) == _norm(post)
         out = {
             "factor": factor,
+            "buckets": buckets,
             "lineitem_rows": n_rows,
             "delta_rows": n_delta,
             "base_build_s": build_s,
