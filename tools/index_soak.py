@@ -31,10 +31,16 @@ Cluster map + signature index pair (round 10), per cycle:
   keep merging) → replay (must touch neither store) → the stored map
   must equal a from-scratch CC over the full corpus's candidate graph.
 
+Base+delta fact store (round 11), per cycle:
+  ingest a fact micro-batch into the manifest delta → replay (must
+  append 0) → serve must equal the running row-set → every 2nd cycle
+  compact (new bucketed generation, folded-through committed inside it)
+  and re-check serving parity + ≤2 generations live.
+
 Usage: python tools/index_soak.py [cycles]           (default 6)
 Prints one JSON line {"cycles": N, "gram": {...}, "ivf": {...},
-"bm25": {...}, "cluster": {...}, "seconds": s}; exits nonzero on any
-invariant violation.
+"bm25": {...}, "cluster": {...}, "base_delta": {...}, "seconds": s};
+exits nonzero on any invariant violation.
 """
 
 from __future__ import annotations
@@ -404,6 +410,41 @@ def soak_cluster(spark, cycles: int, workdir: str) -> dict:
     return stats
 
 
+def soak_base_delta(spark, cycles: int, workdir: str) -> dict:
+    """Base+delta fact store: ingest → replay-zero → serve parity →
+    periodic compaction keeps parity and ≤2 generations."""
+    from options_data_pipeline_spark.streaming import bucketed_stream as bd
+
+    root = os.path.join(workdir, "bd")
+    rows = [(f"base{i}", i % 4, float(i)) for i in range(8)]
+    df = spark.createDataFrame(rows, "row_id string, k bigint, v double")
+    bd.build_base(df, root, "k", buckets=4)
+    stats = {"ingests": 0, "replays_zero": 0, "parity_checks": 0, "compactions": 0}
+    expect = list(rows)
+    for c in range(1, cycles + 1):
+        batch_rows = [(f"c{c}_{i}", (c + i) % 4, float(100 * c + i)) for i in range(3)]
+        batch = spark.createDataFrame(
+            batch_rows, "row_id string, k bigint, v double"
+        )
+        assert bd.ingest_batch(batch, root, "row_id") == 3, f"cycle {c}"
+        stats["ingests"] += 1
+        assert bd.ingest_batch(batch, root, "row_id") == 0, f"cycle {c}: replay"
+        stats["replays_zero"] += 1
+        expect += batch_rows
+        got = sorted(map(tuple, bd.serve(spark, root, "k", buckets=4).collect()))
+        assert got == sorted(expect), f"cycle {c}: serve diverged"
+        stats["parity_checks"] += 1
+        if c % 2 == 0:
+            rep = bd.compact(spark, root, "k", buckets=4)
+            assert rep["rows"] == len(expect), f"cycle {c}: {rep}"
+            stats["compactions"] += 1
+            got = sorted(map(tuple, bd.serve(spark, root, "k", buckets=4).collect()))
+            assert got == sorted(expect), f"cycle {c}: post-compact diverged"
+            gens = [d for d in os.listdir(root) if d.startswith("v_")]
+            assert 1 <= len(gens) <= 2, f"cycle {c}: {len(gens)} generations"
+    return stats
+
+
 def main() -> int:
     cycles = int(sys.argv[1]) if len(sys.argv) > 1 else 6
     spark = get_spark("index-soak")
@@ -414,6 +455,7 @@ def main() -> int:
         ivf = soak_ivf(spark, cycles, workdir)
         bm25 = soak_bm25(spark, cycles, workdir)
         cluster = soak_cluster(spark, cycles, workdir)
+        base_delta = soak_base_delta(spark, cycles, workdir)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
     out = {
@@ -422,6 +464,7 @@ def main() -> int:
         "ivf": ivf,
         "bm25": bm25,
         "cluster": cluster,
+        "base_delta": base_delta,
         "seconds": round(time.perf_counter() - t0, 1),
     }
     print(json.dumps(out))
