@@ -188,8 +188,11 @@ def serve_join(
     batch-sized delta tail ⨝ dim as a broadcast-friendly join, unioned.
     This is the merge-on-read serving plan: the 100 TB arm never
     re-shuffles, the streaming tail costs its own size."""
+    # no join-strategy hint: a broadcast-sized dim should broadcast (the
+    # bucketed scan still avoids the fact-side exchange); a fact-sized dim
+    # gets SMJ from Catalyst, where only the dim side exchanges
     base = spark.table(_register_base(spark, root, key, buckets))
-    joined = base.hint("merge").join(dim, F.col(key) == F.col(dim_key))
+    joined = base.join(dim, F.col(key) == F.col(dim_key))
     tail = _delta_after(spark, root, _compacted_through(root))
     if tail is None:
         return joined
