@@ -295,6 +295,8 @@ HEADLINE = [
     # min-of-2: run 1 pays the write-once base build + the one delta
     # ingest (replays append 0); run 2 records the merge-on-read serve
     "bucketed_base_delta_revenue",
+    # eager CC at construction, like dedup_clusters — timer spans it
+    "cluster_aware_splits",
 ]
 
 
@@ -402,6 +404,7 @@ PINNED_BUDGETS = {
     "near_dup_threshold_sweep_indexed": 2.0,  # r11: solo warm median 1.23 s
     "unimax_mixture": 1.4,  # r11: solo warm median 0.86 s
     "bucketed_base_delta_revenue": 3.45,  # r11: solo warm median 2.14 s
+    "cluster_aware_splits": 10.3,  # r11: solo warm median 6.45 s (eager CC)
 }
 
 

@@ -14952,3 +14952,63 @@ def q_bucketed_base_delta_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("revenue"),
         )
     )
+
+
+def _cluster_aware_splits_oracle() -> str:
+    """Clusters oracle wrapped with label-grain hash splits (the
+    _dedup_canonical_oracle surgery pattern)."""
+    base = _dedup_clusters_oracle()
+    tail = "SELECT v AS doc_id, CAST(min(l) AS BIGINT) AS label FROM reach GROUP BY v"
+    assert base.endswith(tail)
+    return base[: -len(tail)] + f""", clusters AS (
+  {tail}
+),
+labeled AS (
+  SELECT d.doc_id, COALESCE(c.label, d.doc_id) AS label
+  FROM documents d LEFT JOIN clusters c USING (doc_id)
+),
+assigned AS (
+  SELECT doc_id, label,
+         CASE WHEN bucket < 9800 THEN 'train'
+              WHEN bucket < 9900 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT *,
+           CAST(concat('0x', substr(md5(concat('split:', CAST(label AS VARCHAR))), 1, 8)) AS BIGINT) % 10000 AS bucket
+    FROM labeled
+  )
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT label) AS BIGINT) AS n_clusters
+FROM assigned GROUP BY split"""
+
+
+@register("cluster_aware_splits", _cluster_aware_splits_oracle())
+def q_cluster_aware_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER-AWARE train/val/test splitting — the leakage fix, not
+    just the audit: assign splits by hashing the near-dup CLUSTER label
+    (every member of a cluster lands in the same split), so the
+    cross-split near-dup pairs `split_leakage_audit` counts are ZERO by
+    construction (pinned in tests). Same salted-hash stability
+    guarantees as `split_col`, at label grain; singletons hash their
+    own id, so the assignment is stable under corpus growth exactly
+    like the doc-grain splitter. Eager CC at construction (the
+    dedup_clusters bench convention)."""
+    from .functions.dedupe import connected_components_star, minhash_lsh_candidates
+    from .functions.sampling import split_col
+
+    docs = load_table(spark, "documents", sf_dir)
+    clusters = connected_components_star(minhash_lsh_candidates(docs))
+    labeled = (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select("doc_id", F.coalesce("label", "doc_id").alias("label"))
+    )
+    return (
+        labeled.withColumn("split", split_col("label"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("label").alias("n_clusters"),
+        )
+    )

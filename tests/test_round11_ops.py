@@ -391,3 +391,39 @@ def test_streaming_fact_ingest_serves_exact_rows(spark, tmp_path):
     assert got == sorted(map(tuple, [("base0", 0, 0.5)] + rows))
     # compaction ran: the current generation is not gen 0 and the tail is dry
     assert bd._compacted_through(root) >= 0
+
+
+def test_cluster_aware_splits_have_zero_leakage(spark):
+    """The property that makes cluster-aware splitting THE fix (not just
+    an audit): no LSH near-dup pair straddles two splits, because the
+    split is a function of the shared cluster label."""
+    from options_data_pipeline_spark.functions.dedupe import (
+        connected_components_star,
+        minhash_lsh_candidates,
+    )
+    from options_data_pipeline_spark.functions.sampling import split_col
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    )
+    pairs = minhash_lsh_candidates(docs)
+    clusters = connected_components_star(pairs)
+    labeled = (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select("doc_id", F.coalesce("label", "doc_id").alias("label"))
+        .withColumn("split", split_col("label"))
+    )
+    sa = labeled.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    sb = labeled.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    straddling = (
+        pairs.join(sa, "doc_a").join(sb, "doc_b").filter(F.col("sa") != F.col("sb"))
+    )
+    assert straddling.count() == 0
+    # sanity: the doc-grain splitter DOES leak on the same corpus (the
+    # difference this operator exists to remove)
+    doc_grain = docs.select("doc_id", split_col("doc_id").alias("split"))
+    da = doc_grain.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    db = doc_grain.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    leaks = pairs.join(da, "doc_a").join(db, "doc_b").filter(F.col("sa") != F.col("sb"))
+    assert leaks.count() > 0

@@ -34,6 +34,7 @@ import pandas as pd
 SF01_SUBSET = [
     "near_dup_threshold_sweep",  # r11: LSH-estimate policy curve
     "near_dup_threshold_sweep_indexed",  # r11: same curve, store-served
+    "cluster_aware_splits",  # r11: label-grain splits over the LSH graph
     "minhash_jaccard_estimate",
     "minhash_lsh",
     "rp_lsh_near_dup",
