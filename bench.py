@@ -297,6 +297,7 @@ HEADLINE = [
     "bucketed_base_delta_revenue",
     # eager CC at construction, like dedup_clusters — timer spans it
     "cluster_aware_splits",
+    "ks_drift_sources",
 ]
 
 
@@ -405,6 +406,7 @@ PINNED_BUDGETS = {
     "unimax_mixture": 1.4,  # r11: solo warm median 0.86 s
     "bucketed_base_delta_revenue": 3.45,  # r11: solo warm median 2.14 s
     "cluster_aware_splits": 10.3,  # r11: solo warm median 6.45 s (eager CC)
+    "ks_drift_sources": 2.55,  # r11: solo warm median 1.60 s
 }
 
 

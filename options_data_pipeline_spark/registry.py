@@ -15012,3 +15012,105 @@ def q_cluster_aware_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("label").alias("n_clusters"),
         )
     )
+
+
+@register(
+    "ks_drift_sources",
+    """WITH pts AS (
+  SELECT source, n_chars AS v FROM documents
+),
+grid_s AS (
+  SELECT source, v, CAST(count(*) AS BIGINT) AS n_s
+  FROM pts WHERE source <> 'src0' GROUP BY 1, 2
+),
+grid_r AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS n_r
+  FROM pts WHERE source = 'src0' GROUP BY 1
+),
+merged AS (
+  SELECT source, v, sum(ns_cnt) AS n_s, sum(nr_cnt) AS n_r FROM (
+    SELECT source, v, n_s AS ns_cnt, 0 AS nr_cnt FROM grid_s
+    UNION ALL
+    SELECT t.source, g.v, 0, g.n_r
+    FROM grid_r g CROSS JOIN (SELECT DISTINCT source FROM grid_s) t
+  ) GROUP BY 1, 2
+),
+cdf AS (
+  SELECT source, v,
+         sum(n_s) OVER (PARTITION BY source ORDER BY v) AS cs,
+         sum(n_r) OVER (PARTITION BY source ORDER BY v) AS cr
+  FROM merged
+),
+tot_s AS (SELECT source, sum(n_s) AS ns FROM grid_s GROUP BY 1),
+tot_r AS (SELECT sum(n_r) AS nr FROM grid_r)
+SELECT c.source,
+       CAST(t.ns AS BIGINT) AS n_docs,
+       round(max(abs(round(c.cs::DOUBLE / t.ns - c.cr::DOUBLE / r.nr, 9))), 6)
+         AS ks_stat
+FROM cdf c JOIN tot_s t USING (source) CROSS JOIN tot_r r
+GROUP BY c.source, t.ns""",
+)
+def q_ks_drift_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift per corpus source vs the
+    reference source (src0) over the doc-length distribution — the
+    distribution-SHAPE shift detector that chi2_drift (binned counts)
+    and tv_distance (categorical) can't give: KS = max |F_s(v) − F_r(v)|
+    over the merged value grid. Scale posture: everything beyond the
+    first groupBy runs at VALUE-GRID grain (distinct lengths per source
+    — bounded by the value domain, not the corpus), the CDF windows are
+    partitioned per source (never a global single-partition window), the
+    reference grid replicates across sources via a bounded broadcast,
+    and the 1-row reference total rides the blessed broadcast-scalar
+    crossJoin. Diffs rounded at 9 dp before the max so the cross-engine
+    float path is identical."""
+    docs = load_table(spark, "documents", sf_dir)
+    pts = docs.select("source", F.col("n_chars").alias("v"))
+    grid_s = (
+        pts.filter(F.col("source") != "src0")
+        .groupBy("source", "v")
+        .agg(F.count(F.lit(1)).alias("n_s"))
+    )
+    grid_r = (
+        pts.filter(F.col("source") == "src0")
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n_r"))
+    )
+    sources = grid_s.select("source").distinct()
+    merged = (
+        grid_s.select("source", "v", F.col("n_s").alias("ns_cnt"), F.lit(0).alias("nr_cnt"))
+        .unionByName(
+            grid_r.crossJoin(F.broadcast(sources)).select(
+                "source", "v", F.lit(0).alias("ns_cnt"), F.col("n_r").alias("nr_cnt")
+            )
+        )
+        .groupBy("source", "v")
+        .agg(F.sum("ns_cnt").alias("n_s"), F.sum("nr_cnt").alias("n_r"))
+    )
+    w = Window.partitionBy("source").orderBy("v")
+    cdf = merged.select(
+        "source",
+        "v",
+        F.sum("n_s").over(w).alias("cs"),
+        F.sum("n_r").over(w).alias("cr"),
+    )
+    tot_s = grid_s.groupBy("source").agg(F.sum("n_s").alias("ns"))
+    tot_r = grid_r.agg(F.sum("n_r").alias("nr"))
+    return (
+        cdf.join(F.broadcast(tot_s), "source")
+        .crossJoin(F.broadcast(tot_r))
+        .groupBy("source", F.col("ns").cast("long").alias("n_docs"))
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.round(
+                            F.col("cs").cast("double") / F.col("ns")
+                            - F.col("cr").cast("double") / F.col("nr"),
+                            9,
+                        )
+                    )
+                ),
+                6,
+            ).alias("ks_stat")
+        )
+    )

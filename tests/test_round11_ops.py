@@ -427,3 +427,33 @@ def test_cluster_aware_splits_have_zero_leakage(spark):
     db = doc_grain.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
     leaks = pairs.join(da, "doc_a").join(db, "doc_b").filter(F.col("sa") != F.col("sb"))
     assert leaks.count() > 0
+
+
+def test_mega_cluster_relabel_degrades_to_full_scan_correctly(spark, tmp_path):
+    """Adversarial worst case for the label sidecar: ONE giant chain
+    cluster whose members hash across (nearly) every map partition. A
+    merge that relabels it must read close to all 64 partitions — the
+    index prunes nothing here by CONSTRUCTION (the label really lives
+    everywhere), and the result must still be exact. This documents the
+    honest degradation bound: pruning is never WORSE than the old full
+    scan."""
+    path = str(tmp_path / "cmap_mega")
+    # one 200-doc chain → a single cluster labeled 1000, spread over
+    # most of the 64 doc-hash partitions; plus one 2-doc cluster
+    chain = [(i, i + 1) for i in range(1000, 1199)]
+    build_cluster_map(
+        spark.createDataFrame(chain + [(5, 6)], "doc_a bigint, doc_b bigint"),
+        path,
+    )
+    # bridge the small cluster into the mega one: every mega row relabels
+    # 1000→5? No: min(5, 1000)=5, so the MEGA cluster's 200 rows move
+    rep = merge_cluster_map(
+        spark.createDataFrame([(6, 1000)], "doc_a bigint, doc_b bigint"), path
+    )
+    assert rep["relabeled"] == 200
+    # honest degradation: the scan covers most partitions, never more
+    # than all of them
+    assert 32 <= rep["relabel_parts_scanned"] <= 64
+    got = {r.doc_id: r.label for r in read_cluster_map(spark, path).collect()}
+    assert all(got[i] == 5 for i in range(1000, 1200))
+    assert got[5] == got[6] == 5

@@ -35,6 +35,7 @@ SF01_SUBSET = [
     "near_dup_threshold_sweep",  # r11: LSH-estimate policy curve
     "near_dup_threshold_sweep_indexed",  # r11: same curve, store-served
     "cluster_aware_splits",  # r11: label-grain splits over the LSH graph
+    "ks_drift_sources",  # r11: distribution-shape stat (CDF grid)
     "minhash_jaccard_estimate",
     "minhash_lsh",
     "rp_lsh_near_dup",

@@ -56,6 +56,7 @@ BNLJ_OK = {
     "near_dup_threshold_sweep_indexed",  # same scaffold, store-served
     # round 11: 1-row total/k*/level scaffolds in the waterfill closed form
     "unimax_mixture",
+    "ks_drift_sources",  # 1-row reference-total crossJoin onto the CDF grid
     "rfm_segments",  # 1-row max-orderdate crossJoined onto the customer dim
     "histogram_quantile_sketch",  # 1-row global min/max bin normalizer
     "dau_wau_mau",  # bounded day×bitmap-bucket scaffold (gap_fill family)
