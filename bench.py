@@ -298,6 +298,11 @@ HEADLINE = [
     # eager CC at construction, like dedup_clusters — timer spans it
     "cluster_aware_splits",
     "ks_drift_sources",
+    # round 12: skew-robust band joins (heavy_bucket pinned low so the
+    # blocked arm runs on real buckets; expected ≈ plain + the size
+    # pre-pass — the escape is for adversarial corpora, not a speedup)
+    "minhash_lsh_skew_robust",
+    "simhash_skew_robust",
 ]
 
 

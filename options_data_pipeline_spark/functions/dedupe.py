@@ -230,13 +230,94 @@ def minhash_signatures_wide(docs: DataFrame, text_col: str = "text", k: int = 5)
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
+#: bucket size at which the banded self-join's B(B-1)/2 pairs-per-key
+#: becomes a single-task straggler worth splitting (2048² / 2 ≈ 2M pairs)
+SKEW_HEAVY_BUCKET = 2048
+#: salt grid width for the blocked heavy-bucket self-join — a heavy
+#: bucket's pairs spread over salt² join keys, each (B/salt)² pairs
+SKEW_SALT = 16
+
+
+def _banded_self_join_pairs(
+    banded: DataFrame,
+    keys: list,
+    emit,
+    skew_robust: bool = False,
+    heavy_bucket: int = SKEW_HEAVY_BUCKET,
+    salt: int = SKEW_SALT,
+) -> DataFrame:
+    """The band-bucket self-join shared by every near-dup pair generator,
+    with an EXACT skew escape.
+
+    ``emit(joined)`` receives the a/b-aliased join and applies the
+    caller's projection + filters (a.doc_id < b.doc_id etc. — everything
+    except the final ``.distinct()``, which the caller applies to the
+    returned union so cross-arm duplicates collapse).
+
+    Why: the plain self-join on ``keys`` puts a bucket's entire
+    B(B-1)/2 candidate pairs on ONE join key → one task. Bounded by
+    near-dup cluster sizes in organic corpora, but a boilerplate-heavy
+    corpus (one template shared by 1% of 500k docs) drives a single
+    bucket to ~5k members → 12.5M pairs in a single straggler task, and
+    AQE's OptimizeSkewedJoin cannot split it (BOTH sides of the
+    self-join carry the same giant partition, so neither side is small
+    enough to duplicate). ``skew_robust=True`` routes buckets of ≥
+    ``heavy_bucket`` members through a blocked matrix self-join: each
+    member gets a deterministic block ``g = pmod(hash(doc_id), salt)``;
+    side A replicates each row to keys (g, j) for every j, side B to
+    (i, g) for every i, and the join runs on keys + (_i, _j) — every
+    ordered pair lands on exactly one (g(x), g(y)) block, so the
+    caller's a < b filter keeps each unordered pair exactly once and
+    the result is provably identical to the plain join while the worst
+    key holds (B/salt)² pairs instead of B². Light buckets (the
+    overwhelming majority) take the plain join untouched; the size
+    pre-pass is a map-side-combinable count and the heavy-key list is
+    broadcast (small by definition — heavy buckets are the anomaly)."""
+    a, b = banded.alias("a"), banded.alias("b")
+    if not skew_robust:
+        return emit(a.join(b, keys))
+    banded = banded.localCheckpoint(eager=True)  # 3 consumers below
+    heavy = (
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .filter(F.col("_bsz") >= heavy_bucket)
+        .select(*keys)
+    )
+    light = banded.join(F.broadcast(heavy), keys, "left_anti")
+    light_pairs = emit(light.alias("a").join(light.alias("b"), keys))
+    hv = banded.join(F.broadcast(heavy), keys, "left_semi").withColumn(
+        "_g", F.pmod(F.hash("doc_id"), F.lit(salt))
+    )
+    grid = F.array([F.lit(i) for i in range(salt)])
+    ha = (
+        hv.withColumn("_j", F.explode(grid))
+        .withColumnRenamed("_g", "_i")
+    )
+    hb = (
+        hv.withColumn("_i", F.explode(grid))
+        .withColumnRenamed("_g", "_j")
+    )
+    heavy_pairs = emit(ha.alias("a").join(hb.alias("b"), keys + ["_i", "_j"]))
+    return light_pairs.unionByName(heavy_pairs)
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    skew_robust: bool = False,
+    heavy_bucket: int = SKEW_HEAVY_BUCKET,
+    salt: int = SKEW_SALT,
+) -> DataFrame:
     """Banded LSH candidate pairs (doc_a < doc_b, ≥1 colliding band).
 
     Bands the 16-wide signature into 4 bands of 4; a bucket key is the
     band id plus the concatenated minhashes; candidates are pairs sharing
     any bucket. The self-join is on (band, bucket) — at 100 TB this is the
     only shuffle, and bucket sizes are bounded by near-dup cluster sizes.
+    ``skew_robust=True`` adds the exact blocked escape for boilerplate
+    corpora whose template cluster breaks that bound — see
+    :func:`_banded_self_join_pairs`.
     """
     rows_per_band = len(MINHASH_PARAMS) // LSH_BANDS
     wide = minhash_signatures_wide(docs, text_col, k)
@@ -250,17 +331,24 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text", k: int = 5) 
     banded = wide.select("doc_id", *band_cols).selectExpr(
         "doc_id", f"stack({LSH_BANDS}, {stack_args}) as (band, bucket)"
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+
+    def emit(joined):
+        return joined.filter(F.col("a.doc_id") < F.col("b.doc_id")).select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+
+    return _banded_self_join_pairs(
+        banded, ["band", "bucket"], emit, skew_robust, heavy_bucket, salt
+    ).distinct()
 
 
 def minhash_jaccard_estimates(
-    docs: DataFrame, text_col: str = "text", k: int = 5
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    skew_robust: bool = False,
+    heavy_bucket: int = SKEW_HEAVY_BUCKET,
+    salt: int = SKEW_SALT,
 ) -> DataFrame:
     """LSH candidate pairs WITH their estimated Jaccard — the scoring
     step between candidate generation and exact verification: the
@@ -286,23 +374,28 @@ def minhash_jaccard_estimates(
     banded = wide.select("doc_id", *mh_cols, *band_cols).selectExpr(
         "doc_id", *mh_cols, f"stack({LSH_BANDS}, {stack_args}) as (band, bucket)"
     )
-    a, b = banded.alias("a"), banded.alias("b")
     matches = sum(
         (F.col(f"a.mh{j}") == F.col(f"b.mh{j}")).cast("int") for j in range(m)
     )
-    return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
+
+    def emit(joined):
+        return joined.filter(F.col("a.doc_id") < F.col("b.doc_id")).select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             (matches / float(m)).alias("jaccard_est"),
         )
-        .distinct()
-    )
+
+    return _banded_self_join_pairs(
+        banded, ["band", "bucket"], emit, skew_robust, heavy_bucket, salt
+    ).distinct()
 
 
-def jaccard_estimates_from_index(idx: DataFrame) -> DataFrame:
+def jaccard_estimates_from_index(
+    idx: DataFrame,
+    skew_robust: bool = False,
+    heavy_bucket: int = SKEW_HEAVY_BUCKET,
+    salt: int = SKEW_SALT,
+) -> DataFrame:
     """Candidate-pair Jaccard estimates computed ENTIRELY from a stored
     signature index (build_lsh_index's doc_id + mh0..mh15 + b0..b3 rows)
     — ZERO text reads: corpus-wide dedup-policy analysis (threshold
@@ -317,20 +410,20 @@ def jaccard_estimates_from_index(idx: DataFrame) -> DataFrame:
     banded = idx.selectExpr(
         "doc_id", *mh_cols, f"stack({LSH_BANDS}, {stack_args}) as (band, bucket)"
     )
-    a, b = banded.alias("a"), banded.alias("b")
     matches = sum(
         (F.col(f"a.mh{j}") == F.col(f"b.mh{j}")).cast("int") for j in range(m)
     )
-    return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
+
+    def emit(joined):
+        return joined.filter(F.col("a.doc_id") < F.col("b.doc_id")).select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             (matches / float(m)).alias("jaccard_est"),
         )
-        .distinct()
-    )
+
+    return _banded_self_join_pairs(
+        banded, ["band", "bucket"], emit, skew_robust, heavy_bucket, salt
+    ).distinct()
 
 
 def connected_components(
@@ -638,7 +731,13 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text", bits: int = 32) 
 
 
 def simhash_near_pairs(
-    docs: DataFrame, text_col: str = "text", max_hamming: int = 3, bits: int = 62
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = 62,
+    skew_robust: bool = False,
+    heavy_bucket: int = SKEW_HEAVY_BUCKET,
+    salt: int = SKEW_SALT,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming — EXACT by
     the pigeonhole band guarantee: the signature is split into
@@ -664,14 +763,23 @@ def simhash_near_pairs(
     rung is a multi-word signature (two longs, 124 bits) — same banding
     shape, not yet needed."""
     sig = simhash_signatures(docs, text_col, bits)
-    return simhash_pairs_from_signatures(sig, max_hamming, bits)
+    return simhash_pairs_from_signatures(
+        sig, max_hamming, bits, skew_robust, heavy_bucket, salt
+    )
 
 
 def simhash_pairs_from_signatures(
-    sig: DataFrame, max_hamming: int = 3, bits: int = 32
+    sig: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 32,
+    skew_robust: bool = False,
+    heavy_bucket: int = SKEW_HEAVY_BUCKET,
+    salt: int = SKEW_SALT,
 ) -> DataFrame:
     """Banded pairing over a (doc_id, simhash) frame — see
-    :func:`simhash_near_pairs` for the pigeonhole guarantee."""
+    :func:`simhash_near_pairs` for the pigeonhole guarantee and
+    :func:`_banded_self_join_pairs` for the ``skew_robust`` escape
+    (identical pairs, worst join key (B/salt)² instead of B²)."""
     nbands = max_hamming + 1
     width = bits // nbands
     band_exprs = []
@@ -686,19 +794,22 @@ def simhash_pairs_from_signatures(
     banded = sig.select("doc_id", "simhash", *band_exprs).selectExpr(
         "doc_id", "simhash", f"stack({nbands}, {stack_args}) as (band, bval)"
     )
-    a, b = banded.alias("a"), banded.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
-        a.join(b, ["band", "bval"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            ham.alias("hamming"),
+
+    def emit(joined):
+        return (
+            joined.filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                ham.alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
         )
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
-    )
+
+    return _banded_self_join_pairs(
+        banded, ["band", "bval"], emit, skew_robust, heavy_bucket, salt
+    ).distinct()
 
 
 def band_bucket_cols() -> list:
@@ -1433,6 +1544,32 @@ def merge_cluster_map(new_pairs: DataFrame, path: str) -> dict:
             f"merge_cluster_map: no map at {path!r} — build_cluster_map first"
         )
     stored = spark.read.parquet(cur)  # doc_id, label, part
+    # The endpoint/label partition pruning below is pmod(F.hash(...), 64)
+    # — Murmur3 hashes by WIDTH, so hash(int 7) != hash(bigint 7) even
+    # though the subsequent equi-joins coerce and match. A batch whose ids
+    # arrive as a narrower type than the stored map's would compute wrong
+    # eparts/lparts, prune away the partitions actually holding the
+    # endpoints, and silently skip relabels. Normalize the batch to the
+    # stored doc_id type up front (widening only; a WIDER batch type is an
+    # error — its values may not fit the store).
+    _stored_t = stored.schema["doc_id"].dataType
+    _batch_t = new_pairs.schema["doc_a"].dataType
+    if _batch_t != _stored_t:
+        _widths = {"tinyint": 1, "smallint": 2, "int": 4, "bigint": 8}
+        sw = _widths.get(_stored_t.simpleString())
+        bw = _widths.get(_batch_t.simpleString())
+        if sw is None or bw is None or bw > sw:
+            raise TypeError(
+                f"merge_cluster_map: batch doc id type "
+                f"{_batch_t.simpleString()} is incompatible with the stored "
+                f"map's {_stored_t.simpleString()} — partition pruning hashes "
+                f"by type width, so ids must be cast losslessly to the "
+                f"stored type before merging"
+            )
+        new_pairs = new_pairs.select(
+            F.col("doc_a").cast(_stored_t).alias("doc_a"),
+            F.col("doc_b").cast(_stored_t).alias("doc_b"),
+        )
     edges = new_pairs.select("doc_a", "doc_b").distinct().localCheckpoint(eager=True)
     endpoints = (
         edges.select(F.col("doc_a").alias("doc_id"))

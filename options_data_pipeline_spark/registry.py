@@ -1207,6 +1207,25 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_candidates(load_table(spark, "documents", sf_dir))
 
 
+@register("minhash_lsh_skew_robust", _minhash_oracle())
+def q_minhash_lsh_skew_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME candidate set through the skew-robust band join
+    (VERDICT r11 item 1): buckets above the heavy threshold route
+    through the exact blocked (salted-grid) self-join so a boilerplate
+    template cluster's B² pairs spread over salt² tasks instead of one
+    straggler — AQE can't split a self-join's skew because both sides
+    carry the same giant partition. Shares minhash_lsh's oracle
+    verbatim; heavy_bucket pinned LOW (4) so the gate exercises the
+    blocked arm on real sf0.01 buckets, proving cross-arm parity (the
+    production default only fires on genuine anomalies)."""
+    return minhash_lsh_candidates(
+        load_table(spark, "documents", sf_dir),
+        skew_robust=True,
+        heavy_bucket=4,
+        salt=4,
+    )
+
+
 def _dedup_canonical_oracle() -> str:
     """Wraps the recursive cluster oracle with the keep rule: every doc
     labeled (cluster min or itself), then per label keep the longest doc
@@ -1424,6 +1443,29 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     union misses no pair. bits=32 pinned to match the oracle signature
     (the function default is the scale-safe 62)."""
     pairs = simhash_near_pairs(load_table(spark, "documents", sf_dir), bits=32)
+    return pairs.withColumn("hamming", F.col("hamming").cast("int"))
+
+
+@register(
+    "simhash_skew_robust",
+    f"""WITH sigs AS ({_simhash_oracle()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+)
+def q_simhash_skew_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """simhash_near_pairs through the skew-robust band join — same
+    oracle as the plain query (the blocked escape is provably
+    pair-identical; see _banded_self_join_pairs). heavy_bucket pinned
+    LOW so sf0.01's real band buckets exercise the blocked arm."""
+    pairs = simhash_near_pairs(
+        load_table(spark, "documents", sf_dir),
+        bits=32,
+        skew_robust=True,
+        heavy_bucket=4,
+        salt=4,
+    )
     return pairs.withColumn("hamming", F.col("hamming").cast("int"))
 
 
@@ -14808,21 +14850,29 @@ def q_near_dup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _threshold_sweep_agg(spark: SparkSession, est: DataFrame) -> DataFrame:
-    """Shared sweep aggregation: right-join the 4-row threshold scaffold
-    so empty thresholds still report zeros (matches the oracle's LEFT
-    JOIN direction)."""
+    """Shared sweep aggregation. INNER non-equi join against the 4-row
+    threshold scaffold, then left-join the scaffold back so empty
+    thresholds still report zeros (the oracle's LEFT JOIN semantics).
+    The inner direction matters at scale: a RightOuter BNLJ cannot
+    build-broadcast its outer-preserved side, so the previous
+    right-outer shape silently broadcast the O(pairs) estimate set to
+    every executor; inner lets Catalyst honor the hint and replicate
+    the 4-row scaffold instead."""
     th = spark.createDataFrame(
         [(0.25,), (0.5,), (0.75,), (1.0,)], "threshold double"
     )
-    return (
-        est.join(
-            F.broadcast(th), F.col("jaccard_est") >= F.col("threshold"), "right"
-        )
+    agg = (
+        est.join(F.broadcast(th), F.col("jaccard_est") >= F.col("threshold"))
         .groupBy("threshold")
         .agg(
             F.count("doc_a").alias("n_pairs"),
             F.countDistinct(F.greatest("doc_a", "doc_b")).alias("n_docs_flagged"),
         )
+    )
+    return th.join(agg, "threshold", "left").select(
+        "threshold",
+        F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+        F.coalesce("n_docs_flagged", F.lit(0)).alias("n_docs_flagged"),
     )
 
 

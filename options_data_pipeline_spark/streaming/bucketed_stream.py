@@ -56,10 +56,34 @@ from .sink import manifest_append_batch, manifest_versions
 
 _COMPACT_MARK = "_COMPACTED_THROUGH"
 _FOLDED_MARK = "_FOLDED_THROUGH"
+_BUCKETS_MARK = "_BUCKETS"
 
 
 def _delta_path(root: str) -> str:
     return os.path.join(root, "delta")
+
+
+def _write_store_meta(vdir: str, buckets: int, key: str) -> None:
+    """Persist the bucket layout INSIDE the generation dir (before the
+    pointer swap, like `_FOLDED_THROUGH`): the bucket count is a property
+    of the FILES, not of the session that happens to register them, so a
+    fresh session must read it back rather than trust a caller default."""
+    import json as _json
+
+    with open(os.path.join(vdir, _BUCKETS_MARK), "w") as f:
+        f.write(_json.dumps({"buckets": int(buckets), "key": key}))
+        f.flush()
+        os.fsync(f.fileno())
+
+
+def _read_store_meta(gen_dir: str) -> dict | None:
+    import json as _json
+
+    try:
+        with open(os.path.join(gen_dir, _BUCKETS_MARK)) as f:
+            return _json.loads(f.read())
+    except (OSError, ValueError):
+        return None
 
 
 def _compacted_through(root: str) -> int:
@@ -98,15 +122,34 @@ def _table_name(root: str, gen_dir: str) -> str:
     return "bdbase_" + hashlib.md5(key.encode()).hexdigest()[:10]
 
 
-def _register_base(spark: SparkSession, root: str, key: str, buckets: int) -> str:
+def _register_base(
+    spark: SparkSession, root: str, key: str, buckets: int | None
+) -> str:
     """Session-catalog name for the CURRENT base generation, registering
     the existing files with metadata-only DDL when this session hasn't
-    seen them (the sources/bucketed.py convention)."""
+    seen them (the sources/bucketed.py convention).
+
+    The bucket count (and key) are read from the generation's own
+    `_BUCKETS` sidecar when present — the layout is a property of the
+    files; a caller-supplied count that disagrees would register DDL over
+    a mismatched file layout, so bucket pruning and co-located joins
+    would read the wrong bucket files and silently drop rows. The caller
+    parameter is only a fallback for pre-sidecar generations."""
     cur = _current_version_dir(root)
     if cur is None:
         raise FileNotFoundError(f"no base generation published under {root!r}")
+    meta = _read_store_meta(cur)
+    if meta is not None:
+        buckets = meta["buckets"]
+        key = meta.get("key", key)
     name = _table_name(root, cur)
     if not spark.catalog.tableExists(name):
+        if buckets is None:
+            raise ValueError(
+                f"generation {cur!r} predates the _BUCKETS sidecar and no "
+                "bucket count was supplied; pass the count it was built with "
+                "(build_base stamps the sidecar for future sessions)"
+            )
         schema = spark.read.parquet(cur).schema
         cols_ddl = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
@@ -136,7 +179,16 @@ def build_base(
             .mode("overwrite")
             .saveAsTable(name)
         )
+        _write_store_meta(vdir, buckets, key)
         _publish_version(root, vdir)
+    else:
+        # upgrade path: stamp the sidecar onto a pre-sidecar generation.
+        # build_base's contract has always been "buckets = the count the
+        # files were built with", so the caller value is authoritative
+        # here exactly once; every later reader trusts the sidecar.
+        cur = _current_version_dir(root)
+        if _read_store_meta(cur) is None:
+            _write_store_meta(cur, buckets, key)
     return _register_base(spark, root, key, buckets)
 
 
@@ -164,7 +216,7 @@ def _delta_after(spark: SparkSession, root: str, version: int) -> DataFrame | No
 
 
 def serve(
-    spark: SparkSession, root: str, key: str, buckets: int = 16
+    spark: SparkSession, root: str, key: str, buckets: int | None = None
 ) -> DataFrame:
     """The current fact view: bucketed base ∪ uncompacted delta tail.
     Tail selection is version arithmetic against the generation's own
@@ -182,7 +234,7 @@ def serve_join(
     key: str,
     dim: DataFrame,
     dim_key: str,
-    buckets: int = 16,
+    buckets: int | None = None,
 ) -> DataFrame:
     """Per-arm join: base ⨝ dim as the exchange-free bucketed SMJ, the
     batch-sized delta tail ⨝ dim as a broadcast-friendly join, unioned.
@@ -201,26 +253,32 @@ def serve_join(
     )
 
 
-def compact(
-    spark: SparkSession, root: str, key: str, buckets: int = 16
+def _resolved_buckets(root: str, buckets: int | None) -> int:
+    """The store's effective bucket count: the current generation's
+    sidecar when present, else the caller's (legacy generations)."""
+    cur = _current_version_dir(root)
+    meta = _read_store_meta(cur) if cur is not None else None
+    if meta is not None:
+        return meta["buckets"]
+    if buckets is None:
+        raise ValueError(
+            f"store {root!r} has no _BUCKETS sidecar; pass the bucket "
+            "count it was built with"
+        )
+    return buckets
+
+
+def _publish_generation(
+    spark: SparkSession,
+    root: str,
+    key: str,
+    merged: DataFrame,
+    buckets: int,
+    pin: int,
 ) -> dict:
-    """Fold the uncompacted delta tail (versions in (done, pin]) into a
-    new bucketed base generation: folded-through committed inside the
-    generation, atomic pointer swap, then the root marker cache.
-    Returns {"version", "rows", "generation"}. Idempotent: no tail →
-    no new generation."""
-    manifests = manifest_versions(_delta_path(root))
-    pin = max((m.get("version", 0) for m in manifests), default=-1)
-    done = _compacted_through(root)
-    if pin <= done:
-        return {
-            "version": done,
-            "rows": 0,
-            "generation": os.path.basename(_current_version_dir(root) or ""),
-        }
-    base = spark.table(_register_base(spark, root, key, buckets))
-    tail = _delta_after(spark, root, done)
-    merged = base.unionByName(tail.select(*base.columns))
+    """Write ``merged`` as a new bucketed generation and publish it:
+    folded-through + bucket sidecar committed INSIDE the generation
+    before the atomic pointer swap, then the root marker cache."""
     vdir = _next_version_dir(root)
     name = _table_name(root, vdir)
     if spark.catalog.tableExists(name):  # crashed prior attempt re-registered
@@ -240,9 +298,62 @@ def compact(
         f.write(str(pin))
         f.flush()
         os.fsync(f.fileno())
+    _write_store_meta(vdir, buckets, key)
     _publish_version(root, vdir)
     _write_compacted_through(root, pin)
     return {"version": pin, "rows": n, "generation": os.path.basename(vdir)}
+
+
+def compact(
+    spark: SparkSession, root: str, key: str, buckets: int | None = None
+) -> dict:
+    """Fold the uncompacted delta tail (versions in (done, pin]) into a
+    new bucketed base generation: folded-through committed inside the
+    generation, atomic pointer swap, then the root marker cache.
+    Returns {"version", "rows", "generation"}. Idempotent: no tail →
+    no new generation. The new generation keeps the store's bucket
+    count (the sidecar's; ``buckets`` only seeds legacy stores) — use
+    ``rebucket`` to change it."""
+    manifests = manifest_versions(_delta_path(root))
+    pin = max((m.get("version", 0) for m in manifests), default=-1)
+    done = _compacted_through(root)
+    if pin <= done:
+        return {
+            "version": done,
+            "rows": 0,
+            "generation": os.path.basename(_current_version_dir(root) or ""),
+        }
+    nbuckets = _resolved_buckets(root, buckets)
+    base = spark.table(_register_base(spark, root, key, nbuckets))
+    tail = _delta_after(spark, root, done)
+    merged = base.unionByName(tail.select(*base.columns))
+    return _publish_generation(spark, root, key, merged, nbuckets, pin)
+
+
+def rebucket(
+    spark: SparkSession, root: str, key: str, new_buckets: int
+) -> dict:
+    """Re-size the store's bucket count as a NEW generation (same atomic
+    pointer pattern as compaction): the current serving view — base plus
+    any uncompacted delta tail — is rewritten `bucketBy(new_buckets)`,
+    folded through the current delta pin, and published. Serving is
+    correct across the swap (readers on the old pointer see the old
+    consistent generation; the first serve after the swap reads the new
+    sidecar, so co-located joins and bucket pruning track the new
+    layout). The old generation stays on disk for GC / time travel, the
+    single-writer contract is the store's.
+
+    Why this exists at 100 TB: bucket count should track cluster
+    parallelism (sources/bucketed.py's 64-bucket finding); a cluster
+    resize otherwise strands the store at a stale count forever, since
+    the count is baked into the physical file layout."""
+    manifests = manifest_versions(_delta_path(root))
+    pin = max((m.get("version", 0) for m in manifests), default=-1)
+    pin = max(pin, _compacted_through(root))
+    base = spark.table(_register_base(spark, root, key, None))
+    tail = _delta_after(spark, root, _compacted_through(root))
+    merged = base if tail is None else base.unionByName(tail.select(*base.columns))
+    return _publish_generation(spark, root, key, merged, new_buckets, pin)
 
 
 def streaming_fact_ingest(

@@ -112,6 +112,146 @@ def boilerplate_main() -> None:
         spark.stop()
 
 
+def template_main() -> None:
+    """Planted template-cluster skew for the near-dup band joins
+    (VERDICT r11 item 1): N background docs with unique texts plus T
+    docs sharing ONE boilerplate template (T defaults to 1% of N — the
+    boilerplate-heavy-corpus scenario). Every template doc lands in the
+    SAME band bucket in all bands, so the plain (band, bucket) self-join
+    puts all C(T,2) candidate pairs on one join key → one task, and AQE
+    cannot split it (both sides of the self-join carry the same giant
+    partition). Measures, for minhash_lsh and simhash pair generation:
+
+     - ``worst_key_share``: max over join keys of that key's pair count
+       over total pairs — computed exactly from bucket sizes (plain:
+       C(B,2) per (band,bucket); robust: per-block c_i*c_j for heavy
+       buckets after the salt split);
+     - wall seconds for a full count() of the candidate set, plain vs
+       ``skew_robust=True``;
+     - parity (plain count == robust count; pair-set equality is pinned
+       by tests + the registry twins' shared oracle).
+
+    Usage: python tools/skew_stress.py --template [n_docs] [n_template]
+    """
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 500_000
+    t = int(sys.argv[3]) if len(sys.argv) > 3 else max(n // 100, 2)
+    from options_data_pipeline_spark.functions.dedupe import (
+        SKEW_HEAVY_BUCKET,
+        SKEW_SALT,
+        minhash_lsh_candidates,
+        minhash_signatures_wide,
+        band_bucket_cols,
+        simhash_near_pairs,
+        simhash_signatures,
+        LSH_BANDS,
+    )
+
+    spark = get_spark("skew-stress-template")
+    # background docs get near-disjoint token sets (six md5 words each) so
+    # their signatures spread uniformly — the skew under test is the
+    # PLANTED template, not an artifact of look-alike synthetic prose
+    bg = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.md5(F.concat(F.col("id").cast("string"), F.lit(s)))
+                for s in "abcdef"
+            ],
+        ).alias("text"),
+    )
+    tmpl = spark.range(t).select(
+        (F.col("id") + n).alias("doc_id"),
+        F.lit(
+            "standard boilerplate legal disclaimer template shared verbatim "
+            "across the corpus by every scraped page of this site"
+        ).alias("text"),
+    )
+    docs = bg.unionByName(tmpl).repartition(32).localCheckpoint(eager=True)
+
+    def worst_share(banded, keys):
+        """Exact worst-join-key pair share for the plain self-join and
+        for the blocked heavy-bucket variant, from bucket/block sizes."""
+        sizes = banded.groupBy(*keys).agg(F.count(F.lit(1)).alias("b")).cache()
+        tot, worst_plain = sizes.select(
+            F.sum(F.col("b") * (F.col("b") - 1) / 2),
+            F.max(F.col("b") * (F.col("b") - 1) / 2),
+        ).first()
+        heavy = sizes.filter(F.col("b") >= SKEW_HEAVY_BUCKET)
+        light_worst = (
+            sizes.filter(F.col("b") < SKEW_HEAVY_BUCKET)
+            .agg(F.max(F.col("b") * (F.col("b") - 1) / 2))
+            .first()[0]
+            or 0.0
+        )
+        blk = (
+            banded.join(F.broadcast(heavy.select(*keys)), keys, "left_semi")
+            .withColumn("_g", F.pmod(F.hash("doc_id"), F.lit(SKEW_SALT)))
+            .groupBy(*keys, "_g")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy(*keys)
+            .agg(F.max("c").alias("cmax"))
+            .agg(F.max(F.col("cmax") * F.col("cmax")))
+            .first()[0]
+            or 0.0
+        )
+        sizes.unpersist()
+        return {
+            "total_pairs": float(tot),
+            "worst_key_share_plain": float(worst_plain) / float(tot),
+            "worst_key_share_robust": max(light_worst, blk) / float(tot),
+        }
+
+    report = {}
+    # minhash banding (same expressions as the generator)
+    wide = minhash_signatures_wide(docs)
+    stack_args = ", ".join(f"{b}, b{b}" for b in range(LSH_BANDS))
+    mh_banded = wide.select("doc_id", *band_bucket_cols()).selectExpr(
+        "doc_id", f"stack({LSH_BANDS}, {stack_args}) as (band, bucket)"
+    )
+    report["minhash_lsh"] = worst_share(mh_banded, ["band", "bucket"])
+    for label, kw in (("plain", {}), ("robust", {"skew_robust": True})):
+        t0 = time.perf_counter()
+        c = minhash_lsh_candidates(docs, **kw).count()
+        report["minhash_lsh"][f"{label}_sec"] = round(time.perf_counter() - t0, 2)
+        report["minhash_lsh"][f"{label}_pairs"] = c
+    # simhash banding (bits=62 default)
+    sig = simhash_signatures(docs, bits=62)
+    nb, width = 4, 62 // 4
+    bexprs = []
+    for i in range(nb):
+        lo = i * width
+        w = width if i < nb - 1 else 62 - lo
+        bexprs.append(
+            F.shiftright(F.col("simhash"), lo)
+            .bitwiseAND(F.lit((1 << w) - 1))
+            .alias(f"v{i}")
+        )
+    sh_banded = sig.select("doc_id", *bexprs).selectExpr(
+        "doc_id", f"stack({nb}, " + ", ".join(f"{i}, v{i}" for i in range(nb)) + ") as (band, bval)"
+    )
+    report["simhash"] = worst_share(sh_banded, ["band", "bval"])
+    for label, kw in (("plain", {}), ("robust", {"skew_robust": True})):
+        t0 = time.perf_counter()
+        c = simhash_near_pairs(docs, **kw).count()
+        report["simhash"][f"{label}_sec"] = round(time.perf_counter() - t0, 2)
+        report["simhash"][f"{label}_pairs"] = c
+    for fam in report.values():
+        assert fam["plain_pairs"] == fam["robust_pairs"], fam
+    print(
+        json.dumps(
+            {
+                "n_docs": n,
+                "n_template": t,
+                "heavy_bucket": SKEW_HEAVY_BUCKET,
+                "salt": SKEW_SALT,
+                "families": report,
+            }
+        )
+    )
+    spark.stop()
+
+
 def main() -> None:
     basket = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
     names = sys.argv[2:] or [
@@ -175,5 +315,7 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--boilerplate":
         boilerplate_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--template":
+        template_main()
     else:
         main()
