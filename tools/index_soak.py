@@ -37,9 +37,17 @@ Base+delta fact store (round 11), per cycle:
   compact (new bucketed generation, folded-through committed inside it)
   and re-check serving parity + ≤2 generations live.
 
+Corpus+index PAIR loops (round 12 — streaming/index_ingest.py), per
+cycle for BOTH the BM25 pair and the positioned-gram pair:
+  ingest a doc batch through the pair loop → replay the SAME batch
+  (must append 0 docs and leave the index generation untouched) →
+  the served index must equal a from-scratch build over every doc the
+  corpus holds (the pair converges as a UNIT).
+
 Usage: python tools/index_soak.py [cycles]           (default 6)
 Prints one JSON line {"cycles": N, "gram": {...}, "ivf": {...},
-"bm25": {...}, "cluster": {...}, "base_delta": {...}, "seconds": s};
+"bm25": {...}, "cluster": {...}, "base_delta": {...},
+"bm25_pair": {...}, "pos_gram_pair": {...}, "seconds": s};
 exits nonzero on any invariant violation.
 """
 
@@ -445,6 +453,74 @@ def soak_base_delta(spark, cycles: int, workdir: str) -> dict:
     return stats
 
 
+def soak_corpus_index_pair(spark, cycles: int, workdir: str, kind: str) -> dict:
+    """Corpus + serving-index PAIR loops (streaming/index_ingest.py,
+    round 12), per cycle: ingest a doc batch through the pair loop →
+    replay (must append 0 docs AND leave the index generation alone) →
+    PARITY: the served index equals a from-scratch build over every doc
+    the corpus holds. ``kind`` ∈ {"bm25_pair", "pos_gram_pair"}."""
+    from options_data_pipeline_spark.streaming import index_ingest as ii
+    from options_data_pipeline_spark.streaming.cdc_stream import (
+        _current_version_dir,
+    )
+
+    corpus = os.path.join(workdir, f"{kind}_corpus")
+    index = os.path.join(workdir, f"{kind}_index")
+    fn = ii.bm25_ingest_batch if kind == "bm25_pair" else ii.pos_gram_ingest_batch
+    corpus_rows: dict[int, str] = {}
+    stats = {"ingests": 0, "replays_zero": 0, "parity_checks": 0}
+    for c in range(1, cycles + 1):
+        base = 100 * c
+        ids = [base, base + 1]
+        texts = [
+            f"spark stream cycle{c} join window watermark shuffle " + "pad " * (c % 3),
+            f"second doc{c} of the batch with join inside and more words after",
+        ]
+        batch = _docs(spark, ids, texts)
+        assert fn(batch, corpus, index) == 2, f"{kind} cycle {c}: ingest"
+        stats["ingests"] += 1
+        v = _current_version_dir(index)
+        assert fn(batch, corpus, index) == 0, f"{kind} cycle {c}: replay"
+        assert _current_version_dir(index) == v, f"{kind} cycle {c}: replay republished"
+        stats["replays_zero"] += 1
+        for i, t in zip(ids, texts):
+            corpus_rows[i] = t
+        held = {r.doc_id for r in spark.read.parquet(corpus).select("doc_id").collect()}
+        assert held == set(corpus_rows), f"{kind} cycle {c}: corpus ids"
+        everything = _docs(spark, list(corpus_rows), list(corpus_rows.values()))
+        ref = os.path.join(workdir, f"{kind}_ref_{c}")
+        if kind == "bm25_pair":
+            from options_data_pipeline_spark.functions.retrieval import (
+                bm25_score_indexed,
+                build_bm25_index,
+            )
+
+            build_bm25_index(everything, ref)
+            terms = ["spark", "join", "window", f"doc{c}"]
+            got = sorted(map(tuple, bm25_score_indexed(spark, index, terms).collect()))
+            want = sorted(map(tuple, bm25_score_indexed(spark, ref, terms).collect()))
+        else:
+            from options_data_pipeline_spark.functions.text import (
+                build_pos_gram_index,
+                read_pos_gram_index,
+            )
+
+            build_pos_gram_index(everything, ref, min_tokens=4)
+            got = sorted(
+                (r.gram_key, r.doc_id, tuple(r.ps))
+                for r in read_pos_gram_index(spark, index).collect()
+            )
+            want = sorted(
+                (r.gram_key, r.doc_id, tuple(r.ps))
+                for r in read_pos_gram_index(spark, ref).collect()
+            )
+        assert got == want and got, f"{kind} cycle {c}: index diverged from rebuild"
+        stats["parity_checks"] += 1
+        gens = [d for d in os.listdir(index) if d.startswith("v_")]
+        assert 1 <= len(gens) <= 2, f"{kind} cycle {c}: {len(gens)} generations"
+    return stats
+
+
 def main() -> int:
     cycles = int(sys.argv[1]) if len(sys.argv) > 1 else 6
     spark = get_spark("index-soak")
@@ -456,6 +532,8 @@ def main() -> int:
         bm25 = soak_bm25(spark, cycles, workdir)
         cluster = soak_cluster(spark, cycles, workdir)
         base_delta = soak_base_delta(spark, cycles, workdir)
+        bm25_pair = soak_corpus_index_pair(spark, cycles, workdir, "bm25_pair")
+        pos_gram_pair = soak_corpus_index_pair(spark, cycles, workdir, "pos_gram_pair")
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
     out = {
@@ -465,6 +543,8 @@ def main() -> int:
         "bm25": bm25,
         "cluster": cluster,
         "base_delta": base_delta,
+        "bm25_pair": bm25_pair,
+        "pos_gram_pair": pos_gram_pair,
         "seconds": round(time.perf_counter() - t0, 1),
     }
     print(json.dumps(out))
