@@ -118,6 +118,7 @@ def run_streaming(
     session_gap: str = "2 hours",
     session_watermark: str = "30 minutes",
     latest_path: str | None = None,
+    metrics_path: str | None = None,
 ):
     """The live twin: chained streaming stages (Spark disallows a stateful
     grouped-map after a streaming aggregation in one query, and the
@@ -137,6 +138,15 @@ def run_streaming(
         reference's current-state tab, S4, maintained incrementally by
         the idempotent foreachBatch merge in streaming/cdc_stream.py).
 
+    Stage 5 (optional, ``metrics_path``): a MetricsListener
+        (streaming/metrics.py) lands every stage's per-micro-batch
+        progress — and alert escalations — in the ``pipeline_metrics``
+        parquet table; each stage query is named so metric rows carry
+    the stage label. The listener is session-scoped: callers that
+    restart pipelines in one session should
+    ``spark.streams.removeListener`` the returned queries' listener
+    (exposed as ``queries.metrics`` on the returned tuple subclass).
+
     Returns the started queries. Restart recovery = the per-stage
     checkpointLocations (reference CheckpointManager, §2.8); every stage
     boundary is replay-safe (append-once emission or dedup-by-id sinks).
@@ -145,6 +155,11 @@ def run_streaming(
 
     spark = tick_stream.sparkSession
     queries = []
+    metrics_listener = None
+    if metrics_path is not None:
+        from .streaming.metrics import attach_metrics
+
+        metrics_listener = attach_metrics(spark, metrics_path)
     # a downstream stage may start before its upstream writes anything —
     # the file stream source tolerates an empty dir but not a missing one
     os.makedirs(candle_path, exist_ok=True)
@@ -152,7 +167,8 @@ def run_streaming(
         os.makedirs(dense_path, exist_ok=True)
     candles = streaming_ohlc(tick_stream, interval, watermark)
     queries.append(
-        candles.writeStream.format("parquet")
+        candles.writeStream.queryName("candles")
+        .format("parquet")
         .option("path", candle_path)
         .option("checkpointLocation", checkpoint_path + "/candles")
         .outputMode("append")
@@ -222,7 +238,8 @@ def run_streaming(
             idempotent_append_batch(batch, sink_path)
 
     queries.append(
-        enriched.writeStream.foreachBatch(write)
+        enriched.writeStream.queryName("enriched")
+        .foreachBatch(write)
         .outputMode("append")
         .option("checkpointLocation", checkpoint_path + "/enriched")
         .start()
@@ -240,7 +257,8 @@ def run_streaming(
             streaming_sessions(
                 tick_stream, gap=session_gap, watermark_delay=session_watermark
             )
-            .writeStream.format("parquet")
+            .writeStream.queryName("sessions")
+            .format("parquet")
             .option("path", sessions_path)
             .option("checkpointLocation", checkpoint_path + "/sessions")
             .outputMode("append")
@@ -266,6 +284,16 @@ def run_streaming(
                 checkpoint_path + "/latest",
                 key_cols=["symbol"],
                 seq_cols=["window_start"],
-            ).start()
+            )
+            .queryName("latest")
+            .start()
         )
-    return tuple(queries)
+    out = _Queries(queries)
+    out.metrics = metrics_listener
+    return out
+
+
+class _Queries(tuple):
+    """Started-queries tuple + the optional MetricsListener handle."""
+
+    metrics = None

@@ -15164,3 +15164,59 @@ def q_ks_drift_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_stat")
         )
     )
+
+
+@register(
+    "pipeline_stage_latency",
+    """WITH m AS (
+  SELECT CASE CAST(event_id % 3 AS INT)
+           WHEN 0 THEN 'candles' WHEN 1 THEN 'densify' ELSE 'enriched' END AS stage,
+         user_id AS rows_in,
+         CAST(FLOOR(value * 10) AS BIGINT) AS wall_ms,
+         CAST(FLOOR(value) AS BIGINT) AS state_rows,
+         event_id % 7 AS dropped_rows
+  FROM events)
+SELECT stage,
+       CAST(count(*) AS BIGINT) AS n_batches,
+       round(quantile_cont(wall_ms, 0.5), 6) AS wall_p50_ms,
+       round(quantile_cont(wall_ms, 0.95), 6) AS wall_p95_ms,
+       round(quantile_cont(wall_ms, 0.99), 6) AS wall_p99_ms,
+       CAST(sum(rows_in) AS BIGINT) AS total_rows,
+       max(state_rows) AS max_state_rows,
+       CAST(sum(dropped_rows) AS BIGINT) AS total_dropped
+FROM m GROUP BY stage""",
+)
+def q_pipeline_stage_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 observability: the reference's A7 percentile report at
+    PIPELINE grain (ws_client.py:246-296 latency reports over the
+    pipeline_metrics table streaming/metrics.py lands). The oracle gate
+    exercises the REPORT's aggregation semantics over a deterministic
+    metrics-shaped frame derived from events (stage by id-mod, wall_ms
+    from value) — the same ``stage_latency_report`` the live listener
+    table is served by. One hash-agg at micro-batch grain; the metrics
+    table stays metadata-sized at any corpus scale."""
+    from .streaming.metrics import stage_latency_report
+
+    events = load_table(spark, "events", sf_dir)
+    m = events.select(
+        F.when(F.col("event_id") % 3 == 0, "candles")
+        .when(F.col("event_id") % 3 == 1, "densify")
+        .otherwise("enriched")
+        .alias("stage"),
+        F.col("user_id").alias("rows"),
+        F.floor(F.col("value") * 10).alias("wall_ms"),
+        F.floor(F.col("value")).alias("state_rows"),
+        (F.col("event_id") % 7).alias("dropped_rows"),
+        F.lit(None).cast("string").alias("level"),
+    )
+    rep = stage_latency_report(m)
+    return rep.select(
+        "stage",
+        "n_batches",
+        F.round("wall_p50_ms", 6).alias("wall_p50_ms"),
+        F.round("wall_p95_ms", 6).alias("wall_p95_ms"),
+        F.round("wall_p99_ms", 6).alias("wall_p99_ms"),
+        "total_rows",
+        "max_state_rows",
+        "total_dropped",
+    )

@@ -106,6 +106,35 @@ def _compacted_through(root: str) -> int:
     return max(vals)
 
 
+def _resolve_snapshot(root: str) -> tuple[str, int]:
+    """Atomically resolve (generation dir, folded-through) for a reader.
+
+    The pair is consistent BY CONSTRUCTION: the `_FOLDED_THROUGH`
+    marker is written inside the generation dir before the pointer
+    swap and never modified after, so reading the pointer once and
+    then THAT generation's own marker yields a committed pair even if
+    a compaction swaps the pointer mid-read. This is the fix for the
+    torn-read window of resolving the pointer twice (base from gen N,
+    tail cutoff from gen N+1 ⇒ the rows folded between them vanish
+    from the served view). The root `_COMPACTED_THROUGH` cache is only
+    a fallback for pre-marker legacy generations — it must never be
+    max()'d in, since it can run ahead of the resolved generation
+    during a concurrent swap."""
+    cur = _current_version_dir(root)
+    if cur is None:
+        raise FileNotFoundError(f"no base generation published under {root!r}")
+    try:
+        with open(os.path.join(cur, _FOLDED_MARK)) as f:
+            return cur, int(f.read().strip())
+    except (OSError, ValueError):
+        pass
+    try:
+        with open(os.path.join(root, _COMPACT_MARK)) as f:
+            return cur, int(f.read().strip())
+    except (OSError, ValueError):
+        return cur, -1
+
+
 def _write_compacted_through(root: str, version: int) -> None:
     tmp = os.path.join(root, f".{_COMPACT_MARK}.{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as f:
@@ -123,7 +152,11 @@ def _table_name(root: str, gen_dir: str) -> str:
 
 
 def _register_base(
-    spark: SparkSession, root: str, key: str, buckets: int | None
+    spark: SparkSession,
+    root: str,
+    key: str,
+    buckets: int | None,
+    gen_dir: str | None = None,
 ) -> str:
     """Session-catalog name for the CURRENT base generation, registering
     the existing files with metadata-only DDL when this session hasn't
@@ -134,8 +167,13 @@ def _register_base(
     files; a caller-supplied count that disagrees would register DDL over
     a mismatched file layout, so bucket pruning and co-located joins
     would read the wrong bucket files and silently drop rows. The caller
-    parameter is only a fallback for pre-sidecar generations."""
-    cur = _current_version_dir(root)
+    parameter is only a fallback for pre-sidecar generations.
+
+    ``gen_dir`` pins an already-resolved generation (from
+    :func:`_resolve_snapshot`) so serve paths register the SAME
+    generation their tail arithmetic uses — never re-resolving the
+    pointer between the two."""
+    cur = gen_dir if gen_dir is not None else _current_version_dir(root)
     if cur is None:
         raise FileNotFoundError(f"no base generation published under {root!r}")
     meta = _read_store_meta(cur)
@@ -179,6 +217,14 @@ def build_base(
             .mode("overwrite")
             .saveAsTable(name)
         )
+        # generation 0 holds no deltas: stamp _FOLDED_THROUGH = -1 INSIDE
+        # the generation so every generation carries its own marker and
+        # readers never fall back to the root cache (which can run ahead
+        # of a resolved generation during a concurrent swap)
+        with open(os.path.join(vdir, _FOLDED_MARK), "w") as f:
+            f.write("-1")
+            f.flush()
+            os.fsync(f.fileno())
         _write_store_meta(vdir, buckets, key)
         _publish_version(root, vdir)
     else:
@@ -220,9 +266,14 @@ def serve(
 ) -> DataFrame:
     """The current fact view: bucketed base ∪ uncompacted delta tail.
     Tail selection is version arithmetic against the generation's own
-    folded-through marker — no row comparison against the base, ever."""
-    base = spark.table(_register_base(spark, root, key, buckets))
-    tail = _delta_after(spark, root, _compacted_through(root))
+    folded-through marker — no row comparison against the base, ever.
+    The (generation, folded-through) pair is resolved atomically
+    (:func:`_resolve_snapshot`), so a compaction swapping the pointer
+    mid-serve can never tear the view: the reader serves the OLD
+    committed snapshot exactly, never a mix of arms."""
+    cur, folded = _resolve_snapshot(root)
+    base = spark.table(_register_base(spark, root, key, buckets, gen_dir=cur))
+    tail = _delta_after(spark, root, folded)
     if tail is None:
         return base
     return base.unionByName(tail.select(*base.columns))
@@ -243,9 +294,10 @@ def serve_join(
     # no join-strategy hint: a broadcast-sized dim should broadcast (the
     # bucketed scan still avoids the fact-side exchange); a fact-sized dim
     # gets SMJ from Catalyst, where only the dim side exchanges
-    base = spark.table(_register_base(spark, root, key, buckets))
+    cur, folded = _resolve_snapshot(root)
+    base = spark.table(_register_base(spark, root, key, buckets, gen_dir=cur))
     joined = base.join(dim, F.col(key) == F.col(dim_key))
-    tail = _delta_after(spark, root, _compacted_through(root))
+    tail = _delta_after(spark, root, folded)
     if tail is None:
         return joined
     return joined.unionByName(
@@ -316,15 +368,15 @@ def compact(
     ``rebucket`` to change it."""
     manifests = manifest_versions(_delta_path(root))
     pin = max((m.get("version", 0) for m in manifests), default=-1)
-    done = _compacted_through(root)
+    cur, done = _resolve_snapshot(root)
     if pin <= done:
         return {
             "version": done,
             "rows": 0,
-            "generation": os.path.basename(_current_version_dir(root) or ""),
+            "generation": os.path.basename(cur),
         }
     nbuckets = _resolved_buckets(root, buckets)
-    base = spark.table(_register_base(spark, root, key, nbuckets))
+    base = spark.table(_register_base(spark, root, key, nbuckets, gen_dir=cur))
     tail = _delta_after(spark, root, done)
     merged = base.unionByName(tail.select(*base.columns))
     return _publish_generation(spark, root, key, merged, nbuckets, pin)
@@ -349,9 +401,10 @@ def rebucket(
     the count is baked into the physical file layout."""
     manifests = manifest_versions(_delta_path(root))
     pin = max((m.get("version", 0) for m in manifests), default=-1)
-    pin = max(pin, _compacted_through(root))
-    base = spark.table(_register_base(spark, root, key, None))
-    tail = _delta_after(spark, root, _compacted_through(root))
+    cur, done = _resolve_snapshot(root)
+    pin = max(pin, done)
+    base = spark.table(_register_base(spark, root, key, None, gen_dir=cur))
+    tail = _delta_after(spark, root, done)
     merged = base if tail is None else base.unionByName(tail.select(*base.columns))
     return _publish_generation(spark, root, key, merged, new_buckets, pin)
 

@@ -108,6 +108,7 @@ def run_densify_stage(
     checkpoint_path: str,
     interval_seconds: int = 300,
     universe: DataFrame | None = None,
+    query_name: str = "densify",
 ):
     """candles stream → gap-filled dense candle sink. Returns the query."""
 
@@ -115,7 +116,8 @@ def run_densify_stage(
         densify_batch(batch, dense_path, interval_seconds, universe)
 
     return (
-        candle_stream.writeStream.foreachBatch(write)
+        candle_stream.writeStream.queryName(query_name)
+        .foreachBatch(write)
         .outputMode("append")
         .option("checkpointLocation", checkpoint_path)
         .start()

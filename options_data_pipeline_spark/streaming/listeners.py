@@ -32,6 +32,9 @@ class AlertManager:
     escalate_after: int = 3
     events: list[dict] = field(default_factory=list)
     _streak: dict[str, int] = field(default_factory=dict)
+    # optional channel 3: the pipeline_metrics table
+    # (streaming/metrics.py MetricsListener.alert_row)
+    on_fire: object = None
 
     def fire(self, level: str, event: str, window: str = "", details: str = "") -> dict:
         streak = self._streak.get(event, 0) + 1
@@ -43,6 +46,8 @@ class AlertManager:
         getattr(log, "critical" if level == "CRITICAL" else "warning")(
             "%s %s %s", event, window, details
         )  # channel 2: app log
+        if self.on_fire is not None:
+            self.on_fire(record)
         return record
 
     def resolve(self, event: str) -> None:

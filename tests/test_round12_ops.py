@@ -211,3 +211,56 @@ def test_merge_cluster_map_rejects_widening_batch(spark, tmp_path):
     batch = spark.createDataFrame([(1, 4)], "doc_a bigint, doc_b bigint")
     with pytest.raises(TypeError, match="incompatible"):
         merge_cluster_map(batch, path)
+
+
+def test_serve_snapshot_is_atomic_across_compaction_swap(spark, tmp_path):
+    """Verdict item 4 regression pin: a serve view built BEFORE a
+    compaction pointer swap stays exact w.r.t. ITS committed version
+    when collected AFTER the swap — `_resolve_snapshot` reads the
+    pointer once and that generation's own `_FOLDED_THROUGH`, so base
+    arm and tail cutoff can never mix generations (the old two-resolve
+    path dropped the rows folded between them)."""
+    root = str(tmp_path / "store")
+    seed = [(f"s{i}", i % 4, float(i)) for i in range(8)]
+    bd.build_base(_li(spark, seed), root, "k", buckets=4)
+    batch1 = [(f"b1_{i}", i % 4, float(10 + i)) for i in range(3)]
+    assert bd.ingest_batch(_li(spark, batch1), root, "row_id") == 3
+
+    # reader resolves its snapshot (lazy plan) before the swap
+    view = bd.serve(spark, root, "k")
+    gen_before = _current_version_dir(root)
+
+    # writer folds batch1 into a new generation (pointer swap) and
+    # ingests MORE rows the old snapshot must not see
+    bd.compact(spark, root, "k")
+    assert _current_version_dir(root) != gen_before
+    batch2 = [(f"b2_{i}", i % 4, float(20 + i)) for i in range(3)]
+    assert bd.ingest_batch(_li(spark, batch2), root, "row_id") == 3
+
+    got = {r.row_id for r in view.select("row_id").collect()}
+    want = {r[0] for r in seed} | {r[0] for r in batch1}
+    assert got == want  # exact at the snapshot's version: no loss, no b2
+
+    # a FRESH serve after the swap sees everything, fold point included
+    got2 = {r.row_id for r in bd.serve(spark, root, "k").select("row_id").collect()}
+    assert got2 == want | {r[0] for r in batch2}
+
+
+def test_resolve_snapshot_ignores_runahead_root_marker(spark, tmp_path):
+    """The root `_COMPACTED_THROUGH` cache can run AHEAD of a resolved
+    generation mid-swap; `_resolve_snapshot` must prefer the
+    generation's own marker (max()'ing the cache in — the old
+    `_compacted_through` semantics — dropped the tail rows folded by
+    the newer generation)."""
+    root = str(tmp_path / "store")
+    seed = [(f"s{i}", i % 4, float(i)) for i in range(4)]
+    bd.build_base(_li(spark, seed), root, "k", buckets=4)
+    assert bd.ingest_batch(_li(spark, [("b1", 0, 1.0)]), root, "row_id") == 1
+    cur, folded = bd._resolve_snapshot(root)
+    # simulate the swap window: cache advanced past this generation
+    bd._write_compacted_through(root, folded + 7)
+    cur2, folded2 = bd._resolve_snapshot(root)
+    assert (cur2, folded2) == (cur, folded)
+    # and serving still includes the uncompacted tail row
+    got = {r.row_id for r in bd.serve(spark, root, "k").select("row_id").collect()}
+    assert "b1" in got

@@ -152,6 +152,7 @@ def main() -> None:
         # batches (in-loop, serialized with appends) — exercises the
         # maintenance pair under live ingest instead of in isolation
         maintain = os.environ.get("SPARK_GRAFT_SOAK_MAINTAIN")
+        metrics_path = os.path.join(work, "pipeline_metrics")
         queries = run_streaming(
             tick_stream,
             candle_path=os.path.join(work, "candles"),
@@ -160,6 +161,7 @@ def main() -> None:
             dense_path=os.path.join(work, "dense"),
             watermark="1 second",
             manifest_maintain_every=int(maintain) if maintain else None,
+            metrics_path=metrics_path,
         )
         # drain in dependency order; downstream sources are files, so each
         # processAllAvailable sees everything its upstream already wrote
@@ -197,6 +199,30 @@ def main() -> None:
         else:
             out_rows = spark.read.parquet(os.path.join(work, "sink")).count()
             n_compactions = 0
+        # the observability table the listener landed during the soak:
+        # per-stage p50/p95/p99 trigger wall-clock from pipeline_metrics
+        from options_data_pipeline_spark.streaming.metrics import (
+            detach_metrics,
+            read_metrics,
+            stage_latency_report,
+        )
+
+        if queries.metrics is not None:
+            time.sleep(2)  # let in-flight bus events land in the buffer
+            detach_metrics(spark, queries.metrics)
+        metrics_report = {
+            r["stage"]: {
+                "n_batches": r["n_batches"],
+                "wall_p50_ms": r["wall_p50_ms"],
+                "wall_p95_ms": r["wall_p95_ms"],
+                "wall_p99_ms": r["wall_p99_ms"],
+                "total_rows": r["total_rows"],
+                "max_state_rows": r["max_state_rows"],
+            }
+            for r in stage_latency_report(
+                read_metrics(spark, metrics_path)
+            ).collect()
+        }
         print(
             json.dumps(
                 {
@@ -211,6 +237,7 @@ def main() -> None:
                     "max_batch_s": max_batch,
                     "maintain_every": int(maintain) if maintain else None,
                     "n_compactions": n_compactions,
+                    "pipeline_metrics": metrics_report,
                     "pass": max_batch < NFR_WRITE_TIMEOUT_S,
                 }
             )
