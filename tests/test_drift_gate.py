@@ -1,0 +1,128 @@
+"""Drift-gated ingest (round-12 verdict item 6): a planted drifted
+source lands in quarantine, clean sources pass, replay appends 0 to
+either table, and the streaming twin routes identically."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from options_data_pipeline_spark.streaming import drift_gate as dg
+from options_data_pipeline_spark.streaming.sink import sink_has_data
+
+SCHEMA = "doc_id long, source string, text string"
+
+
+def _ref(spark):
+    # reference: doc lengths 40..59 (20 distinct values, flat)
+    rows = [(i, "ref", "x" * (40 + i % 20)) for i in range(200)]
+    return dg.reference_histogram(
+        spark.createDataFrame(rows, SCHEMA).withColumn(
+            "n_chars", F.length("text")
+        )
+    ).localCheckpoint(eager=True)
+
+
+def _batch(spark, ids_clean=range(0, 20), ids_bad=range(100, 110)):
+    clean = [(i, "srcA", "x" * (40 + i % 20)) for i in ids_clean]
+    # planted drift: every doc ~10x longer — KS vs the reference ≈ 1
+    bad = [(i, "srcB", "y" * 500) for i in ids_bad]
+    return spark.createDataFrame(clean + bad, SCHEMA)
+
+
+def _ids(spark, path):
+    if not sink_has_data(path):
+        return set()
+    return {r.doc_id for r in spark.read.parquet(path).select("doc_id").collect()}
+
+
+def test_ks_vs_reference_separates_sources(spark):
+    ref = _ref(spark)
+    batch = _batch(spark).withColumn("n_chars", F.length("text"))
+    ks = {r.source: r.ks_stat for r in dg.ks_vs_reference(batch, ref).collect()}
+    assert ks["srcB"] > 0.9  # disjoint supports → KS ≈ 1
+    assert ks["srcA"] < 0.25  # same length law as the reference
+
+
+def test_planted_drift_quarantined_clean_passes_replay_zero(spark, tmp_path):
+    corpus = str(tmp_path / "corpus")
+    quarantine = str(tmp_path / "quarantine")
+    ref = _ref(spark)
+    batch = _batch(spark)
+    rep = dg.drift_gated_ingest_batch(batch, corpus, quarantine, ref)
+    assert rep == {
+        "appended": 20,
+        "quarantined": 10,
+        "flagged_sources": ["srcB"],
+    }
+    assert _ids(spark, corpus) == set(range(0, 20))
+    assert _ids(spark, quarantine) == set(range(100, 110))
+    # quarantine keeps full rows for triage
+    q = spark.read.parquet(quarantine)
+    assert {r.source for r in q.select("source").distinct().collect()} == {"srcB"}
+
+    # byte-identical replay touches NEITHER table
+    rep2 = dg.drift_gated_ingest_batch(batch, corpus, quarantine, ref)
+    assert rep2 == {"appended": 0, "quarantined": 0, "flagged_sources": []}
+    assert _ids(spark, corpus) == set(range(0, 20))
+    assert _ids(spark, quarantine) == set(range(100, 110))
+
+
+def test_clean_followup_batch_from_flagged_source_passes(spark, tmp_path):
+    """The gate is per-BATCH per-source: a source that drifted once is
+    not banned forever — its next batch is re-tested (quarantine is a
+    holding pen, not a blocklist)."""
+    corpus = str(tmp_path / "corpus")
+    quarantine = str(tmp_path / "quarantine")
+    ref = _ref(spark)
+    dg.drift_gated_ingest_batch(_batch(spark), corpus, quarantine, ref)
+    healed = spark.createDataFrame(
+        [(200 + i, "srcB", "x" * (40 + i % 20)) for i in range(20)], SCHEMA
+    )
+    rep = dg.drift_gated_ingest_batch(healed, corpus, quarantine, ref)
+    assert rep["appended"] == 20 and rep["quarantined"] == 0
+    assert set(range(200, 220)) <= _ids(spark, corpus)
+
+
+def test_streaming_twin_routes_identically(spark, tmp_path):
+    src = str(tmp_path / "src")
+    work = str(tmp_path / "work")
+    ref = _ref(spark)
+    _batch(spark).coalesce(1).write.mode("append").parquet(src)
+    q = dg.run_drift_gated_ingest(spark, src, work, ref)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert _ids(spark, work + "/corpus") == set(range(0, 20))
+    assert _ids(spark, work + "/quarantine") == set(range(100, 110))
+
+
+def test_crash_between_corpus_and_quarantine_converges(spark, tmp_path, monkeypatch):
+    """Crash after the corpus append but before the quarantine append
+    (the only two-append window): replay finds the clean rows already
+    in the corpus (append 0) and completes the quarantine append."""
+    corpus = str(tmp_path / "corpus")
+    quarantine = str(tmp_path / "quarantine")
+    ref = _ref(spark)
+    batch = _batch(spark)
+
+    real_append = dg.idempotent_append_batch
+    calls = {"n": 0}
+
+    def crash_on_second(df, path, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash before quarantine append")
+        return real_append(df, path, **kw)
+
+    monkeypatch.setattr(dg, "idempotent_append_batch", crash_on_second)
+    with pytest.raises(RuntimeError, match="injected"):
+        dg.drift_gated_ingest_batch(batch, corpus, quarantine, ref)
+    assert _ids(spark, corpus) == set(range(0, 20))
+    assert _ids(spark, quarantine) == set()
+
+    monkeypatch.setattr(dg, "idempotent_append_batch", real_append)
+    rep = dg.drift_gated_ingest_batch(batch, corpus, quarantine, ref)
+    assert rep["appended"] == 0 and rep["quarantined"] == 10
+    assert _ids(spark, quarantine) == set(range(100, 110))
