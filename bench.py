@@ -303,6 +303,9 @@ HEADLINE = [
     # pre-pass — the escape is for adversarial corpora, not a speedup)
     "minhash_lsh_skew_robust",
     "simhash_skew_robust",
+    # round 12: the observability report (A7 at pipeline grain) — one
+    # hash-agg over an events-derived metrics-shaped frame
+    "pipeline_stage_latency",
 ]
 
 
