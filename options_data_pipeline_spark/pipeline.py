@@ -156,10 +156,19 @@ def run_streaming(
     spark = tick_stream.sparkSession
     queries = []
     metrics_listener = None
+    alert_listener = None
     if metrics_path is not None:
+        from .streaming.listeners import AlertManager, PipelineListener
         from .streaming.metrics import attach_metrics
 
         metrics_listener = attach_metrics(spark, metrics_path)
+        # the reference's alert channel rides the same table: silence
+        # heartbeats, watermark-drop accounting, and WARNING→CRITICAL
+        # escalations land as alert rows next to the latency rows
+        alert_listener = PipelineListener(
+            alerts=AlertManager(on_fire=metrics_listener.alert_row)
+        )
+        spark.streams.addListener(alert_listener)
     # a downstream stage may start before its upstream writes anything —
     # the file stream source tolerates an empty dir but not a missing one
     os.makedirs(candle_path, exist_ok=True)
@@ -290,10 +299,12 @@ def run_streaming(
         )
     out = _Queries(queries)
     out.metrics = metrics_listener
+    out.alerts = alert_listener
     return out
 
 
 class _Queries(tuple):
-    """Started-queries tuple + the optional MetricsListener handle."""
+    """Started-queries tuple + the optional listener handles."""
 
     metrics = None
+    alerts = None

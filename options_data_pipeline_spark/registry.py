@@ -15220,3 +15220,67 @@ def q_pipeline_stage_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_state_rows",
         "total_dropped",
     )
+
+
+@register(
+    "drift_gate_routing",
+    """WITH pts AS (
+  SELECT source, n_chars AS v FROM documents
+),
+grid_s AS (
+  SELECT source, v, CAST(count(*) AS BIGINT) AS n_s
+  FROM pts WHERE source <> 'src0' GROUP BY 1, 2
+),
+grid_r AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS n_r
+  FROM pts WHERE source = 'src0' GROUP BY 1
+),
+merged AS (
+  SELECT source, v, sum(ns_cnt) AS n_s, sum(nr_cnt) AS n_r FROM (
+    SELECT source, v, n_s AS ns_cnt, 0 AS nr_cnt FROM grid_s
+    UNION ALL
+    SELECT t.source, g.v, 0, g.n_r
+    FROM grid_r g CROSS JOIN (SELECT DISTINCT source FROM grid_s) t
+  ) GROUP BY 1, 2
+),
+cdf AS (
+  SELECT source, v,
+         sum(n_s) OVER (PARTITION BY source ORDER BY v) AS cs,
+         sum(n_r) OVER (PARTITION BY source ORDER BY v) AS cr
+  FROM merged
+),
+tot_s AS (SELECT source, sum(n_s) AS ns FROM grid_s GROUP BY 1),
+tot_r AS (SELECT sum(n_r) AS nr FROM grid_r),
+ks AS (
+  SELECT c.source,
+         CAST(t.ns AS BIGINT) AS n_docs,
+         max(abs(c.cs::DOUBLE / t.ns - c.cr::DOUBLE / r.nr)) AS m
+  FROM cdf c JOIN tot_s t USING (source) CROSS JOIN tot_r r
+  GROUP BY c.source, t.ns
+)
+SELECT source, n_docs, round(m, 6) AS ks_stat, m > 0.25 AS quarantined
+FROM ks""",
+)
+def q_drift_gate_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 ingest DECISION twin: the drift gate's actual routing
+    function (streaming/drift_gate.py `ks_vs_reference` — the code the
+    foreachBatch loop runs) evaluated over documents with src0 as the
+    stored reference: per source, the two-sample KS statistic and the
+    quarantine verdict at the 0.25 default threshold. Oracle-gating the
+    LIVE routing code (not a re-derivation) means the gate's
+    value-grid/CDF-window semantics are hash-proved every round. Scale
+    posture inherits ks_drift_sources: value-grid grain, per-source CDF
+    windows, broadcast reference grid."""
+    from .streaming.drift_gate import ks_vs_reference, reference_histogram
+
+    docs = load_table(spark, "documents", sf_dir)
+    ref = reference_histogram(docs.filter(F.col("source") == "src0"), "n_chars")
+    ks = ks_vs_reference(
+        docs.filter(F.col("source") != "src0"), ref, "n_chars", "source"
+    )
+    return ks.select(
+        "source",
+        "n_docs",
+        F.round("ks_stat", 6).alias("ks_stat"),
+        (F.col("ks_stat") > 0.25).alias("quarantined"),
+    )

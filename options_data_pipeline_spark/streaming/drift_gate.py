@@ -144,6 +144,47 @@ def drift_gated_ingest_batch(
     }
 
 
+def requalify_quarantine(
+    spark: SparkSession,
+    corpus_path: str,
+    quarantine_path: str,
+    ref_hist: DataFrame,
+    threshold: float = 0.25,
+    value_col: str = "n_chars",
+    source_col: str = "source",
+) -> dict:
+    """Triage path: re-test quarantined rows (per source, over everything
+    a source has in quarantine) against an UPDATED reference and promote
+    passing sources into the corpus. Returns
+    {"promoted", "promoted_sources"}.
+
+    The reference is the knob: the gate's reference is static, so a
+    quarantined batch fails the SAME test forever — requalification is
+    meaningful exactly when the reference was re-blessed (the drifted
+    shape turned out to be the new normal). Quarantine is an append-only
+    LOG — promoted rows stay in it; corpus membership is the truth, and
+    both the gate's freshness guard and this promotion anti-join the
+    corpus, so requalify is idempotent (a second call promotes 0)."""
+    if not sink_has_data(quarantine_path):
+        return {"promoted": 0, "promoted_sources": []}
+    q = spark.read.parquet(quarantine_path)
+    if value_col not in q.columns:
+        q = q.withColumn(value_col, F.length(F.col("text")))
+    ks = ks_vs_reference(q, ref_hist, value_col, source_col)
+    passing = sorted(
+        r.source for r in ks.filter(F.col("ks_stat") <= threshold).collect()
+    )
+    if not passing:
+        return {"promoted": 0, "promoted_sources": []}
+    promoted = idempotent_append_batch(
+        q.filter(F.col(source_col).isin(passing)).coalesce(1),
+        corpus_path,
+        id_col="doc_id",
+        prune_col="doc_id",
+    )
+    return {"promoted": promoted, "promoted_sources": passing if promoted else []}
+
+
 def run_drift_gated_ingest(
     spark: SparkSession,
     source_dir: str,

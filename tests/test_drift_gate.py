@@ -126,3 +126,37 @@ def test_crash_between_corpus_and_quarantine_converges(spark, tmp_path, monkeypa
     rep = dg.drift_gated_ingest_batch(batch, corpus, quarantine, ref)
     assert rep["appended"] == 0 and rep["quarantined"] == 10
     assert _ids(spark, quarantine) == set(range(100, 110))
+
+
+def test_requalify_promotes_after_reference_rebless(spark, tmp_path):
+    """Triage path: once the reference is re-blessed to the new shape,
+    requalify promotes the quarantined source into the corpus —
+    idempotently (second call promotes 0), with quarantine kept as an
+    append-only log and the gate's freshness guard still holding."""
+    corpus = str(tmp_path / "corpus")
+    quarantine = str(tmp_path / "quarantine")
+    ref = _ref(spark)
+    batch = _batch(spark)
+    dg.drift_gated_ingest_batch(batch, corpus, quarantine, ref)
+    assert _ids(spark, quarantine) == set(range(100, 110))
+
+    # old reference: nothing passes, nothing promoted
+    rep = dg.requalify_quarantine(spark, corpus, quarantine, ref)
+    assert rep == {"promoted": 0, "promoted_sources": []}
+
+    # re-bless the reference to the drifted shape (length-500 docs)
+    new_ref = dg.reference_histogram(
+        spark.createDataFrame(
+            [(1000 + i, "ref", "y" * 500) for i in range(50)], SCHEMA
+        ).withColumn("n_chars", F.length("text"))
+    )
+    rep = dg.requalify_quarantine(spark, corpus, quarantine, new_ref)
+    assert rep == {"promoted": 10, "promoted_sources": ["srcB"]}
+    assert _ids(spark, corpus) == set(range(0, 20)) | set(range(100, 110))
+    # quarantine log untouched; requalify idempotent
+    assert _ids(spark, quarantine) == set(range(100, 110))
+    rep2 = dg.requalify_quarantine(spark, corpus, quarantine, new_ref)
+    assert rep2 == {"promoted": 0, "promoted_sources": []}
+    # a replay of the ORIGINAL batch still touches nothing
+    rep3 = dg.drift_gated_ingest_batch(batch, corpus, quarantine, ref)
+    assert rep3 == {"appended": 0, "quarantined": 0, "flagged_sources": []}

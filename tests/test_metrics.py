@@ -84,6 +84,8 @@ def test_pipeline_populates_metrics_table(spark, tmpdir):
     finally:
         for q in queries:
             q.stop()
+        assert queries.alerts is not None  # alert channel rides the table
+        spark.streams.removeListener(queries.alerts)
         detach_metrics(spark, queries.metrics)
 
     m = read_metrics(spark, metrics_path)
