@@ -306,6 +306,9 @@ HEADLINE = [
     # round 12: the observability report (A7 at pipeline grain) — one
     # hash-agg over an events-derived metrics-shaped frame
     "pipeline_stage_latency",
+    # round 12: the ingest drift gate's live routing code (KS vs stored
+    # reference at value-grid grain)
+    "drift_gate_routing",
 ]
 
 

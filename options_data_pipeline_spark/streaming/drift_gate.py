@@ -144,6 +144,65 @@ def drift_gated_ingest_batch(
     }
 
 
+def drift_gated_dedup_ingest_batch(
+    batch: DataFrame,
+    corpus_path: str,
+    quarantine_path: str,
+    sig_path: str,
+    ref_hist: DataFrame,
+    threshold: float = 0.25,
+    dedup_threshold: float = 0.5,
+    value_col: str = "n_chars",
+    source_col: str = "source",
+    text_col: str = "text",
+    **dedup_kwargs,
+) -> dict:
+    """The FULL ingest door: drift gate THEN incremental near-dup ingest
+    (streaming/doc_ingest.py) in one micro-batch — drifted sources'
+    rows land in quarantine; surviving rows run the dedup pipeline
+    (replay guard → decontamination → signature index → cross-batch +
+    within-batch near-dup → corpus/signature appends). Returns
+    {"appended", "quarantined", "flagged_sources"}.
+
+    Gate-before-dedup ordering is deliberate: a drifted batch must not
+    leave SIGNATURES behind (the dedup step appends to the signature
+    index; quarantined docs would otherwise shadow future legitimate
+    near-dups of themselves). Replay converges arm by arm: quarantined
+    ids anti-join to 0, survivors hit dedup's own corpus guard."""
+    from .doc_ingest import dedup_ingest_batch
+
+    spark = batch.sparkSession
+    if value_col not in batch.columns:
+        batch = batch.withColumn(value_col, F.length(F.col(text_col)))
+    fresh = batch
+    if sink_has_data(quarantine_path):
+        seen = spark.read.parquet(quarantine_path).select("doc_id")
+        fresh = fresh.join(seen, "doc_id", "left_anti")
+    fresh = fresh.localCheckpoint(eager=True)
+    if not fresh.take(1):
+        return {"appended": 0, "quarantined": 0, "flagged_sources": []}
+    ks = ks_vs_reference(fresh, ref_hist, value_col, source_col)
+    flagged = sorted(
+        r.source for r in ks.filter(F.col("ks_stat") > threshold).collect()
+    )
+    quarantined = 0
+    if flagged:
+        bad = fresh.filter(F.col(source_col).isin(flagged))
+        quarantined = idempotent_append_batch(
+            bad.coalesce(1), quarantine_path, id_col="doc_id", prune_col="doc_id"
+        )
+        fresh = fresh.filter(~F.col(source_col).isin(flagged))
+    appended = dedup_ingest_batch(
+        fresh, corpus_path, sig_path, dedup_threshold,
+        text_col=text_col, **dedup_kwargs,
+    )
+    return {
+        "appended": appended,
+        "quarantined": quarantined,
+        "flagged_sources": flagged,
+    }
+
+
 def requalify_quarantine(
     spark: SparkSession,
     corpus_path: str,

@@ -160,3 +160,58 @@ def test_requalify_promotes_after_reference_rebless(spark, tmp_path):
     # a replay of the ORIGINAL batch still touches nothing
     rep3 = dg.drift_gated_ingest_batch(batch, corpus, quarantine, ref)
     assert rep3 == {"appended": 0, "quarantined": 0, "flagged_sources": []}
+
+
+def test_gate_then_dedup_full_door(spark, tmp_path):
+    """Composed ingest door: drifted source → quarantine (and leaves NO
+    signatures behind); clean near-dup of an already-ingested doc →
+    dropped by the incremental dedup; clean unique docs → corpus.
+    Replay touches nothing."""
+    corpus = str(tmp_path / "corpus")
+    quarantine = str(tmp_path / "quarantine")
+    sigs = str(tmp_path / "sigs")
+    ref = _ref(spark)
+
+    long_text = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    )
+
+    def clean_text(i, ln):
+        # unique content per doc (so docs are NOT near-dups of each
+        # other) at the reference's length law (so the gate passes)
+        return (f"q{i}z a{i * 7}b " * 20)[:ln]
+
+    # seed: one clean doc with a distinctive shingle block
+    seed_rows = [(i, "srcA", clean_text(i, 40 + i % 20)) for i in range(19)] + [
+        (19, "srcA", long_text)
+    ]
+    seed = spark.createDataFrame(seed_rows, SCHEMA)
+    rep0 = dg.drift_gated_dedup_ingest_batch(
+        seed, corpus, quarantine, sigs, ref
+    )
+    assert rep0["appended"] == 20 and rep0["quarantined"] == 0
+
+    batch_rows = (
+        # near-dup of doc 19 (case flip) from the clean source
+        [(30, "srcA", long_text.upper())]
+        # fresh unique clean docs keeping srcA's length law
+        + [(31 + i, "srcA", clean_text(500 + i, 40 + (i * 7) % 20)) for i in range(19)]
+        # drifted source
+        + [(100 + i, "srcB", "y" * 500) for i in range(10)]
+    )
+    batch = spark.createDataFrame(batch_rows, SCHEMA)
+    rep = dg.drift_gated_dedup_ingest_batch(batch, corpus, quarantine, sigs, ref)
+    assert rep["flagged_sources"] == ["srcB"]
+    assert rep["quarantined"] == 10
+    assert rep["appended"] == 19  # near-dup 30 dropped by the dedup arm
+    assert 30 not in _ids(spark, corpus)
+    assert _ids(spark, quarantine) == set(range(100, 110))
+    # quarantined docs left NO signatures (gate-before-dedup ordering)
+    sig_ids = {r.doc_id for r in spark.read.parquet(sigs).select("doc_id").collect()}
+    assert sig_ids.isdisjoint(set(range(100, 110)))
+
+    # replay: quarantined ids anti-join away BEFORE the KS (so nothing
+    # re-flags), survivors hit dedup's corpus guard — nothing moves
+    rep2 = dg.drift_gated_dedup_ingest_batch(batch, corpus, quarantine, sigs, ref)
+    assert rep2 == {"appended": 0, "quarantined": 0, "flagged_sources": []}
