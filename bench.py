@@ -418,6 +418,12 @@ PINNED_BUDGETS = {
     "bucketed_base_delta_revenue": 3.45,  # r11: solo warm median 2.14 s
     "cluster_aware_splits": 10.3,  # r11: solo warm median 6.45 s (eager CC)
     "ks_drift_sources": 2.55,  # r11: solo warm median 1.60 s
+    # round-12 additions, pinned on creation (1.6× solo warm median,
+    # sub-second floored at 0.9)
+    "pipeline_stage_latency": 0.9,  # r12: solo warm median 0.54 s
+    "drift_gate_routing": 2.35,  # r12: solo warm median 1.46 s
+    "minhash_lsh_skew_robust": 3.3,  # r12: solo warm median 2.05 s
+    "simhash_skew_robust": 4.85,  # r12: solo warm median 3.03 s
 }
 
 
