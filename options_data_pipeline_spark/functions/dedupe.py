@@ -560,34 +560,32 @@ def connected_components_star(
 
     sig = _sig(edges)
     converged = False
+    # r12 (guide §2.4: window keyed like the preceding shuffle needs no
+    # second exchange; §3.3: the join was the accidental part): each
+    # star step used to be groupBy(u).min + join back on u — two
+    # consumers of the symmetrized edge stream, which forced an extra
+    # mid-round checkpoint of `large`. A min-window over the SAME key
+    # computes each row's neighborhood-min in one pass with no join,
+    # and explode(array(v, u)) replaces the union-of-projections, so
+    # `large` has exactly ONE consumer and needs no materialization:
+    # one checkpoint job per round instead of two, no per-round joins.
+    # Set arithmetic is identical row-for-row (window min == agg min;
+    # explode == the two-branch union), so every round's edge set — and
+    # the fixpoint — is unchanged.
+    wu = Window.partitionBy("u")
     for _ in range(max_iters):
         sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        mins = (
-            sym.groupBy("u")
-            .agg(F.min("v").alias("mn"))
-            .select("u", F.least("u", "mn").alias("m"))
-        )
-        large = ck(
-            sym.join(mins, "u")
+        large = (
+            sym.withColumn("m", F.least(F.col("u"), F.min("v").over(wu)))
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            # consumed twice below (mins2 + join); checkpoint so the
-            # sym/groupBy/join subplan runs once, not twice (measured:
-            # skipping this costs ~2× even on tiny rounds — the doubled
-            # subplan defeats AQE's coalescing and reruns the shuffles)
         )
         # large-star output is already oriented u > v (m ≤ min-neighbor < v)
-        mins2 = (
-            large.groupBy("u")
-            .agg(F.min("v").alias("mn"))
-            .select("u", F.least("u", "mn").alias("m"))
-        )
-        joined = large.join(mins2, "u")
+        l2 = large.withColumn("m", F.least(F.col("u"), F.min("v").over(wu)))
         small = ck(
-            joined.select(F.col("v").alias("x"), F.col("m"))
-            .union(joined.select(F.col("u").alias("x"), F.col("m")))
+            l2.select(F.explode(F.array("v", "u")).alias("x"), "m")
             .filter(F.col("x") != F.col("m"))
             .select(F.col("x").alias("u"), F.col("m").alias("v"))
             .distinct()
@@ -598,9 +596,8 @@ def connected_components_star(
             and small.join(edges, ["u", "v"], "left_anti").count() == 0
         )
         # the anti-join above was this round's last read of the previous
-        # generation — drop it (and the intra-round `large`) NOW, keeping
-        # at most current + in-flight generations in storage
-        ck.free(large)
+        # generation — drop it NOW, keeping at most current + in-flight
+        # generations in storage
         ck.free(edges)
         edges, sig = small, new_sig
         if fixpoint:

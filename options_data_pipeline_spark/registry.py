@@ -22,7 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .sources.tables import load_table, load_ticks
+from .sources.tables import load_table, load_ticks, spread
 from .operators.ohlc import ohlc_candles
 from .operators.truerange import with_true_range
 from .operators.atr import with_wilder_atr, atr_summary, ATR_PERIOD
@@ -4560,7 +4560,13 @@ def q_doremi_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.doremi import domain_token_model, doremi_trajectory
 
     docs = load_table(spark, "documents", sf_dir)
-    model = domain_token_model(docs).localCheckpoint(eager=True)
+    # r12: checkpoint the model PARTITIONED BY tok — every mirror-descent
+    # iteration starts with a tok-grain agg + a tok-keyed join back; with
+    # the checkpoint already hash(tok)-partitioned (LogicalRDD preserves
+    # outputPartitioning) neither needs an exchange, so each iteration
+    # pays only the final source-grain agg shuffle (guide §2.4: two
+    # operations keyed the same way share one exchange).
+    model = domain_token_model(docs).repartition("tok").localCheckpoint(eager=True)
     w, excess, entropy = doremi_trajectory(model)
     scaffold = spark.createDataFrame(
         [(s, float(entropy[s]), float(excess[s]), w[s]) for s in sorted(w)],
@@ -4643,7 +4649,13 @@ def q_doremi_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.doremi import _q9, domain_token_model, doremi_trajectory
 
     docs = load_table(spark, "documents", sf_dir)
-    model = domain_token_model(docs).localCheckpoint(eager=True)
+    # r12: checkpoint the model PARTITIONED BY tok — every mirror-descent
+    # iteration starts with a tok-grain agg + a tok-keyed join back; with
+    # the checkpoint already hash(tok)-partitioned (LogicalRDD preserves
+    # outputPartitioning) neither needs an exchange, so each iteration
+    # pays only the final source-grain agg shuffle (guide §2.4: two
+    # operations keyed the same way share one exchange).
+    model = domain_token_model(docs).repartition("tok").localCheckpoint(eager=True)
     w, _, _ = doremi_trajectory(model)
     counts = {
         r["source"]: r["n"]
@@ -12417,7 +12429,12 @@ def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         )
     )
-    base = base.localCheckpoint()  # feeds replicates + the point stats
+    # the 32-way replicate explode + per-row md5 below is the dominant
+    # cost and inherits the scan's partitioning — at test SF that is ONE
+    # unsplittable task (guide §2.5 input skew; r12: 6.4 s → parallel);
+    # at production scale the scan already yields ≥ cores partitions and
+    # spread() is a no-op. Exchange carries only (o_orderkey, cents).
+    base = spread(base, spark).localCheckpoint()  # feeds replicates + point stats
     rep = base.withColumn(
         "j", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_REPS - 1)))
     )
@@ -13782,6 +13799,11 @@ def q_feature_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_extendedprice").isNotNull()
         & F.col("l_discount").isNotNull()
     )
+    # 9 per-row DECIMAL round/cast/sum chains dominate; the partial agg
+    # runs in the scan stage, which at test SF is ONE unsplittable task.
+    # spread() parallelizes the partials (decimal sums are order-free
+    # exact, so results are bit-identical); no-op at production scale.
+    li = spread(li, spark)
 
     def g6(c):
         return F.round(c, 6).cast("decimal(20,6)")
@@ -13868,6 +13890,10 @@ def q_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir).filter(
         F.col("l_discount").isNotNull() & F.col("l_quantity").isNotNull()
     )
+    # same single-task-scan-stage story as feature_correlations: the
+    # broadcast join + 6 decimal grids run in the scan stage — spread
+    # so the partial aggs parallelize (order-free exact sums).
+    li = spread(li, spark)
     part = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand")
     j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
 
