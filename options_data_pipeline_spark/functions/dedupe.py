@@ -539,26 +539,41 @@ def connected_components_star(
         .union(pairs.select(F.col(id_b).alias("v")))
         .distinct()
     )
+    # set signature (edge count, XOR of 64-bit edge hashes —
+    # order-independent, overflow-free under ANSI mode) for the cheap
+    # per-round convergence test; the claimed fixpoint is then PROVEN
+    # with one anti-join (so a hash collision can delay but never
+    # corrupt). r12 (guide §1.2 "don't compute things twice"): the sig
+    # rides each generation's CHECKPOINT job as an Observation —
+    # computed while the rows stream into storage — instead of a
+    # separate agg job per round (observe fires eagerly on both
+    # localCheckpoint and reliable checkpoint; verified in both modes).
+    from pyspark.sql import Observation
+
+    def _sig_observe(e: DataFrame) -> tuple[DataFrame, Observation]:
+        obs = Observation()
+        return (
+            e.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+            ),
+            obs,
+        )
+
+    def _sig_get(obs: Observation) -> tuple:
+        m = obs.get
+        return (m["n"], m["h"])
+
     # canonical undirected form: u > v, no self-loops
-    edges = ck(
+    edges_pre, obs0 = _sig_observe(
         pairs.select(F.greatest(id_a, id_b).alias("u"), F.least(id_a, id_b).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+    edges = ck(edges_pre)
+    sig = _sig_get(obs0)
     ck.free(pairs)  # verts + edges are self-contained now
-    def _sig(e: DataFrame) -> tuple:
-        # one tiny agg job on checkpointed data: (edge count, XOR of 64-bit
-        # edge hashes — order-independent, overflow-free under ANSI mode) —
-        # a set signature for the cheap per-round convergence test; the
-        # claimed fixpoint is then PROVEN with one anti-join (so a hash
-        # collision can delay but never corrupt)
-        r = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
-        ).first()
-        return (r.n, r.h)
-
-    sig = _sig(edges)
     converged = False
     # r12 (guide §2.4: window keyed like the preceding shuffle needs no
     # second exchange; §3.3: the join was the accidental part): each
@@ -575,22 +590,26 @@ def connected_components_star(
     wu = Window.partitionBy("u")
     for _ in range(max_iters):
         sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # no intermediate distinct: the window-min below is duplicate-
+        # insensitive and the round's final distinct dedups the set, so
+        # dropping it removes one Exchange per round (guide §2.4) while
+        # the row multiset feeding it is bounded by |sym|/2
         large = (
             sym.withColumn("m", F.least(F.col("u"), F.min("v").over(wu)))
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
         # large-star output is already oriented u > v (m ≤ min-neighbor < v)
         l2 = large.withColumn("m", F.least(F.col("u"), F.min("v").over(wu)))
-        small = ck(
+        small_pre, obs = _sig_observe(
             l2.select(F.explode(F.array("v", "u")).alias("x"), "m")
             .filter(F.col("x") != F.col("m"))
             .select(F.col("x").alias("u"), F.col("m").alias("v"))
             .distinct()
         )
-        new_sig = _sig(small)
+        small = ck(small_pre)
+        new_sig = _sig_get(obs)
         fixpoint = (
             new_sig == sig
             and small.join(edges, ["u", "v"], "left_anti").count() == 0
