@@ -92,10 +92,34 @@ def _z(w: list[float]) -> F.Column:
     ) + F.lit(w[3]) * F.col("x3")
 
 
+#: row bound under which the GD loop's per-iteration agg runs on a
+#: single-partition compact copy of the (checkpointed) feature table.
+#: Rationale (guide §2.2 "fewer, larger partitions"): each iteration is
+#: one tiny 1-row aggregate job; on a 32-partition table that job
+#: schedules 32 partial-agg tasks for microseconds of work each —
+#: measured r12: 68 jobs/1000+ tasks per training run, wall time
+#: dominated by scheduling. Below the bound (≈40 MB of 5-double rows)
+#: one task computes the partial agg faster than 32 can be scheduled;
+#: above it the loop keeps the table's native parallelism — so at
+#: production scale this is a no-op, not a tuned-for-local constant.
+_COMPACT_ROWS = 1 << 20
+
+
+def _gd_table(feats: DataFrame) -> DataFrame:
+    """Iteration-loop view of the feature table: compacted to one
+    partition when tiny (cheap narrow re-checkpoint of checkpointed
+    rows), untouched otherwise. DECIMAL gradient sums are order-free
+    exact, so partitioning never changes the trajectory."""
+    if feats.count() <= _COMPACT_ROWS:
+        return feats.coalesce(1).localCheckpoint(eager=True)
+    return feats
+
+
 def quality_train(feats: DataFrame, iters: int = ITERS, lr: float = LR) -> list[float]:
     """Fit [wb, w1, w2, w3] by batch GD with the logistic-style update
     g = (p − y)·x under the rational squash. Returns the final weights;
     the trajectory is deterministic (see module docstring)."""
+    feats = _gd_table(feats)
     w = [0.0, 0.0, 0.0, 0.0]
     for _ in range(iters):
         z = _z(w)
