@@ -99,6 +99,31 @@ def model_from_counts(cnt: DataFrame) -> DataFrame:
     )
 
 
+def checkpoint_model(model: DataFrame) -> DataFrame:
+    """Materialize the (source, tok, p) model for the iteration loop:
+    hash(tok)-partitioned checkpoint, so each iteration's tok-grain agg
+    and tok-keyed join back need no exchange (LogicalRDD preserves
+    outputPartitioning — guide §2.4), plus, when the table is tiny
+    (vocab×domains ≤ 1M rows), a single-partition compact copy on top
+    so the ~10 per-iteration agg jobs schedule one task instead of one
+    per shuffle partition (guide §2.2 — the quality_train _gd_table
+    rationale). The row count rides the checkpoint job as an
+    Observation (no extra job); the compact step is a no-op at
+    production vocab scale. DECIMAL sums are order-free exact, so
+    partitioning never changes the trajectory."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    m = (
+        model.observe(obs, F.count(F.lit(1)).alias("n"))
+        .repartition("tok")
+        .localCheckpoint(eager=True)
+    )
+    if obs.get["n"] <= 1 << 20:
+        return m.coalesce(1).localCheckpoint(eager=True)
+    return m
+
+
 def _neg_xent(model: DataFrame, pm_col) -> DataFrame:
     """Σ_t p̂_d(t)·ln(q(t)) per domain, on the grids: ln snapped to 6 dp,
     each product to 12 dp, DECIMAL(38,12) sum (order-free). The negative

@@ -4557,16 +4557,12 @@ def q_doremi_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay. 12-dp term grid bounds the corpus scale it stays exact at
     (w·p̂ must exceed 5e-13); a 100 TB deployment widens the DECIMAL
     scale, same knob as every gridded query here."""
-    from .functions.doremi import domain_token_model, doremi_trajectory
+    from .functions.doremi import checkpoint_model, domain_token_model, doremi_trajectory
 
     docs = load_table(spark, "documents", sf_dir)
-    # r12: checkpoint the model PARTITIONED BY tok — every mirror-descent
-    # iteration starts with a tok-grain agg + a tok-keyed join back; with
-    # the checkpoint already hash(tok)-partitioned (LogicalRDD preserves
-    # outputPartitioning) neither needs an exchange, so each iteration
-    # pays only the final source-grain agg shuffle (guide §2.4: two
-    # operations keyed the same way share one exchange).
-    model = domain_token_model(docs).repartition("tok").localCheckpoint(eager=True)
+    # r12: tok-partitioned checkpoint (+ compact copy when tiny) — see
+    # doremi.checkpoint_model for the guide §2.4/§2.2 rationale.
+    model = checkpoint_model(domain_token_model(docs))
     w, excess, entropy = doremi_trajectory(model)
     scaffold = spark.createDataFrame(
         [(s, float(entropy[s]), float(excess[s]), w[s]) for s in sorted(w)],
@@ -4646,16 +4642,12 @@ def q_doremi_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the full unrolled mirror-descent chain plus rate/verdict CTEs.
     One count agg + one hash-verdict agg over the corpus at report
     time; rates are a k-row broadcast."""
-    from .functions.doremi import _q9, domain_token_model, doremi_trajectory
+    from .functions.doremi import _q9, checkpoint_model, domain_token_model, doremi_trajectory
 
     docs = load_table(spark, "documents", sf_dir)
-    # r12: checkpoint the model PARTITIONED BY tok — every mirror-descent
-    # iteration starts with a tok-grain agg + a tok-keyed join back; with
-    # the checkpoint already hash(tok)-partitioned (LogicalRDD preserves
-    # outputPartitioning) neither needs an exchange, so each iteration
-    # pays only the final source-grain agg shuffle (guide §2.4: two
-    # operations keyed the same way share one exchange).
-    model = domain_token_model(docs).repartition("tok").localCheckpoint(eager=True)
+    # r12: tok-partitioned checkpoint (+ compact copy when tiny) — see
+    # doremi.checkpoint_model for the guide §2.4/§2.2 rationale.
+    model = checkpoint_model(domain_token_model(docs))
     w, _, _ = doremi_trajectory(model)
     counts = {
         r["source"]: r["n"]
