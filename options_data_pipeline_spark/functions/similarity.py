@@ -1477,6 +1477,18 @@ def kcenter_coreset(
         F.col(vec_col).alias("v"),
         norm_col(vec_col).alias("nrm"),
     )
+    # r12 (guide §1.2 "don't recompute"): the seed lookup + each of the
+    # k−1 rounds re-scanned the parquet and re-derived norm_col — k+1
+    # full recomputes. When the corpus is tiny (≤128k vectors ≈ 64 MB
+    # at dim 64) materialize (vid, v, nrm) once on ONE partition, so
+    # the k−1 struct-max jobs schedule 1 task each over cached rows.
+    # The row count comes from a column-pruned count (parquet
+    # row-group metadata — cheap at any scale); above the bound the
+    # scan-per-round shape is kept: at 100 TB re-scanning columnar
+    # storage beats materializing a corpus-sized checkpoint. Per-row
+    # IEEE arithmetic is unchanged either way → bit-identical output.
+    if vectors.select(F.col(id_col)).count() <= (1 << 17):
+        v = v.coalesce(1).localCheckpoint(eager=True)
     seeds = v.orderBy("vid").limit(1).collect()
     if not seeds:
         raise ValueError("kcenter_coreset: empty corpus")

@@ -12023,7 +12023,11 @@ def q_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s").cast("double") / F.lit(1e12) / F.col("n")).alias("c"),
         )
     )
-    cov = cov.localCheckpoint()  # 4096 rows feed 8 rounds + the trace
+    # 4096 rows feed 8 rounds + the trace; single partition BY DESIGN —
+    # the covariance is dimension²-bounded at any corpus scale, so the 8
+    # per-round join+agg jobs schedule 1 task instead of one per
+    # AQE-coalesced shuffle partition (guide §2.2; r12)
+    cov = cov.coalesce(1).localCheckpoint()
     v = spark.range(64).select(
         F.col("id").cast("int").alias("dim"), F.lit(0.125).alias("v")
     )
