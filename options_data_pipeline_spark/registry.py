@@ -2658,6 +2658,15 @@ def q_approx_sketch_stats_builtin(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .select(F.col("event_type").alias("symbol"), "value", "user_id")
     )
+    # r12 (guide §2.5 input skew): at bench SF the events scan is ONE
+    # unsplittable row group, so the partial agg — a 10000-accuracy
+    # t-digest over every row — ran on a single 5.7 s task. spread()
+    # parallelizes the partials (no-op at production scale). Output is
+    # partition-layout-invariant: n/users_exact are exact aggs, HLL
+    # merge is a deterministic register-max, and the three booleans are
+    # structural t-digest invariants (monotone, in-range) — all TRUE
+    # under any partitioning of the same rows.
+    ev = spread(ev, spark)
     sketch = ev.groupBy("symbol").agg(
         F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("p"),
         F.approx_count_distinct("user_id").alias("users_approx"),
