@@ -5857,24 +5857,43 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir).withColumn(
         "half", (F.col("vec_id") % 2).cast("int")
     )
-    n = emb.groupBy("label", "half").agg(F.count(F.lit(1)).alias("n_vecs"))
+    # r12 (guide §1.2): the vector count and the dim sums used to be two
+    # consumers of the corpus scan (two full scans + two spread
+    # exchanges). One posexplode_OUTER pass now feeds both: n_vecs is
+    # the count of dim-0 rows (every vector emits exactly one — an
+    # empty/null embedding still yields one null-dim row under outer
+    # explode, so the count is exact for any input), and the per-dim
+    # row counts ride the same (label, half, dim)-grain agg; the
+    # centroid-grain join disappears. Sums are unchanged decimal-grid
+    # aggregates → bit-identical output.
     dims = emb.select(
         "label",
         "half",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
+        F.posexplode_outer(F.col("embedding").cast("array<double>")).alias(
+            "dim", "x"
+        ),
     )
-    sums = dims.groupBy("label", "half", "dim").agg(
-        F.sum(F.round(F.col("x"), 6).cast("decimal(20,6)")).alias("s")
+    grp = dims.groupBy("label", "half", "dim").agg(
+        F.sum(F.round(F.col("x"), 6).cast("decimal(20,6)")).alias("s"),
+        F.count(F.lit(1)).alias("nrows"),
     )
-    cent = (
-        sums.join(n, ["label", "half"])
-        .groupBy("label", "half", "n_vecs")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "s"))),
-                lambda t: t["s"].cast("double") / F.col("n_vecs"),
-            ).alias("c")
-        )
+    cent = grp.groupBy("label", "half").agg(
+        F.sum(
+            F.when(F.col("dim").eqNullSafe(0) | F.col("dim").isNull(), F.col("nrows"))
+        ).alias("n_vecs"),
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("dim").isNotNull(), F.struct("dim", "s"))
+            )
+        ).alias("cs"),
+    )
+    cent = cent.select(
+        "label",
+        "half",
+        "n_vecs",
+        F.transform(
+            F.col("cs"), lambda t: t["s"].cast("double") / F.col("n_vecs")
+        ).alias("c"),
     )
     from .functions.similarity import dot_col, norm_col
 
