@@ -450,6 +450,8 @@ def connected_components(
     one level per round and the analyzer blows the driver heap around
     round 15 (measured); the checkpoint truncates lineage so every round
     starts from a flat plan."""
+    from pyspark.sql import Observation
+
     ck = _RoundCheckpointer(pairs.sparkSession)
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = ck(e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))))
@@ -458,6 +460,7 @@ def connected_components(
         .distinct()
         .withColumn("label", F.col("v"))
     )
+    gen = labels  # the checkpointed generation free() must target
     for _ in range(max_iters):
         nbr = (
             edges.join(
@@ -467,21 +470,33 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("nl").alias("nl"))
         )
-        new_labels = ck(
+        # r12: the per-round changed count used to be a separate
+        # join+count job re-reading both generations; it now rides the
+        # checkpoint job as an Observation over the carried-through old
+        # label (one job per round instead of two — guide §1.2). The
+        # extra _old column lives only inside the checkpoint storage;
+        # downstream reads the projected (v, label) view.
+        obs = Observation()
+        new_full = ck(
             labels.join(nbr, labels.v == nbr.src, "left")
             .select(
                 "v",
-                F.least(F.col("label"), F.coalesce("nl", F.col("label"))).alias("label"),
+                F.least(F.col("label"), F.coalesce("nl", F.col("label"))).alias(
+                    "new_label"
+                ),
+                F.col("label").alias("_old"),
+            )
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("new_label") != F.col("_old")).cast("long")
+                ).alias("chg"),
             )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        ck.free(labels)
-        labels = new_labels
+        changed = int(obs.get["chg"] or 0)
+        ck.free(gen)
+        gen = new_full
+        labels = new_full.select("v", F.col("new_label").alias("label"))
         if changed == 0:
             break
     else:
