@@ -404,6 +404,16 @@ def kmeans_centroids(
     :func:`with_cell` for corpus assignment and :func:`centroid_top_cells`
     for multi-probe — exactly like the fixed-centroid twin does."""
     v = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v"))
+    # r12 (guide §1.2): the dim probe, the seed collect and each of the
+    # `iters` Lloyd rounds re-scanned the parquet and re-cast the
+    # vectors — iters+2 passes. Tiny corpora materialize (vid, v) once;
+    # the checkpoint PRESERVES partitioning (no coalesce), so every
+    # float aggregation sees the identical partial-sum order and the
+    # trajectory is bit-identical. Above the bound the scan-per-round
+    # shape is kept (at 100 TB, re-scanning columnar storage beats a
+    # corpus-sized checkpoint).
+    if vectors.select(F.col(id_col)).count() <= (1 << 17):
+        v = v.localCheckpoint(eager=True)
     dim = len(v.first()["v"])
     centroids = [r["v"] for r in v.orderBy("vid").limit(k).collect()]
 
