@@ -69,7 +69,10 @@ def _corpus_stats(docs: DataFrame, text_col: str = "text"):
         .filter(F.col("tok") != "")
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dlen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # r12 (guide §1.2): dl = Σ tf exactly (same doc set, same long type)
+    # — deriving it from tf saves the second corpus-tokenize pass the
+    # separate toks->dlen agg forced
+    dlen = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     postings = tf.join(dlen, "doc_id").select("tok", "doc_id", "tf", "dl")
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     stats = dlen.agg(

@@ -11066,7 +11066,10 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tok") != "")
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dlen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # r12 (guide §1.2): dl = Σ tf exactly (same doc set, same long type)
+    # — deriving it from tf saves the second corpus-tokenize pass the
+    # separate toks->dlen agg forced
+    dlen = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dlen.agg(
         F.count(F.lit(1)).alias("n"),
         (
@@ -11200,7 +11203,10 @@ def q_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tok") != "")
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dlen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # r12 (guide §1.2): dl = Σ tf exactly (same doc set, same long type)
+    # — deriving it from tf saves the second corpus-tokenize pass the
+    # separate toks->dlen agg forced
+    dlen = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dlen.agg(
         F.count(F.lit(1)).alias("n"),
         (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
