@@ -12185,7 +12185,11 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct count."""
     from .functions.profile import profile_columns
 
-    return profile_columns(load_table(spark, "events", sf_dir))
+    # r12 (guide §2.5): the unpivot+partial-agg stage inherits the
+    # single-row-group scan's one partition at bench SF — spread() gives
+    # the 6× row-multiplied profile pass full parallelism (no-op at
+    # production scale; count/min/max/distinct are order-invariant).
+    return profile_columns(spread(load_table(spark, "events", sf_dir), spark))
 
 
 @register(

@@ -82,10 +82,42 @@ def spread(df: DataFrame, spark: SparkSession, min_parallelism: int | None = Non
     return df
 
 
+#: analyzed-DataFrame memo — METADATA caching only, never data. Every
+#: `spark.read.parquet(path)` constructs a fresh InMemoryFileIndex (file
+#: listing) and re-infers the schema from footers: measured 150-500 ms
+#: of driver-side work per call, paid by every query's construction
+#: (guide §6 file-listing cost; §7.3 driver-side work). The DataFrame —
+#: an immutable logical plan — is reusable, so loads of the same table
+#: within one application return the same plan object. Keyed on
+#: (applicationId, path, mtime, size): a regenerated testdata file or a
+#: new Spark application misses the memo. Every action on the returned
+#: frame still reads the parquet — nothing about RESULTS is cached.
+_TABLE_MEMO: dict[tuple, DataFrame] = {}
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(path)
+        key = (
+            spark.sparkContext.applicationId,
+            path,
+            st.st_mtime_ns,
+            st.st_size,
+        )
+    except OSError:
+        key = None
+    if key is not None and key in _TABLE_MEMO:
+        return _TABLE_MEMO[key]
+    df = _load_table_uncached(spark, name, path)
+    if key is not None:
+        _TABLE_MEMO[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, name: str, path: str) -> DataFrame:
     if name == "events":
         if _events_ts_is_nanos(path):
             raw = spark.read.schema(EVENTS_SCHEMA_NS).parquet(path)
