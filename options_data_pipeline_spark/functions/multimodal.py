@@ -35,6 +35,7 @@ import struct
 import wave
 from collections.abc import Iterator
 
+import numpy as _np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -566,8 +567,17 @@ def extract_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": payloads.map(lambda p: 0 if p is None else len(p)).astype("int64"),
+                    # np.uint8 sum == builtin sum(bytes) exactly (both the
+                    # exact integer byte total); the numpy path runs the
+                    # hot loop in C instead of one Python add per byte
+                    # (guide §4.2 — vectorize inside the Arrow batch)
                     "checksum": payloads.map(
-                        lambda p: 0 if p is None else sum(p) % (1 << 31)
+                        lambda p: 0
+                        if p is None
+                        else int(
+                            _np.frombuffer(p, dtype=_np.uint8).sum(dtype=_np.int64)
+                        )
+                        % (1 << 31)
                     ).astype("int64"),
                     "feature": feats,
                 }
