@@ -158,21 +158,24 @@ def triangle_counts(
     """Exact per-node triangle counts on an UNDIRECTED edge list (one row
     per unordered pair, any orientation; duplicates/self-loops dropped).
 
-    Spark-first node-iterator with DEGREE ORIENTATION — the standard
+    Spark-first edge-iterator with DEGREE ORIENTATION — the standard
     distributed-triangle trick (cf. Suri & Vassilvitskii, "Counting
     Triangles and the Curse of the Last Reducer", WWW'11): orient every
-    edge from its lower-(degree, id) endpoint to the higher one, build
-    wedges only from each node's ORIENTED out-neighbors, and close them
-    against the oriented edge list. Out-degrees under this orientation
-    are O(sqrt(|E|))-bounded, so the wedge join is Σ outdeg² — the
+    edge from its lower-(degree, id) endpoint to the higher one, then
+    for each oriented edge (a, b) count |N⁺(a) ∩ N⁺(b)| over the
+    oriented out-neighbor lists. Out-degrees under this orientation are
+    O(sqrt(|E|))-bounded, so the intersection work is Σ outdeg² — the
     skewed hub that would explode a naive shared-neighbor join
     (outdeg = graph degree, wedges = deg²) instead contributes almost
     nothing because hubs sort LAST and receive edges rather than emit
-    them. Both the wedge build (self-join on src) and the closing probe
-    (join on the (v, w) pair) are plain shuffle hash/SMJ equi-joins —
-    no windows, no driver state; per-node counts are one explode + one
-    count. 100 TB posture: 2 shuffles of the oriented edge table at
-    src grain + 1 at pair grain, all map-side combinable afterwards.
+    them. The Σ outdeg² term never crosses an exchange: it lives inside
+    array_intersect over node-grain adjacency arrays attached to the
+    edge stream by two equi-joins (r12 — the previous wedge-join form
+    materialized and SHUFFLED Σ outdeg² rows into a closing hash join,
+    the measured dominant stage). No windows, no driver state;
+    per-node counts are one explode + one map-side-combinable count.
+    100 TB posture: the only shuffled payloads are edge-grain rows and
+    O(√E)-bounded adjacency arrays.
 
     Returns (node, n_triangles) for every node of the graph, 0 included.
     """
@@ -227,30 +230,40 @@ def triangle_counts(
     )
     if materialize:
         oriented = oriented.localCheckpoint()
-    # wedge endpoints ordered by the SAME (deg, id) total order so each
-    # wedge is generated once and matches the oriented closing edge
-    w1 = oriented.select(
-        F.col("src"), F.col("dst").alias("x"), F.col("deg_dst").alias("deg_x")
-    )
-    w2 = oriented.select(
-        F.col("src"), F.col("dst").alias("y"), F.col("deg_dst").alias("deg_y")
-    )
-    wedges = w1.join(w2, "src").filter(
-        (F.col("deg_x") < F.col("deg_y"))
-        | ((F.col("deg_x") == F.col("deg_y")) & (F.col("x") < F.col("y")))
-    )
-    # closing probe: hash, not sort-merge — the wedge side is Σ outdeg²
-    # rows (tens of × the edge table); SMJ would SORT it, the dominant
-    # cost of the whole operator (measured ×10 catalog probe: the sort
-    # spilled 10+ GB). Hashing the edge side streams wedges unsorted.
-    closed = wedges.join(
-        oriented.select(F.col("src").alias("x"), F.col("dst").alias("y")).hint(
-            "shuffle_hash"
-        ),
-        ["x", "y"],
+    # r12 (guide §2.3 "shuffle fewer bytes" / §2.4): the wedge-join form
+    # materialized Σ outdeg² wedge ROWS and shuffled them into a closing
+    # hash join — the measured dominant stage (27.7 s of a 38.8 s run,
+    # 395 s of task time at sf0.1). The adjacency-intersection form
+    # (GraphFrames-style edge iterator) never materializes a wedge:
+    # each ORIENTED closing edge (a, b) joins the two out-neighbor
+    # arrays and counts |N⁺(a) ∩ N⁺(b)| in place. The same Σ outdeg²
+    # work now happens inside array_intersect over in-memory arrays —
+    # what crosses the exchanges is edge-grain rows carrying
+    # O(√E)-bounded arrays (Σ elements = Σ outdeg², but 8-byte array
+    # slots instead of shuffled+hash-probed rows). Triangle {u,v,w}
+    # (u→v, u→w, v→w) is found exactly once, at edge (u,v) with common
+    # neighbor w — the identical multiset of (node, +1) contributions
+    # the closed-wedge explode emitted, so counts are bit-identical.
+    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    closed = (
+        oriented.select("src", "dst")
+        .join(adj.select(F.col("src").alias("_sa"), F.col("nbrs").alias("na")),
+              F.col("src") == F.col("_sa"))
+        .join(adj.select(F.col("src").alias("_sb"), F.col("nbrs").alias("nb")),
+              F.col("dst") == F.col("_sb"))
+        .select("src", "dst", F.array_intersect("na", "nb").alias("ws"))
+        .filter(F.size("ws") > 0)
     )
     per_node = (
-        closed.select(F.explode(F.array("src", "x", "y")).alias("node"))
+        closed.select(
+            F.explode(
+                F.concat(
+                    F.col("ws"),
+                    F.array_repeat(F.col("src"), F.size("ws")),
+                    F.array_repeat(F.col("dst"), F.size("ws")),
+                )
+            ).alias("node")
+        )
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )

@@ -756,15 +756,16 @@ def test_item_pagerank_materialized_and_broadcast(spark, qs):
 
 
 def test_part_triangle_counts_plan(spark, qs):
-    """Triangle-count plan hygiene, pinned: the shared edge/oriented
-    subtrees are materialized (lazy unrolling planned 69 exchanges /
-    9 SMJs), the degree dims broadcast, and the closing probe is a
-    HASH join — SMJ would sort the Σ outdeg² wedge stream, the
-    dominant cost of the whole operator (measured ×10 catalog probe:
-    126 s sorted vs 31.6 s hashed)."""
+    """Triangle-count plan hygiene, pinned (r12 adjacency-intersection
+    form): the shared edge/oriented subtrees are materialized (lazy
+    unrolling planned 69 exchanges / 9 SMJs), the degree dims
+    broadcast, and the Σ outdeg² term stays INSIDE array_intersect —
+    no wedge-grain rows cross an exchange (the old wedge+closing-probe
+    form shuffled Σ outdeg² rows: 395 s of task time vs 22 s for the
+    heaviest stage at sf0.1)."""
     df = qs["part_triangle_counts"](spark, SF)
     plan = physical_plan(df)
-    assert "ShuffledHashJoin" in plan
+    assert "array_intersect" in plan
     assert "CartesianProduct" not in plan
     assert count_exchanges(df) <= 8
 
