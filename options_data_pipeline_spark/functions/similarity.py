@@ -403,6 +403,7 @@ def kmeans_centroids(
     learned quantizer composes with the other centroid primitives —
     :func:`with_cell` for corpus assignment and :func:`centroid_top_cells`
     for multi-probe — exactly like the fixed-centroid twin does."""
+    spark = vectors.sparkSession
     v = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v"))
     # r12 (guide §1.2): the dim probe, the seed collect and each of the
     # `iters` Lloyd rounds re-scanned the parquet and re-cast the
@@ -414,26 +415,40 @@ def kmeans_centroids(
     # corpus-sized checkpoint).
     if vectors.select(F.col(id_col)).count() <= (1 << 17):
         v = v.localCheckpoint(eager=True)
-    dim = len(v.first()["v"])
-    centroids = [r["v"] for r in v.orderBy("vid").limit(k).collect()]
+    seeds = v.orderBy("vid").limit(k).collect()
+    # dim rides the seed collect — the separate v.first() probe was one
+    # more full job per construction (guide §1.2; r12)
+    dim = len(seeds[0]["v"])
+    centroids = [r["v"] for r in seeds]
 
-    for _ in range(iters):
-        assigned = v.withColumn("cell", centroid_argmin("v", centroids))
-        mean = lambda d: F.avg(f"d{d}")  # noqa: E731
-        if round_dp is not None:
-            mean = lambda d: F.round(F.avg(f"d{d}"), round_dp)  # noqa: E731
-        means = (
-            assigned.select(
-                "cell", *[F.col("v")[d].alias(f"d{d}") for d in range(dim)]
-            )
-            .groupBy("cell")
-            .agg(*[mean(d).alias(f"d{d}") for d in range(dim)])
-            .collect()
-        )
-        new_cents = list(centroids)
-        for r in means:
-            new_cents[r["cell"]] = [r[f"d{d}"] for d in range(dim)]
-        centroids = new_cents
+    # r12 (guide §7.3 driver-side work): each round used to build the
+    # assignment + 64-column mean plan through ~130 py4j Column calls
+    # and a per-round F.expr parse — ~1 s of DRIVER time per round on
+    # a 2 ms of data (the centroid literals change every round, so
+    # nothing amortizes). One spark.sql string per round is a single
+    # py4j call + one parse; the expression tree (argmin string, avg,
+    # round) is the same operators in the same order, so the float
+    # trajectory — and the oracle hash — is unchanged.
+    view = f"__kmeans_v_{abs(id(v))}"
+    v.createOrReplaceTempView(view)
+    mean_sql = (
+        (lambda d: f"avg(v[{d}]) AS d{d}")
+        if round_dp is None
+        else (lambda d: f"round(avg(v[{d}]), {int(round_dp)}) AS d{d}")
+    )
+    try:
+        for _ in range(iters):
+            argmin = f"array_min({_score_entries_sql('v', centroids)}).cell"
+            means = spark.sql(
+                f"SELECT cell, {', '.join(mean_sql(d) for d in range(dim))}"
+                f" FROM (SELECT {argmin} AS cell, v FROM {view}) GROUP BY cell"
+            ).collect()
+            new_cents = list(centroids)
+            for r in means:
+                new_cents[r["cell"]] = [r[f"d{d}"] for d in range(dim)]
+            centroids = new_cents
+    finally:
+        spark.catalog.dropTempView(view)
     return centroids
 
 
