@@ -9428,6 +9428,32 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COPURCHASE_BASKET_CAP = 64
 
 
+def _capped_basket_arrays(
+    spark: SparkSession,
+    sf_dir: str,
+    max_basket: int = _COPURCHASE_BASKET_CAP,
+) -> DataFrame:
+    """(l_orderkey, ids) basket ARRAYS with the giant-basket cap — the
+    r12 one-shuffle core of the co-purchase family (guide §2.4): the
+    old distinct → row_number-window chain paid two exchanges ((order,
+    part) grain then order grain) before any consumer ran; one
+    groupBy(order) with collect_set dedups AND caps in a single
+    order-grain shuffle, with no window sort. ``array_sort + slice``
+    is exactly the window's keep-the-``max_basket``-smallest-partkeys
+    rule. Per-key state is one basket set — the same order-grain skew
+    bound the window partition had."""
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .filter(F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull())
+        .select("l_orderkey", "l_partkey")
+    )
+    return li.groupBy("l_orderkey").agg(
+        F.slice(F.array_sort(F.collect_set("l_partkey")), 1, max_basket).alias(
+            "ids"
+        )
+    )
+
+
 def _capped_baskets(
     spark: SparkSession,
     sf_dir: str,
@@ -9436,19 +9462,22 @@ def _capped_baskets(
     """Distinct (order, part) basket stream with the giant-basket cap
     (deterministic smallest-partkey rule) — the shared input of the
     co-purchase graph family and the basket-mining queries. Oracle twin:
-    ``_COPURCHASE_LI_CTE``."""
-    li = (
-        load_table(spark, "lineitem", sf_dir)
-        .filter(F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull())
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    ``_COPURCHASE_LI_CTE``. One order-grain shuffle (see
+    :func:`_capped_basket_arrays`); the explode is a narrow map."""
+    return _capped_basket_arrays(spark, sf_dir, max_basket).select(
+        "l_orderkey", F.explode("ids").alias("l_partkey")
     )
-    w_ord = Window.partitionBy("l_orderkey").orderBy("l_partkey")
-    return (
-        li.withColumn("rn", F.row_number().over(w_ord))
-        .filter(F.col("rn") <= max_basket)
-        .drop("rn")
-    )
+
+
+#: SQL for the i<j pair explode over a sorted basket array — the
+#: winnow_overlap_pairs pattern applied to baskets (r12): pair volume is
+#: still basket²-bounded per order, but no self-join and no second
+#: exchange — pairs are born in the same task that holds the basket.
+_BASKET_PAIRS_EXPR = (
+    "flatten(transform(ids, (a, i) ->"
+    " transform(slice(ids, i + 2, size(ids) - i - 1),"
+    " b -> struct(a AS u, b AS v))))"
+)
 
 
 def _copurchase_edges(
@@ -9459,28 +9488,26 @@ def _copurchase_edges(
 ) -> DataFrame:
     """Shared edge build for the co-purchase graph family (triangles /
     k-core / LPA): parts sharing an order are adjacent, oriented u < v.
-    The self-join keys on ORDER (bounded by per-order basket size²,
-    never parts²), and baskets are capped at ``max_basket`` distinct
-    parts (deterministic smallest-partkey rule — see
+    Pairs explode from the capped basket ARRAYS (r12 — the old
+    order-keyed self-join re-shuffled the basket stream and probed a
+    hash relation per pair; the array transform emits the identical
+    i<j pair set inside the basket's own task), still bounded by
+    per-order basket size² with baskets capped at ``max_basket``
+    distinct parts (deterministic smallest-partkey rule — see
     ``_COPURCHASE_BASKET_CAP``), so a degenerate mega-order cannot
     explode one key's task. ``min_w > 1`` keeps only REPEAT
     co-purchases — the sparsification the iterative queries run on (raw
     co-occurrence is noise at 100 TB); ``min_w=1`` returns the raw pair
     stream (triangle_counts dedups internally)."""
-    li = _capped_baskets(spark, sf_dir, max_basket)
-    a = li.alias("a")
-    b = li.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    pairs = (
+        _capped_basket_arrays(spark, sf_dir, max_basket)
+        .select(F.explode(F.expr(_BASKET_PAIRS_EXPR)).alias("p"))
+        .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
     )
     if min_w <= 1:
-        return pairs.select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
+        return pairs
     return (
-        pairs.groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        pairs.groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= min_w)
         .select("u", "v")
@@ -12638,27 +12665,38 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats — the kmv lesson), the 1-row basket total is a broadcast
     normalizer. Counts exact; conf/support single divisions; lift a
     mirrored two-division chain."""
-    li = _capped_baskets(spark, sf_dir)
-    li = li.localCheckpoint()  # feeds totals + items + both pair sides
-    n_ord = li.agg(
-        F.count_distinct("l_orderkey").alias("n")
+    # r12: basket ARRAYS instead of the row stream (one order-grain
+    # shuffle, see _capped_basket_arrays) — feeds totals + items + pairs
+    arrays = _capped_basket_arrays(spark, sf_dir).localCheckpoint()
+    # every basket row is one distinct order ⇒ count(*) == the old
+    # count_distinct(l_orderkey) over the exploded stream
+    n_ord = arrays.agg(F.count(F.lit(1)).alias("n"))
+    items = (
+        arrays.select(F.explode("ids").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    items = li.groupBy(F.col("l_partkey").alias("item")).agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("antecedent"),
-            F.col("b.l_partkey").alias("consequent"),
-        )
+    # directed pair counts: n(a→b) == n(b→a) == the undirected
+    # co-purchase count, so aggregate the i<j pairs once (half the agg
+    # rows of the old a≠b self-join) and emit both orientations
+    und = (
+        arrays.select(F.explode(F.expr(_BASKET_PAIRS_EXPR)).alias("p"))
+        .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= 2)
+    )
+    pairs = und.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("a"), F.col("v").alias("c")),
+                F.struct(F.col("v").alias("a"), F.col("u").alias("c")),
+            )
+        ).alias("d"),
+        "n_ab",
+    ).select(
+        F.col("d.a").alias("antecedent"),
+        F.col("d.c").alias("consequent"),
+        "n_ab",
     )
     ia = items.select(F.col("item").alias("antecedent"), F.col("cnt").alias("n_antecedent"))
     ic = items.select(F.col("item").alias("consequent"), F.col("cnt").alias("n_consequent"))
