@@ -1121,19 +1121,24 @@ def test_chi2_drift_one_conditional_pass(spark, qs):
 
 
 def test_feature_correlations_single_scan_single_agg(spark, qs):
+    """One scan, one agg shuffle — plus the r12 spread() round-robin
+    exchange that parallelizes the single-row-group scan's decimal
+    moment chains (bench-SF input skew, guide §2.5; a no-op exchange
+    count at production scale where the scan splits on its own)."""
     df = qs["feature_correlations"](spark, SF)
-    assert count_exchanges(df) == 1
+    assert count_exchanges(df) <= 2
     assert len(read_schemas(df)) == 1
 
 
 def test_discount_elasticity_broadcast_dim_one_shuffle(spark, qs):
     """25 regressions in one pass: part dim broadcasts onto the fact
-    scan, ONE brand-grain agg shuffle."""
+    scan, ONE brand-grain agg shuffle (plus the r12 spread() round-
+    robin exchange — see test_feature_correlations pin)."""
     df = qs["discount_elasticity"](spark, SF)
     plan = physical_plan(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
-    assert count_exchanges(df) == 1
+    assert count_exchanges(df) <= 2
 
 
 def test_part_entity_resolution_two_tier_bounded(spark, qs):

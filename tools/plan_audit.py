@@ -57,6 +57,10 @@ BNLJ_OK = {
     # round 11: 1-row total/k*/level scaffolds in the waterfill closed form
     "unimax_mixture",
     "ks_drift_sources",  # 1-row reference-total crossJoin onto the CDF grid
+    # round 12: the live gate's KS — same two scaffolds as
+    # ks_drift_sources (reference grid × per-source scaffold, 1-row
+    # reference total), both broadcast and grid/source-bounded
+    "drift_gate_routing",
     "rfm_segments",  # 1-row max-orderdate crossJoined onto the customer dim
     "histogram_quantile_sketch",  # 1-row global min/max bin normalizer
     "dau_wau_mau",  # bounded day×bitmap-bucket scaffold (gap_fill family)
