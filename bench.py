@@ -427,6 +427,51 @@ PINNED_BUDGETS = {
 }
 
 
+def _effective_cores(n_workers: int) -> float:
+    """Steal probe (VERDICT r12 item 1): measure how many cores this host
+    ACTUALLY delivers right now, so a contaminated run is distinguishable
+    from a regression (r12: the driver's local[32] bench ran on ~8
+    effective cores and 14/15 queries looked regressed). One 0.5-s serial
+    md5 spin for the single-core rate, then an n_workers-way parallel spin
+    for 1.5 s; effective cores = parallel aggregate rate / serial rate.
+    Runs BEFORE the SparkSession exists so it measures the host, not the
+    JVM. ~2 s total; emitted in both JSON lines."""
+    import hashlib
+    from multiprocessing import Pool
+
+    def _spin(seconds: float) -> float:
+        h = hashlib.md5()
+        chunk = b"\x5a" * 4096
+        t0 = time.perf_counter()
+        n = 0
+        while time.perf_counter() - t0 < seconds:
+            h.update(chunk)
+            n += 1
+        return n / (time.perf_counter() - t0)
+
+    serial = _spin(0.5)
+    try:
+        with Pool(n_workers) as pool:
+            rates = pool.map(_parallel_spin, [1.5] * n_workers)
+    except OSError:
+        return 1.0
+    return round(sum(rates) / serial, 1)
+
+
+def _parallel_spin(seconds: float) -> float:
+    """Worker body for _effective_cores (module-level so Pool can pickle)."""
+    import hashlib
+
+    h = hashlib.md5()
+    chunk = b"\x5a" * 4096
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < seconds:
+        h.update(chunk)
+        n += 1
+    return n / (time.perf_counter() - t0)
+
+
 def _clear_state(spark) -> None:
     """Inter-query hygiene: drop accumulated cache/localCheckpoint state so
     late-suite queries aren't measured under 200 queries' worth of RDD-cache
@@ -451,6 +496,9 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32") or "32")
+    eff_cores = _effective_cores(cpus)
 
     spark = get_spark("bench")
     qs = registry.queries()
@@ -481,10 +529,17 @@ def main() -> None:
     # artifact.  The driver's BENCH capture keeps only the last ~2000
     # chars of stdout, so the FINAL line must stay compact — round 4's
     # full map on the final line produced parsed:null.
+    # end-of-suite re-probe: r12's committed bench started at 12.3
+    # effective cores and DEGRADED to ~7.5 by the late suite — one probe
+    # at launch alone cannot certify the whole run
+    eff_cores_end = _effective_cores(cpus)
+
     full = {
         "metric": "headline_query_suite_wall_time",
         "value": total,
         "unit": "sec",
+        "effective_cores": eff_cores,
+        "effective_cores_end": eff_cores_end,
         "queries": timings,
         "sf": sf,
     }
@@ -505,28 +560,48 @@ def main() -> None:
     # window with headroom.
     r1_total = round(sum(timings[q] for q in R1_SUBSET if q in timings), 3)
     pinned = {q: timings[q] for q in PINNED_BUDGETS if q in timings}
-    over_budget = {
+    over_budget_all = {
         q: [pinned[q], PINNED_BUDGETS[q]]
         for q in pinned
         if pinned[q] > PINNED_BUDGETS[q]
     }
+    # Cap the over-budget dict at the top 5 by overage ratio (VERDICT r12
+    # item 1b): the r12 contaminated run produced a 24-entry dict that ate
+    # the 1600-char budget and left room for only 16 of 233 queries — PERF
+    # then reported 30 queries "dropped". The full dict is always in
+    # bench_full.json; the compact line carries the count + worst 5.
+    over_budget = dict(
+        sorted(
+            over_budget_all.items(),
+            key=lambda kv: kv[1][0] / kv[1][1],
+            reverse=True,
+        )[:5]
+    )
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)
     )
+    # summary fields FIRST, queries last, so the trim loop only ever drops
+    # per-query entries — every aggregate survives the tail capture
     compact = {
         "metric": "headline_query_suite_wall_time",
         "value": total,
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),
+        "effective_cores": eff_cores,
+        "effective_cores_end": eff_cores_end,
         "r1_subset_total": r1_total,
         "pinned_total": round(sum(pinned.values()), 3),
         "pinned_budget_total": round(sum(PINNED_BUDGETS.values()), 2),
+        "pinned_over_budget_n": len(over_budget_all),
         "pinned_over_budget": over_budget,
         "queries_file": out_path,
         "queries": slowest,
     }
-    while len(json.dumps(compact)) > 1600 and compact["queries"]:
+    # 1700: the driver's tail window is ~2000 chars and BENCH_r12 showed
+    # a 1600-char line surviving with ~400 chars of the previous line —
+    # 1700 keeps 300 chars of headroom while fitting ~40 query entries
+    while len(json.dumps(compact)) > 1700 and compact["queries"]:
         compact["queries"].popitem()
     compact["queries_shown"] = len(compact["queries"])
     print(json.dumps(compact))

@@ -245,6 +245,14 @@ def triangle_counts(
     # neighbor w — the identical multiset of (node, +1) contributions
     # the closed-wedge explode emitted, so counts are bit-identical.
     adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    if materialize:
+        # adj feeds BOTH endpoint joins below; without a materialization
+        # point the planner re-runs the collect_list agg once per join —
+        # the r12 committed plan shows two partial_collect_list towers
+        # and no ReusedExchange (ADVICE r12). Node-grain rows (≤ one
+        # O(√E)-bounded array per node), so the checkpoint is tiny
+        # relative to re-aggregating the edge stream.
+        adj = adj.localCheckpoint()
     closed = (
         oriented.select("src", "dst")
         .join(adj.select(F.col("src").alias("_sa"), F.col("nbrs").alias("na")),

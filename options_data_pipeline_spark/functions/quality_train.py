@@ -55,6 +55,10 @@ from pyspark.sql import functions as F
 ITERS = 32
 LR = 8.0  # power of two: the update multiply is exact
 
+#: monotonic suffix for the GD loop's temp view — session-global names
+#: keyed on id() can collide after GC (ADVICE r12 on the kmeans view)
+_VIEW_IDS = __import__("itertools").count()
+
 
 def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """doc_id, x1..x3, y — the training matrix. x1/x2 are dyadic
@@ -93,57 +97,99 @@ def _z(w: list[float]) -> F.Column:
 
 
 #: row bound under which the GD loop's per-iteration agg runs on a
-#: single-partition compact copy of the (checkpointed) feature table.
-#: Rationale (guide §2.2 "fewer, larger partitions"): each iteration is
-#: one tiny 1-row aggregate job; on a 32-partition table that job
-#: schedules 32 partial-agg tasks for microseconds of work each —
-#: measured r12: 68 jobs/1000+ tasks per training run, wall time
-#: dominated by scheduling. Below the bound (≈40 MB of 5-double rows)
-#: one task computes the partial agg faster than 32 can be scheduled;
-#: above it the loop keeps the table's native parallelism — so at
-#: production scale this is a no-op, not a tuned-for-local constant.
+#: compacted copy of the (checkpointed) feature table. Rationale
+#: (guide §2.2 "fewer, larger partitions"): each iteration is one tiny
+#: 1-row aggregate job; on a 32-partition table that job schedules 32
+#: partial-agg tasks for microseconds of work each — measured r12: 68
+#: jobs/1000+ tasks per training run, wall time dominated by
+#: scheduling. Above the bound the loop keeps the table's native
+#: parallelism, so at production scale this is a no-op.
 _COMPACT_ROWS = 1 << 20
+#: row bound below which ONE partition beats any parallelism (the
+#: per-task decimal-sum work is smaller than scheduling a second task).
+#: r12's coalesce(1) for everything ≤ _COMPACT_ROWS serialized ~450k
+#: rows × 32 iterations of DECIMAL(38,12) partial sums onto one core —
+#: the driver measured quality_train_score 13.9 s vs its 10.7 pin
+#: (VERDICT r12 item 3). Between the two bounds the table compacts to
+#: _COMPACT_PARTS partitions: wide enough to parallelize the decimal
+#: sums, narrow enough that per-iteration scheduling stays trivial.
+_SERIAL_ROWS = 1 << 12
+_COMPACT_PARTS = 8
 
 
-def _gd_table(feats: DataFrame) -> DataFrame:
-    """Iteration-loop view of the feature table: compacted to one
-    partition when tiny (cheap narrow re-checkpoint of checkpointed
-    rows), untouched otherwise. DECIMAL gradient sums are order-free
-    exact, so partitioning never changes the trajectory."""
-    if feats.count() <= _COMPACT_ROWS:
-        return feats.coalesce(1).localCheckpoint(eager=True)
-    return feats
+def _gd_table(feats: DataFrame, n_rows: int | None = None) -> DataFrame:
+    """Iteration-loop view of the feature table: compacted (cheap narrow
+    re-checkpoint of checkpointed rows) when tiny, untouched otherwise.
+    ``n_rows`` lets the caller pass a count it already knows (riding the
+    feature checkpoint as an Observation) so no extra count job runs per
+    training call — VERDICT r12 item 3. DECIMAL gradient sums are
+    order-free exact, so partitioning never changes the trajectory. The
+    GD loop reads only (x1, x2, x3, y); doc_id is projected out of the
+    compact copy so each iteration scans 4 columns, not 5."""
+    if n_rows is None:
+        n_rows = feats.count()
+    if n_rows > _COMPACT_ROWS:
+        return feats
+    parts = 1 if n_rows <= _SERIAL_ROWS else _COMPACT_PARTS
+    return (
+        feats.select("x1", "x2", "x3", "y")
+        .coalesce(parts)
+        .localCheckpoint(eager=True)
+    )
 
 
-def quality_train(feats: DataFrame, iters: int = ITERS, lr: float = LR) -> list[float]:
+def quality_train(
+    feats: DataFrame,
+    iters: int = ITERS,
+    lr: float = LR,
+    n_rows: int | None = None,
+) -> list[float]:
     """Fit [wb, w1, w2, w3] by batch GD with the logistic-style update
     g = (p − y)·x under the rational squash. Returns the final weights;
-    the trajectory is deterministic (see module docstring)."""
-    feats = _gd_table(feats)
+    the trajectory is deterministic (see module docstring). ``n_rows``
+    (when the caller already knows the row count) skips the compaction
+    decision's count job."""
+    feats = _gd_table(feats, n_rows)
+    # r13 (guide §7.3 driver-side work — the r12 kmeans lesson applied
+    # here): each iteration used to build ~40 py4j Column objects and
+    # re-analyze the resulting plan — profiled at sf0.1: 7.0 s
+    # construct, of which only 2.3 s was Spark jobs; ~4.7 s was
+    # driver-side construction across the 32 iterations. One spark.sql
+    # string per iteration is a single py4j call + one parse. The SQL
+    # expression tree (fixed-parenthesization z, rational squash,
+    # round-12 DECIMAL(38,12) sums, CAST(count(1) AS DOUBLE)) is the
+    # same operators in the same order as the Column form, so the
+    # trajectory — and the oracle hash — is unchanged. Weight literals
+    # round-trip exactly: repr() emits the shortest decimal that parses
+    # back to the same IEEE double, and the D suffix keeps Spark from
+    # reading them as DECIMAL.
+    spark = feats.sparkSession
+    view = f"__quality_gd_{next(_VIEW_IDS)}"
+    feats.createOrReplaceTempView(view)
     w = [0.0, 0.0, 0.0, 0.0]
-    for _ in range(iters):
-        z = _z(w)
-        a = F.lit(1.0) + F.abs(z)
-        p = F.lit(0.5) + F.lit(0.5) * (z / a)
-        g = p - F.col("y").cast("double")
-
-        def dec(c: F.Column) -> F.Column:
-            return F.round(c, 12).cast("decimal(38,12)")
-
-        row = feats.agg(
-            F.sum(dec(g)).alias("sb"),
-            F.sum(dec(g * F.col("x1"))).alias("s1"),
-            F.sum(dec(g * F.col("x2"))).alias("s2"),
-            F.sum(dec(g * F.col("x3"))).alias("s3"),
-            F.count(F.lit(1)).cast("double").alias("n"),
-        ).collect()[0]
-        n = row["n"]
-        w = [
-            w[0] - lr * (float(row["sb"]) / n),
-            w[1] - lr * (float(row["s1"]) / n),
-            w[2] - lr * (float(row["s2"]) / n),
-            w[3] - lr * (float(row["s3"]) / n),
-        ]
+    try:
+        for _ in range(iters):
+            wl = [f"{x!r}D" for x in w]
+            z = f"(({wl[0]} + {wl[1]} * x1) + {wl[2]} * x2) + {wl[3]} * x3"
+            row = spark.sql(
+                "SELECT sum(CAST(round(g, 12) AS DECIMAL(38,12))) AS sb,"
+                " sum(CAST(round(g * x1, 12) AS DECIMAL(38,12))) AS s1,"
+                " sum(CAST(round(g * x2, 12) AS DECIMAL(38,12))) AS s2,"
+                " sum(CAST(round(g * x3, 12) AS DECIMAL(38,12))) AS s3,"
+                " CAST(count(1) AS DOUBLE) AS n FROM ("
+                "SELECT (0.5D + 0.5D * (z / (1.0D + abs(z))))"
+                " - CAST(y AS DOUBLE) AS g, x1, x2, x3 FROM ("
+                f"SELECT {z} AS z, x1, x2, x3, y FROM {view}))"
+            ).collect()[0]
+            n = row["n"]
+            w = [
+                w[0] - lr * (float(row["sb"]) / n),
+                w[1] - lr * (float(row["s1"]) / n),
+                w[2] - lr * (float(row["s2"]) / n),
+                w[3] - lr * (float(row["s3"]) / n),
+            ]
+    finally:
+        spark.catalog.dropTempView(view)
     return w
 
 
@@ -151,9 +197,18 @@ def quality_train_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Train on the corpus, then score it: (doc_id, label, score, keep).
     score = the squashed probability under the learned weights; keep =
     score > 0.5. The feature table is localCheckpointed so the text
-    parse runs once, not once per GD iteration + once at inference."""
-    feats = quality_features(docs, text_col).localCheckpoint(eager=True)
-    w = quality_train(feats)
+    parse runs once, not once per GD iteration + once at inference; the
+    row count the compaction decision needs rides that checkpoint job
+    as an Observation (no separate count job — guide §1.2)."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    feats = (
+        quality_features(docs, text_col)
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    w = quality_train(feats, n_rows=int(obs.get["n"]))
     z = _z(w)
     a = F.lit(1.0) + F.abs(z)
     score = F.lit(0.5) + F.lit(0.5) * (z / a)
@@ -175,11 +230,26 @@ def quality_holdout_eval(docs: DataFrame, text_col: str = "text") -> DataFrame:
     label here is a pure feature function, so held-out performance
     measures the GD fit, not leakage). Rate divisions are single
     exactly-rounded double ops with zero-denominator guards; counts
-    are BIGINT."""
-    feats = quality_features(docs, text_col).localCheckpoint(eager=True)
+    are BIGINT. The train-split row count rides the feature checkpoint
+    job as an Observation, so neither the compaction decision nor the
+    ``n_train`` output column costs a separate count job (VERDICT r12
+    items 3/6 — the old form ran feats.count() + train.count() as two
+    extra jobs per query)."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    feats = (
+        quality_features(docs, text_col)
+        .observe(
+            obs,
+            F.sum((F.col("doc_id") % 10 < 9).cast("long")).alias("n_train"),
+        )
+        .localCheckpoint(eager=True)
+    )
     train = feats.filter(F.col("doc_id") % 10 < 9)
     test = feats.filter(F.col("doc_id") % 10 == 9)
-    w = quality_train(train)
+    n_train = int(obs.get["n_train"] or 0)
+    w = quality_train(train, n_rows=n_train)
     z = _z(w)
     a = F.lit(1.0) + F.abs(z)
     score = F.lit(0.5) + F.lit(0.5) * (z / a)
@@ -190,7 +260,6 @@ def quality_holdout_eval(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.sum(F.when((F.col("pred") == 0) & (F.col("y") == 0), 1).otherwise(0)).cast("long").alias("tn"),
         F.sum(F.when((F.col("pred") == 0) & (F.col("y") == 1), 1).otherwise(0)).cast("long").alias("fn"),
     )
-    n_train = train.count()
     prec = F.when(
         F.col("tp") + F.col("fp") > 0,
         F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double"),

@@ -19,8 +19,14 @@ Scale design (100 TB / billions of vectors):
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+#: monotonic suffix for driver-loop temp views (ADVICE r12: id()-keyed
+#: names can collide after GC)
+_VIEW_IDS = itertools.count()
 
 
 def dot_col(a: str | Column, b: str | Column) -> Column:
@@ -429,7 +435,11 @@ def kmeans_centroids(
     # py4j call + one parse; the expression tree (argmin string, avg,
     # round) is the same operators in the same order, so the float
     # trajectory — and the oracle hash — is unchanged.
-    view = f"__kmeans_v_{abs(id(v))}"
+    # monotonic counter, not id(): id() values can be reused after GC and
+    # the view namespace is session-global, so two interleaved builds
+    # could collide and one's finally-block would drop the other's view
+    # mid-loop (ADVICE r12)
+    view = f"__kmeans_v_{next(_VIEW_IDS)}"
     v.createOrReplaceTempView(view)
     mean_sql = (
         (lambda d: f"avg(v[{d}]) AS d{d}")

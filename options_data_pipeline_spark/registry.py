@@ -56,6 +56,12 @@ from .functions.similarity import (
     random_hyperplanes,
 )
 
+# monotonic suffix for driver-loop temp views — session-global names keyed
+# on id() can collide after GC (ADVICE r12 on the kmeans view)
+import itertools as _itertools
+
+_VIEW_IDS = _itertools.count()
+
 # ---------------------------------------------------------------------------
 # shared SQL fragments (DuckDB dialect)
 # ---------------------------------------------------------------------------
@@ -9454,21 +9460,6 @@ def _capped_basket_arrays(
     )
 
 
-def _capped_baskets(
-    spark: SparkSession,
-    sf_dir: str,
-    max_basket: int = _COPURCHASE_BASKET_CAP,
-) -> DataFrame:
-    """Distinct (order, part) basket stream with the giant-basket cap
-    (deterministic smallest-partkey rule) — the shared input of the
-    co-purchase graph family and the basket-mining queries. Oracle twin:
-    ``_COPURCHASE_LI_CTE``. One order-grain shuffle (see
-    :func:`_capped_basket_arrays`); the explode is a narrow map."""
-    return _capped_basket_arrays(spark, sf_dir, max_basket).select(
-        "l_orderkey", F.explode("ids").alias("l_partkey")
-    )
-
-
 #: SQL for the i<j pair explode over a sorted basket array — the
 #: winnow_overlap_pairs pattern applied to baskets (r12): pair volume is
 #: still basket²-bounded per order, but no self-join and no second
@@ -12089,48 +12080,59 @@ def q_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-round join+agg jobs schedule 1 task instead of one per
     # AQE-coalesced shuffle partition (guide §2.2; r12)
     cov = cov.coalesce(1).localCheckpoint()
-    v = spark.range(64).select(
-        F.col("id").cast("int").alias("dim"), F.lit(0.125).alias("v")
-    )
+    # r13 (guide §7.3 driver-side work — the kmeans/quality_train SQL-
+    # string lesson): each round used to run a broadcast join + agg +
+    # 64-row checkpoint + a norm agg + a crossJoin — ~5 jobs/round, 55
+    # timed jobs per run, most of the wall time py4j construction and
+    # job scheduling on 64-row tables. Now each round is ONE spark.sql
+    # + 64-row collect: v rides in as an element_at(array(<64 lits>))
+    # lookup (every dj ∈ 0..63 is present, so lookup == the equi-join
+    # row-for-row), and w, nrm, v are computed in the SAME statement —
+    # every round/12-dp quantization stays IN-ENGINE, so the float
+    # trajectory is bit-identical. Driver floats round-trip exactly:
+    # repr() emits the shortest decimal that parses back to the same
+    # IEEE double, and Spark's literal parser is correctly rounded.
+    view = f"__top_pc_cov_{next(_VIEW_IDS)}"
+    cov.createOrReplaceTempView(view)
+    v = [0.125] * 64
+    rows: list = []
     nrm = None
-    for _ in range(8):
-        w = (
-            cov.join(
-                F.broadcast(v.select(F.col("dim").alias("dj"), "v")), "dj"
-            )
-            .groupBy("di")
-            .agg(
-                F.sum(
-                    F.round(F.col("c") * F.col("v"), 12).cast("decimal(32,12)")
-                ).alias("ws")
-            )
-            .select(F.col("di").alias("dim"), F.col("ws").cast("double").alias("w"))
-        )
-        w = w.localCheckpoint()  # 64 rows; feeds norm + next v
-        nrm = w.agg(
-            F.sqrt(
-                F.sum(
-                    F.round(F.col("w") * F.col("w"), 12).cast("decimal(32,12)")
-                ).cast("double")
-            ).alias("nrm")
-        )
-        v = w.crossJoin(F.broadcast(nrm)).select(
-            "dim", F.round(F.col("w") / F.col("nrm"), 12).alias("v")
-        )
+    try:
+        for _ in range(8):
+            arr = ", ".join(f"{x!r}D" for x in v)
+            rows = spark.sql(
+                "WITH wt AS (SELECT di AS dim,"
+                " CAST(sum(CAST(round(c * element_at(array("
+                f"{arr}), dj + 1), 12) AS DECIMAL(32,12))) AS DOUBLE) AS w"
+                f" FROM {view} GROUP BY di),"
+                " nr AS (SELECT sqrt(CAST(sum(CAST(round(w * w, 12)"
+                " AS DECIMAL(32,12))) AS DOUBLE)) AS nrm FROM wt)"
+                " SELECT dim, round(wt.w / nr.nrm, 12) AS v, nr.nrm"
+                " FROM wt, nr"
+            ).collect()
+            nv = list(v)
+            for r in rows:
+                nv[r["dim"]] = r["v"]
+                nrm = r["nrm"]
+            v = nv
+    finally:
+        spark.catalog.dropTempView(view)
     trace = cov.filter(F.col("di") == F.col("dj")).agg(
         F.sum(F.round(F.col("c"), 12).cast("decimal(32,12)"))
         .cast("double")
         .alias("tr")
     )
-    return (
-        v.crossJoin(F.broadcast(nrm))
-        .crossJoin(F.broadcast(trace))
-        .select(
-            "dim",
-            F.col("v").alias("loading"),
-            F.col("nrm").alias("eigenvalue"),
-            (F.col("nrm") / F.col("tr")).alias("explained_share"),
-        )
+    # build the loading frame from the LAST round's collected rows (not
+    # the dense python list) so an empty corpus still yields the empty
+    # frame the join-based form — and the oracle — produce
+    vdf = spark.createDataFrame(
+        [(r["dim"], r["v"]) for r in rows], "dim int, loading double"
+    )
+    return vdf.crossJoin(F.broadcast(trace)).select(
+        "dim",
+        "loading",
+        F.lit(nrm).cast("double").alias("eigenvalue"),
+        (F.lit(nrm).cast("double") / F.col("tr")).alias("explained_share"),
     )
 
 

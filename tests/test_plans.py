@@ -1121,24 +1121,31 @@ def test_chi2_drift_one_conditional_pass(spark, qs):
 
 
 def test_feature_correlations_single_scan_single_agg(spark, qs):
-    """One scan, one agg shuffle — plus the r12 spread() round-robin
+    """One scan, one agg shuffle, plus exactly the spread() round-robin
     exchange that parallelizes the single-row-group scan's decimal
-    moment chains (bench-SF input skew, guide §2.5; a no-op exchange
-    count at production scale where the scan splits on its own)."""
+    moment chains (bench-SF input skew, guide §2.5; a no-op at
+    production scale where the scan splits on its own). Pinned == 2
+    with the round-robin asserted specifically (ADVICE r12: the <= 2
+    re-base would also have masked an unrelated third exchange; the
+    old == 1 pin was simply stale, predating the spread() commit)."""
     df = qs["feature_correlations"](spark, SF)
-    assert count_exchanges(df) <= 2
+    plan = physical_plan(df)
+    assert count_exchanges(df) == 2
+    assert "roundrobin" in plan.lower()
     assert len(read_schemas(df)) == 1
 
 
 def test_discount_elasticity_broadcast_dim_one_shuffle(spark, qs):
     """25 regressions in one pass: part dim broadcasts onto the fact
-    scan, ONE brand-grain agg shuffle (plus the r12 spread() round-
-    robin exchange — see test_feature_correlations pin)."""
+    scan, ONE brand-grain agg shuffle, plus exactly the spread()
+    round-robin exchange (see test_feature_correlations pin — same
+    ADVICE r12 tightening from <= 2 back to == 2)."""
     df = qs["discount_elasticity"](spark, SF)
     plan = physical_plan(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
-    assert count_exchanges(df) <= 2
+    assert count_exchanges(df) == 2
+    assert "roundrobin" in plan.lower()
 
 
 def test_part_entity_resolution_two_tier_bounded(spark, qs):
