@@ -19,11 +19,16 @@ All built-in Column expressions — no Python UDFs.
 
 from __future__ import annotations
 
+import itertools
 import os
 import shutil
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+#: monotonic suffix for driver-loop temp views (the ADVICE-r12 naming
+#: rule: never key session-global view names on id())
+_VIEW_IDS = itertools.count()
 
 from .text import fingerprint_col
 
@@ -602,41 +607,55 @@ def connected_components_star(
     # Set arithmetic is identical row-for-row (window min == agg min;
     # explode == the two-branch union), so every round's edge set — and
     # the fixpoint — is unchanged.
-    wu = Window.partitionBy("u")
-    for _ in range(max_iters):
-        sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        # no intermediate distinct: the window-min below is duplicate-
-        # insensitive and the round's final distinct dedups the set, so
-        # dropping it removes one Exchange per round (guide §2.4) while
-        # the row multiset feeding it is bounded by |sym|/2
-        large = (
-            sym.withColumn("m", F.least(F.col("u"), F.min("v").over(wu)))
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .filter(F.col("u") != F.col("v"))
-        )
-        # large-star output is already oriented u > v (m ≤ min-neighbor < v)
-        l2 = large.withColumn("m", F.least(F.col("u"), F.min("v").over(wu)))
-        small_pre, obs = _sig_observe(
-            l2.select(F.explode(F.array("v", "u")).alias("x"), "m")
-            .filter(F.col("x") != F.col("m"))
-            .select(F.col("x").alias("u"), F.col("m").alias("v"))
-            .distinct()
-        )
-        small = ck(small_pre)
-        new_sig = _sig_get(obs)
-        fixpoint = (
-            new_sig == sig
-            and small.join(edges, ["u", "v"], "left_anti").count() == 0
-        )
-        # the anti-join above was this round's last read of the previous
-        # generation — drop it NOW, keeping at most current + in-flight
-        # generations in storage
-        ck.free(edges)
-        edges, sig = small, new_sig
-        if fixpoint:
-            converged = True
-            break
+    # r13 (guide §7.3 driver-side work — the quality_train/kmeans SQL-
+    # string lesson applied to the round body): the Column-built round
+    # chain (~40 py4j calls + a window-plan re-analysis per round) was
+    # profiled at 4.06 s construct with only 2.3 s of Spark jobs on
+    # dedup_clusters. Each round is now ONE spark.sql over a view of the
+    # current edge generation — identical operators in identical order
+    # (UNION ALL ≡ union, WHERE v > u AND v != m ≡ the filter-project-
+    # filter chain, least/min-window/explode/DISTINCT verbatim), so
+    # every round's edge SET — and the fixpoint — is unchanged.
+    # no intermediate distinct: the window-min is duplicate-insensitive
+    # and the round's final distinct dedups the set, so it saves one
+    # Exchange per round (guide §2.4) while the row multiset feeding it
+    # is bounded by |sym|/2.
+    spark = pairs.sparkSession
+    view = f"__cc_star_edges_{next(_VIEW_IDS)}"
+    round_sql = (
+        "SELECT DISTINCT x AS u, m AS v FROM ("
+        " SELECT explode(array(v, u)) AS x, m FROM ("
+        # large-star output is already oriented u > v (m ≤ min-nbr < v)
+        "  SELECT u, v, least(u, min(v) OVER (PARTITION BY u)) AS m FROM ("
+        "   SELECT v AS u, m AS v FROM ("
+        "    SELECT u, v, least(u, min(v) OVER (PARTITION BY u)) AS m"
+        f"    FROM (SELECT u, v FROM {view}"
+        f"          UNION ALL SELECT v, u FROM {view})"
+        "   ) WHERE v > u AND v != m"
+        "  )"
+        " )"
+        ") WHERE x != m"
+    )
+    try:
+        for _ in range(max_iters):
+            edges.createOrReplaceTempView(view)
+            small_pre, obs = _sig_observe(spark.sql(round_sql))
+            small = ck(small_pre)
+            new_sig = _sig_get(obs)
+            fixpoint = (
+                new_sig == sig
+                and small.join(edges, ["u", "v"], "left_anti").count() == 0
+            )
+            # the anti-join above was this round's last read of the
+            # previous generation — drop it NOW, keeping at most
+            # current + in-flight generations in storage
+            ck.free(edges)
+            edges, sig = small, new_sig
+            if fixpoint:
+                converged = True
+                break
+    finally:
+        spark.catalog.dropTempView(view)
     if not converged:
         raise RuntimeError(
             f"connected_components_star did not converge in {max_iters} rounds;"

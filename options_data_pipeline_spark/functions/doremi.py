@@ -45,10 +45,15 @@ doubles (k = |domains|). Reference analogue: none — extension track
 
 from __future__ import annotations
 
+import itertools
 from decimal import ROUND_HALF_UP, Decimal
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: monotonic suffix for driver-loop temp views (the ADVICE-r12 naming
+#: rule: never key session-global view names on id())
+_VIEW_IDS = itertools.count()
 
 #: fixed optimization configuration — part of the cross-engine contract
 ITERS = 8
@@ -150,36 +155,42 @@ def doremi_trajectory(
     k = len(sources)
     w = {s: 1.0 / k for s in sources}
 
+    # r13 (guide §7.3 driver-side work + §2.4): each iteration used to
+    # build the mixture plan through ~30 py4j Column calls and run a
+    # tok-grain agg whose result JOINED back onto the model. The model
+    # is STATIC across iterations, so it gets one temp view, and each
+    # iteration is ONE spark.sql: p_mix comes from a sum-window
+    # PARTITION BY tok over the same rows the groupBy+join produced —
+    # per-(source,tok) row set identical, DECIMAL sums order-free, so
+    # lneg per source is bit-identical — and the join is gone (on a
+    # tok-partitioned model the window needs no exchange either).
+    # Weight literals round-trip exactly (shortest repr + correctly-
+    # rounded parse); source names are SQL-escaped.
+    spark = model.sparkSession
+    view = f"__doremi_model_{next(_VIEW_IDS)}"
+    model.createOrReplaceTempView(view)
+
     def mix_loss(weights: dict[str, float]) -> dict[str, Decimal]:
-        wmap = F.create_map(
-            *[F.lit(x) for s in sources for x in (s, weights[s])]
+        wmap = ", ".join(
+            f"'{s.replace(chr(39), chr(39) * 2)}', {weights[s]!r}D"
+            for s in sources
         )
-        term = F.round(wmap[F.col("source")] * F.col("p"), 12).cast(
-            "decimal(38,12)"
-        )
-        pm = model.groupBy("tok").agg(F.sum(term).alias("pm"))
         # fail-loud underflow guard: when every w_d·p_d(t) term rounds
-        # to 0 on the 12-dp grid, p_mix(t) = 0 and F.log(0) is NULL —
+        # to 0 on the 12-dp grid, p_mix(t) = 0 and ln(0) is NULL —
         # Spark's sum would SILENTLY drop the term (wrong excess) while
         # the DuckDB oracle's ln(0) poisons the cast and errors. Count
         # the underflows in the SAME per-source aggregate (no extra
         # job) and raise, so the documented 5e-13 scale bound fails
         # loudly on the engine side exactly like the oracle side.
-        pmd = F.col("pm").cast("double")
-        xterm = F.round(F.col("p") * F.round(F.log(pmd), 6), 12).cast(
-            "decimal(38,12)"
-        )
-        rows = (
-            model.join(pm, "tok")
-            .groupBy("source")
-            .agg(
-                F.sum(xterm).alias("lneg"),
-                F.sum(
-                    F.when(F.col("pm") <= 0, F.lit(1)).otherwise(F.lit(0))
-                ).alias("n_underflow"),
-            )
-            .collect()
-        )
+        rows = spark.sql(
+            "SELECT source, sum(CAST(round(p * round(ln(CAST(pm AS"
+            " DOUBLE)), 6), 12) AS DECIMAL(38,12))) AS lneg,"
+            " sum(CASE WHEN pm <= 0 THEN 1 ELSE 0 END) AS n_underflow"
+            " FROM (SELECT source, p,"
+            f" sum(CAST(round(map({wmap})[source] * p, 12)"
+            " AS DECIMAL(38,12))) OVER (PARTITION BY tok) AS pm"
+            f" FROM {view}) GROUP BY source"
+        ).collect()
         n_bad = sum(int(r["n_underflow"] or 0) for r in rows)
         if n_bad:
             raise ValueError(
@@ -190,17 +201,20 @@ def doremi_trajectory(
             )
         return {r["source"]: r["lneg"] for r in rows}
 
-    for _ in range(iters):
-        lneg = mix_loss(w)
-        u = {}
-        for s in sources:
-            ex = hneg[s] - lneg[s]  # exact DECIMAL: KL(p̂_d ‖ p_mix) on grid
-            ex_f = float(max(ex, Decimal(0)))
-            u[s] = _q12(w[s] * (1.0 + eta * ex_f))
-        z = sum(u.values())  # exact DECIMAL sum — order-free
-        w = {s: float(_q12(float(u[s]) / float(z))) for s in sources}
+    try:
+        for _ in range(iters):
+            lneg = mix_loss(w)
+            u = {}
+            for s in sources:
+                ex = hneg[s] - lneg[s]  # exact DECIMAL: KL on the grid
+                ex_f = float(max(ex, Decimal(0)))
+                u[s] = _q12(w[s] * (1.0 + eta * ex_f))
+            z = sum(u.values())  # exact DECIMAL sum — order-free
+            w = {s: float(_q12(float(u[s]) / float(z))) for s in sources}
 
-    final_lneg = mix_loss(w)
+        final_lneg = mix_loss(w)
+    finally:
+        spark.catalog.dropTempView(view)
     excess = {
         s: max(hneg[s] - final_lneg[s], Decimal(0)) for s in sources
     }
