@@ -1532,25 +1532,42 @@ def kcenter_coreset(
     # recomputing it driver-side (pow vs sqrt) risks a 1-ulp platform split
     # against the oracle's sqrt(list_dot_product)
     chosen = [(int(seed.vid), list(seed.v), float(seed.nrm), None)]
-    for _ in range(k - 1):
-        dist = None
-        for cid, cv, cn, _d in chosen:
-            lit_vec = F.array(*[F.lit(float(x)) for x in cv])
-            d = 1 - dot_col(F.col("v"), lit_vec) / (F.col("nrm") * F.lit(cn))
-            dist = d if dist is None else F.least(dist, d)
-        cand = v.filter(~F.col("vid").isin([c[0] for c in chosen])).select(
-            "vid", "v", "nrm", dist.alias("d")
-        )
-        far = cand.select(
-            F.max(
-                F.struct(F.col("d"), (-F.col("vid")).alias("neg"), "vid", "v", "nrm")
-            ).alias("m")
-        ).collect()[0].m
-        if far is None:
-            raise ValueError(
-                f"kcenter_coreset: k={k} exceeds corpus size {len(chosen)}"
+    # r13 (guide §7.3 driver-side work): each round used to build the
+    # unrolled least-chain through ~64 py4j F.lit calls PER CENTER plus
+    # the fold lambdas — ~1 500 py4j round-trips per query. Each round
+    # is now ONE spark.sql with the center vectors as literal arrays
+    # (string formatting, zero py4j): the same left-nested least chain
+    # over the same fold dot product, so every distance — and the
+    # greedy trajectory — is bit-identical (repr literals parse back to
+    # the same IEEE doubles).
+    view = f"__kcenter_v_{next(_VIEW_IDS)}"
+    v.createOrReplaceTempView(view)
+    try:
+        for _ in range(k - 1):
+            dist_sql = None
+            for _cid, cv, cn, _d in chosen:
+                arr = "array(" + ", ".join(f"{float(x)!r}D" for x in cv) + ")"
+                d = (
+                    "(1 - aggregate(zip_with(CAST(v AS ARRAY<DOUBLE>),"
+                    f" CAST({arr} AS ARRAY<DOUBLE>), (x, y) -> x * y),"
+                    f" 0.0D, (acc, x) -> acc + x) / (nrm * {cn!r}D))"
+                )
+                dist_sql = d if dist_sql is None else f"least({dist_sql}, {d})"
+            ids = ", ".join(str(c[0]) for c in chosen)
+            far = spark.sql(
+                "SELECT max(struct(d, -vid AS neg, vid, v, nrm)) AS m"
+                f" FROM (SELECT vid, v, nrm, {dist_sql} AS d"
+                f" FROM {view} WHERE vid NOT IN ({ids}))"
+            ).collect()[0].m
+            if far is None:
+                raise ValueError(
+                    f"kcenter_coreset: k={k} exceeds corpus size {len(chosen)}"
+                )
+            chosen.append(
+                (int(far.vid), list(far.v), float(far.nrm), float(far.d))
             )
-        chosen.append((int(far.vid), list(far.v), float(far.nrm), float(far.d)))
+    finally:
+        spark.catalog.dropTempView(view)
     rows = [(i, cid, d) for i, (cid, _v, _n, d) in enumerate(chosen)]
     return spark.createDataFrame(rows, "rank long, vec_id long, sel_dist double")
 
@@ -1618,33 +1635,40 @@ def mmr_topk(
     first = cand.orderBy(F.col("rel").desc(), "vid").limit(1).collect()[0]
     # (vid, vec, norm, rel, max_sim, mmr)
     chosen = [(int(first.vid), list(first.v), float(first.nrm), float(first.rel), None, None)]
-    for _ in range(k - 1):
-        max_sim = None
-        for _cid, cv, cn, _r, _ms, _mm in chosen:
-            lit_vec = F.array(*[F.lit(float(x)) for x in cv])
-            s = dot_col(F.col("v"), lit_vec) / (F.col("nrm") * F.lit(cn))
-            max_sim = s if max_sim is None else F.greatest(max_sim, s)
-        score = F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * max_sim
-        pick = (
-            cand.filter(~F.col("vid").isin([c[0] for c in chosen]))
-            .select("vid", "v", "nrm", "rel", max_sim.alias("ms"), score.alias("sc"))
-            .select(
-                F.max(
-                    F.struct(
-                        F.col("sc"), (-F.col("vid")).alias("neg"), "vid", "v",
-                        "nrm", "rel", "ms",
-                    )
-                ).alias("m")
+    # r13 (guide §7.3): same SQL-string treatment as kcenter_coreset —
+    # one spark.sql per greedy round, selected vectors as literal
+    # arrays, the same left-nested greatest chain over the same fold
+    # dot product; max_sim feeds the score as a named column (same
+    # value, same ops), so the MMR trajectory is bit-identical.
+    view = f"__mmr_cand_{next(_VIEW_IDS)}"
+    cand.createOrReplaceTempView(view)
+    try:
+        for _ in range(k - 1):
+            ms_sql = None
+            for _cid, cv, cn, _r, _ms, _mm in chosen:
+                arr = "array(" + ", ".join(f"{float(x)!r}D" for x in cv) + ")"
+                s = (
+                    "(aggregate(zip_with(CAST(v AS ARRAY<DOUBLE>),"
+                    f" CAST({arr} AS ARRAY<DOUBLE>), (x, y) -> x * y),"
+                    f" 0.0D, (acc, x) -> acc + x) / (nrm * {cn!r}D))"
+                )
+                ms_sql = s if ms_sql is None else f"greatest({ms_sql}, {s})"
+            ids = ", ".join(str(c[0]) for c in chosen)
+            pick = spark.sql(
+                "SELECT max(struct(sc, -vid AS neg, vid, v, nrm, rel, ms))"
+                " AS m FROM (SELECT vid, v, nrm, rel, ms,"
+                f" {lam!r}D * rel - {(1.0 - lam)!r}D * ms AS sc"
+                f" FROM (SELECT vid, v, nrm, rel, {ms_sql} AS ms"
+                f" FROM {view} WHERE vid NOT IN ({ids})))"
+            ).collect()[0].m
+            if pick is None:
+                break
+            chosen.append(
+                (int(pick.vid), list(pick.v), float(pick.nrm), float(pick.rel),
+                 float(pick.ms), float(pick.sc))
             )
-            .collect()[0]
-            .m
-        )
-        if pick is None:
-            break
-        chosen.append(
-            (int(pick.vid), list(pick.v), float(pick.nrm), float(pick.rel),
-             float(pick.ms), float(pick.sc))
-        )
+    finally:
+        spark.catalog.dropTempView(view)
     rows = [
         (i + 1, cid, r, ms, mm)
         for i, (cid, _v, _n, r, ms, mm) in enumerate(chosen)
