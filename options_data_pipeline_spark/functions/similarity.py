@@ -174,37 +174,60 @@ def rp_lsh_near_dup_pairs(
         bands = 4 if n_planes <= 32 else 8
     planes = random_hyperplanes(64, n_planes)
     rows_per_band = n_planes // bands
-    v = vectors.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-        norm_col(vec_col).alias("nrm"),
-    )
-    bits = [
-        (dot_col(F.col("v"), F.array(*[F.lit(w) for w in plane])) >= 0).cast("int").alias(f"bit{j}")
+    # ONE SQL statement instead of ~1,000 py4j Column constructions (the
+    # 16×64 plane-literal trees measured ~1.3 s of pure driver-side
+    # construction per bench run) — same operators in the same order
+    # (cast/norm → per-plane sign bits → concat_ws bands → stack →
+    # bucket self-join → cosine → DISTINCT → threshold), so plans and
+    # results are bit-identical. Plane literals round-trip exactly
+    # (shortest-repr + correctly-rounded parse).
+    from .dedupe import _sql_lazy
+
+    bit_sql = ",\n         ".join(
+        "CASE WHEN "
+        + _dot_sql("v", "array(" + ", ".join(_sql_double(w) for w in plane) + ")")
+        + f" >= 0 THEN 1 ELSE 0 END AS bit{j}"
         for j, plane in enumerate(planes)
-    ]
-    sig = v.select("vid", "v", "nrm", *bits)
-    band_cols = []
-    for b in range(bands):
-        js = range(b * rows_per_band, (b + 1) * rows_per_band)
-        band_cols.append(F.concat_ws("", *[F.col(f"bit{j}") for j in js]).alias(f"band{b}"))
-    wide = sig.select("vid", "v", "nrm", *band_cols)
+    )
+    band_sql = ",\n         ".join(
+        "concat_ws(''"
+        + "".join(f", bit{j}" for j in range(b * rows_per_band, (b + 1) * rows_per_band))
+        + f") AS band{b}"
+        for b in range(bands)
+    )
     stack_args = ", ".join(f"{b}, band{b}" for b in range(bands))
-    banded = wide.selectExpr(
-        "vid", "v", "nrm", f"stack({bands}, {stack_args}) as (band, bucket)"
+    vcast = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
+    return _sql_lazy(
+        vectors,
+        lambda view: f"""
+WITH v AS (
+  SELECT {id_col} AS vid, {vcast} AS v,
+         sqrt({_dot_sql(vcast, vcast)}) AS nrm
+  FROM {view}
+),
+sig AS (
+  SELECT vid, v, nrm,
+         {bit_sql}
+  FROM v
+),
+wide AS (
+  SELECT vid, v, nrm,
+         {band_sql}
+  FROM sig
+),
+banded AS (
+  SELECT vid, v, nrm, band, bucket
+  FROM wide
+  LATERAL VIEW stack({bands}, {stack_args}) _s AS band, bucket
+),
+cand AS (
+  SELECT DISTINCT a.vid AS id_a, b.vid AS id_b,
+         {_dot_sql('a.v', 'b.v')} / (a.nrm * b.nrm) AS cosine
+  FROM banded a JOIN banded b USING (band, bucket)
+  WHERE a.vid < b.vid
+)
+SELECT id_a, id_b, cosine FROM cand WHERE cosine >= {_sql_double(threshold)}""",
     )
-    a, b_ = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(b_, ["band", "bucket"])
-        .filter(F.col("a.vid") < F.col("b.vid"))
-        .select(
-            F.col("a.vid").alias("id_a"),
-            F.col("b.vid").alias("id_b"),
-            (dot_col(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))).alias("cosine"),
-        )
-        .distinct()
-    )
-    return cand.filter(F.col("cosine") >= threshold)
 
 
 def fixed_centroids(k: int = 8, dim: int = 64) -> list[list[float]]:
@@ -1711,58 +1734,58 @@ def knn_label_noise_frame(
         n = vectors.count()
         n_planes = max(6, math.ceil(math.log2(max(n, 2) / target_occupancy)))
     planes = random_hyperplanes(64, n_planes)
-    v = vectors.select(
-        F.col(id_col).alias("vid"),
-        F.col(label_col).alias("label"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-        norm_col(vec_col).alias("nrm"),
-    )
-    bits = [
-        (dot_col(F.col("v"), F.array(*[F.lit(w) for w in plane])) >= 0)
-        .cast("int")
-        .alias(f"bit{j}")
+    # ONE SQL statement instead of ~500 py4j Column constructions (the
+    # plane-literal trees measured ~1.2 s of driver-side construction per
+    # bench run) — same operators in the same order (cast/norm → sign
+    # bits → concat_ws bucket → in-bucket self-join → cosine → window
+    # top-k → disagreement agg), so plans and results are bit-identical.
+    from .dedupe import _sql_lazy
+
+    bit_sql = ",\n         ".join(
+        "CASE WHEN "
+        + _dot_sql("v", "array(" + ", ".join(_sql_double(w) for w in plane) + ")")
+        + f" >= 0 THEN 1 ELSE 0 END AS bit{j}"
         for j, plane in enumerate(planes)
-    ]
-    buck = v.select("vid", "label", "v", "nrm", *bits).select(
-        "vid",
-        "label",
-        "v",
-        "nrm",
-        F.concat_ws("", *[F.col(f"bit{j}") for j in range(n_planes)]).alias(
-            "bucket"
-        ),
     )
-    a, b = buck.alias("a"), buck.alias("b")
-    pairs = (
-        a.join(b, "bucket")
-        .filter(F.col("a.vid") != F.col("b.vid"))
-        .select(
-            F.col("a.vid").alias("vid"),
-            F.col("a.label").alias("label_a"),
-            F.col("b.label").alias("label_b"),
-            (
-                dot_col(F.col("a.v"), F.col("b.v"))
-                / (F.col("a.nrm") * F.col("b.nrm"))
-            ).alias("cosine"),
-            F.col("b.vid").alias("nb"),
-        )
+    bucket_sql = (
+        "concat_ws(''" + "".join(f", bit{j}" for j in range(n_planes)) + ")"
     )
-    ranked = pairs.withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("vid").orderBy(F.col("cosine").desc(), "nb")
-        ),
-    ).filter(F.col("rn") <= k)
-    dis = F.count(F.when(F.col("label_b") != F.col("label_a"), F.lit(1)))
-    return ranked.groupBy(
-        F.col("vid").alias("vec_id"), F.col("label_a").alias("label")
-    ).agg(
-        F.count(F.lit(1)).alias("n_neighbors"),
-        dis.alias("n_disagree"),
-        (dis.cast("double") / F.count(F.lit(1)).cast("double")).alias(
-            "noise_frac"
-        ),
-        (
-            (F.count(F.lit(1)) >= 3) & (F.lit(2) * dis > F.count(F.lit(1)))
-        ).alias("is_noisy"),
+    vcast = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
+    dis = "count(CASE WHEN label_b <> label_a THEN 1 END)"
+    return _sql_lazy(
+        vectors,
+        lambda view: f"""
+WITH v AS (
+  SELECT {id_col} AS vid, {label_col} AS label, {vcast} AS v,
+         sqrt({_dot_sql(vcast, vcast)}) AS nrm
+  FROM {view}
+),
+sig AS (
+  SELECT vid, label, v, nrm,
+         {bit_sql}
+  FROM v
+),
+buck AS (
+  SELECT vid, label, v, nrm, {bucket_sql} AS bucket FROM sig
+),
+pairs AS (
+  SELECT a.vid AS vid, a.label AS label_a, b.label AS label_b,
+         {_dot_sql('a.v', 'b.v')} / (a.nrm * b.nrm) AS cosine,
+         b.vid AS nb
+  FROM buck a JOIN buck b USING (bucket)
+  WHERE a.vid <> b.vid
+),
+ranked AS (
+  SELECT vid, label_a, label_b,
+         row_number() OVER (PARTITION BY vid ORDER BY cosine DESC, nb) AS rn
+  FROM pairs
+)
+SELECT vid AS vec_id, label_a AS label,
+       count(1) AS n_neighbors,
+       {dis} AS n_disagree,
+       CAST({dis} AS DOUBLE) / CAST(count(1) AS DOUBLE) AS noise_frac,
+       (count(1) >= 3) AND (2 * {dis} > count(1)) AS is_noisy
+FROM ranked
+WHERE rn <= {k}
+GROUP BY vid, label_a""",
     )
