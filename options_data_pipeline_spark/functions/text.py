@@ -1686,19 +1686,29 @@ def repetition_char_stats(
         "doc_id", norm.alias("t"), F.length(norm).alias("n_chars_norm")
     )
 
-    def grams(n: int) -> str:
-        toks = "regexp_extract_all(t, '\\\\S+', 0)"
-        return (
-            f"transform(sequence(1, greatest(size({toks}) - {n - 1}, 1)),"
-            f" i -> array_join(slice({toks}, i, {n}), ' '))"
-        )
-
-    stacked = None
-    for n in ns:
-        part = base.select(
-            "doc_id", F.lit(n).alias("n"), F.explode(F.expr(grams(n))).alias("gram")
-        )
-        stacked = part if stacked is None else stacked.unionByName(part)
+    # Tokenize ONCE and fan out over the n values with a second explode —
+    # the previous 3-way union re-scanned docs and re-ran the \S+
+    # tokenizer once per n (r13, guide §1.2: don't compute things twice).
+    # grams(n) is the same transform/slice expression with n as a column
+    # instead of a baked literal, so the (doc_id, n, gram) row multiset —
+    # and everything downstream — is unchanged.
+    toked = base.select(
+        "doc_id",
+        F.expr("regexp_extract_all(t, '\\\\S+', 0)").alias("toks"),
+    )
+    ns_rows = toked.select(
+        "doc_id", "toks", F.explode(F.array(*[F.lit(n) for n in ns])).alias("n")
+    )
+    stacked = ns_rows.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(toks) - (n - 1), 1)),"
+                " i -> array_join(slice(toks, i, n), ' '))"
+            )
+        ).alias("gram"),
+    )
     counts = stacked.groupBy("doc_id", "n", "gram").agg(
         F.count(F.lit(1)).alias("cnt")
     )

@@ -42,6 +42,21 @@ def get_spark(
         .config("spark.sql.session.timeZone", tz)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # JIT code cache sized for a long-lived session running hundreds of
+        # distinct codegen'd stages: the default 240m (116m per segmented
+        # heap) fills after ~100 queries (~1 MB of profiled nmethods per
+        # query, measured r13), after which the sweeper flushes warm code
+        # and hot paths run interpreted/recompiling. Single-variable A/B on
+        # the 233-query bench: 310.3 s -> 271.8 s (-12%); the per-position
+        # cumulative delta is flat for the first ~40 queries and grows
+        # after — exactly the cache-full signature. On a cluster the same
+        # flag belongs in executor options for long-lived executors.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:ReservedCodeCacheSize=512m"
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         # write µs-typed parquet timestamps (not legacy INT96): what every

@@ -1094,3 +1094,33 @@ def test_lsh_migration_crash_after_publish_cleans_lazily(spark, tmp_path):
     assert not os.path.exists(os.path.join(path, leftover))  # cleaned
     assert os.path.exists(foreign)  # never deletes what it didn't commit
     assert dd.read_lsh_index(spark, path).count() == n
+
+
+def test_repetition_char_stats_hand_computed_single_tokenize(spark):
+    """r13 focused test for the tokenize-once restructure (union-per-n →
+    one explode over the n values): hand-computed Gopher char fractions
+    on known docs, plus a plan assertion that the \\S+ tokenizer appears
+    in ONE scan-side projection (the old form re-ran it once per n)."""
+    from options_data_pipeline_spark.functions.text import repetition_char_stats
+
+    # doc 0: "ab ab ab ab" — norm len 11; top 2-gram "ab ab" occurs 3x
+    # (overlapping windows over 4 tokens), len 5 → top2 = 15/11;
+    # 3-grams: "ab ab ab" x2, len 8 → top3 = 16/11; no 5-gram dups
+    # (only 0 windows of 5 over 4 tokens → slice pads: sequence(1,1),
+    # gram = whole text, count 1 → dup frac 0)
+    df = docs_df(spark, ["ab ab ab ab", "x y z w v u"])
+    out = {r.doc_id: r for r in repetition_char_stats(df).collect()}
+    r0 = out[0]
+    assert abs(r0.top_2gram_char_frac - (5 * 3) / 11) < 1e-12
+    assert abs(r0.top_3gram_char_frac - (8 * 2) / 11) < 1e-12
+    assert r0.dup_5gram_char_frac == 0.0
+    r1 = out[1]  # all tokens distinct → every gram count 1, no dups
+    assert abs(r1.top_2gram_char_frac - 3 / 11) < 1e-12
+    assert r1.dup_5gram_char_frac == 0.0
+    plan = (
+        repetition_char_stats(df)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("regexp_extract_all") == 1
