@@ -472,6 +472,40 @@ def _parallel_spin(seconds: float) -> float:
     return n / (time.perf_counter() - t0)
 
 
+def _bw_spin(seconds: float = 1.0, mb: int = 256) -> float:
+    """GB/s of sequential reads over a DRAM-resident array (numpy sum).
+    Worker body for _mem_bw_gbps (module-level so Pool can pickle)."""
+    import numpy as np
+
+    a = np.ones(mb * 1024 * 1024 // 8, dtype=np.float64)
+    t0 = time.perf_counter()
+    n = 0
+    s = 0.0
+    while time.perf_counter() - t0 < seconds:
+        s += float(a.sum())
+        n += 1
+    return n * mb / 1024.0 / (time.perf_counter() - t0)
+
+
+def _mem_bw_gbps(n_workers: int = 8) -> float:
+    """Aggregate memory read bandwidth (GB/s, 8-way). The r13 companion
+    to _effective_cores: a contaminated host can deliver full CPU cycles
+    to a cache-resident md5 spin while a noisy neighbor saturates DRAM
+    bandwidth — measured: a bench run read 382 s with trivial early
+    queries 2.2x their pins while BOTH md5 probes said 27-30 effective
+    cores. Spark is DRAM-bound, so this probe is the indicator that
+    actually tracks that failure mode. ~2 s; healthy reference on this
+    host ~70 GB/s at 8 workers."""
+    from multiprocessing import Pool
+
+    try:
+        with Pool(n_workers) as pool:
+            rates = pool.starmap(_bw_spin, [(1.5, 256)] * n_workers)
+    except OSError:
+        return 0.0
+    return round(sum(rates), 1)
+
+
 def _clear_state(spark) -> None:
     """Inter-query hygiene: drop accumulated cache/localCheckpoint state so
     late-suite queries aren't measured under 200 queries' worth of RDD-cache
@@ -499,6 +533,7 @@ def main() -> None:
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32") or "32")
     eff_cores = _effective_cores(cpus)
+    mem_bw = _mem_bw_gbps()
 
     spark = get_spark("bench")
     qs = registry.queries()
@@ -533,6 +568,7 @@ def main() -> None:
     # effective cores and DEGRADED to ~7.5 by the late suite — one probe
     # at launch alone cannot certify the whole run
     eff_cores_end = _effective_cores(cpus)
+    mem_bw_end = _mem_bw_gbps()
 
     full = {
         "metric": "headline_query_suite_wall_time",
@@ -540,6 +576,8 @@ def main() -> None:
         "unit": "sec",
         "effective_cores": eff_cores,
         "effective_cores_end": eff_cores_end,
+        "mem_bw_gbps": mem_bw,
+        "mem_bw_gbps_end": mem_bw_end,
         "queries": timings,
         "sf": sf,
     }
@@ -590,6 +628,8 @@ def main() -> None:
         "n_queries": len(timings),
         "effective_cores": eff_cores,
         "effective_cores_end": eff_cores_end,
+        "mem_bw_gbps": mem_bw,
+        "mem_bw_gbps_end": mem_bw_end,
         "r1_subset_total": r1_total,
         "pinned_total": round(sum(pinned.values()), 3),
         "pinned_budget_total": round(sum(PINNED_BUDGETS.values()), 2),
