@@ -38,6 +38,18 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # floor for AQE's coalesced partitions: the 1m default assumes
+        # shuffle stages are IO-bound, but this engine's small shuffles
+        # are compute-dense (array_intersect over adjacency arrays, HOF
+        # dot products, md5 grams) — a ~10 MB post-shuffle stage coalesced
+        # to 10 tasks serializes ~11 s of executor work per task in the
+        # worst JIT state (part_triangle_counts measured 28.9 s in-suite
+        # vs 5.3 s with the floor lowered; full-suite A/B 304.0 -> 266.1 s,
+        # pinned_over_budget 3 -> 0). At production scale shuffles are
+        # GB-sized and advisoryPartitionSizeInBytes governs instead — the
+        # floor only matters for small, compute-heavy stages, exactly
+        # where losing parallelism hurts.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", tz)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
