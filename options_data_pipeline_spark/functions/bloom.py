@@ -95,21 +95,29 @@ def bloom_might_contain(
     every row, including null-key rows."""
     m_bits = n_words * BITS_PER_WORD
     probed = df.crossJoin(F.broadcast(bloom))
-    cond = None
-    for p in _positions(F.col(key_col), k, m_bits):
-        w = (p / BITS_PER_WORD).cast("int")
-        b = (p % BITS_PER_WORD).cast("int")
-        # word lookup without arrays: chained CASE over the n_words cols
-        expr = None
-        for i in range(n_words):
-            expr = (
-                F.when(w == i, F.col(f"w{i}"))
-                if expr is None
-                else expr.when(w == i, F.col(f"w{i}"))
-            )
-        hit = (F.call_function("shiftright", expr, b) % 2) == 1
-        cond = hit if cond is None else (cond & hit)
-    verdict = F.when(F.col(key_col).isNull(), F.lit(True)).otherwise(cond)
+    # verdict built as ONE SQL expression string (r13): the k x n_words
+    # CASE-chain Column tree cost ~0.5 s of py4j construction per run;
+    # the text spells out the identical expressions (same double-divide
+    # word index, same CASE order, same AND chain), so results are
+    # bit-identical.
+    hits = []
+    for i in range(k):
+        p = (
+            f"CAST(conv(substring(md5(concat({key_col}, ':{i}')), 1, 15),"
+            f" 16, 10) AS BIGINT) % {m_bits}"
+        )
+        w = f"CAST({p} / {BITS_PER_WORD} AS INT)"
+        b = f"CAST({p} % {BITS_PER_WORD} AS INT)"
+        case = (
+            "CASE "
+            + " ".join(f"WHEN {w} = {i2} THEN w{i2}" for i2 in range(n_words))
+            + " END"
+        )
+        hits.append(f"(shiftright({case}, {b}) % 2) = 1")
+    verdict = F.expr(
+        f"CASE WHEN {key_col} IS NULL THEN true"
+        f" ELSE ({' AND '.join(hits)}) END"
+    )
     return probed.select(*df.columns, verdict.alias(out_col))
 
 
